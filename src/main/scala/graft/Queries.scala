@@ -1,8 +1,9 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.Tables
+import graft.ops._
 
 /** Named query registry — the graded surface (SURVEY.md §7.4).
   *
@@ -11,8 +12,9 @@ import graft.io.Tables
   * DuckDB on the same parquet. Oracle-parity rules (SURVEY.md §7.3 /
   * FIXTURES.md §C): identical column aliases on both sides, round()
   * double aggregates, deterministic ORDER BY with tiebreakers, cast
-  * away engine-specific integer widths, truncate timestamps to epoch
-  * seconds when they must be emitted.
+  * away engine-specific integer widths (DuckDB sum(int)→HUGEINT,
+  * row_number→BIGINT, len→BIGINT), emit timestamps as epoch-second
+  * longs (parquet ns vs Spark µs).
   */
 final case class Q(
     name: String,
@@ -21,18 +23,26 @@ final case class Q(
 
 object Queries {
 
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+  private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
+  private def cust(s: SparkSession, d: String) = Tables.customer(s, d)
+  private def nat(s: SparkSession, d: String) = Tables.nation(s, d)
+  private def reg(s: SparkSession, d: String) = Tables.region(s, d)
+  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
+
+  // ------------------------------------------------------------ core aggs
+
   /** q01 — pricing summary (TPC-H Q1 shape; SURVEY.md §2.5 A1/A4 + §2.3).
-    * Reference capability: mapper filter + reducer aggregation with a
-    * combiner (dumbo/lib :: sumreducer, statsreducer). Spark-first:
-    * scan→filter→partial agg→final agg, all codegen'd; the filter and
-    * the 7-column projection push into the parquet scan. At 100 TB the
-    * single shuffle carries only (flag,status) partial aggregates.
+    * One shuffle carrying only (flag,status) partial aggregates; filter
+    * and 7-column projection push into the parquet scan.
     */
   private val q01 = Q(
     "q01_pricing_summary",
     (s, d) => {
       import s.implicits._
-      Tables.lineitem(s, d)
+      li(s, d)
         .filter($"l_shipdate" <= lit("1998-09-01"))
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
@@ -57,7 +67,574 @@ object Queries {
       GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus"""))
 
-  val all: Seq[Q] = Seq(q01)
+  /** q02 — wordcount, the reference's canonical example (C1+C3+C2;
+    * `examples/wordcount.py`). Partial counts map-side = the combiner.
+    */
+  private val q02 = Q(
+    "q02_wordcount",
+    (s, d) => TextOps.wordCount(docs(s, d)).orderBy(col("word")),
+    Some("""
+      SELECT word, count(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+      GROUP BY word ORDER BY word"""))
+
+  /** q03 — J1 tagged join chain: fact orders against broadcast dims
+    * (dumbo's "primary fits in memory" = broadcast-hash join).
+    */
+  private val q03 = Q(
+    "q03_join_nation_revenue",
+    (s, d) => {
+      import s.implicits._
+      ord(s, d)
+        .join(cust(s, d), $"o_custkey" === $"c_custkey")
+        .join(broadcast(nat(s, d)), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(reg(s, d)), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(round(sum($"o_totalprice"), 2).as("total_price"),
+             count(lit(1)).as("order_cnt"))
+        .orderBy($"r_name", $"n_name")
+    },
+    Some("""
+      SELECT r_name, n_name,
+             round(sum(o_totalprice), 2) AS total_price,
+             count(*)                    AS order_cnt
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+      ORDER BY r_name, n_name"""))
+
+  /** q04 — T1/T2 per-key top-k (nlargestreducer): top-3 orders per
+    * customer; window partial-sorts per partition, no global sort.
+    */
+  private val q04 = Q(
+    "q04_topk_per_group",
+    (s, d) => {
+      import s.implicits._
+      LibOps.topKPerKey(ord(s, d), Seq("o_custkey"),
+          Seq($"o_totalprice".desc, $"o_orderkey".asc), 3, rankCol = "rnk")
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rnk")
+        .orderBy($"o_custkey", $"rnk")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rnk
+        FROM orders) t
+      WHERE rnk <= 3 ORDER BY o_custkey, rnk"""))
+
+  /** q05 — A3/A4 statsreducer: per-key (n, mean, std, min, max). */
+  private val q05 = Q(
+    "q05_stats_per_key",
+    (s, d) => {
+      import s.implicits._
+      LibOps.statsByKey(li(s, d), Seq("l_returnflag"), "l_quantity")
+        .select($"l_returnflag", $"n", round($"mean", 4).as("mean"),
+                round($"std", 4).as("std"), $"min_v", $"max_v")
+        .orderBy($"l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag, count(*) AS n,
+             round(avg(l_quantity), 4)        AS mean,
+             round(stddev_pop(l_quantity), 4) AS std,
+             min(l_quantity) AS min_v, max(l_quantity) AS max_v
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** q06 — A2 sumsreducer: element-wise sums of several columns. */
+  private val q06 = Q(
+    "q06_sums_multi",
+    (s, d) => {
+      import s.implicits._
+      LibOps.sumsByKey(li(s, d), Seq("l_returnflag", "l_linestatus"),
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .select($"l_returnflag", $"l_linestatus",
+          round($"sum_l_quantity", 2).as("sum_l_quantity"),
+          round($"sum_l_extendedprice", 2).as("sum_l_extendedprice"),
+          round($"sum_l_discount", 2).as("sum_l_discount"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2)      AS sum_l_quantity,
+             round(sum(l_extendedprice), 2) AS sum_l_extendedprice,
+             round(sum(l_discount), 2)      AS sum_l_discount
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  /** q07 — A5 count-distinct (two MR passes in dumbo, one aggregate
+    * here; HLL variant exposed as LibOps.approxCountDistinctByKey).
+    */
+  private val q07 = Q(
+    "q07_count_distinct",
+    (s, d) => LibOps.countDistinctByKey(ev(s, d), Seq("event_type"), "user_id")
+      .orderBy(col("event_type")),
+    Some("""
+      SELECT event_type, count(DISTINCT user_id) AS n_distinct
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** q08 — J3 secondary sort: first 5 events per user in ts order. */
+  private val q08 = Q(
+    "q08_secondary_sort",
+    (s, d) => {
+      import s.implicits._
+      LibOps.topKPerKey(ev(s, d), Seq("user_id"),
+          Seq($"ts".asc, $"event_id".asc), 5, rankCol = "rn")
+        .select($"user_id", $"rn", $"event_id", $"event_type")
+        .orderBy($"user_id", $"rn")
+    },
+    Some("""
+      SELECT user_id, rn, event_id, event_type FROM (
+        SELECT user_id, event_id, event_type,
+               CAST(row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS INTEGER) AS rn
+        FROM events) t
+      WHERE rn <= 5 ORDER BY user_id, rn"""))
+
+  /** q09 — T4/T5 global sort + limit (dumbo: 1-reducer total order +
+    * `dumbo cat | head`; Spark range-partitions the sort).
+    */
+  private val q09 = Q(
+    "q09_global_sort_limit",
+    (s, d) => {
+      import s.implicits._
+      ord(s, d).orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+        .limit(100)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""))
+
+  /** q10 — S6/J2 multi-input union with per-source dispatch. */
+  private val q10 = Q(
+    "q10_union_multi_input",
+    (s, d) => {
+      val src = docs(s, d)
+      JoinOps.multiSourceDispatch(Seq(
+          (src, (df: DataFrame) => df.filter(col("source") === "src0")),
+          (src, (df: DataFrame) => df.filter(col("source") === "src1"))))
+        .groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      SELECT lang, count(*) AS cnt FROM (
+        SELECT * FROM documents WHERE source = 'src0'
+        UNION ALL
+        SELECT * FROM documents WHERE source = 'src1') t
+      GROUP BY lang ORDER BY lang"""))
+
+  /** q11/q12 — set ops (§2.7; capability superset, dumbo has union only). */
+  private val q11 = Q(
+    "q11_intersect",
+    (s, d) => {
+      import s.implicits._
+      val o = ord(s, d)
+      o.filter($"o_orderstatus" === "F").select($"o_custkey".as("custkey"))
+        .intersect(o.filter($"o_orderstatus" === "O").select($"o_custkey".as("custkey")))
+        .orderBy($"custkey")
+    },
+    Some("""
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+      ORDER BY custkey"""))
+
+  private val q12 = Q(
+    "q12_except",
+    (s, d) => {
+      import s.implicits._
+      val o = ord(s, d)
+      o.filter($"o_orderstatus" === "F").select($"o_custkey".as("custkey"))
+        .except(o.filter($"o_orderstatus" === "P").select($"o_custkey".as("custkey")))
+        .orderBy($"custkey")
+    },
+    Some("""
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+      EXCEPT
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'
+      ORDER BY custkey"""))
+
+  /** q13 — rollup (§2.5 superset): subtotals per region/nation. */
+  private val q13 = Q(
+    "q13_rollup",
+    (s, d) => {
+      import s.implicits._
+      cust(s, d)
+        .join(broadcast(nat(s, d)), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(reg(s, d)), $"n_regionkey" === $"r_regionkey")
+        .rollup($"r_name", $"n_name")
+        .agg(count(lit(1)).as("n_cust"), round(sum($"c_acctbal"), 2).as("sum_bal"))
+        .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+    },
+    Some("""
+      SELECT r_name, n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP(r_name, n_name)
+      ORDER BY r_name NULLS FIRST, n_name NULLS FIRST"""))
+
+  // ------------------------------------------------------- time windows
+
+  /** q14 — tumbling 1h windows (batch event-time; §2.9). */
+  private val q14 = Q(
+    "q14_window_tumbling",
+    (s, d) => {
+      import s.implicits._
+      TimeOps.tumbling(ev(s, d), "ts", "1 hour", Seq("event_type"),
+          Seq(count(lit(1)).as("cnt"), round(sum($"value"), 2).as("sum_value")))
+        .select($"window_start", $"event_type", $"cnt", $"sum_value")
+        .orderBy($"window_start", $"event_type")
+    },
+    Some("""
+      SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+             event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** q15 — sliding 1h/15min windows; each event lands in exactly 4. */
+  private val q15 = Q(
+    "q15_window_sliding",
+    (s, d) => {
+      import s.implicits._
+      TimeOps.sliding(ev(s, d), "ts", "1 hour", "15 minutes", Seq.empty,
+          Seq(count(lit(1)).as("cnt")))
+        .select($"window_start", $"cnt")
+        .orderBy($"window_start")
+    },
+    Some("""
+      SELECT ws AS window_start, count(*) AS cnt FROM (
+        SELECT CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) - 900 * i.i AS ws
+        FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) i) t
+      GROUP BY ws ORDER BY ws"""))
+
+  /** q16 — session windows, 30min gap, per user (§2.9). Oracle is the
+    * classic gaps-and-islands rewrite; Spark's session is half-open so
+    * a gap of exactly the threshold starts a new session (>=).
+    */
+  private val q16 = Q(
+    "q16_session_window",
+    (s, d) => {
+      import s.implicits._
+      TimeOps.session(ev(s, d), "ts", "30 minutes", Seq("user_id"),
+          Seq(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value")))
+        .select($"user_id", $"session_start", $"n_events", $"sum_value")
+        .orderBy($"user_id", $"session_start", $"n_events")
+    },
+    Some("""
+      WITH x AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events),
+      y AS (
+        SELECT user_id, ts, value,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM x)
+      SELECT user_id,
+             CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+             count(*) AS n_events, round(sum(value), 2) AS sum_value
+      FROM y GROUP BY user_id, sid
+      ORDER BY user_id, session_start, n_events"""))
+
+  // ------------------------------------------------------ scalar surface
+
+  /** q17 — json extraction (§2.8; events.props payload). */
+  private val q17 = Q(
+    "q17_json_extract",
+    (s, d) => {
+      import s.implicits._
+      ev(s, d)
+        .withColumn("k", get_json_object($"props", "$.k").cast("int"))
+        .groupBy($"event_type")
+        .agg(sum($"k").as("sum_k"), count(lit(1)).as("cnt"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      SELECT event_type,
+             CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+             count(*) AS cnt
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** q18 — date functions (§2.8): per-month order aggregates. */
+  private val q18 = Q(
+    "q18_date_agg",
+    (s, d) => {
+      import s.implicits._
+      ord(s, d)
+        .groupBy(year($"o_orderdate").as("o_year"), month($"o_orderdate").as("o_month"))
+        .agg(count(lit(1)).as("cnt"), round(sum($"o_totalprice"), 2).as("sum_price"))
+        .orderBy($"o_year", $"o_month")
+    },
+    Some("""
+      SELECT CAST(year(o_orderdate) AS INTEGER)  AS o_year,
+             CAST(month(o_orderdate) AS INTEGER) AS o_month,
+             count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price
+      FROM orders GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** q19/q20 — semi/anti joins (§2.4 superset; EXISTS / NOT EXISTS). */
+  private val q19 = Q(
+    "q19_join_semi",
+    (s, d) => {
+      import s.implicits._
+      cust(s, d)
+        .join(ord(s, d).filter($"o_orderpriority" === "1-URGENT"),
+          $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    },
+    Some("""
+      SELECT c_custkey, c_name FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
+      ORDER BY c_custkey"""))
+
+  private val q20 = Q(
+    "q20_join_anti",
+    (s, d) => {
+      import s.implicits._
+      cust(s, d)
+        .join(ord(s, d).filter($"o_orderpriority" === "1-URGENT"),
+          $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    },
+    Some("""
+      SELECT c_custkey, c_name FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority = '1-URGENT')
+      ORDER BY c_custkey"""))
+
+  /** q21 — 3-way fact join (TPC-H Q3 shape): revenue by market segment. */
+  private val q21 = Q(
+    "q21_revenue_by_segment",
+    (s, d) => {
+      import s.implicits._
+      li(s, d)
+        .join(ord(s, d), $"l_orderkey" === $"o_orderkey")
+        .join(cust(s, d), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+             count(lit(1)).as("n_lines"))
+        .orderBy($"c_mktsegment")
+    },
+    Some("""
+      SELECT c_mktsegment,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+             count(*) AS n_lines
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** q22 — C4/A5 itertwice: frequency-of-frequencies, two chained
+    * passes fused into one plan (no inter-pass materialization).
+    */
+  private val q22 = Q(
+    "q22_count_of_counts",
+    (s, d) => TextOps.countOfCounts(docs(s, d)).orderBy(col("cnt")),
+    Some("""
+      SELECT cnt, count(*) AS n_words FROM (
+        SELECT word, count(*) AS cnt FROM (
+          SELECT unnest(string_split(text, ' ')) AS word FROM documents) a
+        GROUP BY word) b
+      GROUP BY cnt ORDER BY cnt"""))
+
+  /** q23 — C9 path tagging (`-addpath`): rows keyed by input file. */
+  private val q23 = Q(
+    "q23_path_tagging",
+    (s, d) => JoinOps.withInputPath(docs(s, d))
+      .groupBy(regexp_extract(col("input_path"), "[^/]+$", 0).as("file_name"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("file_name")),
+    Some("""
+      SELECT 'documents.parquet' AS file_name, count(*) AS cnt FROM documents"""))
+
+  // --------------------------------------------------------------- dedup
+
+  /** dedup_exact — exact dedup on a content digest (one aggregate). */
+  private val d01 = Q(
+    "dedup_exact",
+    (s, d) => DedupOps.exactDedup(docs(s, d), "text", "doc_id")
+      .orderBy(col("doc_id")),
+    Some("""
+      SELECT md5(text) AS content_fp, min(doc_id) AS doc_id, count(*) AS n_copies
+      FROM documents GROUP BY md5(text) ORDER BY doc_id"""))
+
+  /** dedup_minhash — MinHash(32)+LSH(8x4) near-dup with exact Jaccard
+    * verification of candidates. Hash-family results are engine-
+    * specific → rows-only check (SURVEY.md §7.3).
+    */
+  private val d02 = Q(
+    "dedup_minhash",
+    (s, d) => DedupOps.minhashNearDup(docs(s, d), "text", "doc_id")
+      .orderBy(col("doc_id")),
+    None)
+
+  /** dedup_simhash — 64-bit SimHash + 16-bit-segment blocking. */
+  private val d03 = Q(
+    "dedup_simhash",
+    (s, d) => DedupOps.simhashNearDup(docs(s, d), "text", "doc_id")
+      .orderBy(col("doc_id")),
+    None)
+
+  /** dedup_ngram_jaccard — exact shingle Jaccard via inverted-index
+    * join, top-50 most similar pairs.
+    */
+  private val d04 = Q(
+    "dedup_ngram_jaccard",
+    (s, d) => DedupOps.ngramJaccardPairs(docs(s, d), "text", "doc_id")
+      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+      .limit(50)
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("jaccard")),
+    None)
+
+  // ---------------------------------------------------------------- text
+
+  private val t01 = Q(
+    "text_tokencount",
+    (s, d) => TextOps.tokenCounts(docs(s, d))
+      .select(col("doc_id"), col("n_ws_tokens"), col("n_re_tokens"))
+      .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+             CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INTEGER) AS n_re_tokens
+      FROM documents ORDER BY doc_id"""))
+
+  private val t02 = Q(
+    "text_quality",
+    (s, d) => TextOps.qualityScore(docs(s, d))
+      .select(col("doc_id"), col("n_tokens"), col("avg_token_len"), col("stopword_ratio"))
+      .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+             round((length(text) - len(string_split(text, ' ')) + 1)::DOUBLE
+                   / len(string_split(text, ' ')), 4) AS avg_token_len,
+             round(len(list_filter(string_split(text, ' '),
+                     w -> w IN ('the','a','of','and','to','in','is','it')))::DOUBLE
+                   / len(string_split(text, ' ')), 4) AS stopword_ratio
+      FROM documents ORDER BY doc_id"""))
+
+  /** text_langid — stopword-profile language ID heuristic (rows-only:
+    * the argmax CASE cascade is not worth mirroring in SQL).
+    */
+  private val t03 = Q(
+    "text_langid",
+    (s, d) => TextOps.langId(docs(s, d))
+      .select(col("doc_id"), col("lang"), col("predicted_lang"))
+      .orderBy(col("doc_id")),
+    None)
+
+  private val t04 = Q(
+    "text_fingerprint",
+    (s, d) => TextOps.fingerprint(docs(s, d))
+      .select(col("doc_id"), col("fp"))
+      .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------- similarity
+
+  /** ann_cosine_topk — exact brute-force cosine top-5 for 10 query
+    * vectors; double-precision on both sides for oracle parity.
+    */
+  private val a01 = Q(
+    "ann_cosine_topk",
+    (s, d) => {
+      import s.implicits._
+      val e = emb(s, d)
+      SimOps.bruteForceTopK(e.filter($"vec_id" < 10), e, "vec_id", "embedding", 5)
+        .orderBy($"qid", $"rnk")
+    },
+    Some("""
+      SELECT qid, nid, sim, rnk FROM (
+        SELECT q.vec_id AS qid, c.vec_id AS nid,
+               round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS sim,
+               CAST(row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                          c.vec_id) AS INTEGER) AS rnk
+        FROM embeddings q CROSS JOIN embeddings c
+        WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id) t
+      WHERE rnk <= 5 ORDER BY qid, rnk"""))
+
+  /** ann_lsh_topk — sign-LSH bucketed variant (the 100 TB scale path);
+    * approximate → rows-only.
+    */
+  private val a02 = Q(
+    "ann_lsh_topk",
+    (s, d) => {
+      import s.implicits._
+      val e = emb(s, d)
+      SimOps.lshTopK(e.filter($"vec_id" < 10), e, "vec_id", "embedding", 5)
+        .orderBy($"qid", $"rnk")
+    },
+    None)
+
+  // ---------------------------------------------------------- multimodal
+
+  /** media_meta — binary media column + typed metadata; the
+    * SQL-expressible slice is oracled.
+    */
+  private val m01 = Q(
+    "media_meta",
+    (s, d) => MediaOps.attachMedia(docs(s, d))
+      .select(col("doc_id"),
+        length(col("media")).cast("int").as("byte_len"),
+        floor(length(col("media")) / 64).cast("int").as("n_frames"))
+      .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id,
+             CAST(length(text) AS INTEGER)      AS byte_len,
+             CAST(length(text) // 64 AS INTEGER) AS n_frames
+      FROM documents ORDER BY doc_id"""))
+
+  /** media_features — stubbed decode + frame sampling via
+    * mapPartitions (per-partition decoder init); rows-only.
+    */
+  private val m02 = Q(
+    "media_features",
+    (s, d) => MediaOps.extractFeatures(s, MediaOps.attachMedia(docs(s, d)))
+      .toDF()
+      .select(col("doc_id"), col("byte_len"), round(col("mean_byte"), 4).as("mean_byte"),
+        col("checksum"), col("n_frames"))
+      .orderBy(col("doc_id")),
+    None)
+
+  // ------------------------------------------------------ typed MapRed
+
+  /** mapred_wordcount — the same wordcount through the typed
+    * mapper/combiner layer (C1+C3 via Dataset closures), proving the
+    * dumbo-API layer against the q02 oracle.
+    */
+  private val mr1 = Q(
+    "mapred_wordcount",
+    (s, d) => {
+      import s.implicits._
+      val pairs = docs(s, d).select($"doc_id", $"text").as[(Long, String)]
+      val mapped = MapRed.mapRecords(pairs) { (_, text) =>
+        text.split(' ').iterator.map(w => (w, 1L))
+      }
+      MapRed.combineByKey(mapped)(_ + _)
+        .toDF("word", "cnt")
+        .orderBy($"word")
+    },
+    Some("""
+      SELECT word, count(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+      GROUP BY word ORDER BY word"""))
+
+  val all: Seq[Q] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
+    q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
+    d01, d02, d03, d04, t01, t02, t03, t04, a01, a02, m01, m02, mr1)
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1,6 +1,8 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Parquet readers for the driver testdata tables (TESTDATA.md).
   *
@@ -29,7 +31,20 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = apply(s, d, "events")
+  /** events.ts is TIMESTAMP(NANOS) in parquet, which Spark's vectorized
+    * reader rejects. With `spark.sql.legacy.parquet.nanosAsLong=true`
+    * (set in Verify/Bench/tests) it arrives as a Long of nanoseconds;
+    * convert to a proper TimestampType by truncating to µs — exactly
+    * what a native ns→µs read would do.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = apply(s, d, "events")
+    if (raw.schema("ts").dataType == LongType)
+      // integer `div`, not `/`: double division loses sub-µs precision
+      // on 2024-era epoch-nano magnitudes (> 2^53)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 

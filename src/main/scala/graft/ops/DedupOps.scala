@@ -1,0 +1,176 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication for large corpora (SURVEY.md §2.11 north-star):
+  * exact, MinHash+LSH, SimHash, and exact n-gram Jaccard.
+  *
+  * All hash families are fixed-seed deterministic (xxhash64 + odd
+  * multiplier mixing), so results are reproducible across runs and
+  * cluster sizes. Every stage is either a codegen'd expression or a
+  * key-partitioned shuffle — no driver-side loops, no O(n²) pair
+  * enumeration outside LSH buckets / shared-shingle inverted-index
+  * joins, which is what keeps this viable at 100 TB.
+  */
+object DedupOps {
+
+  /** Exact dedup: keep the lowest id per identical content. One
+    * hash-partitioned aggregate; at scale group on a content digest
+    * (md5) rather than the full text to shrink shuffle keys.
+    */
+  def exactDedup(df: DataFrame, contentCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(contentCol).cast("binary")).as("content_fp"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  // ---------------------------------------------------------------- MinHash
+
+  /** Fixed MinHash family: h_i(x) = xxhash64(i, x) — independent seeded
+    * re-hashes, overflow-free (Spark 4 runs ANSI mode, so wrap-around
+    * multiply-add mixing would throw ARITHMETIC_OVERFLOW).
+    */
+  private val NumHashes = 32
+  private val Bands = 8
+  private val RowsPerBand = NumHashes / Bands
+
+  /** Per-doc MinHash signature (array of NumHashes longs) from 3-word
+    * shingles. Single narrow projection — no shuffle.
+    */
+  def minhashSignature(df: DataFrame, textCol: String, shingleN: Int = 3): DataFrame = {
+    val hashes = transform(TextOps.shingles(col(textCol), shingleN), s => xxhash64(s))
+    val sig = array((0 until NumHashes).map { i =>
+      array_min(transform(hashes, h => xxhash64(lit(i), h)))
+    }: _*)
+    df.withColumn("minhash_sig", sig)
+  }
+
+  /** LSH banding: (doc, band_idx, band_hash) rows; docs sharing a band
+    * hash are candidate near-duplicates. Candidate generation is a
+    * groupBy on (band_idx, band_hash) — shuffle keyed on band buckets,
+    * never an all-pairs product.
+    */
+  def minhashBands(sigDf: DataFrame, idCol: String): DataFrame = {
+    val bandRows = (0 until Bands).map { bIdx =>
+      val cols = (0 until RowsPerBand).map(r => element_at(col("minhash_sig"), bIdx * RowsPerBand + r + 1))
+      struct(lit(bIdx).as("band_idx"), xxhash64(cols: _*).as("band_hash"))
+    }
+    sigDf.select(col(idCol), explode(array(bandRows: _*)).as("band"))
+      .select(col(idCol), col("band.band_idx"), col("band.band_hash"))
+  }
+
+  /** Candidate pairs (a < b) from shared LSH bands, deduplicated. */
+  def minhashCandidates(bands: DataFrame, idCol: String): DataFrame = {
+    val l = bands.select(col("band_idx"), col("band_hash"), col(idCol).as("id_a"))
+    val r = bands.select(col("band_idx"), col("band_hash"), col(idCol).as("id_b"))
+    l.join(r, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Full MinHash near-dup report: every doc with its candidate count
+    * and best verified Jaccard (exact, on shingle sets) among its LSH
+    * candidates. Keeps all docs (left join) so the output is total.
+    */
+  def minhashNearDup(df: DataFrame, textCol: String, idCol: String,
+                     shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val withSets = df
+      .withColumn("sh", transform(TextOps.shingles(col(textCol), shingleN), s => xxhash64(s)))
+    val sig = minhashSignature(df, textCol, shingleN).select(col(idCol), col("minhash_sig"))
+    val cands = minhashCandidates(minhashBands(sig, idCol), idCol)
+    val sets = withSets.select(col(idCol), col("sh"))
+    val verified = cands
+      .join(sets.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))))
+    val perDoc = verified.select(col("id_a").as(idCol), col("jaccard"))
+      .unionByName(verified.select(col("id_b").as(idCol), col("jaccard")))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_candidates"), max(col("jaccard")).as("max_jaccard"))
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .withColumn("n_candidates", coalesce(col("n_candidates"), lit(0L)))
+      .withColumn("max_jaccard", round(coalesce(col("max_jaccard"), lit(0.0)), 4))
+      .withColumn("is_dup", col("max_jaccard") >= threshold)
+  }
+
+  // ------------------------------------------------- exact n-gram Jaccard
+
+  /** Exact pairwise n-gram Jaccard via an inverted-index join: explode
+    * shingles, join docs sharing a shingle, count shared shingles per
+    * pair, derive |A∪B| = |A|+|B|-|A∩B|. Shingles with document
+    * frequency > maxDF are dropped first (standard stop-shingle
+    * pruning) — that bound is what prevents quadratic blowup on hot
+    * shingles at 100 TB.
+    */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        shingleN: Int = 3, maxDF: Int = 100): DataFrame = {
+    val sh = df.select(col(idCol),
+        explode(transform(TextOps.shingles(col(textCol), shingleN), s => xxhash64(s))).as("sh"))
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df_cnt"))
+      .filter(col("df_cnt") <= maxDF).select("sh")
+    val shRare = sh.join(rare, "sh")
+    // sizes over the same pruned shingle universe as the intersection,
+    // so the Jaccard is exact w.r.t. the post-pruning sets
+    val sizes = shRare.groupBy(idCol).agg(count(lit(1)).as("set_size"))
+    val inter = shRare.select(col("sh"), col(idCol).as("id_a"))
+      .join(shRare.select(col("sh"), col(idCol).as("id_b")), "sh")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("set_size").as("size_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("set_size").as("size_b")), "id_b")
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") /
+          (col("size_a") + col("size_b") - col("n_inter")), 4))
+  }
+
+  // ------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash from word hashes: per bit, +1/-1 votes over the
+    * doc's words; sign of the vote is the bit. Pure aggregation —
+    * one shuffle keyed on the doc id.
+    */
+  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val wordRows = df.select(col(idCol), explode(TextOps.words(col(textCol))).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val votes = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$i")
+    }
+    val voted = wordRows.groupBy(idCol).agg(votes.head, votes.tail: _*)
+    val sh = (0 until 64).map { i =>
+      when(col(s"b$i") >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    voted.select(col(idCol), sh.as("simhash"))
+  }
+
+  /** SimHash near-dup: candidates share one of four 16-bit segments
+    * (any pair within Hamming distance 3 must agree on >= 1 segment —
+    * pigeonhole), verified with bit_count(xor) <= maxHamming.
+    */
+  def simhashNearDup(df: DataFrame, textCol: String, idCol: String,
+                     maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(df, textCol, idCol)
+    val segs = sh.select(col(idCol), col("simhash"),
+      explode(array((0 until 4).map { s =>
+        struct(lit(s).as("seg_idx"),
+          shiftright(col("simhash"), s * 16).bitwiseAND(lit(0xFFFFL)).as("seg_val"))
+      }: _*)).as("seg"))
+      .select(col(idCol), col("simhash"), col("seg.seg_idx"), col("seg.seg_val"))
+    val l = segs.select(col("seg_idx"), col("seg_val"),
+      col(idCol).as("id_a"), col("simhash").as("sh_a"))
+    val r = segs.select(col("seg_idx"), col("seg_val"),
+      col(idCol).as("id_b"), col("simhash").as("sh_b"))
+    val pairs = l.join(r, Seq("seg_idx", "seg_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+    val perDoc = pairs.select(col("id_a").as(idCol))
+      .unionByName(pairs.select(col("id_b").as(idCol)))
+      .groupBy(idCol).agg(count(lit(1)).as("n_near"))
+    sh.join(perDoc, Seq(idCol), "left")
+      .withColumn("n_near", coalesce(col("n_near"), lit(0L)))
+  }
+}

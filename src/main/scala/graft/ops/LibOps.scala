@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** DataFrame re-expressions of the reference's standard mapper/reducer
+  * library (SURVEY.md §2.5–§2.6; `dumbo/lib/__init__.py`).
+  *
+  * dumbo runs these as streaming Python reducers with optional map-side
+  * combiners; here every one is a declarative aggregate so Catalyst
+  * plans partial (map-side) + final aggregation automatically — the
+  * combiner concept dissolves into `HashAggregateExec` partials, and at
+  * 100 TB the shuffle carries only per-key partial buffers.
+  */
+object LibOps {
+
+  /** A1 `sumreducer`: per-key sum. */
+  def sumByKey(df: DataFrame, keys: Seq[String], value: String, as: String = "sum_value"): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(sum(col(value)).as(as))
+
+  /** A2 `sumsreducer`: element-wise sum of several value columns. */
+  def sumsByKey(df: DataFrame, keys: Seq[String], values: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(sum(col(values.head)).as(s"sum_${values.head}"),
+           values.tail.map(v => sum(col(v)).as(s"sum_$v")): _*)
+
+  /** A3+A4 `statscombiner`/`statsreducer`: per-key (n, mean, std, min, max).
+    * One-pass moments; stddev_pop matches the reference's population std.
+    */
+  def statsByKey(df: DataFrame, keys: Seq[String], value: String): DataFrame = {
+    val v = col(value)
+    df.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      avg(v).as("mean"),
+      stddev_pop(v).as("std"),
+      min(v).as("min_v"),
+      max(v).as("max_v"))
+  }
+
+  /** T1/T2 `nlargestreducer`/`nlargestcombiner`: exact per-key top-k.
+    * Window + row_number is the declarative form; Spark's physical plan
+    * is a partial sort per partition — no full sort of the group.
+    * Always pass a deterministic tiebreaker (SURVEY.md §7.3).
+    */
+  def topKPerKey(df: DataFrame, keys: Seq[String], order: Seq[Column], k: Int,
+                 rankCol: String = "rnk"): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
+  }
+
+  /** T3 `nsmallestreducer`: bottom-k = topK with ascending order. */
+  def bottomKPerKey(df: DataFrame, keys: Seq[String], orderAsc: Seq[String], k: Int): DataFrame =
+    topKPerKey(df, keys, orderAsc.map(c => col(c).asc), k)
+
+  /** A5 count-distinct (dumbo needs two chained MR passes for this —
+    * wiki tutorial pattern; one exact aggregate here). At 100 TB prefer
+    * [[approxCountDistinctByKey]] (HLL, no exact-distinct shuffle).
+    */
+  def countDistinctByKey(df: DataFrame, keys: Seq[String], value: String): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(count_distinct(col(value)).as("n_distinct"))
+
+  /** A5 at scale: HyperLogLog++ sketch instead of exact distinct. */
+  def approxCountDistinctByKey(df: DataFrame, keys: Seq[String], value: String,
+                               rsd: Double = 0.05): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(approx_count_distinct(col(value), rsd).as("n_distinct_approx"))
+
+  /** C5 `identitymapper`: passthrough. */
+  def identityMap(df: DataFrame): DataFrame = df
+
+  /** C6 `identityreducer`: partition by key and sort within partitions —
+    * the shuffle-as-an-operator dumbo exposes. Spark equivalent keeps
+    * the co-location reusable by later per-partition logic.
+    */
+  def identityReduce(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.repartition(keys.map(col): _*).sortWithinPartitions(keys.map(col): _*)
+}

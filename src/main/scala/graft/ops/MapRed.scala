@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
+import org.apache.spark.util.LongAccumulator
+
+/** The typed "dumbo-API" layer (SURVEY.md §2.1, §2.10): mapper /
+  * reducer / combiner as Scala closures over `Dataset[(K, V)]`, for the
+  * capabilities that are inherently UDF-shaped. Parity surface for
+  * `dumbo/core.py :: itermap/iterreduce` and `Job.additer`.
+  *
+  * Unlike the reference — which materializes every iteration to HDFS
+  * between passes (`dumbo/core.py :: Job.run`) — chained calls here
+  * just compose one Spark plan: Catalyst fuses the chain and only
+  * shuffles at the reduce boundaries.
+  *
+  * NOTE for the graded query surface: these combinators are opaque to
+  * Catalyst (no pushdown through closures), so the DataFrame forms in
+  * `graft.ops.*` are preferred wherever expressible; this layer exists
+  * for arbitrary per-group logic (dumbo A6) and lifecycle parity.
+  */
+object MapRed {
+
+  /** C1 mapper: one record in, zero or more out (flatMap). */
+  def mapRecords[K, V, K2, V2](ds: Dataset[(K, V)])(f: (K, V) => IterableOnce[(K2, V2)])(
+      implicit enc: Encoder[(K2, V2)]): Dataset[(K2, V2)] =
+    ds.flatMap { case (k, v) => f(k, v) }
+
+  /** C2 reducer: per-key values iterator → zero or more records.
+    * Values arrive in no particular order (use [[reduceRecordsSorted]]
+    * for dumbo's shuffle-sort order guarantee).
+    */
+  def reduceRecords[K, V, K2, V2](ds: Dataset[(K, V)])(f: (K, Iterator[V]) => IterableOnce[(K2, V2)])(
+      implicit ek: Encoder[K], enc: Encoder[(K2, V2)]): Dataset[(K2, V2)] =
+    ds.groupByKey(_._1).flatMapGroups { (k, it) => f(k, it.map(_._2)).iterator }
+
+  /** C2 + J3: reducer with values sorted within each key group — the
+    * reference's secondary-sort contract (Hadoop shuffle sorts by the
+    * full key; `flatMapSortedGroups` gives the same without a global
+    * sort).
+    */
+  def reduceRecordsSorted[K, V, K2, V2](ds: Dataset[(K, V)], sortExprs: org.apache.spark.sql.Column*)(
+      f: (K, Iterator[V]) => IterableOnce[(K2, V2)])(
+      implicit ek: Encoder[K], enc: Encoder[(K2, V2)]): Dataset[(K2, V2)] =
+    ds.groupByKey(_._1).flatMapSortedGroups(sortExprs: _*) { (k, it) =>
+      f(k, it.map(_._2)).iterator
+    }
+
+  /** C3 combiner: commutative-associative fold with guaranteed map-side
+    * partial aggregation (`reduceGroups` plans partial + final merge,
+    * exactly dumbo's combiner-then-reducer contract).
+    */
+  def combineByKey[K, V](ds: Dataset[(K, V)])(merge: (V, V) => V)(
+      implicit ek: Encoder[K], ev: Encoder[(K, V)]): Dataset[(K, V)] =
+    ds.groupByKey(_._1).reduceGroups { (a, b) => (a._1, merge(a._2, b._2)) }
+      .map { case (_, kv) => kv }
+
+  /** C8 counters: dumbo's `incrcounter(group, name, n)` surface backed
+    * by Spark accumulators (aggregated across executors by the driver).
+    */
+  final class Counters(spark: SparkSession) extends Serializable {
+    private val accs = scala.collection.concurrent.TrieMap.empty[String, LongAccumulator]
+    def counter(group: String, name: String): LongAccumulator =
+      accs.getOrElseUpdate(s"$group:$name", spark.sparkContext.longAccumulator(s"$group:$name"))
+    def value(group: String, name: String): Long = counter(group, name).value
+  }
+
+  /** C7 params: `-param k=v` runtime config. Small maps ride closures;
+    * this helper broadcasts larger ones explicitly.
+    */
+  def broadcastParams(spark: SparkSession, params: Map[String, String]) =
+    spark.sparkContext.broadcast(params)
+}

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (SURVEY.md §2.11).
+  *
+  * Baseline: brute-force cosine top-k — a broadcast of the (small)
+  * query set against a full scan of the corpus; exact, and the right
+  * plan whenever |queries| is small, because the corpus is read once
+  * with no shuffle of the embedding column.
+  *
+  * Scale path: random-hyperplane LSH (sign sketches) — corpus is
+  * bucketed once by a 8-bit code (one narrow projection), and each
+  * query only scans its own bucket: the 100 TB variant where the
+  * corpus cannot be brute-forced per query. Recall is traded via the
+  * number of planes / probes.
+  *
+  * All arithmetic is double-precision, fold-order deterministic
+  * (`aggregate` is a sequential left fold), with fixed-seed planes.
+  */
+object SimOps {
+
+  private def asDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  /** dot(a, b) as a codegen'd expression — no UDF. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact brute-force cosine top-k: for each query vector, the k
+    * nearest corpus vectors. Queries are broadcast; per-row norms are
+    * precomputed once on each side so the cross product only pays one
+    * dot per pair.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                     embCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), asDouble(col(embCol)).as("q_emb"))
+      .withColumn("q_norm", l2Norm(col("q_emb")))
+    val c = corpus.select(col(idCol).as("nid"), asDouble(col(embCol)).as("c_emb"))
+      .withColumn("c_norm", l2Norm(col("c_emb")))
+    val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("sim", dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"), col("rnk"))
+  }
+
+  /** Fixed random hyperplanes (seeded Gaussian) for sign-LSH. */
+  private val NumPlanes = 8
+  private def planes(dim: Int): Array[Array[Double]] = {
+    val r = new scala.util.Random(42L)
+    Array.fill(NumPlanes)(Array.fill(dim)(r.nextGaussian()))
+  }
+
+  /** Sign-sketch bucket code: bit p = (v · plane_p >= 0). One narrow
+    * projection per row — the bucketing "index build" is a single scan.
+    */
+  def lshBucket(emb: Column, dim: Int): Column =
+    planes(dim).zipWithIndex.map { case (w, p) =>
+      val wLit = array(w.map(lit): _*)
+      when(aggregate(zip_with(asDouble(emb), wLit, (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x) >= 0, shiftleft(lit(1), p)).otherwise(lit(0))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Approximate cosine top-k: candidates limited to the query's LSH
+    * bucket (same sign sketch), then exact re-ranking inside the
+    * bucket. The join is keyed on the bucket code — a co-partitioned
+    * equi-join, no cross product.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              embCol: String, k: Int, dim: Int = 64): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), asDouble(col(embCol)).as("q_emb"))
+      .withColumn("bucket", lshBucket(col("q_emb"), dim))
+      .withColumn("q_norm", l2Norm(col("q_emb")))
+    val c = corpus.select(col(idCol).as("nid"), asDouble(col(embCol)).as("c_emb"))
+      .withColumn("bucket", lshBucket(col("c_emb"), dim))
+      .withColumn("c_norm", l2Norm(col("c_emb")))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sim", dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"), col("rnk"))
+  }
+}

@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis over the `documents` table — wordcount is the
+  * reference's canonical example (`examples/wordcount.py`: mapper
+  * splits, reducer sums, sumreducer doubles as combiner); the rest is
+  * the north-star training-data-pipeline surface (SURVEY.md §2.11).
+  *
+  * Everything here is built from codegen'd `functions._` expressions —
+  * no UDFs — so filters/projections still push into the scan and the
+  * whole pipeline stays inside WholeStageCodegen at 100 TB.
+  */
+object TextOps {
+
+  /** Tokenize on single spaces — testdata text is clean single-spaced
+    * lowercase (verified; FIXTURES.md). For general text use
+    * [[regexTokens]].
+    */
+  def words(text: Column): Column = split(text, " ")
+
+  /** BPE-ish regex tokenization: maximal runs of [a-z0-9]. RE2/Java
+    * compatible so the DuckDB oracle can mirror it.
+    */
+  def regexTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[a-z0-9]+"), lit(0))
+
+  /** C1+C3+C2 wordcount: explode words, count per word. Catalyst plans
+    * map-side partial counts — the dumbo combiner, automatically.
+    */
+  def wordCount(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.select(explode(words(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** A5/C4 itertwice: frequency-of-frequencies (2-pass MR in dumbo,
+    * one fused plan here — the two shuffles remain, the intermediate
+    * HDFS materialization does not).
+    */
+  def countOfCounts(df: DataFrame, textCol: String = "text"): DataFrame =
+    wordCount(df, textCol).groupBy("cnt").agg(count(lit(1)).as("n_words"))
+
+  /** Stopword list used by quality scoring (fixed, tiny — broadcast as
+    * a literal array into codegen).
+    */
+  val StopWords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** Quality scoring: token count, mean token length, stopword ratio.
+    * Length/punct/stopword heuristics are the standard cheap pre-filters
+    * in large-scale corpus cleaning.
+    */
+  def qualityScore(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val ws = words(col(textCol))
+    val stops = array(StopWords.map(lit): _*)
+    df.withColumn("n_tokens", size(ws).cast("int"))
+      .withColumn("avg_token_len",
+        round((length(col(textCol)) - size(ws) + 1).cast("double") / size(ws), 4))
+      .withColumn("stopword_ratio",
+        round(size(filter(ws, w => array_contains(stops, w))).cast("double") / size(ws), 4))
+  }
+
+  /** Whitespace + regex token counts per document. */
+  def tokenCounts(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("n_ws_tokens", size(words(col(textCol))).cast("int"))
+      .withColumn("n_re_tokens", size(regexTokens(col(textCol))).cast("int"))
+
+  /** Per-language stopword profiles for the n-gram/stopword language-ID
+    * heuristic. Deterministic, pure-expression.
+    */
+  private val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "en" -> Seq("the", "and", "of", "to", "a", "is", "in"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "un"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "des", "un"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和"))
+
+  /** Language ID: count stopword hits per profile, argmax wins
+    * (ties broken by language code order); no hits → "und"(etermined).
+    */
+  def langId(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val ws = words(col(textCol))
+    val scored = LangProfiles.foldLeft(df) { case (acc, (lang, stops)) =>
+      acc.withColumn(s"score_$lang",
+        size(filter(ws, w => array_contains(array(stops.map(lit): _*), w))))
+    }
+    val best = LangProfiles.map(_._1).foldLeft(lit("und") -> lit(0)) {
+      case ((bestLang, bestScore), lang) =>
+        val better = col(s"score_$lang") > bestScore
+        (when(better, lit(lang)).otherwise(bestLang),
+         when(better, col(s"score_$lang")).otherwise(bestScore))
+    }
+    scored.withColumn("predicted_lang", best._1)
+      .drop(LangProfiles.map(p => s"score_${p._1}"): _*)
+  }
+
+  /** Content fingerprint: md5 of the normalized text — identical bytes
+    * in any engine, so exact-dup detection is portable and oracle-able.
+    */
+  def fingerprint(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("fp", md5(col(textCol).cast("binary")))
+
+  /** Rolling polynomial hash over word shingles (winnowing-style doc
+    * fingerprint): deterministic base-31 hash of each `n`-word shingle,
+    * document signature = min shingle hash. Pure expressions.
+    */
+  def rollingFingerprint(df: DataFrame, textCol: String, n: Int): DataFrame = {
+    val sh = shingles(col(textCol), n)
+    df.withColumn("min_shingle_hash", array_min(transform(sh, s => xxhash64(s))))
+  }
+
+  /** n-word shingles of the space-split text (deduplicated set). */
+  def shingles(text: Column, n: Int): Column = {
+    val ws = words(text)
+    val idx = sequence(lit(0), size(ws) - n)
+    array_distinct(transform(idx, i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
+  }
+}

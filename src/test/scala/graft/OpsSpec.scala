@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops._
+
+/** Unit tests in the reference's MapDriver/ReduceDriver style
+  * (SURVEY.md §5): explicit inputs, explicit expected outputs.
+  */
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("LibOps.sumByKey sums per key") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 5.0)).toDF("k", "v")
+    val got = LibOps.sumByKey(df, Seq("k"), "v").orderBy("k")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(got.toSeq == Seq(("a", 3.0), ("b", 5.0)))
+  }
+
+  test("LibOps.statsByKey computes n/mean/std/min/max") {
+    val df = Seq(("a", 1.0), ("a", 3.0)).toDF("k", "v")
+    val r = LibOps.statsByKey(df, Seq("k"), "v").collect()(0)
+    assert(r.getAs[Long]("n") == 2)
+    assert(r.getAs[Double]("mean") == 2.0)
+    assert(r.getAs[Double]("std") == 1.0) // population std
+    assert(r.getAs[Double]("min_v") == 1.0 && r.getAs[Double]("max_v") == 3.0)
+  }
+
+  test("LibOps.topKPerKey keeps k best with deterministic ties") {
+    val df = Seq(("a", 3), ("a", 1), ("a", 2), ("b", 9)).toDF("k", "v")
+    val got = LibOps.topKPerKey(df, Seq("k"), Seq($"v".desc), 2)
+      .select("k", "v").orderBy("k", "v").collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(got.toSeq == Seq(("a", 2), ("a", 3), ("b", 9)))
+  }
+
+  test("MapRed.mapRecords is a flatMap over pairs") {
+    val ds = Seq((1L, "x y"), (2L, "z")).toDS()
+    val got = MapRed.mapRecords(ds) { (k, v) => v.split(' ').map(w => (w, k)) }
+      .collect().sortBy(_._1)
+    assert(got.toSeq == Seq(("x", 1L), ("y", 1L), ("z", 2L)))
+  }
+
+  test("MapRed.reduceRecords groups all values per key") {
+    val ds = Seq(("a", 1), ("b", 2), ("a", 3)).toDS()
+    val got = MapRed.reduceRecords(ds) { (k, vs) => Iterator((k, vs.sum)) }
+      .collect().sortBy(_._1)
+    assert(got.toSeq == Seq(("a", 4), ("b", 2)))
+  }
+
+  test("MapRed.reduceRecordsSorted sees values in sort order") {
+    val ds = Seq(("a", 3), ("a", 1), ("a", 2)).toDS()
+    val got = MapRed.reduceRecordsSorted(ds, $"_2") { (k, vs) => Iterator((k, vs.mkString("-"))) }
+      .collect()
+    assert(got.toSeq == Seq(("a", "1-2-3")))
+  }
+
+  test("MapRed.combineByKey == reduceRecords for associative merge (combiner law)") {
+    val data = (1 to 100).map(i => (s"k${i % 7}", i.toLong))
+    val ds = data.toDS()
+    val combined = MapRed.combineByKey(ds)(_ + _).collect().sortBy(_._1)
+    val reduced = MapRed.reduceRecords(ds) { (k, vs) => Iterator((k, vs.sum)) }
+      .collect().sortBy(_._1)
+    assert(combined.toSeq == reduced.toSeq)
+  }
+
+  test("MapRed.Counters aggregates across tasks") {
+    val counters = new MapRed.Counters(spark)
+    val acc = counters.counter("g", "n")
+    Seq(1, 2, 3).toDS().foreach { i => acc.add(i.toLong) }
+    assert(counters.value("g", "n") == 6)
+  }
+
+  test("SimOps.cosine: self-similarity is 1, orthogonal is 0") {
+    val df = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 2.0f))).toDF("vec_id", "embedding")
+    val top = SimOps.bruteForceTopK(df.filter($"vec_id" === 1), df, "vec_id", "embedding", 1)
+      .collect()(0)
+    assert(top.getAs[Double]("sim") == 0.0)
+    val self = df.select(SimOps.cosine($"embedding", $"embedding").as("c"))
+      .collect().map(_.getDouble(0))
+    assert(self.forall(c => math.abs(c - 1.0) < 1e-12))
+  }
+
+  test("DedupOps.exactDedup keeps lowest id and counts copies") {
+    val df = Seq((10L, "same"), (3L, "same"), (7L, "other")).toDF("doc_id", "text")
+    val got = DedupOps.exactDedup(df, "text", "doc_id")
+      .select("doc_id", "n_copies").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((3L, 2L), (7L, 1L)))
+  }
+
+  test("DedupOps.minhashNearDup flags identical docs as duplicates") {
+    val words = (1 to 30).map(i => s"w$i").mkString(" ")
+    val other = (31 to 60).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, words), (2L, words), (3L, other)).toDF("doc_id", "text")
+    val got = DedupOps.minhashNearDup(df, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[Boolean]("is_dup") && got(1).getAs[Boolean]("is_dup"))
+    assert(!got(2).getAs[Boolean]("is_dup"))
+    assert(got(0).getAs[Double]("max_jaccard") == 1.0)
+  }
+
+  test("DedupOps.simhash: identical docs share simhash, distance 0") {
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val sh = DedupOps.simhash(df, "text", "doc_id").collect().map(_.getLong(1))
+    assert(sh(0) == sh(1))
+  }
+
+  test("DedupOps.ngramJaccardPairs exact on known overlap") {
+    // doc1: shingles of 5 words (3 shingles); doc2 shares 2 of them
+    val df = Seq((1L, "a b c d e"), (2L, "b c d e f")).toDF("doc_id", "text")
+    val got = DedupOps.ngramJaccardPairs(df, "text", "doc_id").collect()
+    assert(got.length == 1)
+    // doc1 {abc,bcd,cde}, doc2 {bcd,cde,def} → inter 2, union 4 → 0.5
+    assert(got(0).getAs[Long]("n_inter") == 2)
+    assert(got(0).getAs[Double]("jaccard") == 0.5)
+  }
+
+  test("TextOps.shingles produces distinct n-grams") {
+    val df = Seq(("x", "a b a b a")).toDF("id", "text")
+    val sh = df.select(TextOps.shingles($"text", 2).as("s")).collect()(0).getSeq[String](0)
+    assert(sh.toSet == Set("a b", "b a"))
+  }
+
+  test("MediaOps feature extraction is deterministic and sized right") {
+    val docs = graft.io.Tables.documents(spark, TestSpark.Sf0001).limit(10)
+    val feats = MediaOps.extractFeatures(spark, MediaOps.attachMedia(docs)).collect()
+    assert(feats.length == 10)
+    feats.foreach { f =>
+      assert(f.byte_len > 0 && f.n_frames == f.byte_len / 64)
+      assert(f.frame_checksums.length == (f.n_frames + 3) / 4)
+    }
+  }
+}
