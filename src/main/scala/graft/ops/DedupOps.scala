@@ -108,16 +108,25 @@ object DedupOps {
                         shingleN: Int = 3, maxDF: Int = 100): DataFrame = {
     val sh = df.select(col(idCol),
         explode(transform(TextOps.shingles(col(textCol), shingleN), s => xxhash64(s))).as("sh"))
-    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df_cnt"))
-      .filter(col("df_cnt") <= maxDF).select("sh")
-    val shRare = sh.join(rare, "sh")
+    // one groupBy per shingle: posting list bounded by maxDF (hot
+    // shingles dropped — standard stop-shingle pruning; the bound is
+    // what keeps pair generation sub-quadratic at 100 TB), then pairs
+    // are generated inline from each posting list instead of a second
+    // exploded self-join shuffle
+    val postings = sh.groupBy("sh")
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")) <= maxDF)
     // sizes over the same pruned shingle universe as the intersection,
     // so the Jaccard is exact w.r.t. the post-pruning sets
-    val sizes = shRare.groupBy(idCol).agg(count(lit(1)).as("set_size"))
-    val inter = shRare.select(col("sh"), col(idCol).as("id_a"))
-      .join(shRare.select(col("sh"), col(idCol).as("id_b")), "sh")
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    val sizes = postings.select(explode(col("ids")).as(idCol))
+      .groupBy(idCol).agg(count(lit(1)).as("set_size"))
+    val sorted = array_sort(col("ids"))
+    val pairs = postings
+      .select(explode(flatten(transform(sorted, (a, i) =>
+        transform(slice(sorted, i + 2, greatest(size(sorted) - i - 1, lit(0))),
+          b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+    val inter = pairs.groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
     inter
       .join(sizes.select(col(idCol).as("id_a"), col("set_size").as("size_a")), "id_a")
       .join(sizes.select(col(idCol).as("id_b"), col("set_size").as("size_b")), "id_b")

@@ -24,9 +24,11 @@ object SimOps {
 
   private def asDouble(a: Column): Column = transform(a, x => x.cast("double"))
 
-  /** dot(a, b) as a codegen'd expression — no UDF. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** dot(a, b): fused native expression (graft.functions.VectorDot) —
+    * single codegen'd loop, no intermediate array. Accepts float or
+    * double arrays; math is double either way.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.vec_dot(a, b)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -64,8 +66,7 @@ object SimOps {
   def lshBucket(emb: Column, dim: Int): Column =
     planes(dim).zipWithIndex.map { case (w, p) =>
       val wLit = array(w.map(lit): _*)
-      when(aggregate(zip_with(asDouble(emb), wLit, (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x) >= 0, shiftleft(lit(1), p)).otherwise(lit(0))
+      when(dot(emb, wLit) >= 0, shiftleft(lit(1), p)).otherwise(lit(0))
     }.reduce(_.bitwiseOR(_))
 
   /** Approximate cosine top-k: candidates limited to the query's LSH
