@@ -608,6 +608,83 @@ object Queries {
       .orderBy(col("doc_id")),
     None)
 
+  /** q24 — A6 arbitrary reducer: exact interpolated median per key
+    * (built-in percentile; both engines use linear interpolation).
+    */
+  private val q24 = Q(
+    "q24_median",
+    (s, d) => {
+      import s.implicits._
+      li(s, d).groupBy($"l_returnflag")
+        .agg(round(percentile($"l_quantity", lit(0.5)), 4).as("median_qty"),
+             round(percentile($"l_extendedprice", lit(0.9)), 4).as("p90_price"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag,
+             round(quantile_cont(l_quantity, 0.5), 4)      AS median_qty,
+             round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** q25 — cube (all grouping-set combinations; §2.5 superset). */
+  private val q25 = Q(
+    "q25_cube",
+    (s, d) => {
+      import s.implicits._
+      ord(s, d).cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("sum_price"))
+        .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+    },
+    Some("""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             round(sum(o_totalprice), 2) AS sum_price
+      FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""))
+
+  /** q26 — running analytic over the secondary-sort order (J3 idiom):
+    * cumulative spend per customer in order-date order.
+    */
+  private val q26 = Q(
+    "q26_running_sum",
+    (s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      ord(s, d)
+        .withColumn("running_total", round(sum($"o_totalprice").over(w), 2))
+        .select($"o_custkey", $"o_orderkey", $"running_total")
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey,
+             round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS UNBOUNDED PRECEDING), 2) AS running_total
+      FROM orders ORDER BY o_custkey, o_orderkey"""))
+
+  /** q27 — T1/T2 via the typed bounded-heap Aggregator (O(k) per group
+    * on map and reduce side — the 100 TB-safe exact top-k).
+    */
+  private val q27 = Q(
+    "q27_topk_udaf",
+    (s, d) => {
+      import s.implicits._
+      val tk = udaf(graft.functions.TopKAggregator(5))
+      li(s, d).groupBy($"l_returnflag")
+        .agg(tk($"l_quantity").as("topk"))
+        .select($"l_returnflag", posexplode($"topk"))
+        .toDF("l_returnflag", "pos", "v")
+        .orderBy($"l_returnflag", $"pos")
+    },
+    Some("""
+      SELECT l_returnflag, CAST(rn - 1 AS INTEGER) AS pos, v FROM (
+        SELECT l_returnflag, l_quantity AS v,
+               row_number() OVER (PARTITION BY l_returnflag
+                 ORDER BY l_quantity DESC) AS rn
+        FROM lineitem) t
+      WHERE rn <= 5 ORDER BY l_returnflag, pos"""))
+
   // ------------------------------------------------------ typed MapRed
 
   /** mapred_wordcount — the same wordcount through the typed
@@ -633,7 +710,7 @@ object Queries {
 
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
-    q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
+    q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     d01, d02, d03, d04, t01, t02, t03, t04, a01, a02, m01, m02, mr1)
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

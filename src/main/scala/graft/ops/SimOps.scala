@@ -22,8 +22,6 @@ import org.apache.spark.sql.expressions.Window
   */
 object SimOps {
 
-  private def asDouble(a: Column): Column = transform(a, x => x.cast("double"))
-
   /** dot(a, b): fused native expression (graft.functions.VectorDot) —
     * single codegen'd loop, no intermediate array. Accepts float or
     * double arrays; math is double either way.
@@ -41,9 +39,9 @@ object SimOps {
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                      embCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("qid"), asDouble(col(embCol)).as("q_emb"))
+    val q = queries.select(col(idCol).as("qid"), col(embCol).as("q_emb"))
       .withColumn("q_norm", l2Norm(col("q_emb")))
-    val c = corpus.select(col(idCol).as("nid"), asDouble(col(embCol)).as("c_emb"))
+    val c = corpus.select(col(idCol).as("nid"), col(embCol).as("c_emb"))
       .withColumn("c_norm", l2Norm(col("c_emb")))
     val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
       .withColumn("sim", dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
@@ -76,10 +74,10 @@ object SimOps {
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               embCol: String, k: Int, dim: Int = 64): DataFrame = {
-    val q = queries.select(col(idCol).as("qid"), asDouble(col(embCol)).as("q_emb"))
+    val q = queries.select(col(idCol).as("qid"), col(embCol).as("q_emb"))
       .withColumn("bucket", lshBucket(col("q_emb"), dim))
       .withColumn("q_norm", l2Norm(col("q_emb")))
-    val c = corpus.select(col(idCol).as("nid"), asDouble(col(embCol)).as("c_emb"))
+    val c = corpus.select(col(idCol).as("nid"), col(embCol).as("c_emb"))
       .withColumn("bucket", lshBucket(col("c_emb"), dim))
       .withColumn("c_norm", l2Norm(col("c_emb")))
     val scored = c.join(broadcast(q), Seq("bucket"))

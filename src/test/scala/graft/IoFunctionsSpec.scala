@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.io.{Codec, FsOps}
+
+class IoFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("Codec round-trips records through JSON lines (encodepipe/decodepipe)") {
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "v")
+    val lines = Codec.encodeJson(df)
+    val back = Codec.decodeJson(lines, df.schema)
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
+
+  test("Codec.parseWithRegex extracts typed fields (NCDC -parser idiom)") {
+    val df = Seq("id=7 temp=21", "id=9 temp=-3").toDF("line")
+    val parsed = Codec.parseWithRegex(df, "line", "id=(\\d+) temp=(-?\\d+)", Seq("id", "temp"))
+    val got = parsed.select($"id".cast("int"), $"temp".cast("int"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(got.toSeq == Seq((7, 21), (9, -3)))
+  }
+
+  test("FsOps exists/ls/rm + writeParquet with overwrite and delinputs") {
+    val tmp = java.nio.file.Files.createTempDirectory("fsops").toString
+    val in = s"$tmp/in"; val out = s"$tmp/out"
+    Seq((1, "x")).toDF("k", "v").write.parquet(in)
+    assert(FsOps.exists(spark, in))
+    assert(FsOps.ls(spark, in).nonEmpty)
+    val df = spark.read.parquet(in)
+    FsOps.writeParquet(spark, df, out, overwrite = true, delInputs = Seq(in))
+    assert(FsOps.exists(spark, out))
+    assert(!FsOps.exists(spark, in)) // -delinputs after success
+    assert(FsOps.cat(spark.read.parquet(out)).length == 1)
+    FsOps.rm(spark, tmp)
+    assert(!FsOps.exists(spark, tmp))
+  }
+
+  test("TopKAggregator: bounded heap == full sort take k") {
+    val vals = (1 to 500).map(i => ((i * 37) % 13, ((i * 97) % 101).toDouble))
+    val ds = vals.toDF("k", "v")
+    val tk = udaf(graft.functions.TopKAggregator(4))
+    val got = ds.groupBy("k").agg(tk($"v").as("topk")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val expected = vals.groupBy(_._1).map { case (k, kv) =>
+      k -> kv.map(_._2).sorted(Ordering[Double].reverse).take(4)
+    }
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (k, e) => assert(got(k).toSeq == e.toSeq, s"key $k") }
+  }
+
+  test("vec_dot is available in SQL via GraftExtensions") {
+    val r = spark.sql("SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .collect()(0).getDouble(0)
+    assert(r == 11.0)
+  }
+}

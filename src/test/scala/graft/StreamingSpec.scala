@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamingOps
+
+/** Streaming twin of the batch window query, driven synchronously over
+  * the same parquet (guide: memory sink + processAllAvailable).
+  * Asserts streaming ≡ batch on total event counts.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val d = TestSpark.Sf0001
+
+  test("streaming tumbling counts equal batch tumbling counts") {
+    val batchDf = graft.io.Tables.events(spark, d)
+    // FileStreamSource needs a directory, not a single parquet file
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/events.parquet"),
+      dir.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"$d/events.parquet").schema
+    val stream = StreamingOps.eventsStream(spark, dir.toString, schema)
+    val agg = StreamingOps.tumblingCounts(stream)
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory").queryName("stream_tumbling")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT sum(cnt) FROM stream_tumbling").collect()(0).getLong(0)
+      assert(streamed == batchDf.count())
+    } finally q.stop()
+  }
+}
