@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native expressions for the shingling/MinHash hot path.
+  *
+  * The composable forms (sequence → transform → slice → concat_ws →
+  * xxhash64 → array_distinct, and 32 × transform for MinHash) run as
+  * interpreted higher-order lambdas with per-shingle string allocation;
+  * at sf0.1 they dominated the dedup queries (~3s of a 6s query just
+  * building shingles). On a 100 TB corpus the shingle pass touches
+  * every byte once — it must be a tight loop.
+  *
+  * Both are CodegenFallback: the per-row work (an O(bytes) loop) dwarfs
+  * the interpreted dispatch, so fallback costs ~nothing while keeping
+  * the implementation auditable.
+  *
+  * Hash family: xxhash64 over each word's UTF-8 bytes (seed 42, Spark's
+  * default), windows combined by hash chaining — fixed constants, fully
+  * deterministic across runs/partitionings (SURVEY.md §7.3).
+  */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].split(UTF8String.fromString(" "), -1)
+    val m = words.length - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val wordHash = new Array[Long](words.length)
+    var i = 0
+    while (i < words.length) {
+      val w = words(i)
+      wordHash(i) = XXH64.hashUnsafeBytes(w.getBaseObject, w.getBaseOffset, w.numBytes, 42L)
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    i = 0
+    while (i < m) {
+      var h = 42L
+      var j = 0
+      while (j < n) { h = XXH64.hashLong(wordHash(i + j), h); j += 1 }
+      seen.add(h)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Fused MinHash signature: k minima over k seeded re-hashes of the
+  * input array<long>, in one pass (vs k interpreted `transform`s).
+  */
+case class MinHashSig(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val nElems = arr.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < nElems) {
+      val h = arr.getLong(i)
+      var s = 0
+      while (s < k) {
+        val hs = XXH64.hashLong(h, s.toLong)
+        if (hs < mins(s)) mins(s) = hs
+        s += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(l => l: Any))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextFunctions {
+  import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+
+  /** Distinct hashes of n-word shingles of a space-tokenized text. */
+  def shingle_hashes(text: Column, n: Int): Column =
+    column(ShingleHashes(expression(text), n))
+
+  /** MinHash signature (k minima over seeded re-hashes). */
+  def minhash_sig(shingleHashes: Column, k: Int): Column =
+    column(MinHashSig(expression(shingleHashes), k))
+}

@@ -36,13 +36,10 @@ object DedupOps {
   /** Per-doc MinHash signature (array of NumHashes longs) from 3-word
     * shingles. Single narrow projection — no shuffle.
     */
-  def minhashSignature(df: DataFrame, textCol: String, shingleN: Int = 3): DataFrame = {
-    val hashes = transform(TextOps.shingles(col(textCol), shingleN), s => xxhash64(s))
-    val sig = array((0 until NumHashes).map { i =>
-      array_min(transform(hashes, h => xxhash64(lit(i), h)))
-    }: _*)
-    df.withColumn("minhash_sig", sig)
-  }
+  def minhashSignature(df: DataFrame, textCol: String, shingleN: Int = 3): DataFrame =
+    df.withColumn("minhash_sig",
+      graft.functions.TextFunctions.minhash_sig(
+        graft.functions.TextFunctions.shingle_hashes(col(textCol), shingleN), NumHashes))
 
   /** LSH banding: (doc, band_idx, band_hash) rows; docs sharing a band
     * hash are candidate near-duplicates. Candidate generation is a
@@ -74,7 +71,7 @@ object DedupOps {
   def minhashNearDup(df: DataFrame, textCol: String, idCol: String,
                      shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
     val withSets = df
-      .withColumn("sh", transform(TextOps.shingles(col(textCol), shingleN), s => xxhash64(s)))
+      .withColumn("sh", graft.functions.TextFunctions.shingle_hashes(col(textCol), shingleN))
     val sig = minhashSignature(df, textCol, shingleN).select(col(idCol), col("minhash_sig"))
     val cands = minhashCandidates(minhashBands(sig, idCol), idCol)
     val sets = withSets.select(col(idCol), col("sh"))
@@ -107,7 +104,7 @@ object DedupOps {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         shingleN: Int = 3, maxDF: Int = 100): DataFrame = {
     val sh = df.select(col(idCol),
-        explode(transform(TextOps.shingles(col(textCol), shingleN), s => xxhash64(s))).as("sh"))
+        explode(graft.functions.TextFunctions.shingle_hashes(col(textCol), shingleN)).as("sh"))
     // one groupBy per shingle: posting list bounded by maxDF (hot
     // shingles dropped — standard stop-shingle pruning; the bound is
     // what keeps pair generation sub-quadratic at 100 TB), then pairs

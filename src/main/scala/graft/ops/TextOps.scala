@@ -103,10 +103,9 @@ object TextOps {
     * fingerprint): deterministic base-31 hash of each `n`-word shingle,
     * document signature = min shingle hash. Pure expressions.
     */
-  def rollingFingerprint(df: DataFrame, textCol: String, n: Int): DataFrame = {
-    val sh = shingles(col(textCol), n)
-    df.withColumn("min_shingle_hash", array_min(transform(sh, s => xxhash64(s))))
-  }
+  def rollingFingerprint(df: DataFrame, textCol: String, n: Int): DataFrame =
+    df.withColumn("min_shingle_hash",
+      array_min(graft.functions.TextFunctions.shingle_hashes(col(textCol), n)))
 
   /** n-word shingles of the space-split text (deduplicated set). */
   def shingles(text: Column, n: Int): Column = {
