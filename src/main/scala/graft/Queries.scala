@@ -685,6 +685,42 @@ object Queries {
         FROM lineitem) t
       WHERE rn <= 5 ORDER BY l_returnflag, pos"""))
 
+  /** q28 — GROUPING SETS through the SQL surface (temp view + spark.sql),
+    * the general form of rollup/cube.
+    */
+  private val q28 = Q(
+    "q28_grouping_sets",
+    (s, d) => {
+      ord(s, d).createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
+    },
+    Some("""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             round(sum(o_totalprice), 2) AS sum_price
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""))
+
+  /** q29 — skew-safe salted aggregation (same result as a direct
+    * groupBy-sum; the salted plan spreads hot keys over extra reducers).
+    */
+  private val q29 = Q(
+    "q29_salted_agg",
+    (s, d) => {
+      import s.implicits._
+      LibOps.saltedSumByKey(li(s, d), Seq("l_returnflag"), "l_quantity", as = "sum_qty")
+        .select($"l_returnflag", round($"sum_qty", 2).as("sum_qty"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   // ------------------------------------------------------ typed MapRed
 
   /** mapred_wordcount — the same wordcount through the typed
@@ -710,7 +746,7 @@ object Queries {
 
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
-    q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
+    q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     d01, d02, d03, d04, t01, t02, t03, t04, a01, a02, m01, m02, mr1)
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

@@ -65,6 +65,23 @@ object LibOps {
                                rsd: Double = 0.05): DataFrame =
     df.groupBy(keys.map(col): _*).agg(approx_count_distinct(col(value), rsd).as("n_distinct_approx"))
 
+  /** Skew-safe two-phase aggregation: group on (keys, salt) first so a
+    * hot key spreads over `buckets` reduce tasks, then re-aggregate on
+    * the true keys. The salt is derived deterministically from the
+    * value column (no rand()), so results are reproducible. For
+    * algebraic aggregates the extra shuffle is tiny (`buckets` partial
+    * rows per key). At 100 TB this is the pattern for power-law keys
+    * where AQE skew handling isn't enough (e.g. per-token counts).
+    */
+  def saltedSumByKey(df: DataFrame, keys: Seq[String], value: String,
+                     buckets: Int = 16, as: String = "sum_value"): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(xxhash64(col(value)), lit(buckets)))
+    salted.groupBy((keys :+ "__salt").map(col): _*)
+      .agg(sum(col(value)).as("__partial"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__partial")).as(as))
+  }
+
   /** C5 `identitymapper`: passthrough. */
   def identityMap(df: DataFrame): DataFrame = df
 

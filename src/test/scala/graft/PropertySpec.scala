@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.ops._
+
+/** Property tests for the algebraic laws SURVEY.md §5 calls out:
+  * combiner ≡ reducer on pre-merged input, bounded top-k ≡ sort-take,
+  * salted aggregation ≡ direct aggregation, Jaccard bounds.
+  * Data-driven through Spark on small generated datasets.
+  */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Deterministic scalacheck sampling (no scalatestplus bridge in the
+    * offline cache): n samples from fixed seeds.
+    */
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val kvGen: Gen[List[(Int, Long)]] =
+    Gen.listOfN(60, Gen.zip(Gen.choose(0, 5), Gen.choose(-1000L, 1000L)))
+
+  test("combiner law: combineByKey(_+_) == reduceRecords(sum) (A1/C3)") {
+    samples(kvGen, 5).filter(_.nonEmpty).foreach { data =>
+      val ds = data.toDS()
+      val a = MapRed.combineByKey(ds)(_ + _).collect().sortBy(_._1).toSeq
+      val b = MapRed.reduceRecords(ds)((k, vs) => Iterator((k, vs.sum)))
+        .collect().sortBy(_._1).toSeq
+      assert(a == b)
+    }
+  }
+
+  test("TopKAggregator merge law: topk over partitions == topk over whole (T1/T2)") {
+    val cases = samples(Gen.zip(Gen.listOfN(50, Gen.choose(-500.0, 500.0)), Gen.choose(1, 8)), 20)
+    cases.filter(_._1.nonEmpty).foreach { case (vs, k) =>
+      val agg = graft.functions.TopKAggregator(k)
+      // fold through two partial buffers then merge (the shuffle path)
+      val (l, r) = vs.splitAt(vs.length / 2)
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce))
+      val expected = vs.sorted(Ordering[Double].reverse).take(k)
+      assert(agg.finish(merged).toList == expected)
+    }
+  }
+
+  test("salted aggregation equals direct aggregation (skew path)") {
+    samples(kvGen, 3).filter(_.nonEmpty).foreach { data =>
+      val df = data.toDF("k", "v")
+      val direct = LibOps.sumByKey(df, Seq("k"), "v").orderBy("k")
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+      val salted = LibOps.saltedSumByKey(df, Seq("k"), "v", buckets = 4).orderBy("k")
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+      assert(direct == salted)
+    }
+  }
+
+  test("jaccard is within [0,1] and symmetric pairs have id_a < id_b") {
+    val docs = graft.io.Tables.documents(spark, TestSpark.Sf0001).limit(60)
+    val pairs = DedupOps.ngramJaccardPairs(docs, "text", "doc_id").collect()
+    pairs.foreach { r =>
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.0 && j <= 1.0)
+      assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
+    }
+  }
+
+  test("minhash signature similarity approximates exact jaccard on dup docs") {
+    // two near-identical docs: signature agreement should be high
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near = ((1 to 39).map(i => s"w$i") :+ "different").mkString(" ")
+    val df = Seq((1L, base), (2L, near)).toDF("doc_id", "text")
+    val sigs = DedupOps.minhashSignature(df, "text").orderBy("doc_id")
+      .select("minhash_sig").collect().map(_.getSeq[Long](0))
+    val agree = sigs(0).zip(sigs(1)).count { case (a, b) => a == b }.toDouble / sigs(0).length
+    assert(agree > 0.5, s"signature agreement $agree too low for ~0.9-jaccard docs")
+  }
+}
