@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** 64-bit SimHash as a per-row native expression.
+  *
+  * SimHash is a per-document function: the explode-words → 64 vote
+  * aggregates → reassemble formulation costs a full shuffle of every
+  * token; this computes the same value (same xxhash64-seed-42 word
+  * hashes, same >= 0 vote rule) in one pass over the row — no shuffle
+  * at all. At 100 TB that turns near-dup signatures into a pure
+  * map-side projection.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].split(UTF8String.fromString(" "), -1)
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < words.length) {
+      val w = words(i)
+      val h = XXH64.hashUnsafeBytes(w.getBaseObject, w.getBaseOffset, w.numBytes, 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) >= 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Generator (UDTF-shaped, SURVEY.md §2.10): all ordered pairs (a < b)
+  * from an array<long> — posting-list pair expansion for the
+  * inverted-index Jaccard join, without interpreted nested-lambda
+  * struct building. Input arrays are bounded by the caller's maxDF, so
+  * output is at most maxDF·(maxDF-1)/2 rows per input row.
+  */
+case class ArrayPairs(child: Expression)
+    extends UnaryExpression with Generator with CodegenFallback {
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("id_a", LongType, nullable = false),
+    StructField("id_b", LongType, nullable = false)))
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val value = child.eval(input)
+    if (value == null) return Iterator.empty
+    val arr = value.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < 2) return Iterator.empty
+    val ids = new Array[Long](n)
+    var i = 0
+    while (i < n) { ids(i) = arr.getLong(i); i += 1 }
+    java.util.Arrays.sort(ids)
+    new Iterator[InternalRow] {
+      private var a = 0
+      private var b = 1
+      override def hasNext: Boolean = a < n - 1
+      override def next(): InternalRow = {
+        val row = InternalRow(ids(a), ids(b))
+        b += 1
+        if (b >= n) { a += 1; b = a + 1 }
+        row
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HashFunctions {
+  import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+
+  /** Per-row 64-bit SimHash of space-tokenized text. */
+  def simhash64(text: Column): Column = column(SimHash64(expression(text)))
+
+  /** Generator: ordered pairs (id_a < id_b) from an array<long>. */
+  def array_pairs(ids: Column): Column = column(ArrayPairs(expression(ids)))
+}

@@ -117,12 +117,9 @@ object DedupOps {
     // so the Jaccard is exact w.r.t. the post-pruning sets
     val sizes = postings.select(explode(col("ids")).as(idCol))
       .groupBy(idCol).agg(count(lit(1)).as("set_size"))
-    val sorted = array_sort(col("ids"))
     val pairs = postings
-      .select(explode(flatten(transform(sorted, (a, i) =>
-        transform(slice(sorted, i + 2, greatest(size(sorted) - i - 1, lit(0))),
-          b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
+      .select(graft.functions.HashFunctions.array_pairs(col("ids"))
+        .as(Seq("id_a", "id_b")))
     val inter = pairs.groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
     inter
       .join(sizes.select(col(idCol).as("id_a"), col("set_size").as("size_a")), "id_a")
@@ -134,22 +131,15 @@ object DedupOps {
 
   // ------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash from word hashes: per bit, +1/-1 votes over the
-    * doc's words; sign of the vote is the bit. Pure aggregation —
-    * one shuffle keyed on the doc id.
+  /** 64-bit SimHash: per bit, +1/-1 votes over the doc's word hashes;
+    * sign of the vote is the bit. Computed by the native per-row
+    * expression (graft.functions.SimHash64) — a pure projection, no
+    * shuffle (the explode+64-aggregates formulation shuffles every
+    * token).
     */
-  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val wordRows = df.select(col(idCol), explode(TextOps.words(col(textCol))).as("w"))
-      .withColumn("h", xxhash64(col("w")))
-    val votes = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$i")
-    }
-    val voted = wordRows.groupBy(idCol).agg(votes.head, votes.tail: _*)
-    val sh = (0 until 64).map { i =>
-      when(col(s"b$i") >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-    voted.select(col(idCol), sh.as("simhash"))
-  }
+  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol),
+      graft.functions.HashFunctions.simhash64(col(textCol)).as("simhash"))
 
   /** SimHash near-dup: candidates share one of four 16-bit segments
     * (any pair within Hamming distance 3 must agree on >= 1 segment —
