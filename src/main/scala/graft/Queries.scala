@@ -578,6 +578,19 @@ object Queries {
     },
     None)
 
+  /** ann_ivf_topk — IVF-flat probe variant (deterministic codebook);
+    * approximate → rows-only.
+    */
+  private val a03 = Q(
+    "ann_ivf_topk",
+    (s, d) => {
+      import s.implicits._
+      val e = emb(s, d)
+      SimOps.ivfTopK(e.filter($"vec_id" < 10), e, "vec_id", "embedding", 5)
+        .orderBy($"qid", $"rnk")
+    },
+    None)
+
   // ---------------------------------------------------------- multimodal
 
   /** media_meta — binary media column + typed metadata; the
@@ -747,7 +760,7 @@ object Queries {
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    d01, d02, d03, d04, t01, t02, t03, t04, a01, a02, m01, m02, mr1)
+    d01, d02, d03, d04, t01, t02, t03, t04, a01, a02, a03, m01, m02, mr1)
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

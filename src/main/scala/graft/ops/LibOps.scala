@@ -85,6 +85,14 @@ object LibOps {
   /** C5 `identitymapper`: passthrough. */
   def identityMap(df: DataFrame): DataFrame = df
 
+  /** C8 `setstatus`/query-level counters: named observable metrics
+    * attached to the plan — the declarative complement to accumulators
+    * (read after an action via QueryExecutionListener or
+    * `df.observe` + collect).
+    */
+  def observed(df: DataFrame, name: String, metrics: Seq[Column]): DataFrame =
+    df.observe(name, metrics.head, metrics.tail: _*)
+
   /** C6 `identityreducer`: partition by key and sort within partitions —
     * the shuffle-as-an-operator dumbo exposes. Spark equivalent keeps
     * the co-location reusable by later per-partition logic.

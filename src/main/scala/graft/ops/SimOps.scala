@@ -67,6 +67,53 @@ object SimOps {
       when(dot(emb, wLit) >= 0, shiftleft(lit(1), p)).otherwise(lit(0))
     }.reduce(_.bitwiseOR(_))
 
+  /** IVF-flat index: corpus partitioned into K cells by nearest
+    * centroid; queries probe the `nprobe` nearest cells and re-rank
+    * exactly inside them. Centroids here are a deterministic codebook
+    * (the K lowest-id corpus vectors) rather than trained k-means —
+    * the partition/probe machinery is identical and fully
+    * reproducible; swap the codebook for trained centroids when a
+    * trainer is available.
+    *
+    * Scale shape: the assignment is one narrow projection over the
+    * corpus (K fused dots per row), the probe join is an equi-join on
+    * cell id — never a cross product. The codebook is tiny driver-side
+    * metadata (K·dim doubles), the standard IVF deployment model.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              embCol: String, k: Int, numCells: Int = 16, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.Row
+    val centroids: Array[Array[Double]] = corpus
+      .orderBy(col(idCol)).limit(numCells)
+      .select(col(embCol)).collect()
+      .map { case Row(seq: scala.collection.Seq[_]) =>
+        seq.map(v => v.asInstanceOf[Number].doubleValue()).toArray }
+    def cellSims(emb: Column): Column = array(centroids.zipWithIndex.map {
+      case (cVec, i) =>
+        val cLit = array(cVec.map(lit): _*)
+        struct((dot(emb, cLit) / (l2Norm(emb) * math.sqrt(cVec.map(x => x * x).sum)))
+          .as("s"), lit(i).as("cell"))
+    }: _*)
+    // argmax by struct ordering (sim first): corpus vector → its cell
+    val c = corpus.select(col(idCol).as("nid"), col(embCol).as("c_emb"))
+      .withColumn("cell", array_max(cellSims(col("c_emb"))).getField("cell"))
+      .withColumn("c_norm", l2Norm(col("c_emb")))
+    // queries probe the nprobe best cells
+    val q = queries.select(col(idCol).as("qid"), col(embCol).as("q_emb"))
+      .withColumn("probe",
+        slice(reverse(array_sort(cellSims(col("q_emb")))), 1, nprobe))
+      .withColumn("cell", explode(col("probe").getField("cell")))
+      .drop("probe")
+      .withColumn("q_norm", l2Norm(col("q_emb")))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sim", dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"), col("rnk"))
+  }
+
   /** Approximate cosine top-k: candidates limited to the query's LSH
     * bucket (same sign sketch), then exact re-ranking inside the
     * bucket. The join is keyed on the bucket code — a co-partitioned

@@ -122,6 +122,27 @@ class OpsSpec extends AnyFunSuite {
     assert(sh.toSet == Set("a b", "b a"))
   }
 
+  test("SimOps.ivfTopK finds true nearest neighbors for most queries (recall sanity)") {
+    val e = graft.io.Tables.embeddings(spark, TestSpark.Sf0001)
+    val exact = SimOps.bruteForceTopK(e.filter($"vec_id" < 10), e, "vec_id", "embedding", 1)
+      .collect().map(r => r.getAs[Long]("qid") -> r.getAs[Long]("nid")).toMap
+    val ivf = SimOps.ivfTopK(e.filter($"vec_id" < 10), e, "vec_id", "embedding", 1,
+        numCells = 8, nprobe = 4)
+      .collect().map(r => r.getAs[Long]("qid") -> r.getAs[Long]("nid")).toMap
+    assert(ivf.nonEmpty && ivf.keySet.subsetOf(exact.keySet))
+    val hits = exact.count { case (q, n) => ivf.get(q).contains(n) }
+    assert(hits >= exact.size / 4, s"IVF recall too low: $hits/${exact.size}")
+  }
+
+  test("LibOps.observed exposes query-level metrics (C8)") {
+    val df = Seq(1, 2, 3).toDF("v")
+    val obs = LibOps.observed(df, "m", Seq(count(lit(1)).as("n"), sum($"v").as("s")))
+    obs.collect()
+    // metric row is retrievable from the last query execution
+    val m = obs.queryExecution.observedMetrics("m")
+    assert(m.getAs[Long]("n") == 3 && m.getAs[Long]("s") == 6)
+  }
+
   test("MediaOps feature extraction is deterministic and sized right") {
     val docs = graft.io.Tables.documents(spark, TestSpark.Sf0001).limit(10)
     val feats = MediaOps.extractFeatures(spark, MediaOps.attachMedia(docs)).collect()
