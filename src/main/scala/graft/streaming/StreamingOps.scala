@@ -27,6 +27,28 @@ object StreamingOps {
     else raw
   }
 
+  /** Custom per-key streaming state (§2.9: `mapGroupsWithState`):
+    * running per-user event count + last-seen epoch second. The state
+    * store holds one small record per user; with a timeout configured
+    * it is evicted on inactivity — bounded state at any scale.
+    */
+  def statefulUserCounts(spark: SparkSession, events: DataFrame) = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.select(col("user_id").as[Long], col("ts").cast("long").as[Long])
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[(Long, Long)]) =>
+          val (prevN, prevLast) = state.getOption.getOrElse((0L, 0L))
+          var n = prevN; var last = prevLast
+          rows.foreach { case (_, ts) => n += 1; if (ts > last) last = ts }
+          state.update((n, last))
+          (user, n, last)
+      }
+      .toDF("user_id", "n_events", "last_seen")
+  }
+
   /** Tumbling-window counts with a watermark: the streaming twin of
     * q14_window_tumbling.
     */

@@ -32,4 +32,28 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed == batchDf.count())
     } finally q.stop()
   }
+
+  test("stateful mapGroupsWithState tracks per-user counts") {
+    val dir = java.nio.file.Files.createTempDirectory("events_state")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/events.parquet"),
+      dir.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"$d/events.parquet").schema
+    val stream = StreamingOps.eventsStream(spark, dir.toString, schema)
+    val counts = StreamingOps.statefulUserCounts(spark, stream)
+    val q = counts.writeStream
+      .outputMode("update")
+      .format("memory").queryName("stateful_counts")
+      .start()
+    try {
+      q.processAllAvailable()
+      val total = spark.sql("SELECT sum(n_events) FROM stateful_counts").collect()(0).getLong(0)
+      assert(total == graft.io.Tables.events(spark, d).count())
+      val perUser = spark.sql("SELECT count(*) FROM stateful_counts").collect()(0).getLong(0)
+      val users = graft.io.Tables.events(spark, d)
+        .select(org.apache.spark.sql.functions.countDistinct("user_id"))
+        .collect()(0).getLong(0)
+      assert(perUser == users)
+    } finally q.stop()
+  }
 }
