@@ -88,10 +88,13 @@ object SimOps {
       .select(col(embCol)).collect()
       .map { case Row(seq: scala.collection.Seq[_]) =>
         seq.map(v => v.asInstanceOf[Number].doubleValue()).toArray }
+    // ranking cells by cosine: the row's own norm is constant across
+    // cells, so it cancels out of the argmax — only centroid norms
+    // matter (one dot per cell per row, no per-cell norm recompute)
     def cellSims(emb: Column): Column = array(centroids.zipWithIndex.map {
       case (cVec, i) =>
         val cLit = array(cVec.map(lit): _*)
-        struct((dot(emb, cLit) / (l2Norm(emb) * math.sqrt(cVec.map(x => x * x).sum)))
+        struct((dot(emb, cLit) / math.sqrt(cVec.map(x => x * x).sum))
           .as("s"), lit(i).as("cell"))
     }: _*)
     // argmax by struct ordering (sim first): corpus vector → its cell
