@@ -734,6 +734,59 @@ object Queries {
       SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** q30 — string functions (§2.8) over part: regex capture, split,
+    * upper — the mapper-side string idioms as pushed-down expressions.
+    */
+  private val q30 = Q(
+    "q30_string_funcs",
+    (s, d) => {
+      import s.implicits._
+      Tables.part(s, d)
+        .select(
+          regexp_extract($"p_brand", "Brand#(\\d+)", 1).cast("int").as("brand_num"),
+          upper(split($"p_type", " ").getItem(0)).as("type_head"),
+          $"p_retailprice")
+        .groupBy($"brand_num", $"type_head")
+        .agg(count(lit(1)).as("n"), round(avg($"p_retailprice"), 2).as("avg_price"))
+        .orderBy($"brand_num", $"type_head")
+    },
+    Some("""
+      SELECT CAST(regexp_extract(p_brand, 'Brand#(\d+)', 1) AS INTEGER) AS brand_num,
+             upper(string_split(p_type, ' ')[1]) AS type_head,
+             count(*) AS n, round(avg(p_retailprice), 2) AS avg_price
+      FROM part GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** q31 — supplier dimension join (completes table coverage). */
+  private val q31 = Q(
+    "q31_supplier_stats",
+    (s, d) => {
+      import s.implicits._
+      Tables.supplier(s, d)
+        .join(broadcast(nat(s, d)), $"s_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(count(lit(1)).as("n_suppliers"), round(sum($"s_acctbal"), 2).as("sum_bal"))
+        .orderBy($"n_name")
+    },
+    Some("""
+      SELECT n_name, count(*) AS n_suppliers, round(sum(s_acctbal), 2) AS sum_bal
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name"""))
+
+  /** q32 — sketch-based scale variants (A5 at 100 TB): HLL distinct +
+    * approximate percentile. Deterministic within Spark but algorithm-
+    * specific → rows-only.
+    */
+  private val q32 = Q(
+    "q32_approx_sketches",
+    (s, d) => {
+      import s.implicits._
+      ev(s, d).groupBy($"event_type")
+        .agg(approx_count_distinct($"user_id").as("n_users_hll"),
+             round(percentile_approx($"value", lit(0.5), lit(1000)), 4).as("median_approx"))
+        .orderBy($"event_type")
+    },
+    None)
+
   // ------------------------------------------------------ typed MapRed
 
   /** mapred_wordcount — the same wordcount through the typed
@@ -759,7 +812,8 @@ object Queries {
 
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
-    q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
+    q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
+    q28, q29, q30, q31, q32,
     d01, d02, d03, d04, t01, t02, t03, t04, a01, a02, a03, m01, m02, mr1)
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
