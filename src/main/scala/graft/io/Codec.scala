@@ -15,7 +15,7 @@ object Codec {
   /** encodepipe: any DataFrame → one JSON string per record. */
   def encodeJson(df: DataFrame): Dataset[String] = {
     import df.sparkSession.implicits._
-    df.select(to_json(struct(df.columns.map(col): _*)).as("json")).as[String]
+    df.select(to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("json")).as[String]
   }
 
   /** decodepipe: JSON lines + schema → typed DataFrame. */

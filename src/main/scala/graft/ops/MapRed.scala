@@ -54,6 +54,19 @@ object MapRed {
     ds.groupByKey(_._1).reduceGroups { (a, b) => (a._1, merge(a._2, b._2)) }
       .map { case (_, kv) => kv }
 
+  /** C4 `Job.additer` parity: dumbo chains MapReduce iterations through
+    * a Job object (`dumbo/core.py :: Job.additer/run`), materializing
+    * HDFS between passes. Here an iteration is any Dataset→Dataset
+    * function; chaining composes ONE Catalyst plan — no inter-pass
+    * materialization ever, shuffles only where reduces demand them.
+    * `checkpoint()` is available for the rare data-dependent loop.
+    */
+  final case class Job[K, V](ds: Dataset[(K, V)]) {
+    def additer[K2, V2](iter: Dataset[(K, V)] => Dataset[(K2, V2)]): Job[K2, V2] =
+      Job(iter(ds))
+    def run(): Dataset[(K, V)] = ds
+  }
+
   /** C8 counters: dumbo's `incrcounter(group, name, n)` surface backed
     * by Spark accumulators (aggregated across executors by the driver).
     */

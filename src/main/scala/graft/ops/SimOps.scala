@@ -63,7 +63,7 @@ object SimOps {
     */
   def lshBucket(emb: Column, dim: Int): Column =
     planes(dim).zipWithIndex.map { case (w, p) =>
-      val wLit = array(w.map(lit): _*)
+      val wLit = array(w.toIndexedSeq.map(lit): _*)
       when(dot(emb, wLit) >= 0, shiftleft(lit(1), p)).otherwise(lit(0))
     }.reduce(_.bitwiseOR(_))
 
@@ -91,9 +91,9 @@ object SimOps {
     // ranking cells by cosine: the row's own norm is constant across
     // cells, so it cancels out of the argmax — only centroid norms
     // matter (one dot per cell per row, no per-cell norm recompute)
-    def cellSims(emb: Column): Column = array(centroids.zipWithIndex.map {
+    def cellSims(emb: Column): Column = array(centroids.toIndexedSeq.zipWithIndex.map {
       case (cVec, i) =>
-        val cLit = array(cVec.map(lit): _*)
+        val cLit = array(cVec.toIndexedSeq.map(lit): _*)
         struct((dot(emb, cLit) / math.sqrt(cVec.map(x => x * x).sum))
           .as("s"), lit(i).as("cell"))
     }: _*)

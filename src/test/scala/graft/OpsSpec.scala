@@ -55,6 +55,17 @@ class OpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("a", "1-2-3")))
   }
 
+  test("MapRed.Job.additer chains iterations into one plan (C4)") {
+    val ds = Seq((1L, "a b"), (2L, "b c")).toDS()
+    val out = MapRed.Job(ds)
+      .additer(d => MapRed.mapRecords(d)((_, v) => v.split(' ').map(w => (w, 1L))))  // pass 1: map
+      .additer(d => MapRed.combineByKey(d)(_ + _))                                   // pass 1: reduce
+      .additer(d => MapRed.mapRecords(d)((_, n) => Iterator((n, 1L))))               // pass 2: map
+      .additer(d => MapRed.combineByKey(d)(_ + _))                                   // pass 2: reduce (count-of-counts)
+      .run().collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 2L), (2L, 1L))) // words a,c appear once; b twice
+  }
+
   test("MapRed.combineByKey == reduceRecords for associative merge (combiner law)") {
     val data = (1 to 100).map(i => (s"k${i % 7}", i.toLong))
     val ds = data.toDS()
