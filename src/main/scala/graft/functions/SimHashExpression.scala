@@ -89,6 +89,53 @@ case class ArrayPairs(child: Expression)
     copy(child = newChild)
 }
 
+/** Generator over array<struct<id:long, sz:long>> posting lists:
+  * emits (id_a, id_b, sz_a, sz_b) for every ordered pair (a < b by id).
+  * Carrying each doc's set size through the posting list lets the
+  * Jaccard pipeline aggregate pairs straight to a result — no join
+  * back to a sizes table (two fewer shuffles/broadcasts than the
+  * classic formulation).
+  */
+case class PostingPairs(child: Expression)
+    extends UnaryExpression with Generator with CodegenFallback {
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("id_a", LongType, nullable = false),
+    StructField("id_b", LongType, nullable = false),
+    StructField("sz_a", LongType, nullable = false),
+    StructField("sz_b", LongType, nullable = false)))
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val value = child.eval(input)
+    if (value == null) return Iterator.empty
+    val arr = value.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < 2) return Iterator.empty
+    val entries = new Array[(Long, Long)](n)
+    var i = 0
+    while (i < n) {
+      val s = arr.getStruct(i, 2)
+      entries(i) = (s.getLong(0), s.getLong(1))
+      i += 1
+    }
+    java.util.Arrays.sort(entries, Ordering.by((e: (Long, Long)) => e._1))
+    new Iterator[InternalRow] {
+      private var a = 0
+      private var b = 1
+      override def hasNext: Boolean = a < n - 1
+      override def next(): InternalRow = {
+        val row = InternalRow(entries(a)._1, entries(b)._1, entries(a)._2, entries(b)._2)
+        b += 1
+        if (b >= n) { a += 1; b = a + 1 }
+        row
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashFunctions {
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
 
@@ -97,4 +144,9 @@ object HashFunctions {
 
   /** Generator: ordered pairs (id_a < id_b) from an array<long>. */
   def array_pairs(ids: Column): Column = column(ArrayPairs(expression(ids)))
+
+  /** Generator: ordered pairs with carried set sizes from an
+    * array<struct<id,sz>> posting list.
+    */
+  def posting_pairs(entries: Column): Column = column(PostingPairs(expression(entries)))
 }

@@ -103,30 +103,30 @@ object DedupOps {
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         shingleN: Int = 3, maxDF: Int = 100): DataFrame = {
-    val sh = df.select(col(idCol),
-        explode(graft.functions.TextFunctions.shingle_hashes(col(textCol), shingleN)).as("sh"))
     // one groupBy per shingle: posting list bounded by maxDF (hot
     // shingles dropped — standard stop-shingle pruning; the bound is
-    // what keeps pair generation sub-quadratic at 100 TB), then pairs
-    // are generated inline from each posting list instead of a second
-    // exploded self-join shuffle
+    // what keeps pair generation sub-quadratic at 100 TB). Each posting
+    // entry carries its doc's full set size, so pair aggregation yields
+    // the Jaccard directly — two shuffles total (postings, pairs), no
+    // join back to a sizes table. With pruning active the result is the
+    // standard conservative lower bound (intersections counted over the
+    // pruned universe, sizes over the full sets).
+    val withArr = df.select(col(idCol),
+      graft.functions.TextFunctions.shingle_hashes(col(textCol), shingleN).as("arr"))
+    val sh = withArr.select(col(idCol),
+      size(col("arr")).cast("long").as("sz"), explode(col("arr")).as("sh"))
     val postings = sh.groupBy("sh")
-      .agg(collect_list(col(idCol)).as("ids"))
-      .filter(size(col("ids")) <= maxDF)
-    // sizes over the same pruned shingle universe as the intersection,
-    // so the Jaccard is exact w.r.t. the post-pruning sets
-    val sizes = postings.select(explode(col("ids")).as(idCol))
-      .groupBy(idCol).agg(count(lit(1)).as("set_size"))
+      .agg(collect_list(struct(col(idCol), col("sz"))).as("entries"))
+      .filter(size(col("entries")) <= maxDF)
     val pairs = postings
-      .select(graft.functions.HashFunctions.array_pairs(col("ids"))
-        .as(Seq("id_a", "id_b")))
-    val inter = pairs.groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select(col(idCol).as("id_a"), col("set_size").as("size_a")), "id_a")
-      .join(sizes.select(col(idCol).as("id_b"), col("set_size").as("size_b")), "id_b")
+      .select(graft.functions.HashFunctions.posting_pairs(col("entries"))
+        .as(Seq("id_a", "id_b", "sz_a", "sz_b")))
+    pairs.groupBy("id_a", "id_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("n_inter"))
       .withColumn("jaccard",
         round(col("n_inter").cast("double") /
-          (col("size_a") + col("size_b") - col("n_inter")), 4))
+          (col("sz_a") + col("sz_b") - col("n_inter")), 4))
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("jaccard"))
   }
 
   // ------------------------------------------------------------- SimHash
