@@ -495,6 +495,23 @@ object Queries {
       .select(col("id_a"), col("id_b"), col("n_inter"), col("jaccard")),
     None)
 
+  /** dedup_embedding — embedding-cosine near-dup over the whole corpus:
+    * each vector's best in-bucket neighbor (sign-LSH, k=1), flagged
+    * when cosine clears the near-dup threshold. The all-vs-all version
+    * of the ANN machinery — still bucket-joined, never a cross product.
+    */
+  private val d05 = Q(
+    "dedup_embedding",
+    (s, d) => {
+      import s.implicits._
+      val e = emb(s, d)
+      SimOps.lshTopK(e, e, "vec_id", "embedding", 1)
+        .select($"qid".as("vec_id"), $"nid".as("nn_id"), $"sim",
+          ($"sim" >= 0.95).as("is_dup"))
+        .orderBy($"vec_id")
+    },
+    None)
+
   // ---------------------------------------------------------------- text
 
   private val t01 = Q(
@@ -814,7 +831,7 @@ object Queries {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32,
-    d01, d02, d03, d04, t01, t02, t03, t04, a01, a02, a03, m01, m02, mr1)
+    d01, d02, d03, d04, d05, t01, t02, t03, t04, a01, a02, a03, m01, m02, mr1)
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
