@@ -154,6 +154,54 @@ class OpsSpec extends AnyFunSuite {
     assert(m.getAs[Long]("n") == 3 && m.getAs[Long]("s") == 6)
   }
 
+  test("SimOps.lshTopK results are a subset of brute-force rankings") {
+    val e = graft.io.Tables.embeddings(spark, TestSpark.Sf0001)
+    val exact = SimOps.bruteForceTopK(e.filter($"vec_id" < 10), e, "vec_id", "embedding", 50)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val lsh = SimOps.lshTopK(e.filter($"vec_id" < 10), e, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid")))
+    assert(lsh.nonEmpty)
+    // every LSH hit is a genuine neighbor pair (sim computed identically),
+    // and in-bucket rank order respects the exact sim ordering
+    val lshSims = SimOps.lshTopK(e.filter($"vec_id" < 10), e, "vec_id", "embedding", 5)
+      .collect().groupBy(_.getAs[Long]("qid"))
+    lshSims.values.foreach { rows =>
+      val sims = rows.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Double]("sim"))
+      assert(sims.sameElements(sims.sorted(Ordering[Double].reverse)))
+    }
+  }
+
+  test("TextOps.langId predicts the dominant stopword language") {
+    val df = Seq(
+      (1L, "the cat and the dog is in the house"),
+      (2L, "el gato y la casa de que los perros"),
+      (3L, "qqq zzz xxx")).toDF("doc_id", "text")
+    val got = TextOps.langId(df).orderBy("doc_id")
+      .select("predicted_lang").collect().map(_.getString(0))
+    assert(got.toSeq == Seq("en", "es", "und"))
+  }
+
+  test("TextOps fingerprints are deterministic across evaluations") {
+    val docs = graft.io.Tables.documents(spark, TestSpark.Sf0001).limit(20)
+    val a = TextOps.rollingFingerprint(docs, "text", 3)
+      .select("doc_id", "min_shingle_hash").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = TextOps.rollingFingerprint(docs, "text", 3)
+      .select("doc_id", "min_shingle_hash").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("Codec.decodeJson yields nulls for missing fields (schema-on-read)") {
+    import graft.io.Codec
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType)))
+    val lines = Seq("""{"id": 1, "name": "x"}""", """{"id": 2}""", "not json").toDS()
+    val got = Codec.decodeJson(lines, schema).collect()
+    assert(got.length == 3)
+    assert(got(1).isNullAt(1)) // missing name -> null
+    assert(got(2).isNullAt(0)) // unparseable -> null record
+  }
+
   test("MediaOps feature extraction is deterministic and sized right") {
     val docs = graft.io.Tables.documents(spark, TestSpark.Sf0001).limit(10)
     val feats = MediaOps.extractFeatures(spark, MediaOps.attachMedia(docs)).collect()
