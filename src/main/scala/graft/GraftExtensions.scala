@@ -16,6 +16,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),
-      (exprs: Seq[Expression]) => VectorDot(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"vec_dot requires exactly 2 arguments (array, array), got ${exprs.length}")
+        VectorDot(exprs.head, exprs(1))
+      }))
   }
 }

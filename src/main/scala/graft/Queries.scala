@@ -505,9 +505,15 @@ object Queries {
     (s, d) => {
       import s.implicits._
       val e = emb(s, d)
-      SimOps.lshTopK(e, e, "vec_id", "embedding", 1)
-        .select($"qid".as("vec_id"), $"nid".as("nn_id"), $"sim",
-          ($"sim" >= 0.95).as("is_dup"))
+      val top1 = SimOps.lshTopK(e, e, "vec_id", "embedding", 1)
+        .select($"qid".as("vec_id"), $"nid".as("nn_id"), $"sim")
+      // total over the corpus: vectors alone in their bucket keep a
+      // null neighbor instead of vanishing (can't tell "not a dup"
+      // from "not evaluated" otherwise)
+      e.select($"vec_id")
+        .join(top1, Seq("vec_id"), "left")
+        .select($"vec_id", $"nn_id", $"sim",
+          coalesce($"sim" >= 0.95, lit(false)).as("is_dup"))
         .orderBy($"vec_id")
     },
     None)

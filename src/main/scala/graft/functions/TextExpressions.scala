@@ -67,10 +67,16 @@ case class MinHashSig(child: Expression, k: Int)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val nElems = arr.numElements()
+    // empty shingle set (doc shorter than the shingle width) has no
+    // defined signature; an all-MaxValue sentinel would collide every
+    // short doc with every other in every LSH band → null, and banding
+    // filters nulls out
+    if (nElems == 0) return null
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < nElems) {

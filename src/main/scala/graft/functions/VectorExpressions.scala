@@ -35,7 +35,10 @@ case class VectorDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"vec_dot: dimension mismatch (${x.numElements()} vs ${y.numElements()})")
+    val n = x.numElements()
     val lf = isFloat(left); val rf = isFloat(right)
     var s = 0.0
     var i = 0
@@ -56,7 +59,11 @@ case class VectorDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "vec_dot: dimension mismatch (" + $a.numElements() + " vs " + $b.numElements() + ")");
+         |}
+         |int $n = $a.numElements();
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));

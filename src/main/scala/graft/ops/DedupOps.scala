@@ -51,7 +51,11 @@ object DedupOps {
       val cols = (0 until RowsPerBand).map(r => element_at(col("minhash_sig"), bIdx * RowsPerBand + r + 1))
       struct(lit(bIdx).as("band_idx"), xxhash64(cols: _*).as("band_hash"))
     }
-    sigDf.select(col(idCol), explode(array(bandRows: _*)).as("band"))
+    sigDf
+      // docs too short to shingle have a null signature — no bands
+      // (they'd otherwise all collide in one degenerate bucket)
+      .filter(col("minhash_sig").isNotNull)
+      .select(col(idCol), explode(array(bandRows: _*)).as("band"))
       .select(col(idCol), col("band.band_idx"), col("band.band_hash"))
   }
 
@@ -72,15 +76,21 @@ object DedupOps {
                      shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
     val withSets = df
       .withColumn("sh", graft.functions.TextFunctions.shingle_hashes(col(textCol), shingleN))
-    val sig = minhashSignature(df, textCol, shingleN).select(col(idCol), col("minhash_sig"))
+    // signature from the already-computed shingle column — the shingle
+    // pass touches every byte and must run once, not once per branch
+    val sig = withSets.select(col(idCol),
+      graft.functions.TextFunctions.minhash_sig(col("sh"), NumHashes).as("minhash_sig"))
     val cands = minhashCandidates(minhashBands(sig, idCol), idCol)
     val sets = withSets.select(col(idCol), col("sh"))
     val verified = cands
       .join(sets.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      // ANSI mode: guard the 0/0 case (two unshingleable docs)
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-        size(array_union(col("sh_a"), col("sh_b"))))
+        when(size(array_union(col("sh_a"), col("sh_b"))) > 0,
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+        .otherwise(lit(0.0)))
     val perDoc = verified.select(col("id_a").as(idCol), col("jaccard"))
       .unionByName(verified.select(col("id_b").as(idCol), col("jaccard")))
       .groupBy(idCol)
@@ -115,9 +125,16 @@ object DedupOps {
       graft.functions.TextFunctions.shingle_hashes(col(textCol), shingleN).as("arr"))
     val sh = withArr.select(col(idCol),
       size(col("arr")).cast("long").as("sz"), explode(col("arr")).as("sh"))
-    val postings = sh.groupBy("sh")
+    // pre-filter hot shingles with a cheap count BEFORE collect_list:
+    // otherwise a single stop-shingle in 10M docs materializes a 10M-entry
+    // aggregation buffer on one reduce task just to be discarded. Both
+    // aggregations and the semi-join hash-partition on `sh`, so the
+    // exchange is shared/reused.
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df_cnt"))
+      .filter(col("df_cnt") <= maxDF).select("sh")
+    val postings = sh.join(rare, Seq("sh"), "left_semi")
+      .groupBy("sh")
       .agg(collect_list(struct(col(idCol), col("sz"))).as("entries"))
-      .filter(size(col("entries")) <= maxDF)
     val pairs = postings
       .select(graft.functions.HashFunctions.posting_pairs(col("entries"))
         .as(Seq("id_a", "id_b", "sz_a", "sz_b")))

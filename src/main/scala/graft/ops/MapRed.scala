@@ -72,8 +72,21 @@ object MapRed {
     */
   final class Counters(spark: SparkSession) extends Serializable {
     private val accs = scala.collection.concurrent.TrieMap.empty[String, LongAccumulator]
+    /** Create-or-get a counter. MUST be called on the driver (like all
+      * Spark accumulator registration): capture the returned
+      * accumulator in the task closure, then `add` from tasks.
+      * SparkSession.sparkContext is transient, so a first call from an
+      * executor cannot register — fail with a clear message instead of
+      * an NPE.
+      */
     def counter(group: String, name: String): LongAccumulator =
-      accs.getOrElseUpdate(s"$group:$name", spark.sparkContext.longAccumulator(s"$group:$name"))
+      accs.getOrElseUpdate(s"$group:$name", {
+        if (spark == null || spark.sparkContext == null)
+          throw new IllegalStateException(
+            s"Counters.counter($group, $name): counters must be created on the " +
+            "driver before closure capture; only add() is valid inside tasks")
+        spark.sparkContext.longAccumulator(s"$group:$name")
+      })
     def value(group: String, name: String): Long = counter(group, name).value
   }
 

@@ -107,10 +107,16 @@ object TextOps {
     df.withColumn("min_shingle_hash",
       array_min(graft.functions.TextFunctions.shingle_hashes(col(textCol), n)))
 
-  /** n-word shingles of the space-split text (deduplicated set). */
+  /** n-word shingles of the space-split text (deduplicated set).
+    * Guarded for texts shorter than n words (sequence() would otherwise
+    * run descending and slice(0) is illegal) — returns an empty array,
+    * matching the native ShingleHashes expression.
+    */
   def shingles(text: Column, n: Int): Column = {
     val ws = words(text)
     val idx = sequence(lit(0), size(ws) - n)
-    array_distinct(transform(idx, i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
+    when(size(ws) >= n,
+      array_distinct(transform(idx, i => concat_ws(" ", slice(ws, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
   }
 }

@@ -127,6 +127,30 @@ class OpsSpec extends AnyFunSuite {
     assert(got(0).getAs[Double]("jaccard") == 0.5)
   }
 
+  test("short documents (< shingle width) neither crash nor cross-collide") {
+    // regression: sub-3-word docs used to (a) crash shingles() via an
+    // illegal slice, (b) crash minhashNearDup with ANSI DIVIDE_BY_ZERO,
+    // (c) collide all short docs through an all-MaxValue minhash sentinel
+    val df = Seq((1L, "hello world"), (2L, "hello world"), (3L, "foo bar"),
+                 (4L, "a proper document with plenty of words to shingle nicely"))
+      .toDF("doc_id", "text")
+    val sh = df.select(TextOps.shingles($"text", 3).as("s")).collect().map(_.getSeq[String](0))
+    assert(sh(0).isEmpty && sh(3).nonEmpty)
+    val near = DedupOps.minhashNearDup(df, "text", "doc_id").orderBy("doc_id").collect()
+    assert(near.length == 4)
+    near.foreach { r => assert(r.getAs[Long]("n_candidates") == 0) }
+    val pairs = DedupOps.ngramJaccardPairs(df, "text", "doc_id").collect()
+    assert(pairs.isEmpty) // no shared shingles anywhere
+  }
+
+  test("VectorDot rejects dimension mismatches instead of truncating") {
+    val df = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    val ex = intercept[Exception] {
+      df.select(graft.functions.VectorFunctions.vec_dot($"a", $"b")).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("TextOps.shingles produces distinct n-grams") {
     val df = Seq(("x", "a b a b a")).toDF("id", "text")
     val sh = df.select(TextOps.shingles($"text", 2).as("s")).collect()(0).getSeq[String](0)
