@@ -810,6 +810,67 @@ object Queries {
     },
     None)
 
+  /** q33 — T3 nsmallest: bottom-2 cheapest orders per priority class. */
+  private val q33 = Q(
+    "q33_bottomk_per_group",
+    (s, d) => {
+      import s.implicits._
+      LibOps.bottomKPerKey(ord(s, d), Seq("o_orderpriority"),
+          Seq("o_totalprice", "o_orderkey"), 2)
+        .select($"o_orderpriority", $"o_orderkey", $"o_totalprice", $"rnk")
+        .orderBy($"o_orderpriority", $"rnk")
+    },
+    Some("""
+      SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               CAST(row_number() OVER (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS rnk
+        FROM orders) t
+      WHERE rnk <= 2 ORDER BY o_orderpriority, rnk"""))
+
+  /** q34 — C5 identitymapper: pure passthrough, deterministic order. */
+  private val q34 = Q(
+    "q34_identity",
+    (s, d) => LibOps.identityMap(reg(s, d)).orderBy(col("r_regionkey")),
+    Some("""
+      SELECT * FROM region ORDER BY r_regionkey"""))
+
+  /** q35 — C7 params: the oowordcount example (wordcount with an
+    * excluded-words `-param`); the param list rides the closure /
+    * codegen literal exactly like dumbo's task params.
+    */
+  private val excludedWords = Seq("the", "a", "of")
+  private val q35 = Q(
+    "q35_param_wordcount",
+    (s, d) => {
+      import s.implicits._
+      TextOps.wordCount(docs(s, d))
+        .filter(!$"word".isin(excludedWords: _*))
+        .orderBy($"word")
+    },
+    Some(s"""
+      SELECT word, count(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+      WHERE word NOT IN (${excludedWords.map(w => s"'$w'").mkString(", ")})
+      GROUP BY word ORDER BY word"""))
+
+  /** q36 — S4/S8 codec round-trip as a graded query: records encoded to
+    * JSON lines and decoded back (encodepipe|decodepipe), then
+    * aggregated — proves the codec is lossless for the nested path.
+    */
+  private val q36 = Q(
+    "q36_codec_roundtrip",
+    (s, d) => {
+      val src = docs(s, d)
+      val decoded = graft.io.Codec.decodeJson(graft.io.Codec.encodeJson(src), src.schema)
+      decoded.groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM documents GROUP BY lang ORDER BY lang"""))
+
   // ------------------------------------------------------ typed MapRed
 
   /** mapred_wordcount — the same wordcount through the typed
@@ -836,7 +897,7 @@ object Queries {
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
-    q28, q29, q30, q31, q32,
+    q28, q29, q30, q31, q32, q33, q34, q35, q36,
     d01, d02, d03, d04, d05, t01, t02, t03, t04, a01, a02, a03, m01, m02, mr1)
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
