@@ -125,14 +125,17 @@ object DedupOps {
       graft.functions.TextFunctions.shingle_hashes(col(textCol), shingleN).as("arr"))
     val sh = withArr.select(col(idCol),
       size(col("arr")).cast("long").as("sz"), explode(col("arr")).as("sh"))
-    // pre-filter hot shingles with a cheap count BEFORE collect_list:
-    // otherwise a single stop-shingle in 10M docs materializes a 10M-entry
-    // aggregation buffer on one reduce task just to be discarded. Both
-    // aggregations and the semi-join hash-partition on `sh`, so the
-    // exchange is shared/reused.
-    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df_cnt"))
-      .filter(col("df_cnt") <= maxDF).select("sh")
-    val postings = sh.join(rare, Seq("sh"), "left_semi")
+    // bound hot shingles BEFORE collect_list: otherwise a single
+    // stop-shingle in 10M docs materializes a 10M-entry aggregation
+    // buffer on one reduce task just to be discarded. A window count
+    // does it in ONE scan/shuffle (a count+semi-join formulation scans
+    // and re-shingles the corpus twice), and WindowExec spills its
+    // partition buffer to disk — OOM-safe on the hot shingle itself.
+    // The following groupBy reuses the same hash partitioning on `sh`.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
+    val postings = sh
+      .withColumn("df_cnt", count(lit(1)).over(w))
+      .filter(col("df_cnt") <= maxDF)
       .groupBy("sh")
       .agg(collect_list(struct(col(idCol), col("sz"))).as("entries"))
     val pairs = postings
