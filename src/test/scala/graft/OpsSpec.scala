@@ -75,6 +75,14 @@ class OpsSpec extends AnyFunSuite {
     assert(combined.toSeq == reduced.toSeq)
   }
 
+  test("MapRed.broadcastParams ships params to tasks (C7)") {
+    val params = MapRed.broadcastParams(spark, Map("exclude" -> "the,a"))
+    val ds = Seq("the", "cat", "a", "dog").toDS()
+    val kept = ds.filter(w => !params.value("exclude").split(',').contains(w))
+      .collect().sorted
+    assert(kept.toSeq == Seq("cat", "dog"))
+  }
+
   test("MapRed.Counters aggregates across tasks") {
     val counters = new MapRed.Counters(spark)
     val acc = counters.counter("g", "n")

@@ -33,6 +33,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming session windows equal batch session windows") {
+    val dir = java.nio.file.Files.createTempDirectory("events_session")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/events.parquet"),
+      dir.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"$d/events.parquet").schema
+    val stream = StreamingOps.eventsStream(spark, dir.toString, schema)
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("stream_sessions").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT count(*), sum(n_events) FROM stream_sessions").collect()(0)
+      val batch = Queries.queryMap("q16_session_window")(spark, d)
+      assert(streamed.getLong(0) == batch.count())
+      assert(streamed.getLong(1) == graft.io.Tables.events(spark, d).count())
+    } finally q.stop()
+  }
+
   test("stateful mapGroupsWithState tracks per-user counts") {
     val dir = java.nio.file.Files.createTempDirectory("events_state")
     java.nio.file.Files.copy(
