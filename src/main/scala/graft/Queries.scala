@@ -871,6 +871,38 @@ object Queries {
       SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
       FROM documents GROUP BY lang ORDER BY lang"""))
 
+  /** q37 — composed corpus-cleaning pipeline: quality filter → exact
+    * dedup → per-language counts, one fused plan (the operators
+    * composing is the point; dumbo would run 3 materialized MR passes).
+    * Thresholds are integer-exact (count*2 <= total, not a rounded
+    * ratio) so the oracle can't diverge on a float boundary.
+    */
+  private val q37 = Q(
+    "q37_clean_pipeline",
+    (s, d) => {
+      import s.implicits._
+      val ws = TextOps.words($"text")
+      val stops = array(TextOps.StopWords.map(lit): _*)
+      docs(s, d)
+        .filter(size(ws) >= 20 &&
+          size(filter(ws, w => array_contains(stops, w))) * 2 <= size(ws))
+        .groupBy($"text")
+        .agg(min($"doc_id").as("doc_id"), min($"lang").as("lang"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy($"lang")
+    },
+    Some(s"""
+      WITH good AS (
+        SELECT doc_id, lang, text FROM documents
+        WHERE len(string_split(text, ' ')) >= 20
+          AND len(list_filter(string_split(text, ' '),
+                w -> w IN (${TextOps.StopWords.map(w => s"'$w'").mkString(", ")}))) * 2
+              <= len(string_split(text, ' '))),
+      deduped AS (
+        SELECT min(doc_id) AS doc_id, min(lang) AS lang FROM good GROUP BY text)
+      SELECT lang, count(*) AS cnt FROM deduped GROUP BY lang ORDER BY lang"""))
+
   // ------------------------------------------------------ typed MapRed
 
   /** mapred_wordcount — the same wordcount through the typed
@@ -897,7 +929,7 @@ object Queries {
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
-    q28, q29, q30, q31, q32, q33, q34, q35, q36,
+    q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     d01, d02, d03, d04, d05, t01, t02, t03, t04, a01, a02, a03, m01, m02, mr1)
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
