@@ -121,11 +121,22 @@ object SimOps {
     * bucket (same sign sketch), then exact re-ranking inside the
     * bucket. The join is keyed on the bucket code — a co-partitioned
     * equi-join, no cross product.
+    *
+    * `multiProbe = true` also probes every bucket at Hamming distance 1
+    * from the query's sketch (the standard recall boost: a vector near
+    * a hyperplane may land one bit away) — candidate volume grows
+    * ~(NumPlanes+1)×, still bucket-bounded.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-              embCol: String, k: Int, dim: Int = 64): DataFrame = {
+              embCol: String, k: Int, dim: Int = 64,
+              multiProbe: Boolean = false): DataFrame = {
+    val probeBuckets = if (multiProbe) {
+      val base = lshBucket(col("q_emb"), dim)
+      explode(array(base +: (0 until NumPlanes).map(p =>
+        base.bitwiseXOR(lit(1 << p))): _*))
+    } else lshBucket(col("q_emb"), dim)
     val q = queries.select(col(idCol).as("qid"), col(embCol).as("q_emb"))
-      .withColumn("bucket", lshBucket(col("q_emb"), dim))
+      .withColumn("bucket", probeBuckets)
       .withColumn("q_norm", l2Norm(col("q_emb")))
     val c = corpus.select(col(idCol).as("nid"), col(embCol).as("c_emb"))
       .withColumn("bucket", lshBucket(col("c_emb"), dim))

@@ -203,6 +203,20 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-probe LSH recall >= single-probe recall against exact top-1") {
+    val e = graft.io.Tables.embeddings(spark, TestSpark.Sf0001)
+    val exact = SimOps.bruteForceTopK(e.filter($"vec_id" < 20), e, "vec_id", "embedding", 1)
+      .collect().map(r => r.getAs[Long]("qid") -> r.getAs[Long]("nid")).toMap
+    def recall(mp: Boolean): Int = {
+      val got = SimOps.lshTopK(e.filter($"vec_id" < 20), e, "vec_id", "embedding", 1,
+          multiProbe = mp)
+        .collect().map(r => r.getAs[Long]("qid") -> r.getAs[Long]("nid")).toMap
+      exact.count { case (q, n) => got.get(q).contains(n) }
+    }
+    val single = recall(false); val multi = recall(true)
+    assert(multi >= single, s"multi-probe recall $multi < single $single")
+  }
+
   test("TextOps.langId predicts the dominant stopword language") {
     val df = Seq(
       (1L, "the cat and the dog is in the house"),
