@@ -67,6 +67,49 @@ object SimOps {
       when(dot(emb, wLit) >= 0, shiftleft(lit(1), p)).otherwise(lit(0))
     }.reduce(_.bitwiseOR(_))
 
+  /** Deterministic Lloyd's k-means for the IVF codebook: init from the
+    * K lowest-id vectors, then `iters` rounds of assign (argmax cosine
+    * vs centroids, a narrow projection) + recompute (element-wise mean
+    * per cell via posexplode → groupBy(cell, pos) → avg). Each round is
+    * two shuffles of (cell, pos, value) triples; the codebook
+    * (K·dim doubles) is the only thing collected. No randomness — same
+    * input, same centroids, any cluster size.
+    */
+  def trainCentroids(corpus: DataFrame, idCol: String, embCol: String,
+                     numCells: Int, iters: Int = 2): Array[Array[Double]] = {
+    import org.apache.spark.sql.Row
+    var centroids: Array[Array[Double]] = corpus
+      .orderBy(col(idCol)).limit(numCells)
+      .select(col(embCol)).collect()
+      .map { case Row(seq: scala.collection.Seq[_]) =>
+        seq.map(v => v.asInstanceOf[Number].doubleValue()).toArray }
+    var it = 0
+    while (it < iters) {
+      val cellOf = cellArgmax(col(embCol), centroids)
+      val means = corpus
+        .select(cellOf.as("cell"), posexplode(col(embCol)).as(Seq("pos", "v")))
+        .groupBy("cell", "pos").agg(avg(col("v")).as("m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach { r =>
+        next(r.getAs[Int]("cell"))(r.getAs[Int]("pos")) = r.getAs[Double]("m")
+      }
+      centroids = next // empty cells keep their previous centroid
+      it += 1
+    }
+    centroids
+  }
+
+  /** argmax-by-cosine cell id for a vector against a literal codebook
+    * (struct-ordering argmax; the row's own norm cancels out).
+    */
+  private def cellArgmax(emb: Column, centroids: Array[Array[Double]]): Column =
+    array_max(array(centroids.toIndexedSeq.zipWithIndex.map { case (cVec, i) =>
+      val cLit = array(cVec.toIndexedSeq.map(lit): _*)
+      struct((dot(emb, cLit) / math.sqrt(cVec.map(x => x * x).sum)).as("s"),
+        lit(i).as("cell"))
+    }: _*)).getField("cell")
+
   /** IVF-flat index: corpus partitioned into K cells by nearest
     * centroid; queries probe the `nprobe` nearest cells and re-rank
     * exactly inside them. Centroids here are a deterministic codebook
@@ -81,13 +124,14 @@ object SimOps {
     * metadata (K·dim doubles), the standard IVF deployment model.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-              embCol: String, k: Int, numCells: Int = 16, nprobe: Int = 2): DataFrame = {
+              embCol: String, k: Int, numCells: Int = 16, nprobe: Int = 2,
+              codebook: Option[Array[Array[Double]]] = None): DataFrame = {
     import org.apache.spark.sql.Row
-    val centroids: Array[Array[Double]] = corpus
+    val centroids: Array[Array[Double]] = codebook.getOrElse(corpus
       .orderBy(col(idCol)).limit(numCells)
       .select(col(embCol)).collect()
       .map { case Row(seq: scala.collection.Seq[_]) =>
-        seq.map(v => v.asInstanceOf[Number].doubleValue()).toArray }
+        seq.map(v => v.asInstanceOf[Number].doubleValue()).toArray })
     // ranking cells by cosine: the row's own norm is constant across
     // cells, so it cancels out of the argmax — only centroid norms
     // matter (one dot per cell per row, no per-cell norm recompute)

@@ -177,6 +177,21 @@ class OpsSpec extends AnyFunSuite {
     assert(hits >= exact.size / 4, s"IVF recall too low: $hits/${exact.size}")
   }
 
+  test("SimOps.trainCentroids: deterministic k-means improves or matches IVF recall") {
+    val e = graft.io.Tables.embeddings(spark, TestSpark.Sf0001)
+    val trained = SimOps.trainCentroids(e, "vec_id", "embedding", numCells = 8, iters = 2)
+    assert(trained.length == 8 && trained.forall(_.length == 64))
+    val again = SimOps.trainCentroids(e, "vec_id", "embedding", numCells = 8, iters = 2)
+    assert(trained.zip(again).forall { case (a, b) => a.sameElements(b) }) // deterministic
+    val exact = SimOps.bruteForceTopK(e.filter($"vec_id" < 10), e, "vec_id", "embedding", 1)
+      .collect().map(r => r.getAs[Long]("qid") -> r.getAs[Long]("nid")).toMap
+    val ivf = SimOps.ivfTopK(e.filter($"vec_id" < 10), e, "vec_id", "embedding", 1,
+        numCells = 8, nprobe = 4, codebook = Some(trained))
+      .collect().map(r => r.getAs[Long]("qid") -> r.getAs[Long]("nid")).toMap
+    val hits = exact.count { case (q, n) => ivf.get(q).contains(n) }
+    assert(hits >= exact.size / 4, s"trained-IVF recall too low: $hits/${exact.size}")
+  }
+
   test("LibOps.observed exposes query-level metrics (C8)") {
     val df = Seq(1, 2, 3).toDF("v")
     val obs = LibOps.observed(df, "m", Seq(count(lit(1)).as("n"), sum($"v").as("s")))
