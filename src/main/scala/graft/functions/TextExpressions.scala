@@ -32,13 +32,21 @@ case class ShingleHashes(child: Expression, n: Int)
   override def nullSafeEval(input: Any): Any = {
     val words = input.asInstanceOf[UTF8String].split(UTF8String.fromString(" "), -1)
     val m = words.length - n + 1
-    if (m <= 0) return new GenericArrayData(Array.empty[Any])
     val wordHash = new Array[Long](words.length)
     var i = 0
     while (i < words.length) {
       val w = words(i)
       wordHash(i) = XXH64.hashUnsafeBytes(w.getBaseObject, w.getBaseOffset, w.numBytes, 42L)
       i += 1
+    }
+    if (m <= 0) {
+      // doc shorter than the window: its shingle set is {hash(whole
+      // text)} — identical short docs still match (Jaccard 1) while
+      // different short docs stay distinct (no degenerate collisions)
+      var h = 42L
+      var j = 0
+      while (j < words.length) { h = XXH64.hashLong(wordHash(j), h); j += 1 }
+      return new GenericArrayData(Array[Any](h))
     }
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     i = 0

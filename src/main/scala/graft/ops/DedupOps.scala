@@ -76,8 +76,12 @@ object DedupOps {
                      shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
     val withSets = df
       .withColumn("sh", graft.functions.TextFunctions.shingle_hashes(col(textCol), shingleN))
-    // signature from the already-computed shingle column — the shingle
-    // pass touches every byte and must run once, not once per branch
+    // NOTE: building sig from col("sh") keeps the logical dedup, but
+    // Catalyst's CollapseProject folds it back to
+    // minhash_sig(shingle_hashes(text)) and each join branch still
+    // recomputes the shingle pass — truly sharing it would need a
+    // cache()/checkpoint barrier, which a library function shouldn't
+    // impose on callers. Acceptable: the pass is a narrow projection.
     val sig = withSets.select(col(idCol),
       graft.functions.TextFunctions.minhash_sig(col("sh"), NumHashes).as("minhash_sig"))
     val cands = minhashCandidates(minhashBands(sig, idCol), idCol)

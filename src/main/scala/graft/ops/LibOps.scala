@@ -67,20 +67,23 @@ object LibOps {
 
   /** Skew-safe two-phase aggregation: group on (keys, salt) first so a
     * hot key spreads over `buckets` reduce tasks, then re-aggregate on
-    * the true keys. The salt mixes the map partition id with the value,
-    * so it spreads hot keys even when their values are constant (e.g.
-    * counting with value=1) while staying deterministic for a fixed
-    * input partitioning — and the FINAL result is salt-invariant
-    * regardless. For sum itself Catalyst's map-side partial aggregation
-    * already absorbs most skew; the two-phase pattern is what transfers
-    * to buffer-heavy aggregates (collect-style, exact distinct) where
-    * partials can't compress a hot key. At 100 TB this is the pattern
-    * for power-law keys where AQE skew handling isn't enough.
+    * the true keys. The salt is a pure function of `saltCols` (default:
+    * the value column), so partial-sum groupings — and therefore any
+    * float rounding — are bit-reproducible across runs, partitionings,
+    * and task retries. When the hot key's values are constant (e.g.
+    * counting with value=1), pass a high-entropy deterministic column
+    * (a row id) as `saltCols`, or rely on Catalyst's map-side partial
+    * aggregation, which already compresses constant-value hot keys.
+    * The two-phase pattern is what transfers to buffer-heavy aggregates
+    * (collect-style, exact distinct) where partials can't compress a
+    * hot key. At 100 TB this is the pattern for power-law keys where
+    * AQE skew handling isn't enough.
     */
   def saltedSumByKey(df: DataFrame, keys: Seq[String], value: String,
-                     buckets: Int = 16, as: String = "sum_value"): DataFrame = {
-    val salted = df.withColumn("__salt",
-      pmod(xxhash64(spark_partition_id(), col(value)), lit(buckets)))
+                     buckets: Int = 16, as: String = "sum_value",
+                     saltCols: Seq[Column] = Nil): DataFrame = {
+    val entropy = if (saltCols.nonEmpty) saltCols else Seq(col(value))
+    val salted = df.withColumn("__salt", pmod(xxhash64(entropy: _*), lit(buckets)))
     salted.groupBy((keys :+ "__salt").map(col): _*)
       .agg(sum(col(value)).as("__partial"))
       .groupBy(keys.map(col): _*)

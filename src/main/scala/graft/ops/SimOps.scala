@@ -67,22 +67,21 @@ object SimOps {
       when(dot(emb, wLit) >= 0, shiftleft(lit(1), p)).otherwise(lit(0))
     }.reduce(_.bitwiseOR(_))
 
-  /** Deterministic Lloyd's k-means for the IVF codebook: init from the
-    * K lowest-id vectors, then `iters` rounds of assign (argmax cosine
-    * vs centroids, a narrow projection) + recompute (element-wise mean
-    * per cell via posexplode → groupBy(cell, pos) → avg). Each round is
-    * two shuffles of (cell, pos, value) triples; the codebook
-    * (K·dim doubles) is the only thing collected. No randomness — same
-    * input, same centroids, any cluster size.
+  /** Lloyd's k-means for the IVF codebook: init from the K lowest-id
+    * vectors, then `iters` rounds of assign (argmax cosine vs
+    * centroids, a narrow projection) + recompute (element-wise mean per
+    * cell via posexplode → groupBy(cell, pos) → avg). Each round is two
+    * shuffles of (cell, pos, value) triples; the codebook (K·dim
+    * doubles) is the only thing collected. No randomness; centroid
+    * components are rounded to 1e-6 each round to absorb the ULP-level
+    * float-merge-order differences a different partitioning introduces
+    * in avg() — bit-identical codebooks for a fixed partitioning, and
+    * stable across partitionings unless a vector sits within ~1e-6 of
+    * a cell boundary.
     */
   def trainCentroids(corpus: DataFrame, idCol: String, embCol: String,
                      numCells: Int, iters: Int = 2): Array[Array[Double]] = {
-    import org.apache.spark.sql.Row
-    var centroids: Array[Array[Double]] = corpus
-      .orderBy(col(idCol)).limit(numCells)
-      .select(col(embCol)).collect()
-      .map { case Row(seq: scala.collection.Seq[_]) =>
-        seq.map(v => v.asInstanceOf[Number].doubleValue()).toArray }
+    var centroids = defaultCodebook(corpus, idCol, embCol, numCells)
     var it = 0
     while (it < iters) {
       val cellOf = cellArgmax(col(embCol), centroids)
@@ -92,7 +91,8 @@ object SimOps {
         .collect()
       val next = centroids.map(_.clone())
       means.foreach { r =>
-        next(r.getAs[Int]("cell"))(r.getAs[Int]("pos")) = r.getAs[Double]("m")
+        next(r.getAs[Int]("cell"))(r.getAs[Int]("pos")) =
+          math.rint(r.getAs[Double]("m") * 1e6) / 1e6
       }
       centroids = next // empty cells keep their previous centroid
       it += 1
@@ -100,15 +100,31 @@ object SimOps {
     centroids
   }
 
-  /** argmax-by-cosine cell id for a vector against a literal codebook
-    * (struct-ordering argmax; the row's own norm cancels out).
+  /** Deterministic default codebook: the K lowest-id corpus vectors. */
+  private def defaultCodebook(corpus: DataFrame, idCol: String, embCol: String,
+                              k: Int): Array[Array[Double]] = {
+    import org.apache.spark.sql.Row
+    corpus.orderBy(col(idCol)).limit(k)
+      .select(col(embCol)).collect()
+      .map { case Row(seq: scala.collection.Seq[_]) =>
+        seq.map(v => v.asInstanceOf[Number].doubleValue()).toArray }
+  }
+
+  /** (sim, cell) structs for a vector against a literal codebook.
+    * Ranking cells by cosine: the row's own norm is constant across
+    * cells and cancels out of any argmax/ordering — only centroid
+    * norms appear.
     */
-  private def cellArgmax(emb: Column, centroids: Array[Array[Double]]): Column =
-    array_max(array(centroids.toIndexedSeq.zipWithIndex.map { case (cVec, i) =>
+  private def cellSims(emb: Column, centroids: Array[Array[Double]]): Column =
+    array(centroids.toIndexedSeq.zipWithIndex.map { case (cVec, i) =>
       val cLit = array(cVec.toIndexedSeq.map(lit): _*)
       struct((dot(emb, cLit) / math.sqrt(cVec.map(x => x * x).sum)).as("s"),
         lit(i).as("cell"))
-    }: _*)).getField("cell")
+    }: _*)
+
+  /** argmax-by-cosine cell id (struct-ordering argmax over cellSims). */
+  private def cellArgmax(emb: Column, centroids: Array[Array[Double]]): Column =
+    array_max(cellSims(emb, centroids)).getField("cell")
 
   /** IVF-flat index: corpus partitioned into K cells by nearest
     * centroid; queries probe the `nprobe` nearest cells and re-rank
@@ -126,29 +142,14 @@ object SimOps {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               embCol: String, k: Int, numCells: Int = 16, nprobe: Int = 2,
               codebook: Option[Array[Array[Double]]] = None): DataFrame = {
-    import org.apache.spark.sql.Row
-    val centroids: Array[Array[Double]] = codebook.getOrElse(corpus
-      .orderBy(col(idCol)).limit(numCells)
-      .select(col(embCol)).collect()
-      .map { case Row(seq: scala.collection.Seq[_]) =>
-        seq.map(v => v.asInstanceOf[Number].doubleValue()).toArray })
-    // ranking cells by cosine: the row's own norm is constant across
-    // cells, so it cancels out of the argmax — only centroid norms
-    // matter (one dot per cell per row, no per-cell norm recompute)
-    def cellSims(emb: Column): Column = array(centroids.toIndexedSeq.zipWithIndex.map {
-      case (cVec, i) =>
-        val cLit = array(cVec.toIndexedSeq.map(lit): _*)
-        struct((dot(emb, cLit) / math.sqrt(cVec.map(x => x * x).sum))
-          .as("s"), lit(i).as("cell"))
-    }: _*)
-    // argmax by struct ordering (sim first): corpus vector → its cell
+    val centroids = codebook.getOrElse(defaultCodebook(corpus, idCol, embCol, numCells))
     val c = corpus.select(col(idCol).as("nid"), col(embCol).as("c_emb"))
-      .withColumn("cell", array_max(cellSims(col("c_emb"))).getField("cell"))
+      .withColumn("cell", cellArgmax(col("c_emb"), centroids))
       .withColumn("c_norm", l2Norm(col("c_emb")))
     // queries probe the nprobe best cells
     val q = queries.select(col(idCol).as("qid"), col(embCol).as("q_emb"))
       .withColumn("probe",
-        slice(reverse(array_sort(cellSims(col("q_emb")))), 1, nprobe))
+        slice(reverse(array_sort(cellSims(col("q_emb"), centroids))), 1, nprobe))
       .withColumn("cell", explode(col("probe").getField("cell")))
       .drop("probe")
       .withColumn("q_norm", l2Norm(col("q_emb")))
@@ -174,13 +175,18 @@ object SimOps {
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               embCol: String, k: Int, dim: Int = 64,
               multiProbe: Boolean = false): DataFrame = {
-    val probeBuckets = if (multiProbe) {
-      val base = lshBucket(col("q_emb"), dim)
-      explode(array(base +: (0 until NumPlanes).map(p =>
-        base.bitwiseXOR(lit(1 << p))): _*))
-    } else lshBucket(col("q_emb"), dim)
-    val q = queries.select(col(idCol).as("qid"), col(embCol).as("q_emb"))
-      .withColumn("bucket", probeBuckets)
+    // base sketch materialized in its own column FIRST: embedding the
+    // full lshBucket tree in each of the 9 probe array slots would
+    // re-evaluate the 8 plane dots once per probe under the Generate
+    // (no subexpression elimination there) — probes are XORs on the
+    // materialized column instead
+    val base = queries.select(col(idCol).as("qid"), col(embCol).as("q_emb"))
+      .withColumn("base_bucket", lshBucket(col("q_emb"), dim))
+    val q = (if (multiProbe)
+        base.withColumn("bucket", explode(array(col("base_bucket") +:
+          (0 until NumPlanes).map(p => col("base_bucket").bitwiseXOR(lit(1 << p))): _*)))
+      else base.withColumn("bucket", col("base_bucket")))
+      .drop("base_bucket")
       .withColumn("q_norm", l2Norm(col("q_emb")))
     val c = corpus.select(col(idCol).as("nid"), col(embCol).as("c_emb"))
       .withColumn("bucket", lshBucket(col("c_emb"), dim))

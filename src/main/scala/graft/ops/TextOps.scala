@@ -108,15 +108,17 @@ object TextOps {
       array_min(graft.functions.TextFunctions.shingle_hashes(col(textCol), n)))
 
   /** n-word shingles of the space-split text (deduplicated set).
-    * Guarded for texts shorter than n words (sequence() would otherwise
-    * run descending and slice(0) is illegal) — returns an empty array,
-    * matching the native ShingleHashes expression.
+    * Texts shorter than n words yield the whole text as a single
+    * shingle (sequence() would otherwise run descending and slice(0)
+    * is illegal), matching the native ShingleHashes expression; NULL
+    * text stays NULL on both paths.
     */
   def shingles(text: Column, n: Int): Column = {
     val ws = words(text)
     val idx = sequence(lit(0), size(ws) - n)
-    when(size(ws) >= n,
-      array_distinct(transform(idx, i => concat_ws(" ", slice(ws, i + 1, lit(n))))))
-      .otherwise(array().cast("array<string>"))
+    when(text.isNull, lit(null).cast("array<string>"))
+      .when(size(ws) >= n,
+        array_distinct(transform(idx, i => concat_ws(" ", slice(ws, i + 1, lit(n))))))
+      .otherwise(array(text))
   }
 }

@@ -138,17 +138,23 @@ class OpsSpec extends AnyFunSuite {
   test("short documents (< shingle width) neither crash nor cross-collide") {
     // regression: sub-3-word docs used to (a) crash shingles() via an
     // illegal slice, (b) crash minhashNearDup with ANSI DIVIDE_BY_ZERO,
-    // (c) collide all short docs through an all-MaxValue minhash sentinel
+    // (c) collide all short docs through an all-MaxValue minhash sentinel.
+    // Semantics: a short doc's shingle set is {whole text}, so identical
+    // short docs ARE duplicates while different short docs never collide.
     val df = Seq((1L, "hello world"), (2L, "hello world"), (3L, "foo bar"),
                  (4L, "a proper document with plenty of words to shingle nicely"))
       .toDF("doc_id", "text")
     val sh = df.select(TextOps.shingles($"text", 3).as("s")).collect().map(_.getSeq[String](0))
-    assert(sh(0).isEmpty && sh(3).nonEmpty)
+    assert(sh(0) == Seq("hello world") && sh(3).nonEmpty)
     val near = DedupOps.minhashNearDup(df, "text", "doc_id").orderBy("doc_id").collect()
     assert(near.length == 4)
-    near.foreach { r => assert(r.getAs[Long]("n_candidates") == 0) }
+    assert(near(0).getAs[Boolean]("is_dup") && near(1).getAs[Boolean]("is_dup"))
+    assert(near(0).getAs[Double]("max_jaccard") == 1.0)
+    assert(!near(2).getAs[Boolean]("is_dup") && !near(3).getAs[Boolean]("is_dup"))
     val pairs = DedupOps.ngramJaccardPairs(df, "text", "doc_id").collect()
-    assert(pairs.isEmpty) // no shared shingles anywhere
+    assert(pairs.length == 1) // exactly the identical short pair
+    assert(pairs(0).getAs[Long]("id_a") == 1L && pairs(0).getAs[Long]("id_b") == 2L)
+    assert(pairs(0).getAs[Double]("jaccard") == 1.0)
   }
 
   test("VectorDot rejects dimension mismatches instead of truncating") {
@@ -156,7 +162,10 @@ class OpsSpec extends AnyFunSuite {
     val ex = intercept[Exception] {
       df.select(graft.functions.VectorFunctions.vec_dot($"a", $"b")).collect()
     }
-    assert(ex.getMessage != null)
+    def messages(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("dimension mismatch")),
+      s"expected a dimension-mismatch error, got: ${messages(ex)}")
   }
 
   test("TextOps.shingles produces distinct n-grams") {
