@@ -349,7 +349,9 @@ object Queries {
     (s, d) => {
       import s.implicits._
       ev(s, d)
-        .withColumn("k", get_json_object($"props", "$.k").cast("int"))
+        // try_cast mirrors the oracle's TRY_CAST: a non-numeric payload
+        // yields NULL instead of an ANSI-mode cast error
+        .withColumn("k", expr("try_cast(get_json_object(props, '$.k') AS int)"))
         .groupBy($"event_type")
         .agg(sum($"k").as("sum_k"), count(lit(1)).as("cnt"))
         .orderBy($"event_type")

@@ -80,10 +80,10 @@ case class MinHashSig(child: Expression, k: Int)
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val nElems = arr.numElements()
-    // empty shingle set (doc shorter than the shingle width) has no
-    // defined signature; an all-MaxValue sentinel would collide every
-    // short doc with every other in every LSH band → null, and banding
-    // filters nulls out
+    // Defensive: ShingleHashes never emits an empty array (short docs
+    // get a 1-element whole-text hash; null text stays null), but any
+    // other empty-set producer gets null rather than an all-MaxValue
+    // sentinel that would collide in every LSH band.
     if (nElems == 0) return null
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0

@@ -52,8 +52,9 @@ object DedupOps {
       struct(lit(bIdx).as("band_idx"), xxhash64(cols: _*).as("band_hash"))
     }
     sigDf
-      // docs too short to shingle have a null signature — no bands
-      // (they'd otherwise all collide in one degenerate bucket)
+      // only NULL text yields a null signature (short docs get a
+      // 1-element whole-text shingle set, so they sign normally);
+      // null-sig rows carry no content to band
       .filter(col("minhash_sig").isNotNull)
       .select(col(idCol), explode(array(bandRows: _*)).as("band"))
       .select(col(idCol), col("band.band_idx"), col("band.band_hash"))
@@ -102,8 +103,11 @@ object DedupOps {
     df.select(col(idCol))
       .join(perDoc, Seq(idCol), "left")
       .withColumn("n_candidates", coalesce(col("n_candidates"), lit(0L)))
+      // threshold on the UNROUNDED jaccard (0.79996 must not round up
+      // into dup-hood); round only the reported column
+      .withColumn("is_dup", coalesce(col("max_jaccard"), lit(0.0)) >= threshold)
       .withColumn("max_jaccard", round(coalesce(col("max_jaccard"), lit(0.0)), 4))
-      .withColumn("is_dup", col("max_jaccard") >= threshold)
+      .select(col(idCol), col("n_candidates"), col("max_jaccard"), col("is_dup"))
   }
 
   // ------------------------------------------------- exact n-gram Jaccard

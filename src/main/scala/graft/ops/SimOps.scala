@@ -51,6 +51,13 @@ object SimOps {
       .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"), col("rnk"))
   }
 
+  /** Embedding dimensionality from the data: size of the first row's
+    * vector (a 1-row job against the pruned scan). Used when callers
+    * don't pass an explicit dim.
+    */
+  private def detectDim(df: DataFrame, embCol: String): Int =
+    df.select(size(col(embCol)).as("d")).head().getInt(0)
+
   /** Fixed random hyperplanes (seeded Gaussian) for sign-LSH. */
   private val NumPlanes = 8
   private def planes(dim: Int): Array[Array[Double]] = {
@@ -173,15 +180,19 @@ object SimOps {
     * ~(NumPlanes+1)×, still bucket-bounded.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-              embCol: String, k: Int, dim: Int = 64,
+              embCol: String, k: Int, dim: Int = -1,
               multiProbe: Boolean = false): DataFrame = {
+    // dim <= 0 → derive from the data (one 1-row job): the hyperplane
+    // literals must match the embedding dimensionality or every
+    // vec_dot in the sketch throws a dimension mismatch at runtime
+    val d = if (dim > 0) dim else detectDim(corpus, embCol)
     // base sketch materialized in its own column FIRST: embedding the
     // full lshBucket tree in each of the 9 probe array slots would
     // re-evaluate the 8 plane dots once per probe under the Generate
     // (no subexpression elimination there) — probes are XORs on the
     // materialized column instead
     val base = queries.select(col(idCol).as("qid"), col(embCol).as("q_emb"))
-      .withColumn("base_bucket", lshBucket(col("q_emb"), dim))
+      .withColumn("base_bucket", lshBucket(col("q_emb"), d))
     val q = (if (multiProbe)
         base.withColumn("bucket", explode(array(col("base_bucket") +:
           (0 until NumPlanes).map(p => col("base_bucket").bitwiseXOR(lit(1 << p))): _*)))
@@ -189,7 +200,7 @@ object SimOps {
       .drop("base_bucket")
       .withColumn("q_norm", l2Norm(col("q_emb")))
     val c = corpus.select(col(idCol).as("nid"), col(embCol).as("c_emb"))
-      .withColumn("bucket", lshBucket(col("c_emb"), dim))
+      .withColumn("bucket", lshBucket(col("c_emb"), d))
       .withColumn("c_norm", l2Norm(col("c_emb")))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("qid") =!= col("nid"))
