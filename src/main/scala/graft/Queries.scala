@@ -487,7 +487,11 @@ object Queries {
     None)
 
   /** dedup_ngram_jaccard — exact shingle Jaccard via inverted-index
-    * join, top-50 most similar pairs.
+    * join, top-50 most similar pairs. Oracled: Jaccard over 64-bit
+    * shingle hashes equals Jaccard over the raw shingle strings
+    * (injective modulo 64-bit collisions), so DuckDB mirrors it with
+    * raw 3-gram shingles, the same maxDF=100 stop-shingle bound, and
+    * the same short-doc whole-text shingle.
     */
   private val d04 = Q(
     "dedup_ngram_jaccard",
@@ -495,7 +499,29 @@ object Queries {
       .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
       .limit(50)
       .select(col("id_a"), col("id_b"), col("n_inter"), col("jaccard")),
-    None)
+    Some("""
+      WITH sets AS (
+        SELECT doc_id,
+               CASE WHEN len(w) >= 3
+                    THEN list_distinct(list_transform(range(1, len(w) - 1),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                    ELSE [text] END AS sh
+        FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents) b),
+      posts AS (
+        SELECT doc_id, CAST(len(sh) AS BIGINT) AS sz, unnest(sh) AS s FROM sets),
+      keep AS (
+        SELECT s FROM posts GROUP BY s HAVING count(*) <= 100),
+      pr AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+               count(*) AS n_inter
+        FROM posts a JOIN keep USING (s) JOIN posts b USING (s)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4)
+      SELECT id_a, id_b, n_inter,
+             round(n_inter::DOUBLE / (sz_a + sz_b - n_inter), 4) AS jaccard
+      FROM pr
+      ORDER BY jaccard DESC, id_a, id_b
+      LIMIT 50"""))
 
   /** dedup_embedding — embedding-cosine near-dup over the whole corpus:
     * each vector's best in-bucket neighbor (sign-LSH, k=1), flagged
@@ -548,15 +574,38 @@ object Queries {
                    / len(string_split(text, ' ')), 4) AS stopword_ratio
       FROM documents ORDER BY doc_id"""))
 
-  /** text_langid — stopword-profile language ID heuristic (rows-only:
-    * the argmax CASE cascade is not worth mirroring in SQL).
+  /** text_langid — stopword-profile language ID heuristic. The fold's
+    * strictly-greater update means the FIRST profile (de,en,es,fr,zh
+    * order) at the max wins; no hits → "und". The oracle mirrors that
+    * as a CASE cascade over greatest().
     */
   private val t03 = Q(
     "text_langid",
     (s, d) => TextOps.langId(docs(s, d))
       .select(col("doc_id"), col("lang"), col("predicted_lang"))
       .orderBy(col("doc_id")),
-    None)
+    Some {
+      // generated from TextOps.LangProfiles so profile lists can't drift
+      val scoreCols = TextOps.LangProfiles.map { case (lang, stops) =>
+        s"""len(list_filter(string_split(text, ' '),
+           |            w -> w IN (${stops.map(w => s"'$w'").mkString(", ")}))) AS s_$lang"""
+          .stripMargin
+      }.mkString(",\n          ")
+      val gr = s"greatest(${TextOps.LangProfiles.map(p => s"s_${p._1}").mkString(", ")})"
+      val cascade = TextOps.LangProfiles.init.map { case (lang, _) =>
+        s"WHEN s_$lang = $gr THEN '$lang'"
+      }.mkString("\n             ")
+      s"""
+      WITH s AS (
+        SELECT doc_id, lang,
+          $scoreCols
+        FROM documents)
+      SELECT doc_id, lang,
+        CASE WHEN $gr = 0 THEN 'und'
+             $cascade
+             ELSE '${TextOps.LangProfiles.last._1}' END AS predicted_lang
+      FROM s ORDER BY doc_id"""
+    })
 
   private val t04 = Q(
     "text_fingerprint",

@@ -67,7 +67,10 @@ object TextOps {
   /** Per-language stopword profiles for the n-gram/stopword language-ID
     * heuristic. Deterministic, pure-expression.
     */
-  private val LangProfiles: Seq[(String, Seq[String])] = Seq(
+  /** Public so the langid oracle SQL is generated from the same lists
+    * (profile drift between Spark and oracle would be silent).
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
     "en" -> Seq("the", "and", "of", "to", "a", "is", "in"),
     "es" -> Seq("el", "la", "de", "que", "y", "los", "un"),
