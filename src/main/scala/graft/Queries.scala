@@ -954,6 +954,255 @@ object Queries {
         SELECT min(doc_id) AS doc_id, min(lang) AS lang FROM good GROUP BY text)
       SELECT lang, count(*) AS cnt FROM deduped GROUP BY lang ORDER BY lang"""))
 
+  /** q38 — backward as-of join (attribution idiom): each click joined
+    * to the user's latest purchase at-or-before it. Union-merge
+    * formulation: one shuffle on user_id, no range explosion
+    * (JoinOps.asofJoinBackward). DuckDB's native ASOF LEFT JOIN is the
+    * oracle. Timestamps emitted as epoch seconds (ns-vs-µs parity).
+    */
+  private val q38 = Q(
+    "q38_asof_join",
+    (s, d) => {
+      import s.implicits._
+      val e = ev(s, d)
+      val clicks = e.filter($"event_type" === "click")
+        .select($"event_id", $"user_id", $"ts")
+      val purchases = e.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"value")
+      JoinOps.asofJoinBackward(clicks, purchases, Seq("user_id"), "ts",
+          rightPayload = Seq("ts", "value"))
+        .select($"event_id", $"user_id",
+          unix_timestamp($"ts").as("click_ts_s"),
+          unix_timestamp($"asof_ts").as("purchase_ts_s"),
+          round($"asof_value", 2).as("purchase_value"))
+        .orderBy($"event_id")
+    },
+    Some("""
+      SELECT c.event_id, c.user_id,
+             CAST(floor(epoch(c.ts)) AS BIGINT) AS click_ts_s,
+             CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_ts_s,
+             round(p.value, 2) AS purchase_value
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id AND p.ts <= c.ts
+      ORDER BY c.event_id"""))
+
+  /** q39 — range (interval) join: orders banded by price range. The
+    * band table is tiny → broadcast nested-loop join, the right plan
+    * for dim-table range predicates (never shuffles the fact side).
+    */
+  private val q39 = Q(
+    "q39_range_join",
+    (s, d) => {
+      import s.implicits._
+      val bands = Seq(
+        ("p0_low", 0.0, 100000.0),
+        ("p1_mid", 100000.0, 250000.0),
+        ("p2_high", 250000.0, 400000.0),
+        ("p3_top", 400000.0, 1e9)).toDF("band", "lo", "hi")
+      ord(s, d).join(broadcast(bands),
+          $"o_totalprice" >= $"lo" && $"o_totalprice" < $"hi")
+        .groupBy($"band")
+        .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("sum_price"))
+        .orderBy($"band")
+    },
+    Some("""
+      WITH bands(band, lo, hi) AS (VALUES
+        ('p0_low', 0.0, 100000.0), ('p1_mid', 100000.0, 250000.0),
+        ('p2_high', 250000.0, 400000.0), ('p3_top', 400000.0, 1000000000.0))
+      SELECT band, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+      FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+      GROUP BY band ORDER BY band"""))
+
+  /** q40 — pivot (long→wide): order counts per priority × status.
+    * Explicit pivot values keep the plan a single pass (no value-
+    * discovery job); coalesce(0) matches the conditional-agg oracle.
+    */
+  private val q40 = Q(
+    "q40_pivot",
+    (s, d) => {
+      import s.implicits._
+      ord(s, d).groupBy($"o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select($"o_orderpriority",
+          coalesce($"F", lit(0L)).as("n_f"),
+          coalesce($"O", lit(0L)).as("n_o"),
+          coalesce($"P", lit(0L)).as("n_p"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority,
+             count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+             count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+             count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** q41 — unpivot (wide→long, melt): per-flag sums unpivoted to
+    * (flag, metric, value) rows.
+    */
+  private val q41 = Q(
+    "q41_unpivot",
+    (s, d) => {
+      import s.implicits._
+      li(s, d).groupBy($"l_returnflag")
+        .agg(round(sum($"l_quantity"), 2).as("qty"),
+             round(sum($"l_extendedprice"), 2).as("price"),
+             round(sum($"l_discount"), 2).as("disc"))
+        .unpivot(Array($"l_returnflag"), Array($"qty", $"price", $"disc"),
+          "metric", "value")
+        .orderBy($"l_returnflag", $"metric")
+    },
+    Some("""
+      WITH s AS (
+        SELECT l_returnflag,
+               round(sum(l_quantity), 2)      AS qty,
+               round(sum(l_extendedprice), 2) AS price,
+               round(sum(l_discount), 2)      AS disc
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, 'qty' AS metric, qty AS value FROM s
+      UNION ALL SELECT l_returnflag, 'price', price FROM s
+      UNION ALL SELECT l_returnflag, 'disc', disc FROM s
+      ORDER BY l_returnflag, metric"""))
+
+  /** q42 — analytic window functions (lag/lead/rank/percent_rank/
+    * ntile) over each customer's orders; the full tiebreakered ordering
+    * makes every rank deterministic.
+    */
+  private val q42 = Q(
+    "q42_window_analytics",
+    (s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+      ord(s, d).select($"o_custkey", $"o_orderkey",
+          round(lag($"o_totalprice", 1).over(w), 2).as("prev_price"),
+          round(lead($"o_totalprice", 1).over(w), 2).as("next_price"),
+          rank().over(w).cast("int").as("rnk"),
+          round(percent_rank().over(w), 4).as("pct_rnk"),
+          ntile(4).over(w).cast("int").as("quartile"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey,
+             round(lag(o_totalprice) OVER w, 2)  AS prev_price,
+             round(lead(o_totalprice) OVER w, 2) AS next_price,
+             CAST(rank() OVER w AS INTEGER)      AS rnk,
+             round(percent_rank() OVER w, 4)     AS pct_rnk,
+             CAST(ntile(4) OVER w AS INTEGER)    AS quartile
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      ORDER BY o_custkey, o_orderkey"""))
+
+  /** q43 — bivariate statistics per key: corr / covariance / variance
+    * (one-pass co-moment aggregates in both engines).
+    */
+  private val q43 = Q(
+    "q43_corr_stats",
+    (s, d) => {
+      import s.implicits._
+      li(s, d).groupBy($"l_returnflag")
+        .agg(round(corr($"l_quantity", $"l_extendedprice"), 4).as("corr_qp"),
+             round(covar_pop($"l_quantity", $"l_extendedprice"), 4).as("covar_p"),
+             round(covar_samp($"l_quantity", $"l_extendedprice"), 4).as("covar_s"),
+             round(var_pop($"l_quantity"), 4).as("var_qty"),
+             round(stddev_samp($"l_extendedprice"), 4).as("std_price"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag,
+             round(corr(l_quantity, l_extendedprice), 4)       AS corr_qp,
+             round(covar_pop(l_quantity, l_extendedprice), 4)  AS covar_p,
+             round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_s,
+             round(var_pop(l_quantity), 4)                     AS var_qty,
+             round(stddev_samp(l_extendedprice), 4)            AS std_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** q44 — per-label embedding centroids: posexplode → (label, pos)
+    * aggregate. The shuffle carries (label, pos, partial-sum) — K·dim
+    * cells regardless of corpus size, the scalable centroid shape
+    * (same layout the IVF trainer uses).
+    */
+  private val q44 = Q(
+    "q44_embedding_centroids",
+    (s, d) => {
+      import s.implicits._
+      emb(s, d).select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+        .groupBy($"label", $"pos")
+        .agg(round(avg($"v"), 4).as("c_v"), count(lit(1)).as("n_vecs"))
+        .orderBy($"label", $"pos")
+    },
+    Some("""
+      SELECT label, pos, round(avg(v), 4) AS c_v, count(*) AS n_vecs
+      FROM (SELECT label,
+                   CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+                   unnest(embedding) AS v
+            FROM embeddings) t
+      GROUP BY label, pos ORDER BY label, pos"""))
+
+  /** q45 — CSV sink + source round-trip (S1/S5 text formats for real):
+    * nation written to CSV with header, read back with an explicit
+    * schema, joined and aggregated — proves the text codec path is
+    * lossless. The oracle reads the original parquet.
+    */
+  private val q45 = Q(
+    "q45_csv_roundtrip",
+    (s, d) => {
+      import s.implicits._
+      val n = nat(s, d)
+      val tmp = "target/tmp/q45_csv_roundtrip"
+      n.write.mode("overwrite").option("header", "true").csv(tmp)
+      s.read.option("header", "true").schema(n.schema).csv(tmp)
+        .join(broadcast(reg(s, d)), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name")
+        .agg(count(lit(1)).as("n_nations"),
+             concat_ws(",", sort_array(collect_list($"n_name"))).as("nations"))
+        .orderBy($"r_name")
+    },
+    Some("""
+      SELECT r_name, count(*) AS n_nations,
+             string_agg(n_name, ',' ORDER BY n_name) AS nations
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name ORDER BY r_name"""))
+
+  /** q46 — TPC-H Q5 shape: 6-table join (local-supplier revenue by
+    * nation within a region-year slice). Date + region filters push to
+    * the scans; nation/region broadcast; the fact-fact joins shuffle
+    * on their keys after pruning.
+    */
+  private val q46 = Q(
+    "q46_local_supplier_revenue",
+    (s, d) => {
+      import s.implicits._
+      li(s, d)
+        .join(ord(s, d), $"l_orderkey" === $"o_orderkey")
+        .join(cust(s, d), $"o_custkey" === $"c_custkey")
+        .join(Tables.supplier(s, d),
+          $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+        .join(broadcast(nat(s, d)), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(reg(s, d)), $"n_regionkey" === $"r_regionkey")
+        .filter($"r_name" === "ASIA" &&
+          $"o_orderdate" >= lit("1996-01-01") && $"o_orderdate" < lit("1997-01-01"))
+        .groupBy($"n_name")
+        .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+             count(lit(1)).as("n_lines"))
+        .orderBy($"revenue".desc, $"n_name")
+    },
+    Some("""
+      SELECT n_name,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+             count(*) AS n_lines
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY n_name ORDER BY revenue DESC, n_name"""))
+
   // ------------------------------------------------------ typed MapRed
 
   /** mapred_wordcount — the same wordcount through the typed
@@ -981,6 +1230,7 @@ object Queries {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
+    q38, q39, q40, q41, q42, q43, q44, q45, q46,
     d01, d02, d03, d04, d05, t01, t02, t03, t04, a01, a02, a03, m01, m02, mr1)
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

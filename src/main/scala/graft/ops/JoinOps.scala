@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Join parity (SURVEY.md §2.4; `dumbo/lib/__init__.py :: JoinReducer`,
   * `dumbo/decor.py :: primary/secondary`, `examples/join.py`).
@@ -44,4 +45,44 @@ object JoinOps {
   def secondarySort(df: DataFrame, groupKeys: Seq[String], subKeys: Seq[Column]): DataFrame =
     df.repartition(groupKeys.map(col): _*)
       .sortWithinPartitions(groupKeys.map(col) ++ subKeys: _*)
+
+  /** Backward as-of join: for each left row, the single latest right
+    * row with `right.tsCol <= left.tsCol` (inclusive) on the same keys;
+    * left rows with no prior right row keep null payloads (left-outer
+    * as-of).
+    *
+    * Implemented as a union-merge: tag sides, sort each key group by
+    * (ts, side) — right rows sort before left at equal ts so "at or
+    * before" is inclusive — and carry the last non-null right payload
+    * forward with `last(_, ignoreNulls)` over a running window. ONE
+    * shuffle on the key, stream-ordered within groups; never a per-row
+    * scan of the right side (the range-join formulation degenerates to
+    * O(|L|·|R|) per key, which at 100 TB is the difference between a
+    * merge pass and a cross product).
+    *
+    * `rightPayload` columns are emitted as `asof_<name>`; left columns
+    * pass through unchanged.
+    */
+  def asofJoinBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       tsCol: String, rightPayload: Seq[String]): DataFrame = {
+    val payloadTagged = rightPayload.map(c => s"asof_$c")
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__side", lit(1))
+      .select((leftCols.map(col) :+ col("__side")) ++
+        payloadTagged.map(c => lit(null).as(c)): _*)
+    val r = right
+      .withColumn("__side", lit(0))
+      .select((keys.map(col) :+ col(tsCol) :+ col("__side")) ++
+        leftCols.filterNot(c => keys.contains(c) || c == tsCol)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightPayload.map(c => col(c).as(s"asof_$c")): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    payloadTagged.foldLeft(l.unionByName(r))( (df, c) =>
+        df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+      .filter(col("__side") === 1)
+      .drop("__side")
+  }
 }

@@ -272,6 +272,22 @@ class OpsSpec extends AnyFunSuite {
     assert(got(2).isNullAt(0)) // unparseable -> null record
   }
 
+  test("JoinOps.asofJoinBackward picks latest right at-or-before, else null") {
+    val left = Seq((1L, 5L, "L1"), (1L, 10L, "L2"), (2L, 7L, "L3")).toDF("k", "ts", "tag")
+    val right = Seq((1L, 5L, "a"), (1L, 8L, "b"), (1L, 11L, "late"), (2L, 9L, "c"))
+      .toDF("k", "ts", "v")
+    val got = JoinOps.asofJoinBackward(left, right, Seq("k"), "ts", Seq("ts", "v"))
+      .orderBy("k", "ts").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("ts"), r.getAs[String]("tag"),
+        Option(r.getAs[java.lang.Long]("asof_ts")).map(_.toLong),
+        Option(r.getAs[String]("asof_v"))))
+    assert(got.toSeq == Seq(
+      (1L, 5L, "L1", Some(5L), Some("a")),   // at-or-before is inclusive
+      (1L, 10L, "L2", Some(8L), Some("b")),  // latest prior, not just any
+      (2L, 7L, "L3", None, None)))           // no prior right -> left-outer null
+    assert(got.length == left.count())       // never duplicates left rows
+  }
+
   test("MediaOps feature extraction is deterministic and sized right") {
     val docs = graft.io.Tables.documents(spark, TestSpark.Sf0001).limit(10)
     val feats = MediaOps.extractFeatures(spark, MediaOps.attachMedia(docs)).collect()
