@@ -49,6 +49,74 @@ object StreamingOps {
       .toDF("user_id", "n_events", "last_seen")
   }
 
+  /** Per-user session state held between micro-batches; timestamps in
+    * epoch µs (full event-time precision — second-floored gaps would
+    * disagree with session_window at boundaries).
+    */
+  final case class SessionState(startUs: Long, lastUs: Long, n: Long)
+
+  /** A gap-closed session, emitted once. `session_start` is the
+    * epoch-second floor, matching q16_session_window's output.
+    */
+  final case class ClosedSession(user_id: Long, session_start: Long, n_events: Long)
+
+  /** Custom streaming sessionization via `flatMapGroupsWithState`
+    * (§2.9): per-user gap-based sessions held in the state store and
+    * emitted only when CLOSED — by a later event at/over the gap, or by
+    * event-time timeout once the watermark passes last+gap. This is the
+    * general stateful-operator shape for session logic `session_window`
+    * cannot express (duration caps, per-type rules, custom payloads).
+    *
+    * Semantics match the batch/SQL session definition exactly: half-open
+    * sessions, a gap >= `gapSec` starts a new one, compared at full µs
+    * event-time precision. State is one small record per ACTIVE user —
+    * watermark-driven timeouts evict idle users, so state is bounded by
+    * concurrently-active keys, not corpus size.
+    */
+  def statefulSessions(spark: SparkSession, events: DataFrame,
+                       gapSec: Long = 1800,
+                       watermark: String = "1 hour") = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def micros(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000) * 1000000L + t.getNanos / 1000
+    events
+      .select(col("user_id"), col("ts"))
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last+gap with no new events: final close
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(user, s.startUs / 1000000L, s.n))
+          } else {
+            // micro-batch rows arrive unordered within the group
+            val ts = rows.map(r => micros(r._2)).toArray
+            java.util.Arrays.sort(ts)
+            val out = Seq.newBuilder[ClosedSession]
+            var st = state.getOption
+            ts.foreach { t =>
+              st = st match {
+                case Some(s) if t - s.lastUs < gapSec * 1000000L =>
+                  Some(s.copy(lastUs = t, n = s.n + 1))
+                case other =>
+                  other.foreach(s => out += ClosedSession(user, s.startUs / 1000000L, s.n))
+                  Some(SessionState(t, t, 1))
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastUs / 1000L + gapSec * 1000L)
+            }
+            out.result().iterator
+          })
+      .toDF()
+  }
+
   /** Tumbling-window counts with a watermark: the streaming twin of
     * q14_window_tumbling.
     */

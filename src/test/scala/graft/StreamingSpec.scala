@@ -55,6 +55,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionization matches batch sessions (closed set)") {
+    val dir = java.nio.file.Files.createTempDirectory("events_fsess")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/events.parquet"),
+      dir.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"$d/events.parquet").schema
+    val stream = StreamingOps.eventsStream(spark, dir.toString, schema)
+    val sessions = StreamingOps.statefulSessions(spark, stream)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("fsess").start()
+    try {
+      q.processAllAvailable()
+      val emitted = spark.sql("SELECT user_id, session_start, n_events FROM fsess")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // the micro-batch closes every session except each user's
+      // trailing one; the watermark's no-data batch then fires
+      // event-time timeouts for trailing sessions older than
+      // watermark-gap. So: every emitted session is EXACTLY a batch
+      // session, and every non-trailing batch session is emitted —
+      // only trailing sessions near the stream's end may stay open.
+      val batch = Queries.queryMap("q16_session_window")(spark, d)
+        .select("user_id", "session_start", "n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val batchSet = batch.toSet
+      val lastPerUser = batch.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      val closedInBatch = batch.filterNot { case (u, st, _) => lastPerUser(u) == st }.toSet
+      assert(emitted.subsetOf(batchSet),
+        s"emitted a session not in batch output: ${(emitted -- batchSet).take(3)}")
+      assert(closedInBatch.subsetOf(emitted),
+        s"missed closed sessions: ${(closedInBatch -- emitted).take(3)}")
+      assert(emitted.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stateful mapGroupsWithState tracks per-user counts") {
     val dir = java.nio.file.Files.createTempDirectory("events_state")
     java.nio.file.Files.copy(
