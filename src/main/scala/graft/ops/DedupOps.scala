@@ -129,6 +129,13 @@ object DedupOps {
     // join back to a sizes table. With pruning active the result is the
     // standard conservative lower bound (intersections counted over the
     // pruned universe, sizes over the full sets).
+    //
+    // Measured alternatives (round 2, sf0.1 local[32]): deriving sizes
+    // from the exploded postings + joining them back halves the pair
+    // shuffle width but needs a SECOND shingle pass over the corpus —
+    // 1.8s vs 1.4s here, and at 100 TB a second corpus scan is the
+    // single worst cost in the plan. The one-scan window formulation
+    // stays.
     val withArr = df.select(col(idCol),
       graft.functions.TextFunctions.shingle_hashes(col(textCol), shingleN).as("arr"))
     val sh = withArr.select(col(idCol),
@@ -136,10 +143,9 @@ object DedupOps {
     // bound hot shingles BEFORE collect_list: otherwise a single
     // stop-shingle in 10M docs materializes a 10M-entry aggregation
     // buffer on one reduce task just to be discarded. A window count
-    // does it in ONE scan/shuffle (a count+semi-join formulation scans
-    // and re-shingles the corpus twice), and WindowExec spills its
-    // partition buffer to disk — OOM-safe on the hot shingle itself.
-    // The following groupBy reuses the same hash partitioning on `sh`.
+    // does it in ONE scan/shuffle, and WindowExec spills its partition
+    // buffer to disk — OOM-safe on the hot shingle itself. The
+    // following groupBy reuses the same hash partitioning on `sh`.
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
     val postings = sh
       .withColumn("df_cnt", count(lit(1)).over(w))

@@ -67,12 +67,12 @@ object SimOps {
 
   /** Sign-sketch bucket code: bit p = (v · plane_p >= 0). One narrow
     * projection per row — the bucketing "index build" is a single scan.
+    * Native SignSketch expression: the literal-array formulation (8
+    * plane dots as 64-literal trees each) cost seconds of codegen per
+    * plan.
     */
   def lshBucket(emb: Column, dim: Int): Column =
-    planes(dim).zipWithIndex.map { case (w, p) =>
-      val wLit = array(w.toIndexedSeq.map(lit): _*)
-      when(dot(emb, wLit) >= 0, shiftleft(lit(1), p)).otherwise(lit(0))
-    }.reduce(_.bitwiseOR(_))
+    graft.functions.IvfFunctions.sign_sketch(emb, planes(dim))
 
   /** Lloyd's k-means for the IVF codebook: init from the K lowest-id
     * vectors, then `iters` rounds of assign (argmax cosine vs
@@ -117,21 +117,12 @@ object SimOps {
         seq.map(v => v.asInstanceOf[Number].doubleValue()).toArray }
   }
 
-  /** (sim, cell) structs for a vector against a literal codebook.
-    * Ranking cells by cosine: the row's own norm is constant across
-    * cells and cancels out of any argmax/ordering — only centroid
-    * norms appear.
+  /** argmax-by-cosine cell id (native CellArgmax: the row's own norm
+    * is constant across cells and cancels; ties go to the higher cell,
+    * matching the struct-max formulation this replaces).
     */
-  private def cellSims(emb: Column, centroids: Array[Array[Double]]): Column =
-    array(centroids.toIndexedSeq.zipWithIndex.map { case (cVec, i) =>
-      val cLit = array(cVec.toIndexedSeq.map(lit): _*)
-      struct((dot(emb, cLit) / math.sqrt(cVec.map(x => x * x).sum)).as("s"),
-        lit(i).as("cell"))
-    }: _*)
-
-  /** argmax-by-cosine cell id (struct-ordering argmax over cellSims). */
   private def cellArgmax(emb: Column, centroids: Array[Array[Double]]): Column =
-    array_max(cellSims(emb, centroids)).getField("cell")
+    graft.functions.IvfFunctions.cell_argmax(emb, centroids)
 
   /** IVF-flat index: corpus partitioned into K cells by nearest
     * centroid; queries probe the `nprobe` nearest cells and re-rank
@@ -153,12 +144,10 @@ object SimOps {
     val c = corpus.select(col(idCol).as("nid"), col(embCol).as("c_emb"))
       .withColumn("cell", cellArgmax(col("c_emb"), centroids))
       .withColumn("c_norm", l2Norm(col("c_emb")))
-    // queries probe the nprobe best cells
+    // queries probe the nprobe best cells (native CellTopCells)
     val q = queries.select(col(idCol).as("qid"), col(embCol).as("q_emb"))
-      .withColumn("probe",
-        slice(reverse(array_sort(cellSims(col("q_emb"), centroids))), 1, nprobe))
-      .withColumn("cell", explode(col("probe").getField("cell")))
-      .drop("probe")
+      .withColumn("cell", explode(
+        graft.functions.IvfFunctions.cell_top_cells(col("q_emb"), centroids, nprobe)))
       .withColumn("q_norm", l2Norm(col("q_emb")))
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("qid") =!= col("nid"))
