@@ -1203,6 +1203,103 @@ object Queries {
         AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
       GROUP BY n_name ORDER BY revenue DESC, n_name"""))
 
+  /** q47 — deterministic hash-based train/valid/test split: bucket =
+    * first 16 bits of md5(doc_id) mod 100. The reproducible-sampling
+    * idiom for training pipelines — stable under repartitioning,
+    * cluster size, and engine (md5 is portable, unlike rand(seed) or
+    * TABLESAMPLE), so the same doc lands in the same split everywhere.
+    */
+  private val q47 = Q(
+    "q47_hash_split",
+    (s, d) => {
+      import s.implicits._
+      val bucket = (conv(substring(md5($"doc_id".cast("string").cast("binary")), 1, 4),
+        16, 10).cast("int") % 100).as("bk")
+      docs(s, d).withColumn("bk", bucket)
+        .withColumn("split",
+          when($"bk" < 80, "train").when($"bk" < 90, "valid").otherwise("test"))
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+        .orderBy($"split")
+    },
+    Some("""
+      WITH b AS (
+        SELECT *, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 100 AS bk
+        FROM documents)
+      SELECT CASE WHEN bk < 80 THEN 'train'
+                  WHEN bk < 90 THEN 'valid'
+                  ELSE 'test' END AS split,
+             count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM b GROUP BY 1 ORDER BY 1"""))
+
+  /** q48 — bigram counts (every occurrence, unlike the deduplicated
+    * dedup shingles): transform over positions, explode, count. Top-100
+    * with full tiebreak.
+    */
+  private val q48 = Q(
+    "q48_bigram_counts",
+    (s, d) => {
+      import s.implicits._
+      val ws = TextOps.words($"text")
+      docs(s, d).filter(size(ws) >= 2)
+        .select(explode(transform(sequence(lit(0), size(ws) - lit(2)),
+          i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2)))).as("bigram"))
+        .groupBy($"bigram")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"bigram")
+        .limit(100)
+    },
+    Some("""
+      SELECT bg AS bigram, count(*) AS cnt FROM (
+        SELECT w[i] || ' ' || w[i+1] AS bg
+        FROM (SELECT string_split(text, ' ') AS w FROM documents),
+             unnest(range(1, len(w))) AS t(i))
+      GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 100"""))
+
+  /** q49 — TF-IDF with top-5 terms per document (reported for the
+    * first 50 docs; tf/df statistics computed over the whole corpus).
+    * Three aggregates: tf per (doc, term), df per term (count of the
+    * already-distinct tf rows — no second distinct), corpus size N via
+    * a broadcast 1-row cross join. At scale: the (doc, term) shuffle
+    * dominates and is the irreducible cost of exact TF-IDF; df and N
+    * are partial-aggregated.
+    */
+  private val q49 = Q(
+    "q49_tfidf",
+    (s, d) => {
+      import s.implicits._
+      val tokens = docs(s, d)
+        .select($"doc_id", explode(TextOps.words($"text")).as("term"))
+      val tf = tokens.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("dfc"))
+      val n = docs(s, d).agg(count(lit(1)).as("n"))
+      val scored = tf.join(dfreq, "term")
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf", $"tf" * log($"n".cast("double") / $"dfc"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"tfidf".desc, $"term")
+      scored.filter($"doc_id" < 50)
+        .withColumn("rnk", row_number().over(w).cast("int"))
+        .filter($"rnk" <= 5)
+        .select($"doc_id", $"rnk", $"term", round($"tfidf", 4).as("tfidf"))
+        .orderBy($"doc_id", $"rnk")
+    },
+    Some("""
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      dfq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
+      n AS (SELECT count(*) AS n FROM documents),
+      scored AS (
+        SELECT doc_id, term, tf * ln(n::DOUBLE / dfc) AS tfidf
+        FROM tf JOIN dfq USING (term) CROSS JOIN n
+        WHERE doc_id < 50)
+      SELECT doc_id, rnk, term, round(tfidf, 4) AS tfidf FROM (
+        SELECT doc_id, term, tfidf,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                 ORDER BY tfidf DESC, term) AS INTEGER) AS rnk
+        FROM scored) x
+      WHERE rnk <= 5 ORDER BY doc_id, rnk"""))
+
   // ------------------------------------------------------ typed MapRed
 
   /** mapred_wordcount — the same wordcount through the typed
@@ -1230,7 +1327,7 @@ object Queries {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q39, q40, q41, q42, q43, q44, q45, q46,
+    q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     d01, d02, d03, d04, d05, t01, t02, t03, t04, a01, a02, a03, m01, m02, mr1)
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
