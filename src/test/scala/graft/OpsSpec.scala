@@ -288,6 +288,67 @@ class OpsSpec extends AnyFunSuite {
     assert(got.length == left.count())       // never duplicates left rows
   }
 
+  test("native SignSketch equals the literal-tree sign-sketch formulation") {
+    import graft.functions.{IvfFunctions, VectorFunctions}
+    val e = graft.io.Tables.embeddings(spark, TestSpark.Sf0001).limit(100)
+    val r = new scala.util.Random(42L)
+    val planes = Array.fill(8)(Array.fill(64)(r.nextGaussian()))
+    // reference: the composable form SignSketch replaced
+    val ref = planes.zipWithIndex.map { case (w, p) =>
+      val wLit = array(w.toIndexedSeq.map(lit): _*)
+      when(VectorFunctions.vec_dot($"embedding", wLit) >= 0, shiftleft(lit(1), p))
+        .otherwise(lit(0))
+    }.reduce(_.bitwiseOR(_))
+    val rows = e.select(
+      IvfFunctions.sign_sketch($"embedding", planes).as("native"),
+      ref.as("reference")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
+  test("native CellArgmax/CellTopCells equal the struct-ordering formulations") {
+    import graft.functions.{IvfFunctions, VectorFunctions}
+    val e = graft.io.Tables.embeddings(spark, TestSpark.Sf0001).limit(100)
+    val centroids = e.orderBy($"vec_id").limit(8).select($"embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    // reference: struct-ordering argmax / reverse-sorted probe list
+    val sims = array(centroids.toIndexedSeq.zipWithIndex.map { case (cVec, i) =>
+      val cLit = array(cVec.toIndexedSeq.map(lit): _*)
+      struct((VectorFunctions.vec_dot($"embedding", cLit) /
+        math.sqrt(cVec.map(x => x * x).sum)).as("s"), lit(i).as("cell"))
+    }: _*)
+    val rows = e.select(
+      IvfFunctions.cell_argmax($"embedding", centroids).as("am_native"),
+      array_max(sims).getField("cell").as("am_ref"),
+      IvfFunctions.cell_top_cells($"embedding", centroids, 3).as("top_native"),
+      slice(reverse(array_sort(sims)), 1, 3).getField("cell").as("top_ref")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(0) == r.getInt(1))
+      assert(r.getSeq[Int](2) == r.getSeq[Int](3))
+    }
+  }
+
+  test("asofJoinBackward agrees with a per-row reference scan on random data") {
+    val rnd = new scala.util.Random(7L)
+    val left = Seq.tabulate(200)(i => (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i.toLong))
+    val right = Seq.tabulate(150)(i => (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong * 7 % 1000, i * 10L))
+      .distinctBy(r => (r._1, r._2)) // operator contract: unique (key, ts) on the right
+    val lDf = left.toDF("k", "ts", "lid")
+    val rDf = right.toDF("k", "ts", "payload")
+    val got = JoinOps.asofJoinBackward(lDf, rDf, Seq("k"), "ts", Seq("payload"))
+      .collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("ts"), r.getAs[Long]("lid")) ->
+        Option(r.getAs[java.lang.Long]("asof_payload")).map(_.toLong))
+      .toMap
+    assert(got.size == left.size)
+    left.foreach { case (k, ts, lid) =>
+      val expected = right.filter(r => r._1 == k && r._2 <= ts)
+        .sortBy(_._2).lastOption.map(_._3)
+      assert(got((k, ts, lid)) == expected, s"key=$k ts=$ts")
+    }
+  }
+
   test("MediaOps feature extraction is deterministic and sized right") {
     val docs = graft.io.Tables.documents(spark, TestSpark.Sf0001).limit(10)
     val feats = MediaOps.extractFeatures(spark, MediaOps.attachMedia(docs)).collect()
