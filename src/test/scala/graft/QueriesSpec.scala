@@ -54,6 +54,29 @@ class QueriesSpec extends AnyFunSuite {
     assert(total == 4 * events)
   }
 
+  test("approx sketches stay near their exact counterparts") {
+    import org.apache.spark.sql.functions._
+    val approx = Queries.queryMap("q32_approx_sketches")(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.io.Tables.events(spark, d)
+      .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      val a = approx(k)
+      assert(math.abs(a - n) <= math.max(2L, (n * 0.1).toLong),
+        s"HLL estimate $a too far from exact $n for $k")
+    }
+  }
+
+  test("hash split is exhaustive, deterministic, and roughly 80/10/10") {
+    val rows = Queries.queryMap("q47_hash_split")(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = graft.io.Tables.documents(spark, d).count()
+    assert(rows.values.sum == total)        // every doc in exactly one split
+    assert(rows("train") > rows("valid") && rows("train") > rows("test"))
+  }
+
   test("session windows partition all events") {
     import org.apache.spark.sql.functions._
     val total = Queries.queryMap("q16_session_window")(spark, d)
