@@ -1233,17 +1233,16 @@ object Queries {
       FROM b GROUP BY 1 ORDER BY 1"""))
 
   /** q48 — bigram counts (every occurrence, unlike the deduplicated
-    * dedup shingles): transform over positions, explode, count. Top-100
-    * with full tiebreak.
+    * dedup shingles): native WordNgrams (the interpreted
+    * transform/element_at form cost 2.9s of a 3s query), explode,
+    * count. Top-100 with full tiebreak.
     */
   private val q48 = Q(
     "q48_bigram_counts",
     (s, d) => {
       import s.implicits._
-      val ws = TextOps.words($"text")
-      docs(s, d).filter(size(ws) >= 2)
-        .select(explode(transform(sequence(lit(0), size(ws) - lit(2)),
-          i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2)))).as("bigram"))
+      docs(s, d)
+        .select(explode(graft.functions.TextFunctions.word_ngrams($"text", 2)).as("bigram"))
         .groupBy($"bigram")
         .agg(count(lit(1)).as("cnt"))
         .orderBy($"cnt".desc, $"bigram")
