@@ -601,7 +601,7 @@ object Queries {
           $scoreCols
         FROM documents)
       SELECT doc_id, lang,
-        CASE WHEN $gr = 0 THEN 'und'
+        CASE WHEN $gr IS NULL OR $gr = 0 THEN 'und'
              $cascade
              ELSE '${TextOps.LangProfiles.last._1}' END AS predicted_lang
       FROM s ORDER BY doc_id"""
@@ -1150,7 +1150,12 @@ object Queries {
     (s, d) => {
       import s.implicits._
       val n = nat(s, d)
-      val tmp = "target/tmp/q45_csv_roundtrip"
+      // unique dir per invocation: a fixed path raced concurrent
+      // constructions (overwrite-while-read); target/ is git-ignored
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target/tmp"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory(java.nio.file.Paths.get("target/tmp"), "q45_csv_")
+        .toString
       n.write.mode("overwrite").option("header", "true").csv(tmp)
       s.read.option("header", "true").schema(n.schema).csv(tmp)
         .join(broadcast(reg(s, d)), $"n_regionkey" === $"r_regionkey")

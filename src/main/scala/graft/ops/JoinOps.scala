@@ -65,24 +65,31 @@ object JoinOps {
     */
   def asofJoinBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
                        tsCol: String, rightPayload: Seq[String]): DataFrame = {
-    val payloadTagged = rightPayload.map(c => s"asof_$c")
     val leftCols = left.columns.toSeq
-    val l = left
-      .withColumn("__side", lit(1))
-      .select((leftCols.map(col) :+ col("__side")) ++
-        payloadTagged.map(c => lit(null).as(c)): _*)
+    // payloads ride in ONE struct: the struct is non-null for every
+    // right row even when individual fields are null, so
+    // last(ignoreNulls) matches the latest right ROW atomically — a
+    // per-column carry would skip genuinely-null payload values and
+    // stitch together fields from different right rows
+    val payloadStruct = struct(rightPayload.map(c => col(c).as(s"asof_$c")): _*)
     val r = right
       .withColumn("__side", lit(0))
       .select((keys.map(col) :+ col(tsCol) :+ col("__side")) ++
         leftCols.filterNot(c => keys.contains(c) || c == tsCol)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightPayload.map(c => col(c).as(s"asof_$c")): _*)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        payloadStruct.as("__asof"): _*)
+    val l = left
+      .withColumn("__side", lit(1))
+      .select((leftCols.map(col) :+ col("__side")) :+
+        lit(null).cast(r.schema("__asof").dataType).as("__asof"): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    payloadTagged.foldLeft(l.unionByName(r))( (df, c) =>
-        df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    val merged = l.unionByName(r)
+      .withColumn("__asof", last(col("__asof"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .drop("__side")
+    rightPayload.foldLeft(merged)( (df, c) =>
+        df.withColumn(s"asof_$c", col(s"__asof.asof_$c")))
+      .drop("__side", "__asof")
   }
 }

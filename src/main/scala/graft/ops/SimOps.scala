@@ -51,12 +51,21 @@ object SimOps {
       .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"), col("rnk"))
   }
 
-  /** Embedding dimensionality from the data: size of the first row's
-    * vector (a 1-row job against the pruned scan). Used when callers
-    * don't pass an explicit dim.
+  /** Embedding dimensionality from the data: size of the first
+    * non-null vector (a 1-row job against the pruned scan, at
+    * DataFrame-construction time — callers that need pure-lazy plan
+    * building should pass dim explicitly). Falls back to the other
+    * side, then to 1, when a side is empty — with an empty corpus the
+    * join output is empty for any plane dimensionality, but query-side
+    * sketch evaluation still needs planes sized to the query vectors.
     */
-  private def detectDim(df: DataFrame, embCol: String): Int =
-    df.select(size(col(embCol)).as("d")).head().getInt(0)
+  private def detectDim(dfs: Seq[DataFrame], embCol: String): Int =
+    dfs.iterator
+      .flatMap(_.filter(col(embCol).isNotNull)
+        .select(size(col(embCol)).as("d")).limit(1).collect())
+      .map(_.getInt(0))
+      .nextOption()
+      .getOrElse(1)
 
   /** Fixed random hyperplanes (seeded Gaussian) for sign-LSH. */
   private val NumPlanes = 8
@@ -172,9 +181,9 @@ object SimOps {
               embCol: String, k: Int, dim: Int = -1,
               multiProbe: Boolean = false): DataFrame = {
     // dim <= 0 → derive from the data (one 1-row job): the hyperplane
-    // literals must match the embedding dimensionality or every
-    // vec_dot in the sketch throws a dimension mismatch at runtime
-    val d = if (dim > 0) dim else detectDim(corpus, embCol)
+    // arrays must match the embedding dimensionality or every sketch
+    // evaluation throws a dimension mismatch at runtime
+    val d = if (dim > 0) dim else detectDim(Seq(corpus, queries), embCol)
     // base sketch materialized in its own column FIRST: embedding the
     // full lshBucket tree in each of the 9 probe array slots would
     // re-evaluate the 8 plane dots once per probe under the Generate

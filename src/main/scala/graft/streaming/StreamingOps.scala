@@ -67,11 +67,17 @@ object StreamingOps {
     * general stateful-operator shape for session logic `session_window`
     * cannot express (duration caps, per-type rules, custom payloads).
     *
-    * Semantics match the batch/SQL session definition exactly: half-open
-    * sessions, a gap >= `gapSec` starts a new one, compared at full µs
-    * event-time precision. State is one small record per ACTIVE user —
-    * watermark-driven timeouts evict idle users, so state is bounded by
-    * concurrently-active keys, not corpus size.
+    * Semantics match the batch/SQL session definition exactly for
+    * in-order and intra-batch data: half-open sessions, a gap >=
+    * `gapSec` starts a new one, compared at full µs event-time
+    * precision. Cross-batch LATE events (allowed up to the watermark
+    * delay) extend the current session monotonically; a late event
+    * older than the current session start merges into it rather than
+    * reopening an earlier session (the built-in session_window buffers
+    * until the watermark to resolve that case — a custom operator that
+    * needs it should do the same). State is one small record per ACTIVE
+    * user — watermark-driven timeouts evict idle users, so state is
+    * bounded by concurrently-active keys, not corpus size.
     */
   def statefulSessions(spark: SparkSession, events: DataFrame,
                        gapSec: Long = 1800,
@@ -102,7 +108,11 @@ object StreamingOps {
             ts.foreach { t =>
               st = st match {
                 case Some(s) if t - s.lastUs < gapSec * 1000000L =>
-                  Some(s.copy(lastUs = t, n = s.n + 1))
+                  // cross-batch late events may arrive with t < lastUs
+                  // (or even < startUs): extend the window monotonically
+                  // instead of moving lastUs backward, which would
+                  // wrongly split the session on the next in-order event
+                  Some(SessionState(math.min(s.startUs, t), math.max(s.lastUs, t), s.n + 1))
                 case other =>
                   other.foreach(s => out += ClosedSession(user, s.startUs / 1000000L, s.n))
                   Some(SessionState(t, t, 1))

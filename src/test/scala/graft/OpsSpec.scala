@@ -329,6 +329,20 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("asofJoinBackward carries payload fields atomically from the matched row") {
+    // regression: per-column last(ignoreNulls) carries skipped a
+    // genuinely-NULL payload value and stitched fields from two
+    // different right rows; the struct carry must return the matched
+    // row as-is, nulls included
+    val left = Seq((1L, 12L)).toDF("k", "ts")
+    val right = Seq((1L, 5L, Option(3.0)), (1L, 10L, Option.empty[Double]))
+      .toDF("k", "ts", "v")
+    val row = JoinOps.asofJoinBackward(left, right, Seq("k"), "ts", Seq("ts", "v"))
+      .collect()(0)
+    assert(row.getAs[Long]("asof_ts") == 10L)   // matched row is ts=10...
+    assert(row.isNullAt(row.fieldIndex("asof_v"))) // ...whose v IS null
+  }
+
   test("asofJoinBackward agrees with a per-row reference scan on random data") {
     val rnd = new scala.util.Random(7L)
     val left = Seq.tabulate(200)(i => (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i.toLong))
