@@ -1304,6 +1304,31 @@ object Queries {
         FROM scored) x
       WHERE rnk <= 5 ORDER BY doc_id, rnk"""))
 
+  /** q50 — MapType column surface (§2.8 map functions): props parsed
+    * into a real map<string,int> (not string-extracted), then
+    * map_contains_key / try_element_at / size(map) aggregates.
+    * try_element_at (not element_at): ANSI mode errors on missing map
+    * keys, the try_ form yields NULL like the oracle's json path.
+    */
+  private val q50 = Q(
+    "q50_map_column",
+    (s, d) => {
+      import s.implicits._
+      ev(s, d)
+        .withColumn("m", from_json($"props", "map<string,int>", Map.empty[String, String]))
+        .groupBy($"event_type")
+        .agg(count(when(map_contains_key($"m", "k"), 1)).as("n_with_k"),
+             round(avg(try_element_at($"m", lit("k"))), 4).as("avg_k"),
+             sum(size($"m")).as("total_keys"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      SELECT event_type,
+             count(*) FILTER (WHERE json_extract(props, '$.k') IS NOT NULL) AS n_with_k,
+             round(avg(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+             CAST(sum(len(json_keys(props))) AS BIGINT) AS total_keys
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
   // ------------------------------------------------------ typed MapRed
 
   /** mapred_wordcount — the same wordcount through the typed
@@ -1331,7 +1356,7 @@ object Queries {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
+    q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     d01, d02, d03, d04, d05, t01, t02, t03, t04, a01, a02, a03, m01, m02, mr1)
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

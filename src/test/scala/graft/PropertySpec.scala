@@ -69,6 +69,28 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("word_ngrams ties out with shingles: distinct(ngrams) == shingle set") {
+    val textGen: Gen[String] =
+      Gen.chooseNum(1, 12).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))
+    samples(textGen, 30).foreach { text =>
+      val df = Seq(Tuple1(text)).toDF("text")
+      val Array(ngrams, shingleStrings) = df.select(
+        graft.functions.TextFunctions.word_ngrams(col("text"), 2).as("ng"),
+        TextOps.shingles(col("text"), 2).as("sh")).collect()(0) match {
+        case r => Array(r.getSeq[String](0), r.getSeq[String](1))
+      }
+      val words = text.split(' ')
+      if (words.length >= 2) {
+        assert(ngrams.length == words.length - 1)          // every occurrence
+        assert(ngrams.distinct.toSet == shingleStrings.toSet) // same universe
+      } else {
+        assert(ngrams.isEmpty)                    // counting wants real n-grams
+        assert(shingleStrings == Seq(text))       // dedup keeps whole-text token
+      }
+    }
+  }
+
   test("minhash signature similarity approximates exact jaccard on dup docs") {
     // two near-identical docs: signature agreement should be high
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
