@@ -1329,6 +1329,52 @@ object Queries {
              CAST(sum(len(json_keys(props))) AS BIGINT) AS total_keys
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** q51 — conversion funnel (event-sequence analytics): users who
+    * signed up, then clicked within 24h of first signup, then purchased
+    * within 24h of that first qualifying click. Each stage is a per-user
+    * min-aggregate plus a keyed equi-join on user_id — partial-agg
+    * shuffles and key joins only, no per-user event scans or window
+    * sorts, so the funnel holds its shape at any event volume.
+    */
+  private val q51 = Q(
+    "q51_funnel",
+    (s, d) => {
+      import s.implicits._
+      val e = ev(s, d)
+      val day = expr("INTERVAL 24 HOURS")
+      val su = e.filter($"event_type" === "signup")
+        .groupBy($"user_id").agg(min($"ts").as("t_s"))
+      val cl = e.filter($"event_type" === "click").join(su, "user_id")
+        .filter($"ts" > $"t_s" && $"ts" <= $"t_s" + day)
+        .groupBy($"user_id").agg(min($"ts").as("t_c"))
+      val pu = e.filter($"event_type" === "purchase").join(cl, "user_id")
+        .filter($"ts" > $"t_c" && $"ts" <= $"t_c" + day)
+        .groupBy($"user_id").agg(min($"ts").as("t_p"))
+      Seq(("stage1_signup", su), ("stage2_click_24h", cl), ("stage3_purchase_24h", pu))
+        .map { case (n, df) =>
+          df.agg(count(lit(1)).as("n_users")).select(lit(n).as("stage"), $"n_users") }
+        .reduce(_.unionByName(_))
+        .orderBy($"stage")
+    },
+    Some("""
+      WITH s AS (
+        SELECT user_id, min(ts) AS t_s FROM events
+        WHERE event_type = 'signup' GROUP BY 1),
+      c AS (
+        SELECT e.user_id, min(e.ts) AS t_c
+        FROM events e JOIN s USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > s.t_s
+          AND e.ts <= s.t_s + INTERVAL 24 HOURS GROUP BY 1),
+      p AS (
+        SELECT e.user_id, min(e.ts) AS t_p
+        FROM events e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_c
+          AND e.ts <= c.t_c + INTERVAL 24 HOURS GROUP BY 1)
+      SELECT 'stage1_signup' AS stage, count(*) AS n_users FROM s
+      UNION ALL SELECT 'stage2_click_24h', count(*) FROM c
+      UNION ALL SELECT 'stage3_purchase_24h', count(*) FROM p
+      ORDER BY stage"""))
+
   // ------------------------------------------------------ typed MapRed
 
   /** mapred_wordcount — the same wordcount through the typed
@@ -1356,7 +1402,7 @@ object Queries {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
+    q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     d01, d02, d03, d04, d05, t01, t02, t03, t04, a01, a02, a03, m01, m02, mr1)
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
