@@ -958,7 +958,9 @@ object Queries {
     * to the user's latest purchase at-or-before it. Union-merge
     * formulation: one shuffle on user_id, no range explosion
     * (JoinOps.asofJoinBackward). DuckDB's native ASOF LEFT JOIN is the
-    * oracle. Timestamps emitted as epoch seconds (ns-vs-µs parity).
+    * oracle, matching on epoch-µs values so both engines compare at the
+    * same precision (parquet is ns, Spark truncates to µs on read);
+    * outputs are epoch seconds.
     */
   private val q38 = Q(
     "q38_asof_join",
@@ -979,12 +981,14 @@ object Queries {
     },
     Some("""
       SELECT c.event_id, c.user_id,
-             CAST(floor(epoch(c.ts)) AS BIGINT) AS click_ts_s,
-             CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_ts_s,
+             c.tu // 1000000 AS click_ts_s,
+             p.tu // 1000000 AS purchase_ts_s,
              round(p.value, 2) AS purchase_value
-      FROM (SELECT * FROM events WHERE event_type = 'click') c
-      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-        ON c.user_id = p.user_id AND p.ts <= c.ts
+      FROM (SELECT event_id, user_id, epoch_us(ts) AS tu FROM events
+            WHERE event_type = 'click') c
+      ASOF LEFT JOIN (SELECT user_id, epoch_us(ts) AS tu, value FROM events
+            WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id AND p.tu <= c.tu
       ORDER BY c.event_id"""))
 
   /** q39 — range (interval) join: orders banded by price range. The
@@ -1150,12 +1154,11 @@ object Queries {
     (s, d) => {
       import s.implicits._
       val n = nat(s, d)
-      // unique dir per invocation: a fixed path raced concurrent
-      // constructions (overwrite-while-read); target/ is git-ignored
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target/tmp"))
-      val tmp = java.nio.file.Files
-        .createTempDirectory(java.nio.file.Paths.get("target/tmp"), "q45_csv_")
-        .toString
+      // per-JVM dir: a fixed shared path raced concurrent processes
+      // (overwrite-while-read), while a fresh random dir per
+      // construction accumulated without bound across bench runs.
+      // PID-keyed = unique per process, self-overwriting within one.
+      val tmp = s"target/tmp/q45_csv_${ProcessHandle.current().pid()}"
       n.write.mode("overwrite").option("header", "true").csv(tmp)
       s.read.option("header", "true").schema(n.schema).csv(tmp)
         .join(broadcast(reg(s, d)), $"n_regionkey" === $"r_regionkey")
@@ -1305,20 +1308,22 @@ object Queries {
       WHERE rnk <= 5 ORDER BY doc_id, rnk"""))
 
   /** q50 — MapType column surface (§2.8 map functions): props parsed
-    * into a real map<string,int> (not string-extracted), then
-    * map_contains_key / try_element_at / size(map) aggregates.
-    * try_element_at (not element_at): ANSI mode errors on missing map
-    * keys, the try_ form yields NULL like the oracle's json path.
+    * into a real map (not string-extracted), then map_contains_key /
+    * try_element_at / size(map) aggregates. Values parse as STRING and
+    * cast per-key: a map<string,int> schema would null the WHOLE map
+    * when any one value fails int conversion, diverging from the
+    * oracle's per-key json semantics. try_element_at / try_cast (not
+    * element_at / cast): ANSI mode errors where the oracle yields NULL.
     */
   private val q50 = Q(
     "q50_map_column",
     (s, d) => {
       import s.implicits._
       ev(s, d)
-        .withColumn("m", from_json($"props", "map<string,int>", Map.empty[String, String]))
+        .withColumn("m", from_json($"props", "map<string,string>", Map.empty[String, String]))
         .groupBy($"event_type")
         .agg(count(when(map_contains_key($"m", "k"), 1)).as("n_with_k"),
-             round(avg(try_element_at($"m", lit("k"))), 4).as("avg_k"),
+             round(avg(try_element_at($"m", lit("k")).try_cast("int")), 4).as("avg_k"),
              sum(size($"m")).as("total_keys"))
         .orderBy($"event_type")
     },
@@ -1357,19 +1362,21 @@ object Queries {
         .orderBy($"stage")
     },
     Some("""
-      WITH s AS (
-        SELECT user_id, min(ts) AS t_s FROM events
+      WITH ev AS (
+        SELECT user_id, event_type, epoch_us(ts) AS tu FROM events),
+      s AS (
+        SELECT user_id, min(tu) AS t_s FROM ev
         WHERE event_type = 'signup' GROUP BY 1),
       c AS (
-        SELECT e.user_id, min(e.ts) AS t_c
-        FROM events e JOIN s USING (user_id)
-        WHERE e.event_type = 'click' AND e.ts > s.t_s
-          AND e.ts <= s.t_s + INTERVAL 24 HOURS GROUP BY 1),
+        SELECT e.user_id, min(e.tu) AS t_c
+        FROM ev e JOIN s USING (user_id)
+        WHERE e.event_type = 'click' AND e.tu > s.t_s
+          AND e.tu <= s.t_s + 86400000000 GROUP BY 1),
       p AS (
-        SELECT e.user_id, min(e.ts) AS t_p
-        FROM events e JOIN c USING (user_id)
-        WHERE e.event_type = 'purchase' AND e.ts > c.t_c
-          AND e.ts <= c.t_c + INTERVAL 24 HOURS GROUP BY 1)
+        SELECT e.user_id, min(e.tu) AS t_p
+        FROM ev e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.tu > c.t_c
+          AND e.tu <= c.t_c + 86400000000 GROUP BY 1)
       SELECT 'stage1_signup' AS stage, count(*) AS n_users FROM s
       UNION ALL SELECT 'stage2_click_24h', count(*) FROM c
       UNION ALL SELECT 'stage3_purchase_24h', count(*) FROM p
