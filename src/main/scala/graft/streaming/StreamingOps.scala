@@ -120,7 +120,13 @@ object StreamingOps {
             }
             st.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.lastUs / 1000L + gapSec * 1000L)
+              // a batch of pure late data can put last+gap BEHIND the
+              // watermark; setTimeoutTimestamp throws on that, killing
+              // the query — clamp to watermark+1ms (fires next batch,
+              // which is right: the session is already expired)
+              state.setTimeoutTimestamp(math.max(
+                s.lastUs / 1000L + gapSec * 1000L,
+                state.getCurrentWatermarkMs() + 1L))
             }
             out.result().iterator
           })
