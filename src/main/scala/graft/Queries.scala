@@ -1382,6 +1382,65 @@ object Queries {
       UNION ALL SELECT 'stage3_purchase_24h', count(*) FROM p
       ORDER BY stage"""))
 
+  /** q52 — bounded-frame window aggregate: 5-row rolling median of
+    * order value per customer (interpolated percentile over ROWS
+    * BETWEEN 4 PRECEDING AND CURRENT). Frame-bounded windows are the
+    * remaining window family after running (q26) and rank (q42)
+    * aggregates; at scale this is one keyed shuffle + per-group sorted
+    * pass with an O(frame)-bounded buffer.
+    */
+  private val q52 = Q(
+    "q52_rolling_median",
+    (s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(-4, 0)
+      ord(s, d)
+        .withColumn("roll_median", round(percentile($"o_totalprice", lit(0.5)).over(w), 4))
+        .select($"o_custkey", $"o_orderkey", $"roll_median")
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey,
+             round(quantile_cont(o_totalprice, 0.5) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS roll_median
+      FROM orders ORDER BY o_custkey, o_orderkey"""))
+
+  /** q53 — column profiling (data-quality sweep): null count and
+    * distinct count per column in one pass over the table (count +
+    * count_distinct partial aggregates; no per-column scans). The
+    * standard pre-training corpus audit.
+    */
+  private val q53 = Q(
+    "q53_profile_columns",
+    (s, d) => {
+      import s.implicits._
+      val o = ord(s, d)
+      val cols = Seq("o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+      val aggs = cols.flatMap { c =>
+        Seq((count(lit(1)) - count(col(c))).as(s"nulls_$c"),
+            countDistinct(col(c)).cast("long").as(s"dist_$c"))
+      }
+      val wide = o.agg(aggs.head, aggs.tail: _*)
+      // one row per column via stack (unpivot of paired measures)
+      val stacked = cols.map(c => s"'$c', nulls_$c, dist_$c").mkString(", ")
+      wide.select(expr(
+          s"stack(${cols.length}, $stacked) AS (col, n_nulls, n_distinct)"))
+        .orderBy($"col")
+    },
+    Some("""
+      SELECT 'o_custkey' AS col, count(*) - count(o_custkey) AS n_nulls,
+             count(DISTINCT o_custkey) AS n_distinct FROM orders
+      UNION ALL SELECT 'o_orderstatus', count(*) - count(o_orderstatus),
+             count(DISTINCT o_orderstatus) FROM orders
+      UNION ALL SELECT 'o_orderpriority', count(*) - count(o_orderpriority),
+             count(DISTINCT o_orderpriority) FROM orders
+      UNION ALL SELECT 'o_totalprice', count(*) - count(o_totalprice),
+             count(DISTINCT o_totalprice) FROM orders
+      ORDER BY col"""))
+
   // ------------------------------------------------------ typed MapRed
 
   /** mapred_wordcount — the same wordcount through the typed
@@ -1410,6 +1469,7 @@ object Queries {
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
+    q52, q53,
     d01, d02, d03, d04, d05, t01, t02, t03, t04, a01, a02, a03, m01, m02, mr1)
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
