@@ -133,6 +133,32 @@ object StreamingOps {
       .toDF()
   }
 
+  /** Stream-stream interval join: each click joined to the same user's
+    * purchases within `intervalHours` AFTER the click. Watermarks on
+    * BOTH sides bound the join state: a buffered click can be evicted
+    * once the purchase-side watermark passes click_ts + interval, so
+    * state is O(events in the interval window), not O(stream) — the
+    * canonical scalable stream-stream join shape.
+    */
+  def clickPurchaseJoin(spark: SparkSession, clicks: DataFrame, purchases: DataFrame,
+                        intervalHours: Int = 24,
+                        watermark: String = "1 hour"): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases.select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", watermark)
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") > col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $intervalHours HOURS"))
+      .select(col("click_id"), col("user_id"),
+        col("click_ts").cast("long").as("click_ts_s"),
+        col("purchase_ts").cast("long").as("purchase_ts_s"),
+        col("purchase_value"))
+  }
+
   /** Tumbling-window counts with a watermark: the streaming twin of
     * q14_window_tumbling.
     */

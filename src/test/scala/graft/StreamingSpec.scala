@@ -89,6 +89,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("events_ssj")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/events.parquet"),
+      dir.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"$d/events.parquet").schema
+    val stream = StreamingOps.eventsStream(spark, dir.toString, schema)
+    val joined = StreamingOps.clickPurchaseJoin(spark,
+      stream.filter(col("event_type") === "click"),
+      stream.filter(col("event_type") === "purchase"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT click_id, purchase_ts_s FROM ssj")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch twin over the same data
+      val e = graft.io.Tables.events(spark, d)
+      val bc = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      val bp = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      val batch = bc.join(bp,
+          col("user_id") === col("p_user_id") &&
+            col("purchase_ts") > col("click_ts") &&
+            col("purchase_ts") <= col("click_ts") + expr("INTERVAL 24 HOURS"))
+        .select(col("click_id"), col("purchase_ts").cast("long").as("purchase_ts_s"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch, s"streamed ${streamed.size} vs batch ${batch.size}")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stateful sessions survive cross-batch late events (monotonic merge)") {
     import org.apache.spark.sql.functions._
     // two micro-batches with the NEWER half delivered first, so batch 2
