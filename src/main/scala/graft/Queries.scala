@@ -695,6 +695,19 @@ object Queries {
       .orderBy(col("doc_id")),
     None)
 
+  /** media_resize — stubbed resize/re-encode stage (§2.11 multimodal):
+    * binary in → smaller binary out with rewritten typed metadata, via
+    * per-partition batches. Metadata uses engine-local hashing →
+    * rows-only.
+    */
+  private val m03 = Q(
+    "media_resize",
+    (s, d) => MediaOps.resizeMedia(s, MediaOps.attachMedia(docs(s, d)), 64, 64)
+      .select(col("doc_id"), col("width"), col("height"),
+        length(col("media")).cast("int").as("byte_len"))
+      .orderBy(col("doc_id")),
+    None)
+
   /** q24 — A6 arbitrary reducer: exact interpolated median per key
     * (built-in percentile; both engines use linear interpolation).
     */
@@ -1470,7 +1483,7 @@ object Queries {
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53,
-    d01, d02, d03, d04, d05, t01, t02, t03, t04, a01, a02, a03, m01, m02, mr1)
+    d01, d02, d03, d04, d05, t01, t02, t03, t04, a01, a02, a03, m01, m02, m03, mr1)
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

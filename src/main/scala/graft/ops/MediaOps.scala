@@ -46,6 +46,43 @@ object MediaOps {
     (if (media.length == 0) 0.0 else sum.toDouble / media.length, sum)
   }
 
+  /** STUB RESIZE — deterministic stand-in for an image/video resize
+    * (no codecs in this container): scales the byte buffer to the
+    * target pixel budget by stride sampling and rewrites the typed
+    * metadata. The Spark-side shape is the real contract: binary in →
+    * binary out with consistent metadata, per-partition batch
+    * processing, output size proportional to target dims (the
+    * downsample-before-shuffle pattern that makes 100 TB media
+    * pipelines movable).
+    */
+  def resizeMedia(spark: SparkSession, media: DataFrame,
+                  targetW: Int, targetH: Int): DataFrame = {
+    import spark.implicits._
+    val resized = media
+      .select("doc_id", "media", "mime", "width", "height")
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        // real decoder/encoder init would go here (once per partition)
+        it.map { r =>
+          val inPixels = math.max(1L, r.width.toLong * r.height.toLong)
+          val outPixels = targetW.toLong * targetH
+          // fake "resample": keep bytes proportional to the pixel ratio
+          // via stride sampling — deterministic, bounded output
+          val outLen = math.max(1, (r.media.length.toLong * outPixels / inPixels)
+            .min(r.media.length).toInt)
+          val stride = math.max(1, r.media.length / outLen)
+          val out = new Array[Byte](outLen)
+          var i = 0
+          while (i < outLen) {
+            out(i) = r.media(math.min(r.media.length - 1, i * stride))
+            i += 1
+          }
+          MediaRecord(r.doc_id, out, r.mime, targetW, targetH)
+        }
+      }
+    resized.toDF()
+  }
+
   /** Feature extraction + frame sampling over binary media columns.
     * `mapPartitions` so any expensive decoder state is initialized once
     * per partition (the mapInPandas batching idiom, Scala-side).

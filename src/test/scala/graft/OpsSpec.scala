@@ -363,6 +363,24 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("MediaOps.resizeMedia rewrites metadata and bounds output size") {
+    val docs = graft.io.Tables.documents(spark, TestSpark.Sf0001).limit(10)
+    val media = MediaOps.attachMedia(docs)
+    val resized = MediaOps.resizeMedia(spark, media, 64, 64).collect()
+    assert(resized.length == 10)
+    val inLens = media.select("doc_id", "media").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).length).toMap
+    resized.foreach { r =>
+      assert(r.getAs[Int]("width") == 64 && r.getAs[Int]("height") == 64)
+      val outLen = r.getAs[Array[Byte]]("media").length
+      assert(outLen >= 1 && outLen <= inLens(r.getAs[Long]("doc_id")))
+    }
+    // deterministic across evaluations
+    val again = MediaOps.resizeMedia(spark, media, 64, 64).collect()
+    assert(resized.map(_.getAs[Array[Byte]]("media").toSeq).toSeq ==
+      again.map(_.getAs[Array[Byte]]("media").toSeq).toSeq)
+  }
+
   test("MediaOps feature extraction is deterministic and sized right") {
     val docs = graft.io.Tables.documents(spark, TestSpark.Sf0001).limit(10)
     val feats = MediaOps.extractFeatures(spark, MediaOps.attachMedia(docs)).collect()
