@@ -546,6 +546,47 @@ object Queries {
     },
     None)
 
+  /** dedup_clusters — transitive closure over near-dup pairs (the step
+    * after pair generation in production dedup): min-label propagation
+    * to connected components; cluster id = component minimum, so
+    * keeping `doc_id == cluster_id` dedups the corpus. Oracled with a
+    * DuckDB recursive CTE over the same exact-Jaccard edges.
+    */
+  private val d06 = Q(
+    "dedup_clusters",
+    (s, d) => DedupOps.dedupClusters(docs(s, d), "text", "doc_id")
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH RECURSIVE sets AS (
+        SELECT doc_id,
+               CASE WHEN len(w) >= 3
+                    THEN list_distinct(list_transform(range(1, len(w) - 1),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                    ELSE [text] END AS sh
+        FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents) b),
+      posts AS (
+        SELECT doc_id, CAST(len(sh) AS BIGINT) AS sz, unnest(sh) AS s FROM sets),
+      keep AS (
+        SELECT s FROM posts GROUP BY s HAVING count(*) <= 100),
+      pr AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+               count(*) AS n_inter
+        FROM posts a JOIN keep USING (s) JOIN posts b USING (s)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4),
+      dup AS (
+        SELECT id_a, id_b FROM pr
+        WHERE round(n_inter::DOUBLE / (sz_a + sz_b - n_inter), 4) >= 0.8),
+      edges AS (
+        SELECT id_a AS a, id_b AS b FROM dup
+        UNION ALL SELECT id_b, id_a FROM dup),
+      reach(a, b) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+      SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+      ORDER BY doc_id"""))
+
   // ---------------------------------------------------------------- text
 
   private val t01 = Q(
@@ -1483,7 +1524,8 @@ object Queries {
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53,
-    d01, d02, d03, d04, d05, t01, t02, t03, t04, a01, a02, a03, m01, m02, m03, mr1)
+    d01, d02, d03, d04, d05, d06,
+    t01, t02, t03, t04, a01, a02, a03, m01, m02, m03, mr1)
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -163,6 +163,80 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("n_inter"), col("jaccard"))
   }
 
+  /** Connected components over near-duplicate pairs: the production
+    * dedup step after pair generation — transitively-linked docs form
+    * one cluster, cluster id = the component's minimum doc id (so
+    * "keep cluster representative" = `doc_id == cluster_id`). Output is
+    * total: isolated docs are their own cluster.
+    *
+    * Minimum-label propagation: each round every doc takes the min of
+    * its own label and its neighbors' labels — one keyed join + one
+    * aggregate per round, converging in O(component diameter) rounds
+    * (near-dup clusters are small and dense, so typically 2-3). The
+    * iteration count is data-dependent, so each round
+    * `localCheckpoint`s the label table — truncating a lineage that
+    * would otherwise grow per round (SURVEY.md §2.1 C4: checkpoint only
+    * when iteration count is data-dependent). For graphs with large
+    * diameters (not this workload) the alternating large-star/small-star
+    * formulation halves rounds; propagation is kept for auditability.
+    */
+  def dedupClusters(df: DataFrame, textCol: String, idCol: String,
+                    shingleN: Int = 3, threshold: Double = 0.8,
+                    maxIters: Int = 20): DataFrame = {
+    val pairs = ngramJaccardPairs(df, textCol, idCol, shingleN)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"))
+    // The fixpoint loop runs on RDDs, not DataFrames: each DataFrame
+    // round is a NEW plan (analysis + codegen, ~0.5-1s) — for a loop
+    // over the tiny near-dup subgraph that re-planning dominates the
+    // actual work by 10×. RDD join/reduceByKey re-execute with zero
+    // per-round compilation (the one legitimate RDD niche SURVEY.md
+    // §1.4 reserves: imperative iteration). Pair generation — the
+    // heavy, scan-bound part — stays a DataFrame above.
+    //
+    // Iterate ONLY over edge endpoints (orders of magnitude fewer than
+    // docs); isolated docs are trivially their own cluster and join
+    // back at the end.
+    val spark = df.sparkSession
+    import spark.implicits._
+    val part = new org.apache.spark.HashPartitioner(
+      spark.sparkContext.defaultParallelism)
+    // (dst, src) both directions: neighbor-label lookup joins on dst
+    val byDst = pairs.as[(Long, Long)].rdd
+      .flatMap { case (a, b) => Seq((b, a), (a, b)) }
+      .partitionBy(part).cache()
+    var labels = byDst.keys.distinct().map(id => (id, id))
+      .partitionBy(part).cache()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val nbrMin = byDst.join(labels)
+        .map { case (_, (src, lbl)) => (src, lbl) }
+        .reduceByKey(part, math.min(_: Long, _: Long))
+      // convergence detection rides the materialization pass via an
+      // accumulator — no separate diff join/job per round. (Task
+      // retries could inflate the count, but it is only compared to 0:
+      // a retried improvement was still an improvement.)
+      val acc = spark.sparkContext.longAccumulator(s"cc_changed_$it")
+      val next = labels.join(nbrMin)
+        .mapValues { case (old, nm) =>
+          if (nm < old) acc.add(1L)
+          math.min(old, nm)
+        }
+        .cache()
+      next.count() // materialize; fills acc
+      changed = acc.value
+      labels.unpersist(blocking = false)
+      labels = next
+      it += 1
+    }
+    val labelDf = labels.toDF("id", "label")
+    byDst.unpersist(blocking = false)
+    df.select(col(idCol))
+      .join(labelDf.select(col("id").as(idCol), col("label")), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("label"), col(idCol)).cast("long").as("cluster_id"))
+  }
+
   // ------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash: per bit, +1/-1 votes over the doc's word hashes;

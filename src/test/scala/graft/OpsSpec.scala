@@ -363,6 +363,20 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("DedupOps.dedupClusters groups transitively-linked near-dups") {
+    // A~B and B~C but A!~C directly: transitivity must still cluster
+    // all three under min id; unrelated doc stays its own cluster
+    val a = (1 to 30).map(i => s"w$i").mkString(" ")
+    val b = ((1 to 29).map(i => s"w$i") :+ "x").mkString(" ")       // ~A
+    val c = ((1 to 28).map(i => s"w$i") ++ Seq("x", "y")).mkString(" ") // ~B, farther from A
+    val other = (100 to 130).map(i => s"z$i").mkString(" ")
+    val df = Seq((10L, a), (20L, b), (30L, c), (40L, other)).toDF("doc_id", "text")
+    val got = DedupOps.dedupClusters(df, "text", "doc_id", threshold = 0.7)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((10L, 10L), (20L, 10L), (30L, 10L), (40L, 40L)))
+  }
+
   test("MediaOps.resizeMedia rewrites metadata and bounds output size") {
     val docs = graft.io.Tables.documents(spark, TestSpark.Sf0001).limit(10)
     val media = MediaOps.attachMedia(docs)
