@@ -576,7 +576,7 @@ object Queries {
         GROUP BY 1, 2, 3, 4),
       dup AS (
         SELECT id_a, id_b FROM pr
-        WHERE round(n_inter::DOUBLE / (sz_a + sz_b - n_inter), 4) >= 0.8),
+        WHERE n_inter::DOUBLE / (sz_a + sz_b - n_inter) >= 0.8),
       edges AS (
         SELECT id_a AS a, id_b AS b FROM dup
         UNION ALL SELECT id_b, id_a FROM dup),

@@ -120,7 +120,8 @@ object DedupOps {
     * shingles at 100 TB.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-                        shingleN: Int = 3, maxDF: Int = 100): DataFrame = {
+                        shingleN: Int = 3, maxDF: Int = 100,
+                        roundJaccard: Boolean = true): DataFrame = {
     // one groupBy per shingle: posting list bounded by maxDF (hot
     // shingles dropped — standard stop-shingle pruning; the bound is
     // what keeps pair generation sub-quadratic at 100 TB). Each posting
@@ -155,11 +156,14 @@ object DedupOps {
     val pairs = postings
       .select(graft.functions.HashFunctions.posting_pairs(col("entries"))
         .as(Seq("id_a", "id_b", "sz_a", "sz_b")))
+    val raw = col("n_inter").cast("double") /
+      (col("sz_a") + col("sz_b") - col("n_inter"))
     pairs.groupBy("id_a", "id_b", "sz_a", "sz_b")
       .agg(count(lit(1)).as("n_inter"))
-      .withColumn("jaccard",
-        round(col("n_inter").cast("double") /
-          (col("sz_a") + col("sz_b") - col("n_inter")), 4))
+      // roundJaccard=false for callers that THRESHOLD on the value
+      // (0.79996 must not round up across a 0.8 threshold); the
+      // reporting default stays rounded
+      .withColumn("jaccard", if (roundJaccard) round(raw, 4) else raw)
       .select(col("id_a"), col("id_b"), col("n_inter"), col("jaccard"))
   }
 
@@ -171,19 +175,28 @@ object DedupOps {
     *
     * Minimum-label propagation: each round every doc takes the min of
     * its own label and its neighbors' labels — one keyed join + one
-    * aggregate per round, converging in O(component diameter) rounds
+    * aggregate per round, converging in O(min-node eccentricity) rounds
     * (near-dup clusters are small and dense, so typically 2-3). The
-    * iteration count is data-dependent, so each round
-    * `localCheckpoint`s the label table — truncating a lineage that
-    * would otherwise grow per round (SURVEY.md §2.1 C4: checkpoint only
-    * when iteration count is data-dependent). For graphs with large
-    * diameters (not this workload) the alternating large-star/small-star
-    * formulation halves rounds; propagation is kept for auditability.
+    * threshold compares the UNROUNDED Jaccard (same rule as
+    * minhashNearDup: 0.79996 must not round up into dup-hood). Each
+    * round localCheckpoints the label RDD — the iteration count is
+    * data-dependent, so lineage would otherwise grow per round
+    * (SURVEY.md §2.1 C4). Throws if maxIters is hit before the
+    * fixpoint: silently-truncated labels would split real components.
+    * For graphs with large diameters (not this workload) the
+    * alternating large-star/small-star formulation halves rounds;
+    * propagation is kept for auditability.
+    *
+    * NOTE: runs jobs at call time (the loop must observe convergence),
+    * unlike the lazy DataFrame builders elsewhere — same contract as
+    * trainCentroids. The returned DataFrame holds the final label set
+    * as one small materialized table (edge endpoints only); it is
+    * released by Spark's ContextCleaner when unreferenced.
     */
   def dedupClusters(df: DataFrame, textCol: String, idCol: String,
                     shingleN: Int = 3, threshold: Double = 0.8,
-                    maxIters: Int = 20): DataFrame = {
-    val pairs = ngramJaccardPairs(df, textCol, idCol, shingleN)
+                    maxIters: Int = 50): DataFrame = {
+    val pairs = ngramJaccardPairs(df, textCol, idCol, shingleN, roundJaccard = false)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"))
     // The fixpoint loop runs on RDDs, not DataFrames: each DataFrame
@@ -223,15 +236,24 @@ object DedupOps {
           if (nm < old) acc.add(1L)
           math.min(old, nm)
         }
-        .cache()
-      next.count() // materialize; fills acc
+      // truncate lineage (data-dependent round count would otherwise
+      // stack a join DAG per round); materialization also fills acc
+      next.localCheckpoint()
+      next.count()
       changed = acc.value
-      labels.unpersist(blocking = false)
+      labels.unpersist(blocking = false) // self-contained `next` replaces it
       labels = next
       it += 1
     }
-    val labelDf = labels.toDF("id", "label")
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"dedupClusters did not converge in $maxIters rounds " +
+          "(component min-node eccentricity exceeds maxIters); raise maxIters")
+    // final labels into a self-contained DataFrame, then free the loop
+    // RDDs — after the eager DF checkpoint nothing references them
+    val labelDf = labels.toDF("id", "label").localCheckpoint(true)
     byDst.unpersist(blocking = false)
+    labels.unpersist(blocking = false)
     df.select(col(idCol))
       .join(labelDf.select(col("id").as(idCol), col("label")), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("label"), col(idCol)).cast("long").as("cluster_id"))

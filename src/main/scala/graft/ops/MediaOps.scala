@@ -64,20 +64,26 @@ object MediaOps {
       .mapPartitions { it =>
         // real decoder/encoder init would go here (once per partition)
         it.map { r =>
-          val inPixels = math.max(1L, r.width.toLong * r.height.toLong)
-          val outPixels = targetW.toLong * targetH
-          // fake "resample": keep bytes proportional to the pixel ratio
-          // via stride sampling — deterministic, bounded output
-          val outLen = math.max(1, (r.media.length.toLong * outPixels / inPixels)
-            .min(r.media.length).toInt)
-          val stride = math.max(1, r.media.length / outLen)
-          val out = new Array[Byte](outLen)
-          var i = 0
-          while (i < outLen) {
-            out(i) = r.media(math.min(r.media.length - 1, i * stride))
-            i += 1
+          // empty/null media: emit an empty payload with the target
+          // metadata (indexing math below would read media(-1))
+          if (r.media == null || r.media.isEmpty)
+            MediaRecord(r.doc_id, Array.emptyByteArray, r.mime, targetW, targetH)
+          else {
+            val inPixels = math.max(1L, r.width.toLong * r.height.toLong)
+            val outPixels = targetW.toLong * targetH
+            // fake "resample": keep bytes proportional to the pixel ratio
+            // via stride sampling — deterministic, bounded output
+            val outLen = math.max(1, (r.media.length.toLong * outPixels / inPixels)
+              .min(r.media.length).toInt)
+            val stride = math.max(1, r.media.length / outLen)
+            val out = new Array[Byte](outLen)
+            var i = 0
+            while (i < outLen) {
+              out(i) = r.media(math.min(r.media.length - 1, i * stride))
+              i += 1
+            }
+            MediaRecord(r.doc_id, out, r.mime, targetW, targetH)
           }
-          MediaRecord(r.doc_id, out, r.mime, targetW, targetH)
         }
       }
     resized.toDF()

@@ -364,13 +364,20 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("DedupOps.dedupClusters groups transitively-linked near-dups") {
-    // A~B and B~C but A!~C directly: transitivity must still cluster
-    // all three under min id; unrelated doc stays its own cluster
+    // sliding windows over w1..w36: J(A,B) = J(B,C) = 25/31 ≈ 0.806
+    // (edges at 0.7) while J(A,C) = 22/34 ≈ 0.647 (NO direct edge) —
+    // only genuine transitive propagation can cluster A with C
     val a = (1 to 30).map(i => s"w$i").mkString(" ")
-    val b = ((1 to 29).map(i => s"w$i") :+ "x").mkString(" ")       // ~A
-    val c = ((1 to 28).map(i => s"w$i") ++ Seq("x", "y")).mkString(" ") // ~B, farther from A
+    val b = (4 to 33).map(i => s"w$i").mkString(" ")
+    val c = (7 to 36).map(i => s"w$i").mkString(" ")
     val other = (100 to 130).map(i => s"z$i").mkString(" ")
     val df = Seq((10L, a), (20L, b), (30L, c), (40L, other)).toDF("doc_id", "text")
+    // precondition: the A-C pair really is below threshold (guards the
+    // test's own premise against shingle-width drift)
+    val direct = DedupOps.ngramJaccardPairs(df, "text", "doc_id").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(direct((10L, 20L)) >= 0.7 && direct((20L, 30L)) >= 0.7)
+    assert(direct((10L, 30L)) < 0.7)
     val got = DedupOps.dedupClusters(df, "text", "doc_id", threshold = 0.7)
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
