@@ -13,10 +13,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // absorb one-time JVM/codegen/scan-setup cost so per-query numbers
-    // measure the queries, not classloading
+    // measure the queries, not classloading. dedup_minhash additionally
+    // compiles the shingle/text expression paths, which the
+    // alphabetically-first dedup query would otherwise pay for
     try {
       spark.range(1000).selectExpr("sum(id)").collect()
       SparkEntry.queries.get("q01_pricing_summary").foreach(_(spark, sfDir).count())
+      SparkEntry.queries.get("dedup_minhash").foreach(_(spark, sfDir).count())
     } catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
