@@ -256,6 +256,25 @@ object Queries {
       SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'
       ORDER BY custkey"""))
 
+  /** q54 — UNION with distinct semantics (§2.7 completes the set-op
+    * family next to q10's UNION ALL, q11 INTERSECT, q12 EXCEPT).
+    */
+  private val q54 = Q(
+    "q54_union_distinct",
+    (s, d) => {
+      import s.implicits._
+      val o = ord(s, d)
+      o.filter($"o_orderstatus" === "F").select($"o_custkey".as("custkey"))
+        .union(o.filter($"o_orderstatus" === "P").select($"o_custkey".as("custkey")))
+        .distinct()
+        .orderBy($"custkey")
+    },
+    Some("""
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+      UNION
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'
+      ORDER BY custkey"""))
+
   /** q13 — rollup (§2.5 superset): subtotals per region/nation. */
   private val q13 = Q(
     "q13_rollup",
@@ -1523,7 +1542,7 @@ object Queries {
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
-    q52, q53,
+    q52, q53, q54,
     d01, d02, d03, d04, d05, d06,
     t01, t02, t03, t04, a01, a02, a03, m01, m02, m03, mr1)
 

@@ -133,6 +133,17 @@ object StreamingOps {
       .toDF()
   }
 
+  /** Streaming exact-dedup: drop repeated event_ids across
+    * micro-batches. With the watermark, Spark keeps only ids newer
+    * than the watermark in the state store — dedup state is bounded by
+    * the lateness window, not the stream length (the streaming twin of
+    * DedupOps.exactDedup's hash-aggregate).
+    */
+  def streamingDedup(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicates("event_id")
+
   /** Stream-stream interval join: each click joined to the same user's
     * purchases within `intervalHours` AFTER the click. Watermarks on
     * BOTH sides bound the join state: a buffered click can be evicted

@@ -89,6 +89,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup emits each duplicated event exactly once") {
+    import org.apache.spark.sql.functions._
+    // the same file delivered twice = every event is a duplicate
+    val dir = java.nio.file.Files.createTempDirectory("events_dup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/events.parquet"), dir.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/events.parquet"), dir.resolve("b.parquet"))
+    val schema = spark.read.parquet(s"$d/events.parquet").schema
+    val stream = StreamingOps.eventsStream(spark, dir.toString, schema)
+    val deduped = StreamingOps.streamingDedup(stream)
+      .select(col("event_id"))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("sdedup").start()
+    try {
+      q.processAllAvailable()
+      val n = spark.sql("SELECT count(*), count(DISTINCT event_id) FROM sdedup").collect()(0)
+      val expected = graft.io.Tables.events(spark, d).count()
+      assert(n.getLong(0) == expected, s"emitted ${n.getLong(0)} rows, expected $expected")
+      assert(n.getLong(1) == expected)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("events_ssj")
