@@ -237,7 +237,12 @@ object DedupOps {
           math.min(old, nm)
         }
       // truncate lineage (data-dependent round count would otherwise
-      // stack a join DAG per round); materialization also fills acc
+      // stack a join DAG per round); materialization also fills acc.
+      // localCheckpoint trades fault tolerance for speed: a lost
+      // executor during the loop fails the call (no lineage to
+      // recompute) — acceptable for a seconds-long loop over the tiny
+      // endpoint subgraph; a cluster needing mid-loop HA should use
+      // reliable checkpoint() with a checkpoint dir instead
       next.localCheckpoint()
       next.count()
       changed = acc.value

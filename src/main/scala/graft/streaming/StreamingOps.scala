@@ -134,15 +134,17 @@ object StreamingOps {
   }
 
   /** Streaming exact-dedup: drop repeated event_ids across
-    * micro-batches. With the watermark, Spark keeps only ids newer
-    * than the watermark in the state store — dedup state is bounded by
-    * the lateness window, not the stream length (the streaming twin of
-    * DedupOps.exactDedup's hash-aggregate).
+    * micro-batches. `dropDuplicatesWithinWatermark` (NOT plain
+    * dropDuplicates: with keys that exclude the event-time column,
+    * StreamingDeduplicateExec never builds an eviction predicate and
+    * state grows with the stream) evicts each id once the watermark
+    * passes its event time — state bounded by the lateness window, the
+    * streaming twin of DedupOps.exactDedup's hash-aggregate.
     */
   def streamingDedup(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Stream-stream interval join: each click joined to the same user's
     * purchases within `intervalHours` AFTER the click. Watermarks on

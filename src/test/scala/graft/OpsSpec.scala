@@ -373,8 +373,10 @@ class OpsSpec extends AnyFunSuite {
     val other = (100 to 130).map(i => s"z$i").mkString(" ")
     val df = Seq((10L, a), (20L, b), (30L, c), (40L, other)).toDF("doc_id", "text")
     // precondition: the A-C pair really is below threshold (guards the
-    // test's own premise against shingle-width drift)
-    val direct = DedupOps.ngramJaccardPairs(df, "text", "doc_id").collect()
+    // test's own premise against shingle-width drift) — UNROUNDED,
+    // the same value dedupClusters thresholds on
+    val direct = DedupOps.ngramJaccardPairs(df, "text", "doc_id", roundJaccard = false)
+      .collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
     assert(direct((10L, 20L)) >= 0.7 && direct((20L, 30L)) >= 0.7)
     assert(direct((10L, 30L)) < 0.7)
@@ -400,6 +402,22 @@ class OpsSpec extends AnyFunSuite {
     val again = MediaOps.resizeMedia(spark, media, 64, 64).collect()
     assert(resized.map(_.getAs[Array[Byte]]("media").toSeq).toSeq ==
       again.map(_.getAs[Array[Byte]]("media").toSeq).toSeq)
+  }
+
+  test("MediaOps.resizeMedia handles empty media (regression: media(-1) crash)") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("media", BinaryType),
+      StructField("mime", StringType), StructField("width", IntegerType),
+      StructField("height", IntegerType)))
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, Array.emptyByteArray, "application/fake", 100, 100),
+      org.apache.spark.sql.Row(2L, "abc".getBytes("UTF-8"), "application/fake", 100, 100))
+    val media = spark.createDataFrame(rows, schema)
+    val out = MediaOps.resizeMedia(spark, media, 64, 64).orderBy("doc_id").collect()
+    assert(out(0).getAs[Array[Byte]]("media").isEmpty)  // empty in -> empty out
+    assert(out(0).getAs[Int]("width") == 64)
+    assert(out(1).getAs[Array[Byte]]("media").nonEmpty)
   }
 
   test("MediaOps feature extraction is deterministic and sized right") {
