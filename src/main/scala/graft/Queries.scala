@@ -545,7 +545,9 @@ object Queries {
   /** dedup_embedding — embedding-cosine near-dup over the whole corpus:
     * each vector's best in-bucket neighbor (sign-LSH, k=1), flagged
     * when cosine clears the near-dup threshold. The all-vs-all version
-    * of the ANN machinery — still bucket-joined, never a cross product.
+    * of the ANN machinery — bucket-joined via a co-partitioned shuffle
+    * (never broadcast: the query side IS the corpus), never a cross
+    * product. Deterministic hash family → full DuckDB mirror oracle.
     */
   private val d05 = Q(
     "dedup_embedding",
@@ -563,7 +565,24 @@ object Queries {
           coalesce($"sim" >= 0.95, lit(false)).as("is_dup"))
         .orderBy($"vec_id")
     },
-    None)
+    Some(s"""
+      WITH b AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb,
+          ${lshBucketSql("embedding::DOUBLE[]", 64)} AS bucket
+        FROM embeddings),
+      top1 AS (
+        SELECT qid, nid, sim FROM (
+          SELECT q.vec_id AS qid, c.vec_id AS nid,
+                 round(list_cosine_similarity(q.emb, c.emb), 4) AS sim,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.emb, c.emb) DESC, c.vec_id) AS rnk
+          FROM b q JOIN b c USING (bucket)
+          WHERE c.vec_id <> q.vec_id) t
+        WHERE rnk = 1)
+      SELECT e.vec_id, t.nid AS nn_id, t.sim,
+             coalesce(t.sim >= 0.95, false) AS is_dup
+      FROM embeddings e LEFT JOIN top1 t ON e.vec_id = t.qid
+      ORDER BY e.vec_id"""))
 
   /** dedup_clusters — transitive closure over near-dup pairs (the step
     * after pair generation in production dedup): min-label propagation
@@ -677,6 +696,18 @@ object Queries {
 
   // ---------------------------------------------------------- similarity
 
+  /** DuckDB mirror of SimOps' sign-LSH bucket: the SAME seeded plane
+    * matrix inlined as literals (Double.toString round-trips exactly),
+    * bit p set when dot(emb, plane_p) >= 0. Both engines run the dot as
+    * a sequential double fold, so the sketch — and therefore the whole
+    * approximate result — is reproducible enough to hash-compare, not
+    * just recall-check.
+    */
+  private def lshBucketSql(embExpr: String, dim: Int): String =
+    SimOps.planesFor(dim).zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product($embExpr, [${p.mkString(", ")}]::DOUBLE[]) >= 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString("\n          + ")
+
   /** ann_cosine_topk — exact brute-force cosine top-5 for 10 query
     * vectors; double-precision on both sides for oracle parity.
     */
@@ -699,8 +730,10 @@ object Queries {
         WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id) t
       WHERE rnk <= 5 ORDER BY qid, rnk"""))
 
-  /** ann_lsh_topk — sign-LSH bucketed variant (the 100 TB scale path);
-    * approximate → rows-only.
+  /** ann_lsh_topk — sign-LSH bucketed variant (the 100 TB scale path).
+    * The hash family is fixed-seed deterministic, so the oracle is a
+    * full DuckDB mirror (same planes, same bucketing, same re-rank) —
+    * hash-compared, not merely recall-checked.
     */
   private val a02 = Q(
     "ann_lsh_topk",
@@ -710,10 +743,26 @@ object Queries {
       SimOps.lshTopK(e.filter($"vec_id" < 10), e, "vec_id", "embedding", 5)
         .orderBy($"qid", $"rnk")
     },
-    None)
+    Some(s"""
+      WITH b AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb,
+          ${lshBucketSql("embedding::DOUBLE[]", 64)} AS bucket
+        FROM embeddings)
+      SELECT qid, nid, sim, rnk FROM (
+        SELECT q.vec_id AS qid, c.vec_id AS nid,
+               round(list_cosine_similarity(q.emb, c.emb), 4) AS sim,
+               CAST(row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.emb, c.emb) DESC, c.vec_id) AS INTEGER) AS rnk
+        FROM b q JOIN b c USING (bucket)
+        WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id) t
+      WHERE rnk <= 5 ORDER BY qid, rnk"""))
 
-  /** ann_ivf_topk — IVF-flat probe variant (deterministic codebook);
-    * approximate → rows-only.
+  /** ann_ivf_topk — IVF-flat probe variant. The codebook is
+    * deterministic (the 16 lowest-id corpus vectors) and assignment /
+    * probing are pure double arithmetic, so the oracle mirrors the
+    * whole index: build codebook, assign argmax cell (ties to the
+    * higher cell, like CellArgmax), probe the 2 best cells, exact
+    * re-rank inside them.
     */
   private val a03 = Q(
     "ann_ivf_topk",
@@ -723,7 +772,34 @@ object Queries {
       SimOps.ivfTopK(e.filter($"vec_id" < 10), e, "vec_id", "embedding", 5)
         .orderBy($"qid", $"rnk")
     },
-    None)
+    Some("""
+      WITH cb AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+               embedding::DOUBLE[] AS cvec,
+               1.0 / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cinv
+        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16) s),
+      scored AS (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS emb, cb.cell,
+               list_dot_product(e.embedding::DOUBLE[], cb.cvec) * cb.cinv AS score
+        FROM embeddings e CROSS JOIN cb),
+      assign AS (
+        SELECT vec_id AS nid, emb AS c_emb, cell FROM (
+          SELECT vec_id, emb, cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS r
+          FROM scored) t WHERE r = 1),
+      probe AS (
+        SELECT vec_id AS qid, emb AS q_emb, cell FROM (
+          SELECT vec_id, emb, cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS r
+          FROM scored WHERE vec_id < 10) t WHERE r <= 2)
+      SELECT qid, nid, sim, rnk FROM (
+        SELECT q.qid, c.nid,
+               round(list_cosine_similarity(q.q_emb, c.c_emb), 4) AS sim,
+               CAST(row_number() OVER (PARTITION BY q.qid
+                 ORDER BY list_cosine_similarity(q.q_emb, c.c_emb) DESC, c.nid) AS INTEGER) AS rnk
+        FROM probe q JOIN assign c USING (cell)
+        WHERE q.qid <> c.nid) t
+      WHERE rnk <= 5 ORDER BY qid, rnk"""))
 
   // ---------------------------------------------------------- multimodal
 

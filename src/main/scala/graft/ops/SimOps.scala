@@ -74,6 +74,34 @@ object SimOps {
     Array.fill(NumPlanes)(Array.fill(dim)(r.nextGaussian()))
   }
 
+  /** The fixed plane matrix, exposed so the DuckDB oracle can inline
+    * the exact same literals and mirror the sketch bit-for-bit (the
+    * family is seeded, so oracle and engine share one definition).
+    */
+  def planesFor(dim: Int): Array[Array[Double]] = planes(dim)
+
+  /** True when the query side IS the corpus (same logical plan) — the
+    * all-vs-all near-dup shape, where the query side must never be
+    * broadcast.
+    */
+  private def isSelfJoin(a: DataFrame, b: DataFrame): Boolean =
+    (a eq b) || a.queryExecution.analyzed.sameResult(b.queryExecution.analyzed)
+
+  /** Candidate join for the bucketed ANN paths. The query side is
+    * broadcast ONLY when it is genuinely a query set (the `ann_*` case:
+    * a handful of probe vectors). When the queries ARE the corpus
+    * (dedup_embedding's corpus-wide near-dup), a broadcast would ship
+    * the entire corpus to every executor — a guaranteed OOM at 100 TB —
+    * so the self-join case plans a co-partitioned shuffle join on the
+    * bucket/cell key instead. The merge hint pins that choice: both
+    * sides are corpus-sized, so a broadcast can never win regardless of
+    * what the size estimator concludes at small SF.
+    */
+  private def candidateJoin(c: DataFrame, q: DataFrame, key: String,
+                            selfJoin: Boolean): DataFrame =
+    if (selfJoin) c.hint("merge").join(q.hint("merge"), Seq(key))
+    else c.join(broadcast(q), Seq(key))
+
   /** Sign-sketch bucket code: bit p = (v · plane_p >= 0). One narrow
     * projection per row — the bucketing "index build" is a single scan.
     * Native SignSketch expression: the literal-array formulation (8
@@ -149,6 +177,7 @@ object SimOps {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               embCol: String, k: Int, numCells: Int = 16, nprobe: Int = 2,
               codebook: Option[Array[Array[Double]]] = None): DataFrame = {
+    val self = isSelfJoin(queries, corpus)
     val centroids = codebook.getOrElse(defaultCodebook(corpus, idCol, embCol, numCells))
     val c = corpus.select(col(idCol).as("nid"), col(embCol).as("c_emb"))
       .withColumn("cell", cellArgmax(col("c_emb"), centroids))
@@ -158,7 +187,7 @@ object SimOps {
       .withColumn("cell", explode(
         graft.functions.IvfFunctions.cell_top_cells(col("q_emb"), centroids, nprobe)))
       .withColumn("q_norm", l2Norm(col("q_emb")))
-    val scored = c.join(broadcast(q), Seq("cell"))
+    val scored = candidateJoin(c, q, "cell", self)
       .filter(col("qid") =!= col("nid"))
       .withColumn("sim", dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
@@ -183,6 +212,7 @@ object SimOps {
     // dim <= 0 → derive from the data (one 1-row job): the hyperplane
     // arrays must match the embedding dimensionality or every sketch
     // evaluation throws a dimension mismatch at runtime
+    val self = isSelfJoin(queries, corpus)
     val d = if (dim > 0) dim else detectDim(Seq(corpus, queries), embCol)
     // base sketch materialized in its own column FIRST: embedding the
     // full lshBucket tree in each of the 9 probe array slots would
@@ -200,7 +230,7 @@ object SimOps {
     val c = corpus.select(col(idCol).as("nid"), col(embCol).as("c_emb"))
       .withColumn("bucket", lshBucket(col("c_emb"), d))
       .withColumn("c_norm", l2Norm(col("c_emb")))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+    val scored = candidateJoin(c, q, "bucket", self)
       .filter(col("qid") =!= col("nid"))
       .withColumn("sim", dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)

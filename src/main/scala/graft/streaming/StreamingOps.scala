@@ -28,23 +28,44 @@ object StreamingOps {
   }
 
   /** Custom per-key streaming state (§2.9: `mapGroupsWithState`):
-    * running per-user event count + last-seen epoch second. The state
-    * store holds one small record per user; with a timeout configured
-    * it is evicted on inactivity — bounded state at any scale.
+    * running per-user event count + last-seen epoch second. State is
+    * BOUNDED: a user idle past `idleTimeoutSec` of event time is
+    * evicted once the watermark passes (emitting a final snapshot), so
+    * the store holds one record per RECENTLY-ACTIVE user, not per
+    * ever-seen user. A user who returns after eviction restarts from
+    * zero — the documented trade of any idle-eviction counter.
     */
-  def statefulUserCounts(spark: SparkSession, events: DataFrame) = {
+  def statefulUserCounts(spark: SparkSession, events: DataFrame,
+                         idleTimeoutSec: Long = 86400,
+                         watermark: String = "1 hour") = {
     import spark.implicits._
-    import org.apache.spark.sql.streaming.GroupStateTimeout
-    events.select(col("user_id").as[Long], col("ts").cast("long").as[Long])
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    events.select(col("user_id"), col("ts"))
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
-        (user: Long, rows: Iterator[(Long, Long)],
-         state: org.apache.spark.sql.streaming.GroupState[(Long, Long)]) =>
-          val (prevN, prevLast) = state.getOption.getOrElse((0L, 0L))
-          var n = prevN; var last = prevLast
-          rows.foreach { case (_, ts) => n += 1; if (ts > last) last = ts }
-          state.update((n, last))
-          (user, n, last)
+      .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) {
+            // idle past the horizon: final snapshot, then evict
+            val (n, last) = state.get
+            state.remove()
+            (user, n, last)
+          } else {
+            val (prevN, prevLast) = state.getOption.getOrElse((0L, 0L))
+            var n = prevN; var last = prevLast
+            rows.foreach { case (_, t) =>
+              n += 1; val sec = t.getTime / 1000; if (sec > last) last = sec }
+            state.update((n, last))
+            // same clamp as statefulSessions: a pure-late batch can put
+            // last+timeout behind the watermark, which
+            // setTimeoutTimestamp rejects
+            state.setTimeoutTimestamp(math.max(
+              last * 1000L + idleTimeoutSec * 1000L,
+              state.getCurrentWatermarkMs() + 1L))
+            (user, n, last)
+          }
       }
       .toDF("user_id", "n_events", "last_seen")
   }

@@ -429,4 +429,26 @@ class OpsSpec extends AnyFunSuite {
       assert(f.frame_checksums.length == (f.n_frames + 3) / 4)
     }
   }
+
+  test("lshTopK/ivfTopK never broadcast a corpus-sized query side (self-join)") {
+    // dedup_embedding passes the corpus as its own query set: at 100 TB
+    // a broadcast of that side is a guaranteed OOM, so the self-join
+    // path must plan a co-partitioned shuffle join on the bucket/cell
+    // key. Small external query sets must still broadcast.
+    val e = graft.io.Tables.embeddings(spark, TestSpark.Sf0001)
+    val selfLsh = SimOps.lshTopK(e, e, "vec_id", "embedding", 1)
+    val planLsh = selfLsh.queryExecution.executedPlan.toString
+    assert(!planLsh.contains("BroadcastExchange"), "self-join LSH must not broadcast")
+    assert(planLsh.contains("SortMergeJoin"))
+    val selfIvf = SimOps.ivfTopK(e, e, "vec_id", "embedding", 1)
+    val planIvf = selfIvf.queryExecution.executedPlan.toString
+    assert(!planIvf.contains("BroadcastExchange"), "self-join IVF must not broadcast")
+    // same-plan-different-object still counts as a self-join
+    val e2 = graft.io.Tables.embeddings(spark, TestSpark.Sf0001)
+    val selfByPlan = SimOps.lshTopK(e2, e, "vec_id", "embedding", 1)
+    assert(!selfByPlan.queryExecution.executedPlan.toString.contains("BroadcastExchange"))
+    // a genuinely small query set keeps the broadcast
+    val ann = SimOps.lshTopK(e.filter(col("vec_id") < 5), e, "vec_id", "embedding", 3)
+    assert(ann.queryExecution.executedPlan.toString.contains("BroadcastExchange"))
+  }
 }

@@ -183,6 +183,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("statefulUserCounts evicts idle users once the watermark passes the timeout") {
+    import spark.implicits._
+    // three single-file micro-batches (mtime-ordered): user 1 active,
+    // then user 2 far ahead (advances the watermark past user 1's idle
+    // horizon -> eviction), then user 1 returns
+    val dir = java.nio.file.Files.createTempDirectory("events_evict").toString
+    val base = 1700000000L
+    def write(rows: (Long, Long)*): Unit = {
+      rows.toSeq.toDF("user_id", "sec")
+        .select($"user_id", $"sec".cast("timestamp").as("ts"))
+        .coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(1100) // distinct mtimes: FileStreamSource orders by them
+    }
+    write((1L, base), (1L, base + 60))
+    write((2L, base + 3 * 3600))
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val counts = StreamingOps.statefulUserCounts(
+      spark, stream, idleTimeoutSec = 3600, watermark = "10 minutes")
+    val q = counts.writeStream.outputMode("update")
+      .format("memory").queryName("evict_counts").start()
+    try {
+      // drain files 1-2: user 2's event advances the watermark past
+      // user 1's idle horizon, and the trailing no-data batch fires the
+      // event-time timeout (snapshot + evict) BEFORE user 1 returns
+      q.processAllAvailable()
+      write((1L, base + 4 * 3600))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, n_events FROM evict_counts").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.contains((1L, 2L)), "running count before eviction")
+      // the count restarts at 1 after the return — proof the state
+      // record was REMOVED at timeout, not retained forever
+      assert(rows.contains((1L, 1L)), s"expected fresh post-eviction count in ${rows.toSeq}")
+      assert(!rows.exists { case (u, n) => u == 1L && n == 3L },
+        "state survived the idle timeout")
+    } finally q.stop()
+  }
+
   test("stateful mapGroupsWithState tracks per-user counts") {
     val dir = java.nio.file.Files.createTempDirectory("events_state")
     java.nio.file.Files.copy(
@@ -197,9 +237,14 @@ class StreamingSpec extends AnyFunSuite {
       .start()
     try {
       q.processAllAvailable()
-      val total = spark.sql("SELECT sum(n_events) FROM stateful_counts").collect()(0).getLong(0)
+      // update mode can emit a user twice (running count + eviction
+      // snapshot, same value) — compare per-user maxima, not raw rows
+      val total = spark.sql(
+        """SELECT sum(m) FROM (SELECT user_id, max(n_events) AS m
+           FROM stateful_counts GROUP BY user_id)""").collect()(0).getLong(0)
       assert(total == graft.io.Tables.events(spark, d).count())
-      val perUser = spark.sql("SELECT count(*) FROM stateful_counts").collect()(0).getLong(0)
+      val perUser = spark.sql("SELECT count(DISTINCT user_id) FROM stateful_counts")
+        .collect()(0).getLong(0)
       val users = graft.io.Tables.events(spark, d)
         .select(org.apache.spark.sql.functions.countDistinct("user_id"))
         .collect()(0).getLong(0)
