@@ -21,15 +21,27 @@ object Bench {
       spark.range(1000).selectExpr("sum(id)").collect()
       SparkEntry.queries.get("q01_pricing_summary").foreach(_(spark, sfDir).count())
     } catch { case _: Throwable => }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // cold = fresh plan (includes per-plan codegen compile, the number
+    // comparable to BASELINE.md); warm = second run of the same query
+    // (plan/codegen caches hot — what a resident cluster would see, and
+    // the stable basis for round-over-round comparisons: cold deltas of
+    // ±0.3s are usually compile jitter, not plan changes)
+    def time(fn: => Unit): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      try fn catch { case _: Throwable => }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val cold = time(fn(spark, sfDir).count())
+      val warm = time(fn(spark, sfDir).count())
+      (name, cold, warm)
+    }
+    def json(sel: ((String, Double, Double)) => (String, Double)): String =
+      results.map(sel).map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val totalWarm = results.map(_._3).sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(r => (r._1, r._2))},"total_warm":$totalWarm,"queries_warm":${json(r => (r._1, r._3))},"sf":"$sfDir"}"""
     println(line)
     // belt-and-suspenders: the same line as a file, in case a harness
     // parses logs that interleave or prefix stdout

@@ -1293,6 +1293,18 @@ object Queries {
             FROM embeddings) t
       GROUP BY label, pos ORDER BY label, pos"""))
 
+  /** Cluster-valid scratch dir: rooted at the session's warehouse dir
+    * (a shared filesystem on a real cluster — a relative local path
+    * would resolve per-node and break any read-back), keyed by PID so
+    * concurrent processes don't race (overwrite-while-read), while
+    * staying self-overwriting within one process so bench loops don't
+    * accumulate dirs without bound.
+    */
+  private def tmpDir(s: SparkSession, name: String): String = {
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+    s"$wh/graft_tmp/${name}_${ProcessHandle.current().pid()}"
+  }
+
   /** q45 — CSV sink + source round-trip (S1/S5 text formats for real):
     * nation written to CSV with header, read back with an explicit
     * schema, joined and aggregated — proves the text codec path is
@@ -1303,11 +1315,7 @@ object Queries {
     (s, d) => {
       import s.implicits._
       val n = nat(s, d)
-      // per-JVM dir: a fixed shared path raced concurrent processes
-      // (overwrite-while-read), while a fresh random dir per
-      // construction accumulated without bound across bench runs.
-      // PID-keyed = unique per process, self-overwriting within one.
-      val tmp = s"target/tmp/q45_csv_${ProcessHandle.current().pid()}"
+      val tmp = tmpDir(s, "q45_csv")
       n.write.mode("overwrite").option("header", "true").csv(tmp)
       s.read.option("header", "true").schema(n.schema).csv(tmp)
         .join(broadcast(reg(s, d)), $"n_regionkey" === $"r_regionkey")
@@ -1613,6 +1621,70 @@ object Queries {
       FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
       GROUP BY word ORDER BY word"""))
 
+  // ------------------------------------------------------ streaming (graded)
+
+  /** streaming_sessions_parity — the custom streaming sessionizer
+    * (flatMapGroupsWithState, §2.9) run over the SAME events as
+    * q16_session_window via a bounded file stream, graded against q16's
+    * gaps-and-islands oracle. Sessions only EMIT when closed, so a
+    * naive one-shot run would lose each user's trailing session; a
+    * per-user sentinel event far past the last real event is unioned in
+    * as a second file source — every real session closes inside the
+    * data batch, while the sentinel sessions themselves stay open and
+    * are never emitted. The watermark is pushed beyond the data's span
+    * so cross-file disorder can't late-drop rows: this parity harness
+    * wants exact equality; production keeps the real watermark for
+    * bounded state (see StreamingSpec for those semantics).
+    */
+  private val st01 = Q(
+    "streaming_sessions_parity",
+    (s, d) => {
+      import s.implicits._
+      import graft.streaming.StreamingOps
+      val batch = ev(s, d).select($"user_id", $"ts")
+      val maxSec = batch.agg(max($"ts").cast("long")).head.getLong(0)
+      // stage events + sentinels into one scratch dir (FileStreamSource
+      // needs a directory; events.parquet is a single file)
+      val stageDir = tmpDir(s, "stream_events")
+      batch.unionByName(
+          batch.select($"user_id").distinct()
+            .withColumn("ts", lit(maxSec + 7 * 24 * 3600).cast("timestamp")))
+        .write.mode("overwrite").parquet(stageDir)
+      val src = StreamingOps.eventsStream(s, stageDir, s.read.parquet(stageDir).schema)
+      val sessions = StreamingOps.statefulSessions(
+        s, src, gapSec = 1800, watermark = "3650 days")
+      val sink = s"stream_sessions_${System.nanoTime()}"
+      val q = sessions.writeStream
+        .format("memory").queryName(sink).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink)
+        // defense in depth: sentinel sessions never close, hence never
+        // emit — but a future sentinel tweak must not leak rows
+        .filter($"session_start" <= maxSec)
+        .select($"user_id", $"session_start", $"n_events")
+        .orderBy($"user_id", $"session_start", $"n_events")
+    },
+    Some("""
+      WITH x AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events),
+      y AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM x)
+      SELECT user_id,
+             CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+             count(*) AS n_events
+      FROM y GROUP BY user_id, sid
+      ORDER BY user_id, session_start, n_events"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
@@ -1620,7 +1692,7 @@ object Queries {
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54,
     d01, d02, d03, d04, d05, d06,
-    t01, t02, t03, t04, a01, a02, a03, m01, m02, m03, mr1)
+    t01, t02, t03, t04, a01, a02, a03, m01, m02, m03, mr1, st01)
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -36,11 +36,15 @@ object FsOps {
 
   /** Sink with dumbo's `-overwrite` and `-delinputs` semantics: write
     * parquet (overwrite mode = rm-output-first), then optionally delete
-    * the inputs only after a successful write.
+    * the inputs only after a successful write. `compression` is the
+    * `-compressoutput` surface (S5): any codec Spark's parquet sink
+    * accepts — snappy (default), zstd, gzip, lz4, none.
     */
   def writeParquet(spark: SparkSession, df: DataFrame, out: String,
-                   overwrite: Boolean = true, delInputs: Seq[String] = Nil): Unit = {
-    df.write.mode(if (overwrite) "overwrite" else "errorifexists").parquet(out)
+                   overwrite: Boolean = true, delInputs: Seq[String] = Nil,
+                   compression: Option[String] = None): Unit = {
+    val w = df.write.mode(if (overwrite) "overwrite" else "errorifexists")
+    compression.fold(w)(c => w.option("compression", c)).parquet(out)
     delInputs.foreach(rm(spark, _))
   }
 }

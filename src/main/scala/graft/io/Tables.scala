@@ -54,4 +54,29 @@ object Tables {
     */
   def multiInput(spark: SparkSession, paths: Seq[String]): DataFrame =
     paths.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+
+  /** SequenceFile source (SURVEY.md §2.2 S2): dumbo's default binary
+    * input — Text key/value pairs read via the Hadoop API into a
+    * (key, value) string DataFrame. Parquet remains the engine's
+    * primary layout (columnar, pruned, pushed-down); this shim exists
+    * for literal source parity when ingesting legacy Hadoop output.
+    * Splittable like any SequenceFile read, so it parallelizes across
+    * blocks at scale.
+    */
+  def sequenceFile(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext
+      .sequenceFile(path,
+        classOf[org.apache.hadoop.io.Text], classOf[org.apache.hadoop.io.Text])
+      // materialize immediately: Hadoop RecordReaders REUSE Writable
+      // instances across records
+      .map { case (k, v) => (k.toString, v.toString) }
+      .toDF("key", "value")
+  }
+
+  /** SequenceFile sink (Text/Text), the round-trip twin of
+    * [[sequenceFile]]. Expects a 2-string-column DataFrame.
+    */
+  def writeSequenceFile(df: DataFrame, path: String): Unit =
+    df.rdd.map(r => (r.getString(0), r.getString(1))).saveAsSequenceFile(path)
 }

@@ -38,6 +38,28 @@ class IoFunctionsSpec extends AnyFunSuite {
     assert(!FsOps.exists(spark, tmp))
   }
 
+  test("Tables.sequenceFile round-trips Text/Text pairs (S2 source parity)") {
+    val dir = java.nio.file.Files.createTempDirectory("seqfile").toString + "/data"
+    val in = Seq(("k1", "v1"), ("k2", "v2"), ("k3", "with spaces\tand tabs"))
+      .toDF("key", "value")
+    graft.io.Tables.writeSequenceFile(in, dir)
+    val back = graft.io.Tables.sequenceFile(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(back == Set(("k1", "v1"), ("k2", "v2"), ("k3", "with spaces\tand tabs")))
+  }
+
+  test("writeParquet passes the compression codec through (S5 -compressoutput)") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    for (codec <- Seq("zstd", "snappy")) {
+      val out = java.nio.file.Files.createTempDirectory(s"pq_$codec").toString + "/out"
+      FsOps.writeParquet(spark, df, out, compression = Some(codec))
+      val parts = FsOps.ls(spark, out).filter(_.endsWith(".parquet"))
+      assert(parts.nonEmpty && parts.forall(_.contains(s".$codec.")),
+        s"expected .$codec. part files, got $parts")
+      assert(spark.read.parquet(out).count() == 2)
+    }
+  }
+
   test("TopKAggregator: bounded heap == full sort take k") {
     val vals = (1 to 500).map(i => ((i * 37) % 13, ((i * 97) % 101).toDouble))
     val ds = vals.toDF("k", "v")

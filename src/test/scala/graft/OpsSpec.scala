@@ -430,6 +430,27 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("MapRedTest drivers run mapper/reducer closures without a SparkSession") {
+    // the user-facing mapredtest surface (SURVEY.md §5.1): the same
+    // closures drop into MapRed.mapRecords/reduceRecords unchanged
+    val mapper = (_: Long, text: String) => text.split(' ').iterator.map(w => (w, 1L))
+    val reducer = (w: String, ns: Iterator[Long]) => Iterator.single((w, ns.sum))
+    val in = Seq((1L, "a b a"), (2L, "b a"))
+    assert(MapRedTest.MapDriver(mapper).run(in) ==
+      Seq(("a", 1L), ("b", 1L), ("a", 1L), ("b", 1L), ("a", 1L)))
+    assert(MapRedTest.ReduceDriver[String, Long, String, Long](reducer).run(
+      Seq(("a", 2L), ("b", 1L), ("a", 1L))) == Seq(("a", 3L), ("b", 1L)))
+    // secondary-sort contract: values arrive sorted when requested
+    val firstVal = (k: String, vs: Iterator[Long]) => Iterator.single((k, vs.next()))
+    assert(MapRedTest.ReduceDriver[String, Long, String, Long](firstVal, Some(Ordering.Long))
+      .run(Seq(("a", 9L), ("a", 3L), ("a", 7L))) == Seq(("a", 3L)))
+    val full = MapRedTest.MapReduceDriver(mapper, reducer)
+    val withComb = MapRedTest.MapReduceDriver(mapper, reducer, Some((a: Long, b: Long) => a + b))
+    val expected = Seq(("a", 3L), ("b", 2L))
+    assert(full.run(in) == expected)
+    assert(withComb.run(in) == expected) // combiner law: same answer
+  }
+
   test("lshTopK/ivfTopK never broadcast a corpus-sized query side (self-join)") {
     // dedup_embedding passes the corpus as its own query set: at 100 TB
     // a broadcast of that side is a guaranteed OOM, so the self-join
