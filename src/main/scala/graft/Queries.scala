@@ -820,7 +820,13 @@ object Queries {
       FROM documents ORDER BY doc_id"""))
 
   /** media_features — stubbed decode + frame sampling via
-    * mapPartitions (per-partition decoder init); rows-only.
+    * mapPartitions (per-partition decoder init). The stub's arithmetic
+    * (byte sum / mean / 64-byte framing over the UTF-8 payload) is
+    * deterministic, and the testdata documents are pure ASCII (checked:
+    * octet_length == length at every SF), so DuckDB can mirror it with
+    * per-char `ord` — the oracle proves every row flows through the
+    * mapPartitions batch path with intact arithmetic, which is exactly
+    * the plumbing the stub exists to exercise.
     */
   private val m02 = Q(
     "media_features",
@@ -829,7 +835,19 @@ object Queries {
       .select(col("doc_id"), col("byte_len"), round(col("mean_byte"), 4).as("mean_byte"),
         col("checksum"), col("n_frames"))
       .orderBy(col("doc_id")),
-    None)
+    Some("""
+      WITH b AS (
+        SELECT doc_id,
+               CAST(length(text) AS INTEGER) AS byte_len,
+               CAST(coalesce(list_sum(list_transform(range(1, length(text) + 1),
+                    i -> ord(text[i:i]))), 0) AS BIGINT) AS bsum
+        FROM documents)
+      SELECT doc_id, byte_len,
+             round(CASE WHEN byte_len = 0 THEN 0.0
+                        ELSE bsum::DOUBLE / byte_len END, 4) AS mean_byte,
+             bsum AS checksum,
+             CAST(byte_len // 64 AS INTEGER) AS n_frames
+      FROM b ORDER BY doc_id"""))
 
   /** media_resize — stubbed resize/re-encode stage (§2.11 multimodal):
     * binary in → smaller binary out with rewritten typed metadata, via
@@ -1685,6 +1703,38 @@ object Queries {
       FROM y GROUP BY user_id, sid
       ORDER BY user_id, session_start, n_events"""))
 
+  /** streaming_dedup_parity — the watermark-bounded streaming dedup
+    * (`dropDuplicatesWithinWatermark`) graded end-to-end: the event
+    * corpus is delivered TWICE through a file stream (every event a
+    * duplicate), and the emitted set must equal the original table —
+    * DuckDB's plain scan is the oracle. Exercises the state-store path
+    * that plain unit counts only sample.
+    */
+  private val st02 = Q(
+    "streaming_dedup_parity",
+    (s, d) => {
+      import s.implicits._
+      import graft.streaming.StreamingOps
+      val batch = ev(s, d).select($"event_id", $"user_id", $"ts")
+      val stageDir = tmpDir(s, "stream_dedup_events")
+      batch.write.mode("overwrite").parquet(stageDir)
+      batch.write.mode("append").parquet(stageDir)
+      val src = StreamingOps.eventsStream(s, stageDir, s.read.parquet(stageDir).schema)
+      val deduped = StreamingOps.streamingDedup(src, watermark = "3650 days")
+      val sink = s"stream_dedup_${System.nanoTime()}"
+      val q = deduped.writeStream
+        .format("memory").queryName(sink).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink)
+        .select($"event_id", $"user_id", $"ts".cast("long").as("ts_s"))
+        .orderBy($"event_id")
+    },
+    Some("""
+      SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+      FROM events ORDER BY event_id"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
@@ -1692,7 +1742,7 @@ object Queries {
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54,
     d01, d02, d03, d04, d05, d06,
-    t01, t02, t03, t04, a01, a02, a03, m01, m02, m03, mr1, st01)
+    t01, t02, t03, t04, a01, a02, a03, m01, m02, m03, mr1, st01, st02)
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

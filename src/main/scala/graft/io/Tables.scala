@@ -79,4 +79,33 @@ object Tables {
     */
   def writeSequenceFile(df: DataFrame, path: String): Unit =
     df.rdd.map(r => (r.getString(0), r.getString(1))).saveAsSequenceFile(path)
+
+  /** S3 "auto inputformat": sniff the on-disk format the way dumbo's
+    * AutoInputFormat does, but by magic bytes instead of trying record
+    * readers: `PAR1` → parquet, `SEQ` → [[sequenceFile]] (Text/Text),
+    * anything else → line text (one `value` column). Only the first
+    * data file's 4-byte header is read driver-side; the actual scan is
+    * the normal distributed reader for the detected format.
+    */
+  def autoInput(spark: SparkSession, path: String): DataFrame = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val first = {
+      val st = fs.getFileStatus(hPath)
+      if (st.isDirectory)
+        fs.listStatus(hPath).iterator
+          .filter(s => s.isFile && s.getLen >= 4 && !s.getPath.getName.startsWith("_"))
+          .toSeq.sortBy(_.getPath.getName)
+          .headOption.map(_.getPath)
+          .getOrElse(throw new IllegalArgumentException(
+            s"autoInput: no data files under $path"))
+      else hPath
+    }
+    val magic = new Array[Byte](4)
+    val in = fs.open(first)
+    try in.readFully(0, magic) finally in.close()
+    if (magic.sameElements("PAR1".getBytes("US-ASCII"))) spark.read.parquet(path)
+    else if (magic.startsWith("SEQ".getBytes("US-ASCII"))) sequenceFile(spark, path)
+    else spark.read.text(path)
+  }
 }

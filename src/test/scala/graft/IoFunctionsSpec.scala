@@ -48,6 +48,18 @@ class IoFunctionsSpec extends AnyFunSuite {
     assert(back == Set(("k1", "v1"), ("k2", "v2"), ("k3", "with spaces\tand tabs")))
   }
 
+  test("Tables.autoInput sniffs parquet / sequencefile / text by magic bytes (S3)") {
+    val base = java.nio.file.Files.createTempDirectory("auto").toString
+    Seq((1L, "x")).toDF("id", "s").write.parquet(s"$base/pq")
+    graft.io.Tables.writeSequenceFile(Seq(("k", "v")).toDF("key", "value"), s"$base/seq")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$base/plain.txt"), "line1\nline2\n")
+    assert(graft.io.Tables.autoInput(spark, s"$base/pq").schema.fieldNames.toSeq == Seq("id", "s"))
+    assert(graft.io.Tables.autoInput(spark, s"$base/seq")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("k", "v")))
+    assert(graft.io.Tables.autoInput(spark, s"$base/plain.txt")
+      .collect().map(_.getString(0)).toSeq == Seq("line1", "line2"))
+  }
+
   test("writeParquet passes the compression codec through (S5 -compressoutput)") {
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
     for (codec <- Seq("zstd", "snappy")) {
