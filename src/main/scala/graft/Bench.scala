@@ -25,7 +25,10 @@ object Bench {
     // comparable to BASELINE.md); warm = second run of the same query
     // (plan/codegen caches hot — what a resident cluster would see, and
     // the stable basis for round-over-round comparisons: cold deltas of
-    // ±0.3s are usually compile jitter, not plan changes)
+    // ±0.3s are usually compile jitter, not plan changes). Caveat: the
+    // streaming_* parity queries re-stage and re-run a full streaming
+    // job per invocation, so their "warm" number is a re-execution, not
+    // a caches-hot read — exclude them when comparing warm totals.
     def time(fn: => Unit): Double = {
       val t0 = System.nanoTime()
       try fn catch { case _: Throwable => }

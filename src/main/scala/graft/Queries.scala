@@ -328,20 +328,13 @@ object Queries {
         FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) i) t
       GROUP BY ws ORDER BY ws"""))
 
-  /** q16 — session windows, 30min gap, per user (§2.9). Oracle is the
-    * classic gaps-and-islands rewrite; Spark's session is half-open so
-    * a gap of exactly the threshold starts a new session (>=).
+  /** Gaps-and-islands sessionization oracle, shared by q16 and
+    * streaming_sessions_parity — ONE definition of the session
+    * semantics (gap >= threshold starts a new session, half-open like
+    * Spark's session_window; epoch-second floors), so the batch and
+    * streaming graded paths can never drift apart.
     */
-  private val q16 = Q(
-    "q16_session_window",
-    (s, d) => {
-      import s.implicits._
-      TimeOps.session(ev(s, d), "ts", "30 minutes", Seq("user_id"),
-          Seq(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value")))
-        .select($"user_id", $"session_start", $"n_events", $"sum_value")
-        .orderBy($"user_id", $"session_start", $"n_events")
-    },
-    Some("""
+  private def sessionOracleSql(extraAggCols: String): String = s"""
       WITH x AS (
         SELECT user_id, ts, value,
                CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
@@ -356,9 +349,24 @@ object Queries {
         FROM x)
       SELECT user_id,
              CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
-             count(*) AS n_events, round(sum(value), 2) AS sum_value
+             count(*) AS n_events$extraAggCols
       FROM y GROUP BY user_id, sid
-      ORDER BY user_id, session_start, n_events"""))
+      ORDER BY user_id, session_start, n_events"""
+
+  /** q16 — session windows, 30min gap, per user (§2.9). Oracle is the
+    * classic gaps-and-islands rewrite; Spark's session is half-open so
+    * a gap of exactly the threshold starts a new session (>=).
+    */
+  private val q16 = Q(
+    "q16_session_window",
+    (s, d) => {
+      import s.implicits._
+      TimeOps.session(ev(s, d), "ts", "30 minutes", Seq("user_id"),
+          Seq(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value")))
+        .select($"user_id", $"session_start", $"n_events", $"sum_value")
+        .orderBy($"user_id", $"session_start", $"n_events")
+    },
+    Some(sessionOracleSql(", round(sum(value), 2) AS sum_value")))
 
   // ------------------------------------------------------ scalar surface
 
@@ -698,10 +706,17 @@ object Queries {
 
   /** DuckDB mirror of SimOps' sign-LSH bucket: the SAME seeded plane
     * matrix inlined as literals (Double.toString round-trips exactly),
-    * bit p set when dot(emb, plane_p) >= 0. Both engines run the dot as
-    * a sequential double fold, so the sketch — and therefore the whole
-    * approximate result — is reproducible enough to hash-compare, not
-    * just recall-check.
+    * bit p set when dot(emb, plane_p) >= 0.
+    *
+    * Precision contract: DuckDB's `list_dot_product` is NOT the same
+    * fold as the engine's sequential loop (measured: ~half of all
+    * plane dots differ at 1 ulp on sf0.1), so engine≡oracle holds
+    * because the DATA carries margin, not bit-for-bit arithmetic. A
+    * sign flip needs a dot within ~1 ulp of 0 and a rank flip needs
+    * two in-bucket cosines within ~1 ulp; measured sf0.1 minima are
+    * |dot| ≥ 3.6e-5 and nonzero sim gap ≥ 1.1e-6 — ten orders of
+    * magnitude of headroom. Regenerated testdata should re-check those
+    * margins before trusting a hash mismatch here.
     */
   private def lshBucketSql(embExpr: String, dim: Int): String =
     SimOps.planesFor(dim).zipWithIndex.map { case (p, i) =>
@@ -1662,11 +1677,20 @@ object Queries {
       val batch = ev(s, d).select($"user_id", $"ts")
       val maxSec = batch.agg(max($"ts").cast("long")).head.getLong(0)
       // stage events + sentinels into one scratch dir (FileStreamSource
-      // needs a directory; events.parquet is a single file)
+      // needs a directory; events.parquet is a single file). coalesce(1)
+      // is load-bearing, not cosmetic: a SINGLE part file makes one
+      // micro-batch structurally guaranteed — if the sentinel were ever
+      // delivered in an EARLIER batch than a user's real events (file
+      // splitting under a future trigger/source option), the negative
+      // gap would merge those events INTO the open sentinel session and
+      // silently swallow that user's output. Fine for a parity harness
+      // over bench-scale data; not a 100 TB pattern (production
+      // streaming uses the real watermark + timeouts, no sentinels).
       val stageDir = tmpDir(s, "stream_events")
       batch.unionByName(
           batch.select($"user_id").distinct()
             .withColumn("ts", lit(maxSec + 7 * 24 * 3600).cast("timestamp")))
+        .coalesce(1)
         .write.mode("overwrite").parquet(stageDir)
       val src = StreamingOps.eventsStream(s, stageDir, s.read.parquet(stageDir).schema)
       val sessions = StreamingOps.statefulSessions(
@@ -1677,31 +1701,19 @@ object Queries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.table(sink)
+      // pin the result, then drop the memory-sink view so repeated
+      // invocations (Bench runs every query twice) don't accumulate
+      // in-memory result tables for the life of the session
+      val out = s.table(sink)
         // defense in depth: sentinel sessions never close, hence never
         // emit — but a future sentinel tweak must not leak rows
         .filter($"session_start" <= maxSec)
         .select($"user_id", $"session_start", $"n_events")
-        .orderBy($"user_id", $"session_start", $"n_events")
+        .localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      out.orderBy($"user_id", $"session_start", $"n_events")
     },
-    Some("""
-      WITH x AS (
-        SELECT user_id, ts,
-               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                         >= INTERVAL 30 MINUTE
-                    THEN 1 ELSE 0 END AS new_s
-        FROM events),
-      y AS (
-        SELECT user_id, ts,
-               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                 ROWS UNBOUNDED PRECEDING) AS sid
-        FROM x)
-      SELECT user_id,
-             CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
-             count(*) AS n_events
-      FROM y GROUP BY user_id, sid
-      ORDER BY user_id, session_start, n_events"""))
+    Some(sessionOracleSql("")))
 
   /** streaming_dedup_parity — the watermark-bounded streaming dedup
     * (`dropDuplicatesWithinWatermark`) graded end-to-end: the event
@@ -1727,9 +1739,12 @@ object Queries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.table(sink)
+      // pin + drop the memory-sink view (same hygiene as st01)
+      val out = s.table(sink)
         .select($"event_id", $"user_id", $"ts".cast("long").as("ts_s"))
-        .orderBy($"event_id")
+        .localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      out.orderBy($"event_id")
     },
     Some("""
       SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s

@@ -90,18 +90,22 @@ object Tables {
   def autoInput(spark: SparkSession, path: String): DataFrame = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val first = {
-      val st = fs.getFileStatus(hPath)
-      if (st.isDirectory)
-        fs.listStatus(hPath).iterator
-          .filter(s => s.isFile && s.getLen >= 4 && !s.getPath.getName.startsWith("_"))
-          .toSeq.sortBy(_.getPath.getName)
-          .headOption.map(_.getPath)
-          .getOrElse(throw new IllegalArgumentException(
-            s"autoInput: no data files under $path"))
-      else hPath
+    // first data file, RECURSIVELY (partitioned datasets nest part
+    // files under key=value dirs); _metadata/_SUCCESS and dotfiles are
+    // not data
+    def firstDataFile(p: org.apache.hadoop.fs.Path): Option[org.apache.hadoop.fs.Path] = {
+      val st = fs.getFileStatus(p)
+      if (st.isFile) { if (st.getLen > 0) Some(p) else None }
+      else fs.listStatus(p).sortBy(_.getPath.getName).iterator
+        .filterNot(s => s.getPath.getName.startsWith("_") || s.getPath.getName.startsWith("."))
+        .flatMap(s => firstDataFile(s.getPath))
+        .nextOption()
     }
-    val magic = new Array[Byte](4)
+    val first = firstDataFile(hPath).getOrElse(
+      throw new IllegalArgumentException(s"autoInput: no data files under $path"))
+    // files shorter than a magic header can only be text
+    val n = math.min(4L, fs.getFileStatus(first).getLen).toInt
+    val magic = new Array[Byte](n)
     val in = fs.open(first)
     try in.readFully(0, magic) finally in.close()
     if (magic.sameElements("PAR1".getBytes("US-ASCII"))) spark.read.parquet(path)

@@ -58,6 +58,14 @@ class IoFunctionsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("k", "v")))
     assert(graft.io.Tables.autoInput(spark, s"$base/plain.txt")
       .collect().map(_.getString(0)).toSeq == Seq("line1", "line2"))
+    // partitioned layout: part files nest under key=value dirs
+    Seq((1L, "x", "a"), (2L, "y", "b")).toDF("id", "s", "p")
+      .write.partitionBy("p").parquet(s"$base/pq_part")
+    assert(graft.io.Tables.autoInput(spark, s"$base/pq_part").count() == 2)
+    // a file shorter than the 4-byte magic header is text, not an error
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$base/tiny.txt"), "a\n")
+    assert(graft.io.Tables.autoInput(spark, s"$base/tiny.txt")
+      .collect().map(_.getString(0)).toSeq == Seq("a"))
   }
 
   test("writeParquet passes the compression codec through (S5 -compressoutput)") {
