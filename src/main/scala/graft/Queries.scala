@@ -816,6 +816,87 @@ object Queries {
         WHERE q.qid <> c.nid) t
       WHERE rnk <= 5 ORDER BY qid, rnk"""))
 
+  /** ann_ivf_trained_topk — the IVF probe path under a TRAINED codebook:
+    * SimOps.trainCentroids (2 unrolled Lloyd's iterations, centroid
+    * components rounded to 1e-6 precisely so cross-engine float-merge
+    * order cannot leak into the result) then the same probe/re-rank as
+    * ann_ivf_topk. The oracle replays the whole trainer in SQL —
+    * codebook init, two assign/recompute rounds (empty cells keep their
+    * previous centroid, ties to the higher cell), probe, exact re-rank —
+    * so the distributed k-means itself is hash-graded, not just
+    * recall-tested.
+    */
+  private val a04 = Q(
+    "ann_ivf_trained_topk",
+    (s, d) => {
+      import s.implicits._
+      val e = emb(s, d)
+      val cb = SimOps.trainCentroids(e, "vec_id", "embedding", 16, iters = 2)
+      SimOps.ivfTopK(e.filter($"vec_id" < 10), e, "vec_id", "embedding", 5,
+          codebook = Some(cb))
+        .orderBy($"qid", $"rnk")
+    },
+    Some("""
+      WITH
+      pos AS (SELECT unnest(range(1, 65)) AS p),
+      e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      cb0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+               emb AS cvec
+        FROM (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT 16) s),
+      s0 AS (
+        SELECT e.vec_id, e.emb, cb.cell,
+               list_dot_product(e.emb, cb.cvec) * (1.0 / sqrt(list_dot_product(cb.cvec, cb.cvec))) AS score
+        FROM e CROSS JOIN cb0 cb),
+      a0 AS (
+        SELECT vec_id, emb, cell FROM (
+          SELECT vec_id, emb, cell, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) r
+          FROM s0) t WHERE r = 1),
+      m0 AS (
+        SELECT cell, p.p AS pos, round(avg(emb[p.p]), 6) AS m
+        FROM a0 CROSS JOIN pos p GROUP BY cell, p.p),
+      cb1 AS (
+        SELECT g.cell, list(coalesce(m0.m, g.prev) ORDER BY g.pos) AS cvec
+        FROM (SELECT c.cell, p.p AS pos, c.cvec[p.p] AS prev FROM cb0 c CROSS JOIN pos p) g
+        LEFT JOIN m0 ON m0.cell = g.cell AND m0.pos = g.pos
+        GROUP BY g.cell),
+      s1 AS (
+        SELECT e.vec_id, e.emb, cb.cell,
+               list_dot_product(e.emb, cb.cvec) * (1.0 / sqrt(list_dot_product(cb.cvec, cb.cvec))) AS score
+        FROM e CROSS JOIN cb1 cb),
+      a1 AS (
+        SELECT vec_id, emb, cell FROM (
+          SELECT vec_id, emb, cell, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) r
+          FROM s1) t WHERE r = 1),
+      m1 AS (
+        SELECT cell, p.p AS pos, round(avg(emb[p.p]), 6) AS m
+        FROM a1 CROSS JOIN pos p GROUP BY cell, p.p),
+      cb2 AS (
+        SELECT g.cell, list(coalesce(m1.m, g.prev) ORDER BY g.pos) AS cvec
+        FROM (SELECT c.cell, p.p AS pos, c.cvec[p.p] AS prev FROM cb1 c CROSS JOIN pos p) g
+        LEFT JOIN m1 ON m1.cell = g.cell AND m1.pos = g.pos
+        GROUP BY g.cell),
+      sf_ AS (
+        SELECT e.vec_id, e.emb, cb.cell,
+               list_dot_product(e.emb, cb.cvec) * (1.0 / sqrt(list_dot_product(cb.cvec, cb.cvec))) AS score
+        FROM e CROSS JOIN cb2 cb),
+      assign AS (
+        SELECT vec_id AS nid, emb AS c_emb, cell FROM (
+          SELECT vec_id, emb, cell, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) r
+          FROM sf_) t WHERE r = 1),
+      probe AS (
+        SELECT vec_id AS qid, emb AS q_emb, cell FROM (
+          SELECT vec_id, emb, cell, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) r
+          FROM sf_ WHERE vec_id < 10) t WHERE r <= 2)
+      SELECT qid, nid, sim, rnk FROM (
+        SELECT q.qid, c.nid,
+               round(list_cosine_similarity(q.q_emb, c.c_emb), 4) AS sim,
+               CAST(row_number() OVER (PARTITION BY q.qid
+                 ORDER BY list_cosine_similarity(q.q_emb, c.c_emb) DESC, c.nid) AS INTEGER) AS rnk
+        FROM probe q JOIN assign c USING (cell)
+        WHERE q.qid <> c.nid) t
+      WHERE rnk <= 5 ORDER BY qid, rnk"""))
+
   // ---------------------------------------------------------- multimodal
 
   /** media_meta — binary media column + typed metadata; the
@@ -1757,7 +1838,7 @@ object Queries {
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54,
     d01, d02, d03, d04, d05, d06,
-    t01, t02, t03, t04, a01, a02, a03, m01, m02, m03, mr1, st01, st02)
+    t01, t02, t03, t04, a01, a02, a03, a04, m01, m02, m03, mr1, st01, st02)
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
