@@ -114,10 +114,14 @@ object SimOps {
   /** Lloyd's k-means for the IVF codebook: init from the K lowest-id
     * vectors, then `iters` rounds of assign (argmax cosine vs
     * centroids, a narrow projection) + recompute (element-wise mean per
-    * cell via posexplode → groupBy(cell, pos) → avg). Each round is two
-    * shuffles of (cell, pos, value) triples; the codebook (K·dim
-    * doubles) is the only thing collected. No randomness; centroid
-    * components are rounded to 1e-6 each round to absorb the ULP-level
+    * cell, one `avg(element_at(emb, i))` aggregate per dimension). Each
+    * round is ONE partial-aggregated shuffle carrying K·dim partial
+    * sums — not the dim-times row inflation a posexplode formulation
+    * pays (measured: the explode shuffle was the trainer's dominant
+    * cost, and at 100 TB a 64× row blowup per iteration is the
+    * difference between viable and not). The codebook (K·dim doubles)
+    * is the only thing collected. No randomness; centroid components
+    * are rounded to 1e-6 each round to absorb the ULP-level
     * float-merge-order differences a different partitioning introduces
     * in avg() — bit-identical codebooks for a fixed partitioning, and
     * stable across partitionings unless a vector sits within ~1e-6 of
@@ -126,17 +130,23 @@ object SimOps {
   def trainCentroids(corpus: DataFrame, idCol: String, embCol: String,
                      numCells: Int, iters: Int = 2): Array[Array[Double]] = {
     var centroids = defaultCodebook(corpus, idCol, embCol, numCells)
+    val dim = if (centroids.nonEmpty) centroids(0).length else 0
     var it = 0
     while (it < iters) {
       val cellOf = cellArgmax(col(embCol), centroids)
+      val aggs = (0 until dim).map(i => avg(element_at(col(embCol), i + 1)).as(s"m$i"))
       val means = corpus
-        .select(cellOf.as("cell"), posexplode(col(embCol)).as(Seq("pos", "v")))
-        .groupBy("cell", "pos").agg(avg(col("v")).as("m"))
+        .select(cellOf.as("cell"), col(embCol))
+        .groupBy("cell").agg(aggs.head, aggs.tail: _*)
         .collect()
       val next = centroids.map(_.clone())
       means.foreach { r =>
-        next(r.getAs[Int]("cell"))(r.getAs[Int]("pos")) =
-          math.rint(r.getAs[Double]("m") * 1e6) / 1e6
+        val cell = r.getAs[Int]("cell")
+        var i = 0
+        while (i < dim) {
+          next(cell)(i) = math.rint(r.getAs[Double](s"m$i") * 1e6) / 1e6
+          i += 1
+        }
       }
       centroids = next // empty cells keep their previous centroid
       it += 1

@@ -451,6 +451,20 @@ class OpsSpec extends AnyFunSuite {
     assert(withComb.run(in) == expected) // combiner law: same answer
   }
 
+  test("MapRedTest drivers agree with the Spark MapRed layer on the same closures") {
+    // mapredtest's core promise: a closure validated in the driver
+    // behaves identically when dropped into the distributed layer
+    import spark.implicits._
+    val mapper = (_: Long, text: String) => text.split(' ').iterator.map(w => (w, 1L))
+    val reducer = (w: String, ns: Iterator[Long]) => Iterator.single((w, ns.sum))
+    val input = Seq((1L, "x y x z"), (2L, "z x"), (3L, "y"))
+    val driver = MapRedTest.MapReduceDriver(mapper, reducer).run(input).toSet
+    val ds = input.toDF("k", "v").as[(Long, String)]
+    val cluster = MapRed.reduceRecords(MapRed.mapRecords(ds)(mapper))(reducer)
+      .collect().toSet
+    assert(driver == cluster)
+  }
+
   test("lshTopK/ivfTopK never broadcast a corpus-sized query side (self-join)") {
     // dedup_embedding passes the corpus as its own query set: at 100 TB
     // a broadcast of that side is a guaranteed OOM, so the self-join
