@@ -826,6 +826,40 @@ object Queries {
     * so the distributed k-means itself is hash-graded, not just
     * recall-tested.
     */
+  // a04 oracle generators (the lshBucketSql idiom): the trained-IVF
+  // oracle replays SimOps.trainCentroids in SQL, which needs the same
+  // score / argmax-assign / recompute blocks five times — emitted from
+  // one definition each so a semantics fix cannot miss a copy.
+  private def a04Score(out: String, cb: String): String =
+    s"""$out AS (
+      |        SELECT e.vec_id, e.emb, cb.cell,
+      |               list_dot_product(e.emb, cb.cvec) * (1.0 / sqrt(list_dot_product(cb.cvec, cb.cvec))) AS score
+      |        FROM e CROSS JOIN $cb cb)""".stripMargin
+
+  private def a04Argmax(out: String, cols: String, src: String,
+                        where: String, keep: String): String =
+    s"""$out AS (
+      |        SELECT $cols FROM (
+      |          SELECT vec_id, emb, cell, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) r
+      |          FROM $src$where) t WHERE $keep)""".stripMargin
+
+  /** One unrolled Lloyd's round: score vs cb`i`, assign argmax cell
+    * (ties to the higher cell, like CellArgmax), per-dimension mean
+    * rounded to 1e-6 (half-away, same as trainCentroids.round6), empty
+    * cells keep their previous centroid.
+    */
+  private def a04Round(i: Int): String =
+    s"""${a04Score(s"s$i", s"cb$i")},
+      |      ${a04Argmax(s"a$i", "vec_id, emb, cell", s"s$i", "", "r = 1")},
+      |      m$i AS (
+      |        SELECT cell, p.p AS pos, round(avg(emb[p.p]), 6) AS m
+      |        FROM a$i CROSS JOIN pos p GROUP BY cell, p.p),
+      |      cb${i + 1} AS (
+      |        SELECT g.cell, list(coalesce(m$i.m, g.prev) ORDER BY g.pos) AS cvec
+      |        FROM (SELECT c.cell, p.p AS pos, c.cvec[p.p] AS prev FROM cb$i c CROSS JOIN pos p) g
+      |        LEFT JOIN m$i ON m$i.cell = g.cell AND m$i.pos = g.pos
+      |        GROUP BY g.cell)""".stripMargin
+
   private val a04 = Q(
     "ann_ivf_trained_topk",
     (s, d) => {
@@ -836,7 +870,7 @@ object Queries {
           codebook = Some(cb))
         .orderBy($"qid", $"rnk")
     },
-    Some("""
+    Some(s"""
       WITH
       pos AS (SELECT unnest(range(1, 65)) AS p),
       e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
@@ -844,50 +878,11 @@ object Queries {
         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
                emb AS cvec
         FROM (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT 16) s),
-      s0 AS (
-        SELECT e.vec_id, e.emb, cb.cell,
-               list_dot_product(e.emb, cb.cvec) * (1.0 / sqrt(list_dot_product(cb.cvec, cb.cvec))) AS score
-        FROM e CROSS JOIN cb0 cb),
-      a0 AS (
-        SELECT vec_id, emb, cell FROM (
-          SELECT vec_id, emb, cell, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) r
-          FROM s0) t WHERE r = 1),
-      m0 AS (
-        SELECT cell, p.p AS pos, round(avg(emb[p.p]), 6) AS m
-        FROM a0 CROSS JOIN pos p GROUP BY cell, p.p),
-      cb1 AS (
-        SELECT g.cell, list(coalesce(m0.m, g.prev) ORDER BY g.pos) AS cvec
-        FROM (SELECT c.cell, p.p AS pos, c.cvec[p.p] AS prev FROM cb0 c CROSS JOIN pos p) g
-        LEFT JOIN m0 ON m0.cell = g.cell AND m0.pos = g.pos
-        GROUP BY g.cell),
-      s1 AS (
-        SELECT e.vec_id, e.emb, cb.cell,
-               list_dot_product(e.emb, cb.cvec) * (1.0 / sqrt(list_dot_product(cb.cvec, cb.cvec))) AS score
-        FROM e CROSS JOIN cb1 cb),
-      a1 AS (
-        SELECT vec_id, emb, cell FROM (
-          SELECT vec_id, emb, cell, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) r
-          FROM s1) t WHERE r = 1),
-      m1 AS (
-        SELECT cell, p.p AS pos, round(avg(emb[p.p]), 6) AS m
-        FROM a1 CROSS JOIN pos p GROUP BY cell, p.p),
-      cb2 AS (
-        SELECT g.cell, list(coalesce(m1.m, g.prev) ORDER BY g.pos) AS cvec
-        FROM (SELECT c.cell, p.p AS pos, c.cvec[p.p] AS prev FROM cb1 c CROSS JOIN pos p) g
-        LEFT JOIN m1 ON m1.cell = g.cell AND m1.pos = g.pos
-        GROUP BY g.cell),
-      sf_ AS (
-        SELECT e.vec_id, e.emb, cb.cell,
-               list_dot_product(e.emb, cb.cvec) * (1.0 / sqrt(list_dot_product(cb.cvec, cb.cvec))) AS score
-        FROM e CROSS JOIN cb2 cb),
-      assign AS (
-        SELECT vec_id AS nid, emb AS c_emb, cell FROM (
-          SELECT vec_id, emb, cell, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) r
-          FROM sf_) t WHERE r = 1),
-      probe AS (
-        SELECT vec_id AS qid, emb AS q_emb, cell FROM (
-          SELECT vec_id, emb, cell, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) r
-          FROM sf_ WHERE vec_id < 10) t WHERE r <= 2)
+      ${a04Round(0)},
+      ${a04Round(1)},
+      ${a04Score("sf_", "cb2")},
+      ${a04Argmax("assign", "vec_id AS nid, emb AS c_emb, cell", "sf_", "", "r = 1")},
+      ${a04Argmax("probe", "vec_id AS qid, emb AS q_emb, cell", "sf_", " WHERE vec_id < 10", "r <= 2")}
       SELECT qid, nid, sim, rnk FROM (
         SELECT q.qid, c.nid,
                round(list_cosine_similarity(q.q_emb, c.c_emb), 4) AS sim,

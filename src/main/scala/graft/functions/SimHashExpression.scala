@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -20,6 +21,11 @@ import org.apache.spark.unsafe.types.UTF8String
 case class SimHash64(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
+  // SQL-registered (GraftExtensions): checked input types turn a
+  // wrong-typed argument into an AnalysisException instead of an
+  // executor-side ClassCastException
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextExpressions.requireType("simhash64", child, StringType)
   override def dataType: DataType = LongType
 
   override def nullSafeEval(input: Any): Any = {

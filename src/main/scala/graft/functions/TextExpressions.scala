@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -27,6 +28,11 @@ import org.apache.spark.unsafe.types.UTF8String
 case class ShingleHashes(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
 
+  // SQL-registered (GraftExtensions): checked input types turn a
+  // wrong-typed argument into an AnalysisException instead of an
+  // executor-side ClassCastException
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextExpressions.requireType("shingle_hashes", child, StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any = {
@@ -74,6 +80,11 @@ case class ShingleHashes(child: Expression, n: Int)
 case class MinHashSig(child: Expression, k: Int)
     extends UnaryExpression with CodegenFallback {
 
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig requires ARRAY<BIGINT> input (shingle hashes), got ${other.catalogString}")
+  }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
 
@@ -116,6 +127,8 @@ case class MinHashSig(child: Expression, k: Int)
 case class WordNgrams(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextExpressions.requireType("word_ngrams", child, StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   private val space = UTF8String.fromString(" ")
@@ -135,6 +148,15 @@ case class WordNgrams(child: Expression, n: Int)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object TextExpressions {
+  /** Shared analysis-time input check for the SQL-registered kernels. */
+  private[functions] def requireType(fn: String, child: Expression,
+                                     expected: DataType): TypeCheckResult =
+    if (child.dataType == expected) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$fn requires ${expected.catalogString} input, got ${child.dataType.catalogString}")
 }
 
 object TextFunctions {

@@ -23,8 +23,20 @@ import org.apache.spark.sql.types._
 case class VectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // contract (enforced at the VectorFunctions call sites, which are the
-  // only producers): both children are array<float> or array<double>
+  // both children must be array<float> or array<double>; checked so
+  // the SQL surface (GraftExtensions `vec_dot`) rejects misuse at
+  // analysis instead of ClassCastException-ing on the executor
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType | FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_dot requires ARRAY<FLOAT> or ARRAY<DOUBLE> inputs, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true

@@ -131,21 +131,28 @@ object SimOps {
                      numCells: Int, iters: Int = 2): Array[Array[Double]] = {
     var centroids = defaultCodebook(corpus, idCol, embCol, numCells)
     val dim = if (centroids.nonEmpty) centroids(0).length else 0
+    if (dim == 0) return centroids // empty corpus: nothing to train
     var it = 0
     while (it < iters) {
       val cellOf = cellArgmax(col(embCol), centroids)
       val aggs = (0 until dim).map(i => avg(element_at(col(embCol), i + 1)).as(s"m$i"))
       val means = corpus
+        // null embeddings get a null cell from cell_argmax; keeping that
+        // group would unbox cell=null to 0 and overwrite centroid 0 with
+        // an all-null (-> 0.0) mean
+        .where(col(embCol).isNotNull)
         .select(cellOf.as("cell"), col(embCol))
         .groupBy("cell").agg(aggs.head, aggs.tail: _*)
         .collect()
       val next = centroids.map(_.clone())
       means.foreach { r =>
-        val cell = r.getAs[Int]("cell")
-        var i = 0
-        while (i < dim) {
-          next(cell)(i) = math.rint(r.getAs[Double](s"m$i") * 1e6) / 1e6
-          i += 1
+        if (!r.isNullAt(r.fieldIndex("cell"))) {
+          val cell = r.getAs[Int]("cell")
+          var i = 0
+          while (i < dim) {
+            next(cell)(i) = round6(r.getAs[Double](s"m$i"))
+            i += 1
+          }
         }
       }
       centroids = next // empty cells keep their previous centroid
@@ -154,11 +161,20 @@ object SimOps {
     centroids
   }
 
+  /** Half-away-from-zero rounding to 1e-6 — the same rule as SQL
+    * `round(x, 6)` (DuckDB/Spark), so the a04 oracle's replayed trainer
+    * produces the identical codebook even when a per-dimension average
+    * lands exactly on a half-microunit boundary (math.rint's
+    * half-to-even would diverge there).
+    */
+  private def round6(x: Double): Double =
+    math.copySign(math.floor(math.abs(x) * 1e6 + 0.5) / 1e6, x)
+
   /** Deterministic default codebook: the K lowest-id corpus vectors. */
   private def defaultCodebook(corpus: DataFrame, idCol: String, embCol: String,
                               k: Int): Array[Array[Double]] = {
     import org.apache.spark.sql.Row
-    corpus.orderBy(col(idCol)).limit(k)
+    corpus.where(col(embCol).isNotNull).orderBy(col(idCol)).limit(k)
       .select(col(embCol)).collect()
       .map { case Row(seq: scala.collection.Seq[_]) =>
         seq.map(v => v.asInstanceOf[Number].doubleValue()).toArray }

@@ -117,4 +117,16 @@ class IoFunctionsSpec extends AnyFunSuite {
     val err = intercept[Exception](spark.sql("SELECT word_ngrams('a b', length('xx'))").collect())
     assert(err.getMessage.contains("literal"))
   }
+
+  test("SQL kernels reject wrong-typed arguments at analysis time") {
+    import org.apache.spark.sql.AnalysisException
+    // declared inputTypes: misuse is an AnalysisException, never an
+    // executor-side ClassCastException mid-job
+    intercept[AnalysisException](spark.sql("SELECT simhash64(42)").collect())
+    intercept[AnalysisException](spark.sql("SELECT shingle_hashes(42, 2)").collect())
+    intercept[AnalysisException](spark.sql("SELECT word_ngrams(array(1), 2)").collect())
+    intercept[AnalysisException](spark.sql("SELECT minhash_sig(array('a'), 8)").collect())
+    intercept[AnalysisException](
+      spark.sql("SELECT vec_dot(array('a'), array('b'))").collect())
+  }
 }

@@ -201,6 +201,20 @@ class OpsSpec extends AnyFunSuite {
     assert(hits >= exact.size / 4, s"trained-IVF recall too low: $hits/${exact.size}")
   }
 
+  test("SimOps.trainCentroids: null embeddings are ignored, empty corpus returns empty") {
+    val e = graft.io.Tables.embeddings(spark, TestSpark.Sf0001)
+    val clean = SimOps.trainCentroids(e, "vec_id", "embedding", numCells = 4, iters = 1)
+    // a null-embedding row must not perturb any centroid (it used to
+    // unbox cell=null to 0 and zero out centroid 0)
+    val withNull = e.select($"vec_id", $"embedding")
+      .union(Seq((-1L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"))
+    val trained = SimOps.trainCentroids(withNull, "vec_id", "embedding", numCells = 4, iters = 1)
+    assert(clean.zip(trained).forall { case (a, b) => a.sameElements(b) })
+    val empty = SimOps.trainCentroids(e.filter($"vec_id" < 0), "vec_id", "embedding",
+      numCells = 4, iters = 2)
+    assert(empty.isEmpty)
+  }
+
   test("LibOps.observed exposes query-level metrics (C8)") {
     val df = Seq(1, 2, 3).toDF("v")
     val obs = LibOps.observed(df, "m", Seq(count(lit(1)).as("n"), sum($"v").as("s")))
