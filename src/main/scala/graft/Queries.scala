@@ -892,6 +892,60 @@ object Queries {
         WHERE q.qid <> c.nid) t
       WHERE rnk <= 5 ORDER BY qid, rnk"""))
 
+  /** ann_pq_topk — product-quantization ANN (SimOps.pqTopK): corpus
+    * encoded once as 8 sub-codes (compressed-domain scan, ~3% of the
+    * bytes of the float column), per-query ADC lookup table, top-20
+    * candidates by approximate dot, exact cosine re-rank to top-5. The
+    * codebooks are deterministic (sliced from the 16 lowest-id
+    * vectors), so the oracle replays the whole index — sub-codebooks,
+    * argmin encoding (ties to the lower code), ordered-fold ADC sums,
+    * candidate cut, exact re-rank — and the result is hash-graded.
+    */
+  private val a05 = Q(
+    "ann_pq_topk",
+    (s, d) => {
+      import s.implicits._
+      val e = emb(s, d)
+      SimOps.pqTopK(e.filter($"vec_id" < 10), e, "vec_id", "embedding", 5)
+        .orderBy($"qid", $"rnk")
+    },
+    Some("""
+      WITH
+      e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      sub AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS m),
+      cb AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS kidx, emb
+        FROM (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT 16) s),
+      cbm AS (
+        SELECT cb.kidx, sub.m, cb.emb[sub.m*8+1 : sub.m*8+8] AS cvec
+        FROM cb CROSS JOIN sub),
+      enc AS (
+        SELECT vec_id, m, kidx AS code FROM (
+          SELECT e.vec_id, c.m, c.kidx,
+                 row_number() OVER (PARTITION BY e.vec_id, c.m
+                   ORDER BY list_distance(e.emb[c.m*8+1 : c.m*8+8], c.cvec) ASC, c.kidx ASC) r
+          FROM e CROSS JOIN cbm c) t WHERE r = 1),
+      lut AS (
+        SELECT q.vec_id AS qid, c.m, c.kidx,
+               list_dot_product(q.emb[c.m*8+1 : c.m*8+8], c.cvec) AS d
+        FROM e q CROSS JOIN cbm c WHERE q.vec_id < 10),
+      adc AS (
+        SELECT l.qid, n.vec_id AS nid, sum(l.d ORDER BY l.m) AS score
+        FROM enc n JOIN lut l ON l.m = n.m AND l.kidx = n.code
+        WHERE l.qid <> n.vec_id
+        GROUP BY l.qid, n.vec_id),
+      cand AS (
+        SELECT qid, nid FROM (
+          SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) r
+          FROM adc) t WHERE r <= 20)
+      SELECT qid, nid, sim, rnk FROM (
+        SELECT c.qid, c.nid,
+               round(list_cosine_similarity(q.emb, n.emb), 4) AS sim,
+               CAST(row_number() OVER (PARTITION BY c.qid
+                 ORDER BY list_cosine_similarity(q.emb, n.emb) DESC, c.nid) AS INTEGER) AS rnk
+        FROM cand c JOIN e q ON q.vec_id = c.qid JOIN e n ON n.vec_id = c.nid) t
+      WHERE rnk <= 5 ORDER BY qid, rnk"""))
+
   // ---------------------------------------------------------- multimodal
 
   /** media_meta — binary media column + typed metadata; the
@@ -1439,6 +1493,30 @@ object Queries {
       FROM nation JOIN region ON n_regionkey = r_regionkey
       GROUP BY r_name ORDER BY r_name"""))
 
+  /** q55 — JSON-lines sink + source round-trip (S5's remaining text
+    * format): supplier written as JSON lines, read back with an
+    * explicit schema (doubles survive via shortest-round-trip
+    * encoding), then the q31 aggregation — proves the JSON codec path
+    * is lossless. The oracle reads the original parquet.
+    */
+  private val q55 = Q(
+    "q55_json_roundtrip",
+    (s, d) => {
+      import s.implicits._
+      val sup = Tables.supplier(s, d)
+      val tmp = tmpDir(s, "q55_json")
+      sup.write.mode("overwrite").json(tmp)
+      s.read.schema(sup.schema).json(tmp)
+        .join(broadcast(nat(s, d)), $"s_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(count(lit(1)).as("n_suppliers"), round(sum($"s_acctbal"), 2).as("sum_bal"))
+        .orderBy($"n_name")
+    },
+    Some("""
+      SELECT n_name, count(*) AS n_suppliers, round(sum(s_acctbal), 2) AS sum_bal
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name"""))
+
   /** q46 — TPC-H Q5 shape: 6-table join (local-supplier revenue by
     * nation within a region-year slice). Date + region filters push to
     * the scans; nation/region broadcast; the fact-fact joins shuffle
@@ -1845,9 +1923,9 @@ object Queries {
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
-    q52, q53, q54,
+    q52, q53, q54, q55,
     d01, d02, d03, d04, d05, d06,
-    t01, t02, t03, t04, a01, a02, a03, a04, m01, m02, m03, mr1, st01, st02)
+    t01, t02, t03, t04, a01, a02, a03, a04, a05, m01, m02, m03, mr1, st01, st02)
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

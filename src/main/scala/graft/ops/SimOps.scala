@@ -222,6 +222,67 @@ object SimOps {
       .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"), col("rnk"))
   }
 
+  /** Deterministic PQ sub-codebooks: the K lowest-id corpus vectors,
+    * each split into `numSub` contiguous subvectors — codebooks(m)(k)
+    * is centroid k of subspace m. Same determinism contract as
+    * defaultCodebook; swap in per-subspace trained centroids (e.g. via
+    * trainCentroids over sliced columns) without touching the scan.
+    */
+  def pqSubCodebooks(corpus: DataFrame, idCol: String, embCol: String,
+                     numSub: Int, ksub: Int): Array[Array[Array[Double]]] = {
+    val base = defaultCodebook(corpus, idCol, embCol, ksub)
+    if (base.isEmpty) return Array.empty
+    val dim = base(0).length
+    require(dim % numSub == 0, s"pq: dim $dim not divisible into $numSub subspaces")
+    val dsub = dim / numSub
+    Array.tabulate(numSub)(m => base.map(_.slice(m * dsub, (m + 1) * dsub)))
+  }
+
+  /** Product-quantization top-k — the compressed-domain scan that makes
+    * corpus-wide ANN viable when even one float-array pass is too
+    * expensive. The corpus is encoded ONCE into M small codes per
+    * vector (`pq_encode`, here 8 ints vs 64 floats — at 100 TB the
+    * scoring scan reads ~3% of the bytes); each query precomputes an
+    * ADC lookup table (`pq_lut`), scores every code row with M array
+    * reads + adds (`pq_adc`), keeps the top k·candFactor candidates by
+    * approximate dot, and only those candidates ever touch the full
+    * embedding column again (broadcast semi-join back, exact cosine
+    * re-rank).
+    *
+    * Scale shape: the heavy scan is over the narrow code column with a
+    * broadcast query side; the window shuffle carries (qid, nid, score)
+    * only; the exact re-rank joins the corpus against a broadcast
+    * candidate set of |Q|·k·candFactor rows. Candidate selection ranks
+    * by approximate INNER PRODUCT (MIPS-flavored — fine when corpus
+    * norms are comparable); the emitted sims are exact cosines.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+             embCol: String, k: Int, numSub: Int = 8, ksub: Int = 16,
+             candFactor: Int = 4,
+             codebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    val cb = codebooks.getOrElse(pqSubCodebooks(corpus, idCol, embCol, numSub, ksub))
+    val codes = corpus.select(col(idCol).as("nid"),
+      graft.functions.PqFunctions.pq_encode(col(embCol), cb).as("codes"))
+    val q = queries.select(col(idCol).as("qid"), col(embCol).as("q_emb"))
+      .withColumn("lut", graft.functions.PqFunctions.pq_lut(col("q_emb"), cb))
+    val approx = codes
+      .join(broadcast(q.select(col("qid"), col("lut"))), col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        graft.functions.PqFunctions.pq_adc(col("lut"), col("codes")).as("score"))
+    val wa = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid").asc)
+    val cand = approx.withColumn("r", row_number().over(wa))
+      .filter(col("r") <= k * candFactor)
+      .select(col("qid"), col("nid"))
+    val exact = corpus.select(col(idCol).as("nid"), col(embCol).as("c_emb"))
+      .join(broadcast(cand), "nid")
+      .join(broadcast(q.select(col("qid"), col("q_emb"))), "qid")
+      .withColumn("sim", cosine(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    exact.withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"), col("rnk"))
+  }
+
   /** Approximate cosine top-k: candidates limited to the query's LSH
     * bucket (same sign sketch), then exact re-ranking inside the
     * bucket. The join is keyed on the bucket code — a co-partitioned

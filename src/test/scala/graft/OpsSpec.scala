@@ -201,6 +201,26 @@ class OpsSpec extends AnyFunSuite {
     assert(hits >= exact.size / 4, s"trained-IVF recall too low: $hits/${exact.size}")
   }
 
+  test("SimOps.pqTopK: sims are exact cosines from brute-force, decent recall") {
+    val e = graft.io.Tables.embeddings(spark, TestSpark.Sf0001)
+    val exact = SimOps.bruteForceTopK(e.filter($"vec_id" < 10), e, "vec_id", "embedding", 50)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid")) -> r.getAs[Double]("sim")).toMap
+    val pq = SimOps.pqTopK(e.filter($"vec_id" < 10), e, "vec_id", "embedding", 5).collect()
+    assert(pq.nonEmpty)
+    // every emitted sim is the true cosine (re-rank is exact, only the
+    // candidate set is approximate)
+    pq.foreach { r =>
+      val key = (r.getAs[Long]("qid"), r.getAs[Long]("nid"))
+      exact.get(key).foreach(s => assert(s == r.getAs[Double]("sim"), s"sim mismatch at $key"))
+    }
+    // recall vs the true top-1
+    val top1 = SimOps.bruteForceTopK(e.filter($"vec_id" < 10), e, "vec_id", "embedding", 1)
+      .collect().map(r => r.getAs[Long]("qid") -> r.getAs[Long]("nid")).toMap
+    val got = pq.groupBy(_.getAs[Long]("qid")).view.mapValues(_.map(_.getAs[Long]("nid")).toSet)
+    val hits = top1.count { case (q, n) => got.get(q).exists(_.contains(n)) }
+    assert(hits >= top1.size / 4, s"PQ recall too low: $hits/${top1.size}")
+  }
+
   test("SimOps.trainCentroids: null embeddings are ignored, empty corpus returns empty") {
     val e = graft.io.Tables.embeddings(spark, TestSpark.Sf0001)
     val clean = SimOps.trainCentroids(e, "vec_id", "embedding", numCells = 4, iters = 1)
