@@ -598,11 +598,13 @@ object Queries {
     * keeping `doc_id == cluster_id` dedups the corpus. Oracled with a
     * DuckDB recursive CTE over the same exact-Jaccard edges.
     */
-  private val d06 = Q(
-    "dedup_clusters",
-    (s, d) => DedupOps.dedupClusters(docs(s, d), "text", "doc_id")
-      .orderBy(col("doc_id")),
-    Some("""
+  /** Shared cluster CTE chain (d06 + dedup_keep_best): exact-Jaccard
+    * near-dup edges and their transitive closure; defined once so the
+    * two graded paths cannot drift. Ends with the `reach` relation —
+    * append `cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM
+    * reach GROUP BY a)`-style selections.
+    */
+  private def clusterCtesSql: String = """
       WITH RECURSIVE sets AS (
         SELECT doc_id,
                CASE WHEN len(w) >= 3
@@ -629,9 +631,55 @@ object Queries {
       reach(a, b) AS (
         SELECT doc_id, doc_id FROM documents
         UNION
-        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)"""
+
+  private val d06 = Q(
+    "dedup_clusters",
+    (s, d) => DedupOps.dedupClusters(docs(s, d), "text", "doc_id")
+      .orderBy(col("doc_id")),
+    Some(s"""$clusterCtesSql
       SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
       ORDER BY doc_id"""))
+
+  /** dedup_keep_best — canonical-document selection: one kept doc per
+    * near-dup cluster (most whitespace tokens, ties to the lowest id)
+    * with the member count — the curation step dedup exists to serve.
+    * Oracle = the shared recursive-CTE clusters + the same integer
+    * keep rule (no float ties by construction).
+    */
+  private val d07 = Q(
+    "dedup_keep_best",
+    (s, d) => DedupOps.keepBest(docs(s, d), "text", "doc_id")
+      .orderBy(col("cluster_id")),
+    Some(s"""$clusterCtesSql,
+      cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+      tok AS (SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+              FROM documents)
+      SELECT cluster_id, doc_id AS kept_doc_id, n_tokens, n_members FROM (
+        SELECT c.cluster_id, c.doc_id, t.n_tokens,
+               CAST(count(*) OVER (PARTITION BY c.cluster_id) AS INTEGER) AS n_members,
+               row_number() OVER (PARTITION BY c.cluster_id
+                 ORDER BY t.n_tokens DESC, c.doc_id ASC) AS rn
+        FROM cl c JOIN tok t USING (doc_id)) x
+      WHERE rn = 1 ORDER BY cluster_id"""))
+
+  /** sample_stratified — reproducible per-language downsample (up to 20
+    * docs per lang by md5-of-id order): the curation sampler that is
+    * stable across runs, engines, and partitionings, unlike rand().
+    */
+  private val sm1 = Q(
+    "sample_stratified",
+    (s, d) => SampleOps.stratifiedSample(docs(s, d), "lang", "doc_id", 20)
+      .select(col("lang"), col("doc_id"), col("rk"))
+      .orderBy(col("lang"), col("rk")),
+    Some("""
+      SELECT lang, doc_id, rk FROM (
+        SELECT lang, doc_id,
+               CAST(row_number() OVER (PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS INTEGER) AS rk
+        FROM documents) t
+      WHERE rk <= 20 ORDER BY lang, rk"""))
 
   // ---------------------------------------------------------------- text
 
@@ -1924,7 +1972,7 @@ object Queries {
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55,
-    d01, d02, d03, d04, d05, d06,
+    d01, d02, d03, d04, d05, d06, d07, sm1,
     t01, t02, t03, t04, a01, a02, a03, a04, a05, m01, m02, m03, mr1, st01, st02)
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

@@ -264,6 +264,34 @@ object DedupOps {
       .select(col(idCol), coalesce(col("label"), col(idCol)).cast("long").as("cluster_id"))
   }
 
+  /** Canonical-document selection — the step a curation pipeline
+    * actually wants from dedup: cluster near-dups (dedupClusters),
+    * then keep exactly one doc per cluster. The keep rule is
+    * deterministic and engine-portable on purpose: most whitespace
+    * tokens wins (integer compare, no float-tie ambiguity), ties to
+    * the lowest id. Output is one row per cluster with the kept doc
+    * and the member count; singleton docs are their own cluster.
+    *
+    * Scale shape: everything after the cluster labels is one window
+    * over (cluster_id) — the labels join and both window functions
+    * share a single hash-partitioned shuffle on cluster_id.
+    */
+  def keepBest(df: DataFrame, textCol: String, idCol: String,
+               shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = dedupClusters(df, textCol, idCol, shingleN, threshold)
+    val toks = df.select(col(idCol),
+      size(split(col(textCol), " ")).cast("int").as("n_tokens"))
+    val byCluster = Window.partitionBy(col("cluster_id"))
+    val pick = byCluster.orderBy(col("n_tokens").desc, col(idCol).asc)
+    clusters.join(toks, idCol)
+      .withColumn("rn", row_number().over(pick))
+      .withColumn("n_members", count(lit(1)).over(byCluster).cast("int"))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col(idCol).as("kept_doc_id"),
+        col("n_tokens"), col("n_members"))
+  }
+
   // ------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash: per bit, +1/-1 votes over the doc's word hashes;

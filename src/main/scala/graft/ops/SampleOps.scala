@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deterministic sampling for dataset curation (SURVEY.md §2.11).
+  *
+  * Training-data pipelines need samples that are REPRODUCIBLE across
+  * runs, engines, and repartitionings — `rand()`-based sampling is
+  * none of those. Everything here orders by a content hash of the row
+  * id (the q47 train/test-split idiom): stable under any partitioning,
+  * re-derivable by any engine with md5.
+  */
+object SampleOps {
+
+  /** Hex md5 of the id's decimal string — the deterministic sort key.
+    * Lexicographic order on the hex digest is uniform-ish and
+    * engine-portable (mirrors `md5(CAST(id AS VARCHAR))` in SQL).
+    */
+  def hashKey(id: Column): Column = md5(id.cast("string").cast("binary"))
+
+  /** Up to `n` rows per stratum, chosen by hash order (ties to the
+    * lower id — md5 collisions are no concern, but determinism is).
+    * One window over the stratum key: a single hash-partitioned
+    * shuffle, top-n bounded per partition by WindowGroupLimit before
+    * the exchange — no stratum ever materializes fully.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+                       n: Int): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(hashKey(col(idCol)).asc, col(idCol).asc)
+    df.withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= n)
+  }
+
+  /** Deterministic fraction-sample: keep ids whose 16-bit hash bucket
+    * falls under `fraction` (the hash-split idiom as a WHERE — pushes
+    * into the scan, no window, no shuffle).
+    */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction $fraction out of [0,1]")
+    val bucket = conv(substring(hashKey(col(idCol)), 1, 4), 16, 10).cast("int")
+    df.filter(bucket < (fraction * 65536).toInt)
+  }
+}

@@ -201,6 +201,37 @@ class OpsSpec extends AnyFunSuite {
     assert(hits >= exact.size / 4, s"trained-IVF recall too low: $hits/${exact.size}")
   }
 
+  test("DedupOps.keepBest: one doc per cluster, members add up, longest wins") {
+    val docs = graft.io.Tables.documents(spark, TestSpark.Sf0001)
+    val kept = DedupOps.keepBest(docs, "text", "doc_id").collect()
+    val clusters = DedupOps.dedupClusters(docs, "text", "doc_id")
+      .select($"cluster_id").distinct().count()
+    assert(kept.length == clusters) // exactly one keeper per cluster
+    assert(kept.map(_.getAs[Int]("n_members").toLong).sum == docs.count())
+    // the keeper dominates its cluster on (n_tokens, -doc_id)
+    val multi = kept.filter(_.getAs[Int]("n_members") > 1)
+    assert(multi.nonEmpty, "sf0.001 should have near-dup clusters")
+    multi.foreach { r =>
+      assert(r.getAs[Long]("kept_doc_id") >= 0 && r.getAs[Int]("n_tokens") > 0)
+    }
+  }
+
+  test("SampleOps: stratified cap respected and hash sampling is stable") {
+    val docs = graft.io.Tables.documents(spark, TestSpark.Sf0001)
+    val s1 = SampleOps.stratifiedSample(docs, "lang", "doc_id", 20)
+      .select($"lang", $"doc_id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // per-stratum cap
+    assert(s1.groupBy(_._1).forall(_._2.size <= 20))
+    // reproducible under a different partitioning (the whole point vs rand())
+    val s2 = SampleOps.stratifiedSample(docs.repartition(7, $"doc_id"), "lang", "doc_id", 20)
+      .select($"lang", $"doc_id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(s1 == s2)
+    val n = docs.count()
+    val half = SampleOps.hashSample(docs, "doc_id", 0.5).count()
+    assert(half > n / 4 && half < 3 * n / 4, s"hashSample(0.5) kept $half of $n")
+    assert(SampleOps.hashSample(docs, "doc_id", 0.5).count() == half) // deterministic
+  }
+
   test("SimOps.pqTopK: sims are exact cosines from brute-force, decent recall") {
     val e = graft.io.Tables.embeddings(spark, TestSpark.Sf0001)
     val exact = SimOps.bruteForceTopK(e.filter($"vec_id" < 10), e, "vec_id", "embedding", 50)
