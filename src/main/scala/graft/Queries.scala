@@ -664,6 +664,34 @@ object Queries {
         FROM cl c JOIN tok t USING (doc_id)) x
       WHERE rn = 1 ORDER BY cluster_id"""))
 
+  /** pack_sequences — token-budget packing (PackOps.packBudget): docs
+    * in id order are chunked into bins of 4096 whitespace tokens via a
+    * distributed two-level prefix sum (NOT a single-partition global
+    * window). Pure integer arithmetic → exact oracle: DuckDB computes
+    * the same bins with one plain window cumsum.
+    */
+  private val pk1 = Q(
+    "pack_sequences",
+    (s, d) => {
+      val toks = docs(s, d).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("int").as("n_tokens"))
+      PackOps.packBudget(toks, "doc_id", "n_tokens", budget = 4096L)
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).cast("long").as("sum_tokens"))
+        .orderBy(col("bin"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tokens,
+               sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t)
+      SELECT CAST((cum - n_tokens) // 4096 AS BIGINT) AS bin,
+             count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+      FROM c GROUP BY 1 ORDER BY 1"""))
+
   /** sample_stratified — reproducible per-language downsample (up to 20
     * docs per lang by md5-of-id order): the curation sampler that is
     * stable across runs, engines, and partitionings, unlike rand().
@@ -1972,7 +2000,7 @@ object Queries {
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55,
-    d01, d02, d03, d04, d05, d06, d07, sm1,
+    d01, d02, d03, d04, d05, d06, d07, sm1, pk1,
     t01, t02, t03, t04, a01, a02, a03, a04, a05, m01, m02, m03, mr1, st01, st02)
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

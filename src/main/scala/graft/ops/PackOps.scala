@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Sequence packing for training-batch construction (SURVEY.md §2.11):
+  * stream documents in deterministic id order and cut a new bin every
+  * `budget` tokens — bin = floor(exclusive-prefix-sum(tokens) /
+  * budget). This is the parallel formulation of token-budget chunking
+  * (a doc may straddle a boundary); true greedy bin-packing is
+  * inherently sequential and not what a distributed pipeline wants.
+  *
+  * The global running sum is the scale hazard: `Window.orderBy(id)`
+  * with no partition key collapses the corpus into ONE task. This
+  * implementation is a two-level prefix sum instead: docs are bucketed
+  * by id range (fixed width — correctness never depends on density,
+  * only balance does), the in-bucket cumsum is an ordinary partitioned
+  * window, bucket totals cascade through one tiny single-partition
+  * window over |buckets| rows (~corpus/width — driver-scale), and the
+  * offsets broadcast back. All integer arithmetic, fully deterministic.
+  */
+object PackOps {
+
+  def packBudget(df: DataFrame, idCol: String, tokenCol: String,
+                 budget: Long, bucketWidth: Long = 4096L): DataFrame = {
+    require(budget > 0 && bucketWidth > 0, "packBudget: budget and bucketWidth must be positive")
+    val bucketed = df
+      // integer `div`, not floor(double /): exact for any id magnitude
+      .withColumn("bucket", expr(s"`$idCol` div ${bucketWidth}L"))
+      .withColumn("cum_in_bucket",
+        sum(col(tokenCol).cast("long")).over(
+          Window.partitionBy(col("bucket")).orderBy(col(idCol))))
+    // |buckets| rows: the only unpartitioned window runs over
+    // corpus/bucketWidth rows, not the corpus
+    val offsets = bucketed.groupBy(col("bucket"))
+      .agg(sum(col(tokenCol).cast("long")).as("bucket_total"))
+      .withColumn("bucket_offset",
+        coalesce(sum(col("bucket_total")).over(
+          Window.orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("bucket_offset"))
+    bucketed.join(broadcast(offsets), "bucket")
+      .withColumn("cum", col("bucket_offset") + col("cum_in_bucket"))
+      .withColumn("bin",
+        floor((col("cum") - col(tokenCol).cast("long")) / budget).cast("long"))
+      .drop("bucket", "cum_in_bucket", "bucket_offset")
+  }
+}

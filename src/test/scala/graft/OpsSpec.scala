@@ -201,6 +201,24 @@ class OpsSpec extends AnyFunSuite {
     assert(hits >= exact.size / 4, s"trained-IVF recall too low: $hits/${exact.size}")
   }
 
+  test("PackOps.packBudget equals the single-window formulation, bins are budget-bounded") {
+    val docs = graft.io.Tables.documents(spark, TestSpark.Sf0001)
+    val toks = docs.select($"doc_id", size(split($"text", " ")).cast("int").as("n_tokens"))
+    // small bucketWidth so the two-level prefix sum actually cascades
+    // across many buckets
+    val packed = PackOps.packBudget(toks, "doc_id", "n_tokens", budget = 1000L, bucketWidth = 64L)
+      .select($"doc_id", $"bin").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // naive global-window reference (fine at test scale)
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"doc_id")
+    val ref = toks.withColumn("cum", sum($"n_tokens".cast("long")).over(w))
+      .select($"doc_id", (($"cum" - $"n_tokens") / 1000L).cast("long").as("bin"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(packed == ref)
+    // bins are contiguous from 0
+    val bins = packed.values.toSet
+    assert(bins == (0L until bins.size).toSet)
+  }
+
   test("DedupOps.keepBest: one doc per cluster, members add up, longest wins") {
     val docs = graft.io.Tables.documents(spark, TestSpark.Sf0001)
     val kept = DedupOps.keepBest(docs, "text", "doc_id").collect()
