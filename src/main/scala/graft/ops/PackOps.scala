@@ -42,8 +42,9 @@ object PackOps {
       .select(col("bucket"), col("bucket_offset"))
     bucketed.join(broadcast(offsets), "bucket")
       .withColumn("cum", col("bucket_offset") + col("cum_in_bucket"))
-      .withColumn("bin",
-        floor((col("cum") - col(tokenCol).cast("long")) / budget).cast("long"))
+      // integer `div` again: exact at any corpus size (floor(double /)
+      // would drift past 2^53 total tokens)
+      .withColumn("bin", expr(s"(cum - cast(`$tokenCol` as bigint)) div ${budget}L"))
       .drop("bucket", "cum_in_bucket", "bucket_offset")
   }
 }
