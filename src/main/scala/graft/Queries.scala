@@ -709,6 +709,79 @@ object Queries {
         FROM documents) t
       WHERE rk <= 20 ORDER BY lang, rk"""))
 
+  /** sample_mixture — domain-mixture rebalancing: per-language keep
+    * rates applied as a deterministic hash threshold (upsample en,
+    * downsample zh). Row-local WHERE — no shuffle, no window; the
+    * same doc survives under any partitioning or engine. The oracle
+    * CASE is generated from the same rate map so they cannot drift.
+    */
+  private val MixtureRates: Seq[(String, Double)] =
+    Seq("de" -> 0.5, "en" -> 0.9, "es" -> 0.25, "fr" -> 0.5, "zh" -> 0.1)
+
+  private val sm2 = Q(
+    "sample_mixture",
+    (s, d) => SampleOps.mixtureSample(docs(s, d), "lang", "doc_id",
+        MixtureRates.toMap)
+      .select(col("lang"), col("doc_id"))
+      .orderBy(col("lang"), col("doc_id")),
+    Some {
+      val cases = MixtureRates.map { case (l, r) =>
+        s"WHEN '$l' THEN $r * 65536.0"
+      }.mkString("\n               ")
+      s"""
+      SELECT lang, doc_id FROM (
+        SELECT lang, doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER AS bk
+        FROM documents) b
+      WHERE bk < CASE lang
+               $cases
+               ELSE 0.0 END
+      ORDER BY lang, doc_id"""
+    })
+
+  /** decon_ngram_overlap — benchmark decontamination: each train doc's
+    * (source != src0) distinct word 3-grams probed against the
+    * broadcast distinct 3-gram set of the benchmark slice (src0).
+    * Map-side join — the corpus never shuffles; at 100 TB this is one
+    * scan of the training data. Docs shorter than 3 words have no
+    * 3-grams and are trivially clean.
+    */
+  private val dc1 = Q(
+    "decon_ngram_overlap",
+    (s, d) => {
+      import s.implicits._
+      val corpus = docs(s, d)
+      DeconOps.decontaminate(
+          corpus.filter($"source" =!= "src0"),
+          corpus.filter($"source" === "src0"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH tr AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE source <> 'src0'),
+      tg AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS gram
+        FROM tr WHERE len(w) >= 3),
+      bg AS (
+        SELECT DISTINCT unnest(list_transform(range(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+        FROM (SELECT string_split(text, ' ') AS w FROM documents
+              WHERE source = 'src0') b
+        WHERE len(w) >= 3),
+      hits AS (
+        SELECT tg.doc_id, count(*) AS n_grams, count(bg.gram) AS n_shared
+        FROM tg LEFT JOIN bg ON tg.gram = bg.gram
+        GROUP BY tg.doc_id)
+      SELECT t.doc_id,
+             CAST(coalesce(h.n_grams, 0) AS INTEGER) AS n_grams,
+             CAST(coalesce(h.n_shared, 0) AS INTEGER) AS n_shared,
+             coalesce(h.n_shared, 0) >= 1 AS contaminated
+      FROM (SELECT doc_id FROM documents WHERE source <> 'src0') t
+      LEFT JOIN hits h ON t.doc_id = h.doc_id
+      ORDER BY t.doc_id"""))
+
   // ---------------------------------------------------------------- text
 
   private val t01 = Q(
@@ -777,6 +850,39 @@ object Queries {
       .orderBy(col("doc_id")),
     Some("""
       SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id"""))
+
+  /** text_repetition — Gopher-style repetition filters: most-frequent-
+    * word mass + duplicate word/bigram fractions. The dup fractions
+    * are row-local array arithmetic; only the top-word count shuffles
+    * (partial-aggregated (doc,word) pass, the TF-IDF-style irreducible
+    * cost).
+    */
+  private val t05 = Q(
+    "text_repetition",
+    (s, d) => TextOps.repetitionStats(docs(s, d))
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      r AS (
+        SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tokens,
+               len(list_distinct(w)) AS ndw,
+               len(w) - 1 AS nb,
+               len(list_distinct(list_transform(range(1, len(w)),
+                 i -> w[i] || ' ' || w[i+1]))) AS ndb
+        FROM w),
+      top AS (
+        SELECT doc_id, max(c) AS max_c FROM (
+          SELECT doc_id, word, count(*) AS c
+          FROM (SELECT doc_id, unnest(w) AS word FROM w) u
+          GROUP BY doc_id, word) g
+        GROUP BY doc_id)
+      SELECT r.doc_id, n_tokens,
+             round(max_c::DOUBLE / n_tokens, 4) AS top_word_frac,
+             round(1.0 - ndw::DOUBLE / n_tokens, 4) AS dup_word_frac,
+             CASE WHEN nb <= 0 THEN 0.0
+                  ELSE round(1.0 - ndb::DOUBLE / nb, 4) END AS dup_bigram_frac
+      FROM r JOIN top USING (doc_id)
+      ORDER BY doc_id"""))
 
   // ---------------------------------------------------------- similarity
 
@@ -1593,6 +1699,30 @@ object Queries {
       FROM supplier JOIN nation ON s_nationkey = n_nationkey
       GROUP BY n_name ORDER BY n_name"""))
 
+  /** q56 — ORC sink + source round-trip (S5's other columnar format):
+    * customer written as zlib-compressed ORC, read back with an
+    * explicit schema, aggregated per market segment. The oracle reads
+    * the original parquet — lossless-codec proof, same contract as
+    * q45/q55.
+    */
+  private val q56 = Q(
+    "q56_orc_roundtrip",
+    (s, d) => {
+      import s.implicits._
+      val c = cust(s, d)
+      val tmp = tmpDir(s, "q56_orc")
+      c.write.mode("overwrite").option("compression", "zlib").orc(tmp)
+      s.read.schema(c.schema).orc(tmp)
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"),
+             round(sum($"c_acctbal"), 2).as("sum_bal"))
+        .orderBy($"c_mktsegment")
+    },
+    Some("""
+      SELECT c_mktsegment, count(*) AS n_customers,
+             round(sum(c_acctbal), 2) AS sum_bal
+      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
   /** q46 — TPC-H Q5 shape: 6-table join (local-supplier revenue by
     * nation within a region-year slice). Date + region filters push to
     * the scans; nation/region broadcast; the fact-fact joins shuffle
@@ -1994,14 +2124,71 @@ object Queries {
       SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
       FROM events ORDER BY event_id"""))
 
+  /** streaming_interval_parity — the stream-stream interval join
+    * (clicks joined to the same user's purchases within 24h,
+    * watermark-bounded state on both sides) graded end-to-end: events
+    * delivered through a bounded file stream, inner-join rows emit
+    * eagerly on match, and the result must equal the batch interval
+    * join DuckDB computes at µs precision (the engine's timestamp
+    * resolution — parquet carries ns, both engines floor to µs).
+    */
+  private val st03 = Q(
+    "streaming_interval_parity",
+    (s, d) => {
+      import s.implicits._
+      import graft.streaming.StreamingOps
+      val batch = ev(s, d)
+        .select($"event_id", $"user_id", $"ts", $"event_type", $"value")
+      val stageDir = tmpDir(s, "stream_ssj_events")
+      // single part file = single micro-batch (same note as st01)
+      batch.coalesce(1).write.mode("overwrite").parquet(stageDir)
+      val src = StreamingOps.eventsStream(s, stageDir, s.read.parquet(stageDir).schema)
+      // parity harness: watermark pushed past the data span so no row
+      // can be late-dropped; production uses the real lateness bound
+      val joined = StreamingOps.clickPurchaseJoin(s,
+        src.filter($"event_type" === "click"),
+        src.filter($"event_type" === "purchase"),
+        intervalHours = 24, watermark = "3650 days")
+      val sink = s"stream_ssj_${System.nanoTime()}"
+      // same state-partition sizing note as streaming_sessions_parity
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = joined.writeStream
+          .format("memory").queryName(sink).outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      // pin + drop the memory-sink view (same hygiene as st01)
+      val out = s.table(sink).localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      out.orderBy($"click_id", $"purchase_ts_s", $"purchase_value")
+    },
+    Some("""
+      WITH c AS (
+        SELECT event_id AS click_id, user_id, epoch_us(ts) AS cu
+        FROM events WHERE event_type = 'click'),
+      p AS (
+        SELECT user_id AS p_user_id, epoch_us(ts) AS pu, value AS purchase_value
+        FROM events WHERE event_type = 'purchase')
+      SELECT click_id, user_id,
+             cu // 1000000 AS click_ts_s,
+             pu // 1000000 AS purchase_ts_s,
+             purchase_value
+      FROM c JOIN p ON user_id = p_user_id
+        AND pu > cu AND pu <= cu + 86400000000
+      ORDER BY click_id, purchase_ts_s, purchase_value"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
-    q52, q53, q54, q55,
-    d01, d02, d03, d04, d05, d06, d07, sm1, pk1,
-    t01, t02, t03, t04, a01, a02, a03, a04, a05, m01, m02, m03, mr1, st01, st02)
+    q52, q53, q54, q55, q56,
+    d01, d02, d03, d04, d05, d06, d07, sm1, sm2, pk1, dc1,
+    t01, t02, t03, t04, t05, a01, a02, a03, a04, a05, m01, m02, m03, mr1,
+    st01, st02, st03)
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -43,4 +43,26 @@ object SampleOps {
     val bucket = conv(substring(hashKey(col(idCol)), 1, 4), 16, 10).cast("int")
     df.filter(bucket < (fraction * 65536).toInt)
   }
+
+  /** Domain-mixture sampling: per-group keep rates (e.g. upsample en,
+    * downsample zh) applied as a deterministic hash threshold — the
+    * curation step that rebalances source/language composition before
+    * training. Groups absent from `rates` keep `defaultRate`.
+    *
+    * Pure row-local WHERE (hash bucket < per-group rate): no shuffle,
+    * no window, pushes past any downstream ops; the same doc survives
+    * under any partitioning, cluster size, or engine.
+    */
+  def mixtureSample(df: DataFrame, groupCol: String, idCol: String,
+                    rates: Map[String, Double],
+                    defaultRate: Double = 0.0): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
+      "mixture rates must be in [0,1]")
+    val bucket = conv(substring(hashKey(col(idCol)), 1, 4), 16, 10).cast("int")
+    // rates are few (one per domain) — a literal CASE cascade, codegen'd
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
+      case (acc, (k, v)) => when(col(groupCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(bucket.cast("double") < rate * 65536.0)
+  }
 }

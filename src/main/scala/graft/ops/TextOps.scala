@@ -59,6 +59,44 @@ object TextOps {
         round(size(filter(ws, w => array_contains(stops, w))).cast("double") / size(ws), 4))
   }
 
+  /** Repetition statistics (Gopher-style quality filters): highly
+    * repetitive documents (boilerplate, keyword stuffing, generation
+    * loops) are flagged by the mass of their most frequent word and by
+    * duplicate word/bigram fractions.
+    *
+    * - `top_word_frac`  — occurrences of the most frequent word / tokens
+    * - `dup_word_frac`  — 1 - distinct words / tokens
+    * - `dup_bigram_frac`— 1 - distinct bigrams / bigrams (0 if no bigrams)
+    *
+    * The dup fractions are row-local array arithmetic (no shuffle);
+    * top_word_frac needs per-(doc,word) counts — one partial-aggregated
+    * shuffle, re-aggregated to the doc. The row-local counters ride
+    * along as grouping keys (functionally dependent on the doc id), so
+    * no second join is needed.
+    */
+  def repetitionStats(df: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    import graft.functions.TextFunctions.word_ngrams
+    val base = df.select(col(idCol), words(col(textCol)).as("w"),
+        word_ngrams(col(textCol), 2).as("bg"))
+      .select(col(idCol), col("w"),
+        size(col("bg")).as("nb"), size(array_distinct(col("bg"))).as("ndb"))
+    base.select(col(idCol), col("nb"), col("ndb"), explode(col("w")).as("word"))
+      .groupBy(col(idCol), col("nb"), col("ndb"), col("word"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol), col("nb"), col("ndb"))
+      .agg(sum(col("c")).cast("int").as("n_tokens"),
+           count(lit(1)).as("n_distinct_words"),
+           max(col("c")).as("max_c"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("max_c").cast("double") / col("n_tokens"), 4).as("top_word_frac"),
+        round(lit(1.0) - col("n_distinct_words").cast("double") / col("n_tokens"), 4)
+          .as("dup_word_frac"),
+        when(col("nb") === 0, lit(0.0))
+          .otherwise(round(lit(1.0) - col("ndb").cast("double") / col("nb"), 4))
+          .as("dup_bigram_frac"))
+  }
+
   /** Whitespace + regex token counts per document. */
   def tokenCounts(df: DataFrame, textCol: String = "text"): DataFrame =
     df.withColumn("n_ws_tokens", size(words(col(textCol))).cast("int"))

@@ -569,4 +569,49 @@ class OpsSpec extends AnyFunSuite {
     val ann = SimOps.lshTopK(e.filter(col("vec_id") < 5), e, "vec_id", "embedding", 3)
     assert(ann.queryExecution.executedPlan.toString.contains("BroadcastExchange"))
   }
+
+  test("DeconOps.decontaminate flags exact 3-gram collisions only") {
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "zz alpha beta gamma yy"), // shares "alpha beta gamma"
+      (2L, "alpha gamma beta zz yy"), // same words, no shared 3-gram
+      (3L, "one two")                 // too short: no 3-grams, clean
+    ).toDF("doc_id", "text")
+    val got = DeconOps.decontaminate(train, bench).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getBoolean(3)))
+    assert(got.toSeq == Seq(
+      (1L, 3, 1, true),  // 3 distinct 3-grams, 1 shared
+      (2L, 3, 0, false),
+      (3L, 0, 0, false)))
+  }
+
+  test("TextOps.repetitionStats computes top-word and dup fractions") {
+    val df = Seq(
+      (1L, "a a a b"),    // top word a: 3/4; distinct 2/4; bigrams [a a, a a, a b] dup 1/3
+      (2L, "x y z"),      // no repetition at all
+      (3L, "w")           // single token: no bigrams
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetitionStats(df).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(got(0) == ((1L, 4, 0.75, 0.5, 0.3333)))
+    assert(got(1) == ((2L, 3, 0.3333, 0.0, 0.0)))
+    assert(got(2) == ((3L, 1, 1.0, 0.0, 0.0)))
+  }
+
+  test("SampleOps.mixtureSample applies per-group rates deterministically") {
+    val df = (0L until 200L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
+      .toDF("doc_id", "lang")
+    // rate 1.0 keeps every row of the group; rate 0.0 drops all of it
+    val kept = SampleOps.mixtureSample(df, "lang", "doc_id",
+      Map("en" -> 1.0, "zh" -> 0.0)).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.length == 100 && kept.forall(_._2 == "en"))
+    // partial rates: kept set is a subset and is stable across runs
+    val half = SampleOps.mixtureSample(df, "lang", "doc_id", Map("en" -> 0.5, "zh" -> 0.5))
+    val ids1 = half.collect().map(_.getLong(0)).toSet
+    val ids2 = half.repartition(7).collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2 && ids1.nonEmpty && ids1.size < 200)
+    // unknown groups fall back to defaultRate
+    val none = SampleOps.mixtureSample(df, "lang", "doc_id", Map("fr" -> 1.0))
+    assert(none.count() == 0)
+  }
 }
