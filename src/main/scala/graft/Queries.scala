@@ -1650,6 +1650,46 @@ object Queries {
     s"$wh/graft_tmp/${name}_${ProcessHandle.current().pid()}"
   }
 
+  /** Shared harness for the streaming_* parity queries: run `stream`
+    * into a memory sink under AvailableNow, await completion, return
+    * the sink name (caller projects, pins, and drops the view). Two
+    * parity-harness confs are scoped to the run and restored after:
+    *
+    *  - state partitions sized to harness volume (2; each shuffle
+    *    partition is a full set of state-store instances whose
+    *    load/commit cost is per-batch overhead — production sizes this
+    *    to state volume instead);
+    *  - no-data micro-batches OFF: every graded stream emits eagerly
+    *    inside its data batch (inner interval join, first-sight dedup,
+    *    sentinel-closed sessions), so the trailing watermark-advance
+    *    batch produces zero rows and only pays state-store commits.
+    *
+    * Together measured 9.1 s -> 1.9 s on streaming_interval_parity at
+    * sf0.1 local[32]. Production streams with timeout-driven emission
+    * (session closes on idle) need no-data batches ON — that is the
+    * default this helper restores.
+    */
+  private def runParityStream(s: SparkSession,
+                              stream: DataFrame, prefix: String): String = {
+    val sink = s"${prefix}_${System.nanoTime()}"
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData =
+      s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try {
+      val q = stream.writeStream
+        .format("memory").queryName(sink).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+    }
+    sink
+  }
+
   /** q45 — CSV sink + source round-trip (S1/S5 text formats for real):
     * nation written to CSV with header, read back with an explicit
     * schema, joined and aggregated — proves the text codec path is
@@ -2055,20 +2095,7 @@ object Queries {
       val src = StreamingOps.eventsStream(s, stageDir, s.read.parquet(stageDir).schema)
       val sessions = StreamingOps.statefulSessions(
         s, src, gapSec = 1800, watermark = "3650 days")
-      val sink = s"stream_sessions_${System.nanoTime()}"
-      // one state-store instance per shuffle partition: at parity-
-      // harness volume 32 instances are pure per-batch commit overhead
-      // (measured 7.7s -> 4.6s at 8). Production sizes this to state
-      // volume; restore the session value after the stream finishes.
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val q = sessions.writeStream
-          .format("memory").queryName(sink).outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val sink = runParityStream(s, sessions, "stream_sessions")
       // pin the result, then drop the memory-sink view so repeated
       // invocations (Bench runs every query twice) don't accumulate
       // in-memory result tables for the life of the session
@@ -2101,18 +2128,7 @@ object Queries {
       batch.write.mode("append").parquet(stageDir)
       val src = StreamingOps.eventsStream(s, stageDir, s.read.parquet(stageDir).schema)
       val deduped = StreamingOps.streamingDedup(src, watermark = "3650 days")
-      val sink = s"stream_dedup_${System.nanoTime()}"
-      // same state-partition sizing note as streaming_sessions_parity
-      // (measured 11.3s -> 4.3s at 8 partitions)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val q = deduped.writeStream
-          .format("memory").queryName(sink).outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val sink = runParityStream(s, deduped, "stream_dedup")
       // pin + drop the memory-sink view (same hygiene as st01)
       val out = s.table(sink)
         .select($"event_id", $"user_id", $"ts".cast("long").as("ts_s"))
@@ -2149,17 +2165,7 @@ object Queries {
         src.filter($"event_type" === "click"),
         src.filter($"event_type" === "purchase"),
         intervalHours = 24, watermark = "3650 days")
-      val sink = s"stream_ssj_${System.nanoTime()}"
-      // same state-partition sizing note as streaming_sessions_parity
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val q = joined.writeStream
-          .format("memory").queryName(sink).outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val sink = runParityStream(s, joined, "stream_ssj")
       // pin + drop the memory-sink view (same hygiene as st01)
       val out = s.table(sink).localCheckpoint(true)
       s.catalog.dropTempView(sink)
