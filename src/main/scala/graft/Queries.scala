@@ -1763,6 +1763,143 @@ object Queries {
              round(sum(c_acctbal), 2) AS sum_bal
       FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
+  /** q57 — bucketed co-located fact-fact join: orders and lineitem
+    * each written ONCE as bucketed tables (16 buckets on the join
+    * key), then sort-merge-joined with ZERO shuffle exchanges — the
+    * scan's hash layout already satisfies the join's required
+    * distribution. At 100 TB this converts every subsequent
+    * orders⋈lineitem run from two full-table shuffles into a pure
+    * scan-side merge; the one-time bucketed write is the amortized
+    * cost. The `merge` hint keeps the plan the scale plan (small-SF
+    * Catalyst would broadcast orders, hiding the bucket path the query
+    * exists to exercise); OpsSpec asserts the no-Exchange property.
+    */
+  private val q57 = Q(
+    "q57_bucketed_join",
+    (s, d) => {
+      import s.implicits._
+      import graft.io.Bucketing
+      val pid = ProcessHandle.current().pid()
+      val oT = s"graft_b_orders_$pid"
+      val lT = s"graft_b_lineitem_$pid"
+      Bucketing.writeBucketed(
+        ord(s, d).select($"o_orderkey", $"o_orderpriority"),
+        oT, 16, "o_orderkey", Seq("o_orderkey"))
+      Bucketing.writeBucketed(
+        li(s, d).select($"l_orderkey", $"l_extendedprice", $"l_discount"),
+        lT, 16, "l_orderkey", Seq("l_orderkey"))
+      Bucketing.table(s, oT).hint("merge")
+        .join(Bucketing.table(s, lT), $"o_orderkey" === $"l_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+             round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+               .as("revenue"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS n_items,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** q58 — range-clustered sorted layout + selective read-back:
+    * lineitem rewritten `repartitionByRange(l_orderkey) +
+    * sortWithinPartitions`, then a narrow key-range query over the new
+    * layout. Sorting makes every row group's min/max stats tight and
+    * file ranges disjoint, so the pushed-down BETWEEN skips all but
+    * the overlapping groups — the scan reads O(matching), not
+    * O(table). OpsSpec proves the skipping property from the parquet
+    * footers (disjoint ranges, ≤2 of 8 groups overlap a 10% range);
+    * the oracle proves the layout is lossless. The range gets MORE
+    * selective as the table grows (fixed keys, growing keyspace) —
+    * exactly the 100 TB shape.
+    */
+  private val q58 = Q(
+    "q58_sorted_layout",
+    (s, d) => {
+      import s.implicits._
+      import graft.io.Layout
+      val tmp = tmpDir(s, "q58_layout")
+      Layout.writeSorted(
+        li(s, d).select($"l_orderkey", $"l_quantity", $"l_extendedprice"),
+        tmp, 8, Seq($"l_orderkey"))
+      s.read.parquet(tmp)
+        .filter($"l_orderkey".between(100, 999))
+        .groupBy(($"l_orderkey" % 10).as("key_bucket"))
+        .agg(count(lit(1)).as("n"),
+             round(sum($"l_quantity"), 2).as("sum_qty"),
+             round(sum($"l_extendedprice"), 2).as("sum_price"))
+        .orderBy($"key_bucket")
+    },
+    Some("""
+      SELECT l_orderkey % 10 AS key_bucket, count(*) AS n,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_price
+      FROM lineitem WHERE l_orderkey BETWEEN 100 AND 999
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** q59 — snapshot merge (MERGE INTO semantics): a deterministic
+    * changeset derived from orders itself — updates (repriced, status
+    * 'U'), inserts (new negative keys, status 'N'), deletes — applied
+    * via MergeOps.upsert (ONE union shuffle + per-key window, no
+    * join), then aggregated per status. Update/delete key sets are
+    * disjoint by construction so the merge needs no version column.
+    */
+  private val q59 = Q(
+    "q59_merge_upsert",
+    (s, d) => {
+      import s.implicits._
+      val o = ord(s, d)
+      val upd = o.filter($"o_orderkey" % 10 === 0 && $"o_orderkey" % 7 =!= 0)
+        // reprice in DECIMAL: round(double * 1.1, 2) is engine-
+        // dependent (Spark rounds the shortest decimal repr, DuckDB
+        // the binary value) — exact decimal ×11/10 is not
+        .withColumn("o_totalprice",
+          round($"o_totalprice".cast("decimal(18,2)") *
+            expr("CAST(1.1 AS DECIMAL(2,1))"), 2).cast("double"))
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("is_delete", lit(false))
+      val ins = o.filter($"o_orderkey" % 13 === 0)
+        .withColumn("o_orderkey", -($"o_orderkey" + 1))
+        .withColumn("o_orderstatus", lit("N"))
+        .withColumn("is_delete", lit(false))
+      val del = o.filter($"o_orderkey" % 7 === 0)
+        .withColumn("is_delete", lit(true))
+      val changes = upd.unionByName(ins).unionByName(del)
+      MergeOps.upsert(o, changes, Seq("o_orderkey"), Some("is_delete"))
+        .groupBy($"o_orderstatus")
+        // exact decimal sum, then one cast: a double sum of ~15k
+        // 1e5-sized values carries ulp error that flips the 2nd
+        // decimal depending on partition order — engine-dependent
+        .agg(count(lit(1)).as("n"),
+             sum($"o_totalprice".cast("decimal(18,2)")).cast("double")
+               .as("sum_price"))
+        .orderBy($"o_orderstatus")
+    },
+    Some("""
+      WITH upd AS (
+        SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+               CAST(round(CAST(o_totalprice AS DECIMAL(18,2))
+                          * CAST(1.1 AS DECIMAL(2,1)), 2) AS DOUBLE)
+                 AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 7 <> 0),
+      ins AS (
+        SELECT -(o_orderkey + 1) AS o_orderkey, o_custkey,
+               'N' AS o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 13 = 0),
+      merged AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders
+        WHERE o_orderkey % 7 <> 0
+          AND NOT (o_orderkey % 10 = 0 AND o_orderkey % 7 <> 0)
+        UNION ALL SELECT * FROM upd
+        UNION ALL SELECT * FROM ins)
+      SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM merged GROUP BY 1 ORDER BY 1"""))
+
   /** q46 — TPC-H Q5 shape: 6-table join (local-supplier revenue by
     * nation within a region-year slice). Date + region filters push to
     * the scans; nation/region broadcast; the fact-fact joins shuffle
@@ -2191,7 +2328,7 @@ object Queries {
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
-    q52, q53, q54, q55, q56,
+    q52, q53, q54, q55, q56, q57, q58, q59,
     d01, d02, d03, d04, d05, d06, d07, sm1, sm2, pk1, dc1,
     t01, t02, t03, t04, t05, a01, a02, a03, a04, a05, m01, m02, m03, mr1,
     st01, st02, st03)

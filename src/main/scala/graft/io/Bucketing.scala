@@ -1,0 +1,42 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed table layout — the co-located join primitive (SURVEY.md
+  * §2.4 scale path). A fact table written with `bucketBy(n, key)` is
+  * hash-partitioned ON DISK: every file belongs to one of `n` buckets
+  * of `hash(key)`. Two tables bucketed by their join keys with the
+  * same bucket count satisfy the join's required distribution straight
+  * off the scan, so the sort-merge join plans with ZERO shuffle
+  * exchanges — at 100 TB that removes the single largest cost of a
+  * fact-fact join (re-shuffling both inputs every run). Bucketing pays
+  * one shuffle at WRITE time and amortizes it over every subsequent
+  * join/aggregation on the bucket key; the break-even is one read.
+  *
+  * Bucket-sorted output (`sortBy`) additionally lets the merge join
+  * skip its per-partition sort when each bucket holds one file.
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed (optionally bucket-sorted) managed
+    * parquet table. Overwrites any previous version; the table lives
+    * under `spark.sql.warehouse.dir` (shared FS on a real cluster).
+    */
+  def writeBucketed(df: DataFrame, table: String, numBuckets: Int,
+                    bucketCol: String, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
+  /** Read a bucketed table back (the catalog carries the bucket spec —
+    * a plain `read.parquet` of the files would lose it).
+    */
+  def table(spark: SparkSession, name: String): DataFrame =
+    spark.table(name)
+
+  /** Drop a bucketed table and its files. */
+  def drop(spark: SparkSession, name: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+}

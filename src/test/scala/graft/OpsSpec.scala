@@ -570,6 +570,91 @@ class OpsSpec extends AnyFunSuite {
     assert(ann.queryExecution.executedPlan.toString.contains("BroadcastExchange"))
   }
 
+  test("Bucketing: co-located join plans with zero shuffle exchanges") {
+    import graft.io.Bucketing
+    val a = (1L to 200L).map(i => (i, s"p${i % 5}")).toDF("k", "tag")
+    val b = (1L to 600L).map(i => (i % 200 + 1, i.toDouble)).toDF("k2", "v")
+    Bucketing.writeBucketed(a, "t_buck_a", 4, "k", Seq("k"))
+    Bucketing.writeBucketed(b, "t_buck_b", 4, "k2", Seq("k2"))
+    val joined = Bucketing.table(spark, "t_buck_a").hint("merge")
+      .join(Bucketing.table(spark, "t_buck_b"), $"k" === $"k2")
+      .groupBy($"tag").agg(sum($"v").as("sv"))
+    assert(joined.count() == 5)
+    val plan = joined.queryExecution.executedPlan.toString
+    // the join itself is exchange-free: scans satisfy the distribution.
+    // (the final 5-row groupBy still exchanges; assert the JOIN inputs)
+    val joinIdx = plan.indexOf("SortMergeJoin")
+    assert(joinIdx >= 0, plan)
+    assert(!plan.substring(joinIdx).contains("Exchange"), plan)
+    // control: the same join over non-bucketed inputs shuffles both sides
+    val flat = a.hint("merge").join(b, $"k" === $"k2")
+    val flatPlan = flat.queryExecution.executedPlan.toString
+    val flatIdx = flatPlan.indexOf("SortMergeJoin")
+    assert(flatPlan.substring(flatIdx).contains("Exchange"), flatPlan)
+    Bucketing.drop(spark, "t_buck_a"); Bucketing.drop(spark, "t_buck_b")
+  }
+
+  test("Layout.writeSorted yields disjoint prunable row-group ranges") {
+    import graft.io.Layout
+    val dir = "/tmp/graft_test_layout"
+    val df = (0L until 10000L).map(i => ((i * 7919) % 10000, i))
+      .toDF("k", "v") // shuffled key order: unsorted input
+    Layout.writeSorted(df, dir, 8, Seq($"k"))
+    val stats = Layout.rowGroupStats(spark, dir, "k").sortBy(_._3)
+    assert(stats.size >= 8)
+    // ranges are disjoint (sorted within, range-partitioned across)
+    stats.sliding(2).foreach {
+      case Seq((_, _, _, max1), (_, _, min2, _)) => assert(max1 < min2)
+      case _ =>
+    }
+    // a 10% key range overlaps at most 2 of the >=8 row groups — the
+    // skipping property the sorted layout exists for
+    val overlapping = stats.count { case (_, _, mn, mx) => mx >= 0 && mn <= 999 }
+    assert(overlapping <= 2, stats.mkString(", "))
+    // lossless: read-back under a pushed range filter matches the source
+    val got = spark.read.parquet(dir).filter($"k" < 100).count()
+    assert(got == 100)
+  }
+
+  test("MergeOps.upsert applies updates, inserts, and deletes") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "price")
+    val changes = Seq(
+      (2L, "b2", 21.0, false), // update
+      (4L, "d", 40.0, false),  // insert
+      (3L, "c", 30.0, true)    // delete
+    ).toDF("id", "name", "price", "is_delete")
+    val got = MergeOps.upsert(base, changes, Seq("id"), Some("is_delete"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, "a", 10.0), (2L, "b2", 21.0), (4L, "d", 40.0)))
+  }
+
+  test("MergeOps.upsert resolves multi-change keys by version") {
+    val base = Seq((1L, "a")).toDF("id", "name")
+    val changes = Seq((1L, "v1", 1L), (1L, "v2", 2L))
+      .toDF("id", "name", "ver")
+    val got = MergeOps.upsert(base, changes, Seq("id"),
+      versionCol = Some("ver")).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "v2")))
+  }
+
+  test("MergeOps.diffSnapshots emits exactly the changeset that replays") {
+    val old = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("id", "name", "price")
+    val next = Seq((1L, "a", 1.0), (2L, "B", 2.5), (4L, "d", 4.0))
+      .toDF("id", "name", "price")
+    val diff = MergeOps.diffSnapshots(old, next, Seq("id"))
+    val rows = diff.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.toSeq == Seq(
+      (2L, "B", 2.5, false), (3L, "c", 3.0, true), (4L, "d", 4.0, false)))
+    // closure: upsert(old, diff) == next
+    val replayed = MergeOps.upsert(old, diff, Seq("id"), Some("is_delete"))
+    assert(replayed.exceptAll(next).count() == 0 &&
+      next.exceptAll(replayed).count() == 0)
+  }
+
   test("DeconOps.decontaminate flags exact 3-gram collisions only") {
     val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val train = Seq(
