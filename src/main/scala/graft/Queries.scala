@@ -739,6 +739,61 @@ object Queries {
       ORDER BY lang, doc_id"""
     })
 
+  /** sample_shards — deterministic shuffle + shard assignment: every
+    * doc gets a stable (shard, pos) from its id hash — the reproducible
+    * global permutation a training dataloader reads. Shard membership
+    * is row-local; the within-shard position is one shuffle partitioned
+    * BY shard, the same distribution a shard-writer would reuse.
+    */
+  private val sm3 = Q(
+    "sample_shards",
+    (s, d) => SampleOps.shardAssignment(docs(s, d), "doc_id", 8)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos")),
+    Some("""
+      SELECT doc_id, shard, CAST(row_number() OVER (PARTITION BY shard
+               ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS INTEGER) AS pos
+      FROM (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
+                 AS INTEGER) AS shard
+        FROM documents) t
+      ORDER BY shard, pos"""))
+
+  /** validate_orders — declarative data-quality gate: four row-level
+    * constraints over orders evaluated in ONE scan (a single
+    * partial-aggregated pass; N constraints = one table read), reported
+    * per constraint. The non-null/positive/domain/range mix mirrors
+    * what a pipeline checks between stages.
+    */
+  private val vd1 = Q(
+    "validate_orders",
+    (s, d) => {
+      import s.implicits._
+      ValidateOps.checkConstraints(ord(s, d), Seq(
+        "custkey_not_null" -> $"o_custkey".isNotNull,
+        "totalprice_positive" -> ($"o_totalprice" > 0.0),
+        "status_in_domain" -> $"o_orderstatus".isin("F", "O", "P"),
+        "orderdate_in_range" ->
+          $"o_orderdate".between("1992-01-01", "1998-12-31")))
+        .orderBy($"check_name")
+    },
+    Some("""
+      WITH v AS (
+        SELECT count(*) AS n_rows,
+          CAST(sum(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS v1,
+          CAST(sum(CASE WHEN o_totalprice > 0.0 THEN 0 ELSE 1 END) AS BIGINT) AS v2,
+          CAST(sum(CASE WHEN o_orderstatus IN ('F', 'O', 'P') THEN 0 ELSE 1 END) AS BIGINT) AS v3,
+          CAST(sum(CASE WHEN o_orderdate BETWEEN '1992-01-01' AND '1998-12-31'
+                   THEN 0 ELSE 1 END) AS BIGINT) AS v4
+        FROM orders)
+      SELECT * FROM (
+        SELECT 'custkey_not_null' AS check_name, n_rows, v1 AS n_violations, v1 = 0 AS ok FROM v
+        UNION ALL SELECT 'orderdate_in_range', n_rows, v4, v4 = 0 FROM v
+        UNION ALL SELECT 'status_in_domain', n_rows, v3, v3 = 0 FROM v
+        UNION ALL SELECT 'totalprice_positive', n_rows, v2, v2 = 0 FROM v) t
+      ORDER BY check_name"""))
+
   /** decon_ngram_overlap — benchmark decontamination: each train doc's
     * (source != src0) distinct word 3-grams probed against the
     * broadcast distinct 3-gram set of the benchmark slice (src0).
@@ -2329,7 +2384,7 @@ object Queries {
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q58, q59,
-    d01, d02, d03, d04, d05, d06, d07, sm1, sm2, pk1, dc1,
+    d01, d02, d03, d04, d05, d06, d07, sm1, sm2, sm3, pk1, dc1, vd1,
     t01, t02, t03, t04, t05, a01, a02, a03, a04, a05, m01, m02, m03, mr1,
     st01, st02, st03)
 

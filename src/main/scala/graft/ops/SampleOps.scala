@@ -44,6 +44,26 @@ object SampleOps {
     df.filter(bucket < (fraction * 65536).toInt)
   }
 
+  /** Deterministic shuffle + shard assignment — the last step before a
+    * training dataloader: every row gets a stable (shard, pos) from
+    * its id hash, giving a reproducible global permutation split into
+    * `numShards` equal-ish files. Shard membership is row-local (hash
+    * mod — pushes anywhere, survives repartitioning); only the
+    * within-shard position needs a shuffle, and that one is
+    * partitioned BY shard, so writing shards out afterwards reuses the
+    * same distribution with no second exchange.
+    */
+  def shardAssignment(df: DataFrame, idCol: String, numShards: Int): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    val shard = pmod(
+      conv(substring(hashKey(col(idCol)), 1, 8), 16, 10).cast("long"),
+      lit(numShards)).cast("int")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(hashKey(col(idCol)).asc, col(idCol).asc)
+    df.withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w).cast("int"))
+  }
+
   /** Domain-mixture sampling: per-group keep rates (e.g. upsample en,
     * downsample zh) applied as a deterministic hash threshold — the
     * curation step that rebalances source/language composition before

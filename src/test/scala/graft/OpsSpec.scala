@@ -655,6 +655,39 @@ class OpsSpec extends AnyFunSuite {
       next.exceptAll(replayed).count() == 0)
   }
 
+  test("SampleOps.shardAssignment is a stable partition-invariant permutation") {
+    val df = (0L until 500L).toDF("id")
+    val a = SampleOps.shardAssignment(df, "id", 4)
+      .select("id", "shard", "pos").collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val b = SampleOps.shardAssignment(df.repartition(13), "id", 4)
+      .select("id", "shard", "pos").collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq)
+    // all shards populated, positions are 1..n per shard with no gaps
+    val byShard = a.groupBy(_._2)
+    assert(byShard.keySet == Set(0, 1, 2, 3))
+    byShard.values.foreach { rows =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.size).toSeq)
+    }
+    assert(a.map(_._1).distinct.length == 500)
+  }
+
+  test("ValidateOps.checkConstraints reports per-constraint violations in one scan") {
+    val df = Seq((1L, 10.0, "ok"), (2L, -5.0, "ok"), (3L, 7.0, null))
+      .toDF("id", "price", "tag")
+    val got = ValidateOps.checkConstraints(df, Seq(
+      "price_positive" -> (col("price") > 0),
+      "tag_not_null" -> col("tag").isNotNull,
+      "id_unique_ish" -> col("id").isNotNull))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.toSeq == Seq(
+      ("price_positive", 3L, 1L, false),
+      ("tag_not_null", 3L, 1L, false),
+      ("id_unique_ish", 3L, 0L, true)))
+    // NULL predicate result counts as a violation (tag null row)
+    val viol = ValidateOps.violations(df, col("tag").isNotNull).collect()
+    assert(viol.map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
   test("DeconOps.decontaminate flags exact 3-gram collisions only") {
     val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val train = Seq(
