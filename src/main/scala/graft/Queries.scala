@@ -1955,6 +1955,59 @@ object Queries {
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       FROM merged GROUP BY 1 ORDER BY 1"""))
 
+  /** q60 — salted skew join: lineitem⋈supplier through
+    * JoinOps.saltedJoin (4 salt buckets — large side spread across
+    * sub-keys, small side replicated ×4), aggregated per nation. The
+    * result is provably identical to the unsalted join (that is the
+    * oracle); the salt is what keeps one hot supplier from stalling a
+    * single reducer when the small side is too big to broadcast.
+    */
+  private val q60 = Q(
+    "q60_salted_join",
+    (s, d) => {
+      import s.implicits._
+      val l = li(s, d).select($"l_suppkey", $"l_extendedprice", $"l_discount")
+      val sp = Tables.supplier(s, d)
+        .select($"s_suppkey".as("l_suppkey"), $"s_nationkey")
+      JoinOps.saltedJoin(l, sp, Seq("l_suppkey"), saltBuckets = 4)
+        .groupBy($"s_nationkey")
+        .agg(count(lit(1)).as("n_items"),
+             round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+               .as("revenue"))
+        .orderBy($"s_nationkey")
+    },
+    Some("""
+      SELECT s_nationkey, count(*) AS n_items,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_nationkey ORDER BY s_nationkey"""))
+
+  /** q61 — blocked fuzzy join (data-cleaning entity matching): part
+    * names matched within Levenshtein distance 3, candidates blocked
+    * by the name's noun (equi-join on the second word — never
+    * all-pairs; per-block quadratic over the bounded adjective set).
+    * DuckDB's levenshtein is the oracle's verifier — both engines
+    * compute plain unit-cost edit distance.
+    */
+  private val q61 = Q(
+    "q61_fuzzy_join",
+    (s, d) => {
+      import s.implicits._
+      JoinOps.fuzzyJoin(Tables.part(s, d), Tables.part(s, d), "p_name",
+          name => element_at(split(name, " "), 2), maxDist = 3)
+        .select($"a", $"b", $"dist")
+        .orderBy($"a", $"b")
+    },
+    Some("""
+      WITH n AS (SELECT DISTINCT p_name FROM part)
+      SELECT a.p_name AS a, b.p_name AS b,
+             CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+      FROM n a JOIN n b
+        ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+       AND a.p_name < b.p_name
+      WHERE levenshtein(a.p_name, b.p_name) <= 3
+      ORDER BY a, b"""))
+
   /** q46 — TPC-H Q5 shape: 6-table join (local-supplier revenue by
     * nation within a region-year slice). Date + region filters push to
     * the scans; nation/region broadcast; the fact-fact joins shuffle
@@ -2383,7 +2436,7 @@ object Queries {
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
-    q52, q53, q54, q55, q56, q57, q58, q59,
+    q52, q53, q54, q55, q56, q57, q58, q59, q60, q61,
     d01, d02, d03, d04, d05, d06, d07, sm1, sm2, sm3, pk1, dc1, vd1,
     t01, t02, t03, t04, t05, a01, a02, a03, a04, a05, m01, m02, m03, mr1,
     st01, st02, st03)

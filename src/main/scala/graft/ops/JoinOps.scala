@@ -92,4 +92,57 @@ object JoinOps {
         df.withColumn(s"asof_$c", col(s"__asof.asof_$c")))
       .drop("__side", "__asof")
   }
+
+  /** Salted equi-join — the skew escape hatch when the small side is
+    * too big to broadcast and one join key dominates (the
+    * all-events-from-one-user shape that stalls a plain shuffle join
+    * on a single reducer). The large side's rows are spread over
+    * `saltBuckets` sub-keys; the small side is replicated once per
+    * bucket, so every (key, salt) partition holds 1/`saltBuckets` of
+    * the hot key's rows. Cost: small side × saltBuckets — salt just
+    * enough to flatten the hottest key. Result set is identical to the
+    * unsalted join (every pair meets in exactly one bucket).
+    *
+    * The salt is derived from a hash of the large row's full tuple
+    * (NOT the key — that would keep the hot key together), so the
+    * plan stays deterministic and partition-invariant; AQE's runtime
+    * skew-join does this adaptively, this operator is the explicit
+    * form for non-AQE contexts and for pinning the fan-out in tests.
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
+                 saltBuckets: Int, joinType: String = "inner"): DataFrame = {
+    require(saltBuckets > 0, "saltBuckets must be positive")
+    val l = large.withColumn("__salt",
+      pmod(xxhash64(large.columns.map(col).toSeq: _*), lit(saltBuckets))
+        .cast("int"))
+    val s = small.withColumn("__salt",
+      explode(array((0 until saltBuckets).map(lit): _*)))
+    l.join(s, keys :+ "__salt", joinType).drop("__salt")
+  }
+
+  /** Blocked fuzzy self/two-sided join: string-similarity matching
+    * without the all-pairs cross product. Candidates are generated by
+    * an equi-join on `blockKey` (a cheap canonical key both of a true
+    * match's sides share — a token, a length bucket, a phonetic code,
+    * a q-gram bucket), then verified with exact Levenshtein distance.
+    * At 100 TB the blocking key IS the operator: candidates are
+    * per-block quadratic, so blocks must be bounded (same maxDF
+    * discipline as the n-gram dedup path); everything downstream is a
+    * plain equi-join + codegen'd per-pair verify.
+    *
+    * Emits (left AS a, right AS b, dist) for verified pairs with
+    * `a < b` (canonical orientation, no self-pairs).
+    */
+  def fuzzyJoin(left: DataFrame, right: DataFrame, strCol: String,
+                blockKey: Column => Column, maxDist: Int): DataFrame = {
+    val a = left.select(col(strCol).as("a")).distinct()
+      .withColumn("__bk", blockKey(col("a")))
+    val b = right.select(col(strCol).as("b")).distinct()
+      .withColumn("__bk", blockKey(col("b")))
+    a.join(b, Seq("__bk"))
+      .filter(col("a") < col("b"))
+      .withColumn("dist", levenshtein(col("a"), col("b")))
+      .filter(col("dist") <= maxDist)
+      .drop("__bk")
+  }
 }

@@ -688,6 +688,33 @@ class OpsSpec extends AnyFunSuite {
     assert(viol.map(_.getLong(0)).toSeq == Seq(3L))
   }
 
+  test("JoinOps.saltedJoin equals the plain join and spreads the hot key") {
+    val large = (0L until 1000L).map(i => (if (i < 900) 1L else i, i))
+      .toDF("k", "v") // 90% of rows share k=1: the skew shape
+    val small = Seq((1L, "hot"), (950L, "cold")).toDF("k", "tag")
+    val salted = JoinOps.saltedJoin(large, small, Seq("k"), saltBuckets = 4)
+    val plain = large.join(small, "k")
+    assert(salted.exceptAll(plain).count() == 0 &&
+      plain.exceptAll(salted).count() == 0)
+    // the hot key's rows really do carry >1 distinct salt
+    val salts = large.withColumn("__salt",
+        pmod(xxhash64(large.columns.map(col).toSeq: _*), lit(4)))
+      .filter($"k" === 1L).select("__salt").distinct().count()
+    assert(salts > 1)
+  }
+
+  test("JoinOps.fuzzyJoin verifies blocked candidates with edit distance") {
+    val names = Seq("blue gear", "glue gear", "blue bolt", "red gear")
+      .toDF("name")
+    val got = JoinOps.fuzzyJoin(names, names, "name",
+        n => element_at(split(n, " "), 2), maxDist = 2)
+      .orderBy("a", "b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    // "blue gear"~"glue gear" dist 1; "blue"~"red" dist 3 > 2 (blocked
+    // but rejected); "blue bolt" shares no block with the gears
+    assert(got.toSeq == Seq(("blue gear", "glue gear", 1)))
+  }
+
   test("DeconOps.decontaminate flags exact 3-gram collisions only") {
     val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val train = Seq(
