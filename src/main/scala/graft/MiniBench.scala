@@ -1,0 +1,26 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object MiniBench {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.01"
+    val out = new StringBuilder
+    for (n <- Seq("q57_bucketed_join", "q58_sorted_layout", "q59_merge_upsert",
+                  "q60_salted_join", "q61_fuzzy_join", "decon_ngram_overlap",
+                  "sample_shards", "validate_orders", "text_repetition")) {
+      val df = SparkEntry.queries(n)(spark, d)
+      out.append("===== " + n + "\n")
+      out.append(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode) + "\n")
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/plans_r3.txt"), out.toString)
+    println("MINI plans written")
+    spark.stop()
+  }
+}
