@@ -664,6 +664,36 @@ object Queries {
         FROM cl c JOIN tok t USING (doc_id)) x
       WHERE rn = 1 ORDER BY cluster_id"""))
 
+  /** dedup_chunks — sub-document (paragraph-idiom) exact dedup: 8-word
+    * chunks, global first occurrence wins (lowest (doc, position)),
+    * docs reassembled from surviving chunks. Ownership is a
+    * partial-aggregated min() on the chunk digest — not a window —
+    * plus one digest-keyed equi-join; see DedupOps.chunkDedup.
+    */
+  private val d08 = Q(
+    "dedup_chunks",
+    (s, d) => DedupOps.chunkDedup(docs(s, d), "text", "doc_id", chunkWords = 8)
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      tok AS (SELECT doc_id, unnest(w) AS word,
+                     unnest(range(1, len(w) + 1)) AS ord FROM w),
+      chunks AS (
+        SELECT doc_id, CAST((ord - 1) // 8 AS INTEGER) AS chunk_idx,
+               string_agg(word, ' ' ORDER BY ord) AS chunk
+        FROM tok GROUP BY 1, 2),
+      fst AS (
+        SELECT chunk, min(doc_id * 1048576 + chunk_idx) AS keep_pos
+        FROM chunks GROUP BY chunk)
+      SELECT c.doc_id,
+             CAST(count(*) AS INTEGER) AS n_chunks,
+             CAST(count(*) FILTER (WHERE doc_id * 1048576 + chunk_idx = keep_pos)
+               AS INTEGER) AS n_kept,
+             coalesce(string_agg(chunk, ' ' ORDER BY chunk_idx)
+               FILTER (WHERE doc_id * 1048576 + chunk_idx = keep_pos), '') AS clean_text
+      FROM chunks c JOIN fst USING (chunk)
+      GROUP BY c.doc_id ORDER BY c.doc_id"""))
+
   /** pack_sequences — token-budget packing (PackOps.packBudget): docs
     * in id order are chunked into bins of 4096 whitespace tokens via a
     * distributed two-level prefix sum (NOT a single-partition global
@@ -938,6 +968,56 @@ object Queries {
                   ELSE round(1.0 - ndb::DOUBLE / nb, 4) END AS dup_bigram_frac
       FROM r JOIN top USING (doc_id)
       ORDER BY doc_id"""))
+
+  /** text_unigram_lm — unigram-LM cross-entropy quality proxy (the
+    * CCNet-style perplexity filter stand-in): corpus word
+    * probabilities p(w) = c(w)/N, per-doc mean -ln p(token). One
+    * (doc, word) tf pass, a vocab re-aggregate, a keyed join of
+    * partials, and a broadcast 1-row N — see TextOps.unigramNll.
+    */
+  private val t06 = Q(
+    "text_unigram_lm",
+    (s, d) => TextOps.unigramNll(docs(s, d))
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2),
+      wc AS (SELECT word, sum(tf) AS cw FROM tf GROUP BY 1),
+      n AS (SELECT sum(cw) AS n FROM wc)
+      SELECT doc_id, CAST(sum(tf) AS INTEGER) AS n_tokens,
+             round(sum(tf * -ln(cw::DOUBLE / n)) / sum(tf), 4) AS xent
+      FROM tf JOIN wc USING (word) CROSS JOIN n
+      GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** text_redact — PII-style regex masking over customer names with
+    * the default rule set (email, IPv4, ≥6-digit ID runs). Staged
+    * counting: each rule counts matches in the value AFTER earlier
+    * rules ran, so nothing is double-counted. Row-local codegen'd
+    * regexps, no shuffle; the oracle's CTE chain is generated from
+    * the same TextOps.RedactRules list so rules can't drift.
+    */
+  private val t07 = Q(
+    "text_redact",
+    (s, d) => TextOps.redact(cust(s, d), "c_name", TextOps.RedactRules)
+      .select(col("c_custkey"), col("c_name_redacted"), col("n_redacted"))
+      .orderBy(col("c_custkey")),
+    Some {
+      val rules = TextOps.RedactRules
+      val ctes = rules.zipWithIndex.map { case ((pat, rep), i) =>
+        s"""s${i + 1} AS (SELECT c_custkey,
+           |        regexp_replace(v$i, '$pat', '$rep', 'g') AS v${i + 1},
+           |        m$i + len(regexp_extract_all(v$i, '$pat')) AS m${i + 1}
+           |      FROM s$i)""".stripMargin
+      }.mkString(",\n      ")
+      val k = rules.size
+      s"""
+      WITH s0 AS (SELECT c_custkey, c_name AS v0, 0 AS m0 FROM customer),
+      $ctes
+      SELECT c_custkey, v$k AS c_name_redacted,
+             CAST(m$k AS INTEGER) AS n_redacted
+      FROM s$k ORDER BY c_custkey"""
+    })
 
   // ---------------------------------------------------------- similarity
 
@@ -2008,6 +2088,26 @@ object Queries {
       WHERE levenshtein(a.p_name, b.p_name) <= 3
       ORDER BY a, b"""))
 
+  /** q62 — fixed-width histogram over l_extendedprice (the profiling
+    * family): floor-binned, clamped to [0, 24], count + min/max per
+    * bin. One partial-aggregated shuffle carrying ≤ 25 groups off a
+    * single-column scan; both engines evaluate the identical double
+    * expression so bin edges agree bit-for-bit.
+    */
+  private val q62 = Q(
+    "q62_histogram",
+    (s, d) => LibOps.histogram(li(s, d), "l_extendedprice",
+        lo = 0.0, width = 5000.0, nbins = 25)
+      .orderBy(col("bin")),
+    Some("""
+      SELECT CAST(least(greatest(floor(l_extendedprice / 5000.0), 0), 24) AS INTEGER) AS bin,
+             count(*) AS n,
+             round(min(l_extendedprice), 4) AS bin_min,
+             round(max(l_extendedprice), 4) AS bin_max
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL
+      GROUP BY 1 ORDER BY 1"""))
+
   /** q46 — TPC-H Q5 shape: 6-table join (local-supplier revenue by
     * nation within a region-year slice). Date + region filters push to
     * the scans; nation/region broadcast; the fact-fact joins shuffle
@@ -2436,9 +2536,9 @@ object Queries {
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
-    q52, q53, q54, q55, q56, q57, q58, q59, q60, q61,
-    d01, d02, d03, d04, d05, d06, d07, sm1, sm2, sm3, pk1, dc1, vd1,
-    t01, t02, t03, t04, t05, a01, a02, a03, a04, a05, m01, m02, m03, mr1,
+    q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62,
+    d01, d02, d03, d04, d05, d06, d07, d08, sm1, sm2, sm3, pk1, dc1, vd1,
+    t01, t02, t03, t04, t05, t06, t07, a01, a02, a03, a04, a05, m01, m02, m03, mr1,
     st01, st02, st03)
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

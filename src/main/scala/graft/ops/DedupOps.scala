@@ -332,4 +332,57 @@ object DedupOps {
     sh.join(perDoc, Seq(idCol), "left")
       .withColumn("n_near", coalesce(col("n_near"), lit(0L)))
   }
+
+  // ------------------------------------------------------- chunk dedup
+
+  /** Sub-document (chunk-level) exact dedup — the "paragraph dedup"
+    * idiom for corpora whose documents share boilerplate spans: split
+    * each document's token stream into fixed-size word chunks, keep
+    * only the globally-first occurrence of each distinct chunk (first
+    * = lowest (doc, position)), and reassemble the surviving chunks in
+    * document order.
+    *
+    * Scale shape: chunk ownership is a partial-aggregated `min()` on
+    * the chunk digest — NOT a `row_number` window, which would
+    * serialize a hot boilerplate chunk repeated 10^9 times into one
+    * window-partition sort; `min(pos)` combines map-side. That is
+    * followed by one keyed equi-join back on the digest (both sides
+    * hash-partitioned on `fp`, candidate for a shuffle-hash join) and
+    * one per-doc reassembly aggregate. Joining on the 32-hex md5
+    * digest, not the chunk text, keeps shuffle keys fixed-width.
+    *
+    * Output: one row per doc — `n_chunks`, `n_kept`, and `clean_text`
+    * (surviving chunks rejoined in order; empty string when every
+    * chunk was seen earlier).
+    */
+  def chunkDedup(df: DataFrame, textCol: String, idCol: String,
+                 chunkWords: Int = 8): DataFrame = {
+    require(chunkWords > 0, s"chunkDedup: chunkWords must be > 0, got $chunkWords")
+    // position encoding keeps first-occurrence ordering as ONE bigint
+    // min (doc_id * 2^20 + chunk_idx): 2^20 chunks/doc caps documents
+    // at ~8M words for chunkWords=8 — far above any real document.
+    val PosShift = 1L << 20
+    val ws = split(col(textCol), " ")
+    val nChunks = ceil(size(ws).cast("double") / chunkWords).cast("int")
+    val inst = df
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), greatest(nChunks - 1, lit(0))),
+          i => concat_ws(" ", slice(ws, i * chunkWords + 1, lit(chunkWords))))))
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumnRenamed("col", "chunk")
+      .withColumn("fp", md5(col("chunk").cast("binary")))
+      .withColumn("pos", col(idCol) * PosShift + col("chunk_idx"))
+    val first = inst.groupBy(col("fp"))
+      .agg(min(col("pos")).as("keep_pos"))
+    inst.join(first, "fp")
+      .withColumn("kept", col("pos") === col("keep_pos"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("int").as("n_chunks"),
+        sum(when(col("kept"), 1).otherwise(0)).cast("int").as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("chunk_idx"), col("chunk"))))),
+          c => c("chunk"))).as("clean_text"))
+  }
 }

@@ -65,6 +65,24 @@ object LibOps {
                                rsd: Double = 0.05): DataFrame =
     df.groupBy(keys.map(col): _*).agg(approx_count_distinct(col(value), rsd).as("n_distinct_approx"))
 
+  /** Fixed-width histogram (data-profiling family): bin =
+    * floor((v - lo) / width) clamped to [0, nbins-1], with count and
+    * exact min/max per bin. One partial-aggregated shuffle carrying at
+    * most `nbins` groups — the profiling scan for 100 TB columns.
+    * Rows with NULL values are dropped (they have no bin).
+    */
+  def histogram(df: DataFrame, value: String, lo: Double, width: Double,
+                nbins: Int): DataFrame = {
+    require(width > 0 && nbins > 0, s"histogram: width=$width nbins=$nbins")
+    val v = col(value).cast("double")
+    val bin = least(greatest(floor((v - lo) / width), lit(0.0)), lit(nbins - 1.0))
+    df.filter(v.isNotNull)
+      .groupBy(bin.cast("int").as("bin"))
+      .agg(count(lit(1)).as("n"),
+           round(min(v), 4).as("bin_min"),
+           round(max(v), 4).as("bin_max"))
+  }
+
   /** Skew-safe two-phase aggregation: group on (keys, salt) first so a
     * hot key spreads over `buckets` reduce tasks, then re-aggregate on
     * the true keys. The salt is a pure function of `saltCols` (default:

@@ -134,6 +134,69 @@ object TextOps {
       .drop(LangProfiles.map(p => s"score_${p._1}"): _*)
   }
 
+  /** Unigram-LM cross-entropy scoring (CCNet-style quality proxy): fit
+    * a unigram language model on the corpus itself (p(w) = count(w)/N)
+    * and score each document by the mean negative log-likelihood of its
+    * tokens. High xent ⇒ rare-token-heavy (gibberish, OCR noise);
+    * unusually low xent ⇒ boilerplate. The standard cheap stand-in for
+    * a perplexity filter when no external LM is available.
+    *
+    * Scale shape: one partial-aggregated (doc, word) tf pass (the
+    * TF-IDF-style irreducible cost), a word-count re-aggregate of the
+    * already-distinct tf rows, a keyed equi-join on `word` (both sides
+    * partial-aggregated first, so the join carries vocab-sized and
+    * per-doc-distinct rows, not raw tokens), and a broadcast 1-row N.
+    */
+  def unigramNll(df: DataFrame, textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    val tokens = df.select(col(idCol), explode(words(col(textCol))).as("word"))
+    val tf = tokens.groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf"))
+    // word counts straight off the token stream (Spark does not reuse
+    // the tf subplan, so deriving wc from tf would re-explode anyway
+    // at one extra aggregate level), and N without any explode at all:
+    // a row-local size() sum — the third corpus pass is nearly free.
+    val wc = tokens.groupBy(col("word")).agg(count(lit(1)).as("cw"))
+    val n = df.select(sum(size(words(col(textCol)))).cast("long").as("n"))
+    tf.join(wc, "word")
+      .crossJoin(broadcast(n))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("tf")).cast("int").as("n_tokens"),
+        round(sum(col("tf") * -log(col("cw").cast("double") / col("n")))
+          / sum(col("tf")), 4).as("xent"))
+  }
+
+  /** PII-style regex redaction: apply `(pattern → replacement)` rules
+    * in order to `srcCol`, emitting `<srcCol>_redacted` plus
+    * `n_redacted` (total matches masked across all rules). Patterns
+    * must be RE2-compatible (Java and DuckDB agree) so the result is
+    * oracle-able. Pure row-local projection — codegen'd
+    * regexp_replace/regexp_extract_all, no shuffle, scales linearly.
+    */
+  def redact(df: DataFrame, srcCol: String,
+             rules: Seq[(String, String)]): DataFrame = {
+    // each rule counts its matches against the value AFTER the earlier
+    // rules ran (not the raw source), so text swallowed by a previous
+    // rule is never double-counted.
+    val (redacted, nMatches) = rules.foldLeft((col(srcCol), lit(0))) {
+      case ((c, n), (pat, rep)) =>
+        (regexp_replace(c, pat, rep),
+         n + size(regexp_extract_all(c, lit(pat), lit(0))))
+    }
+    df.withColumn(s"${srcCol}_redacted", redacted)
+      .withColumn("n_redacted", nMatches.cast("int"))
+  }
+
+  /** The default PII rule set: emails, IPv4, then ID-like long digit
+    * runs — widest-context rules first so the digit rule can't eat the
+    * digits inside an email/IP before those rules see them. Public so
+    * the oracle SQL is generated from the same list.
+    */
+  val RedactRules: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "([0-9]{1,3}\\.){3}[0-9]{1,3}" -> "<IP>",
+    "[0-9]{6,}" -> "<ID>")
+
   /** Content fingerprint: md5 of the normalized text — identical bytes
     * in any engine, so exact-dup detection is portable and oracle-able.
     */

@@ -759,4 +759,55 @@ class OpsSpec extends AnyFunSuite {
     val none = SampleOps.mixtureSample(df, "lang", "doc_id", Map("fr" -> 1.0))
     assert(none.count() == 0)
   }
+
+  test("DedupOps.chunkDedup keeps only the first occurrence of each chunk") {
+    val df = Seq(
+      (1L, "a b c d"), // chunks: "a b", "c d"
+      (2L, "c d e f"), // "c d" already owned by doc 1
+      (3L, "a b"),     // fully duplicate -> empty clean_text
+      (4L, "x y z")    // trailing partial chunk "z" kept
+    ).toDF("doc_id", "text")
+    val got = DedupOps.chunkDedup(df, "text", "doc_id", chunkWords = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 2, 2, "a b c d"),
+      (2L, 2, 1, "e f"),
+      (3L, 1, 0, ""),
+      (4L, 2, 2, "x y z")))
+  }
+
+  test("TextOps.redact masks staged rules without double counting") {
+    val df = Seq(
+      (1L, "mail bob123456@x.com ip 10.0.0.1 id 9876543"),
+      (2L, "clean text")).toDF("id", "s")
+    val got = TextOps.redact(df, "s", TextOps.RedactRules)
+      .orderBy("id").collect()
+      .map(r => (r.getAs[String]("s_redacted"), r.getAs[Int]("n_redacted")))
+    // the email's own digit run is consumed by the email rule, not
+    // re-counted by the later digit rule
+    assert(got(0) == (("mail <EMAIL> ip <IP> id <ID>", 3)))
+    assert(got(1) == (("clean text", 0)))
+  }
+
+  test("LibOps.histogram bins fixed-width with clamping") {
+    val df = Seq(-5.0, 0.0, 4.9, 5.0, 14.9, 100.0).toDF("v")
+    val got = LibOps.histogram(df, "v", lo = 0.0, width = 5.0, nbins = 3)
+      .orderBy("bin").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (0, 3L, -5.0, 4.9), // below-range clamps into bin 0
+      (1, 1L, 5.0, 5.0),
+      (2, 2L, 14.9, 100.0))) // above-range clamps into the last bin
+  }
+
+  test("TextOps.unigramNll is the corpus-unigram cross-entropy per doc") {
+    val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    // corpus counts: a=2 b=2 c=1, N=5
+    val got = TextOps.unigramNll(df).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(got(0)._2 == 3 && got(1)._2 == 2)
+    assert(math.abs(got(0)._3 - math.log(2.5)) < 1e-3) // all tokens p=0.4
+    assert(math.abs(got(1)._3 - (math.log(2.5) + math.log(5.0)) / 2) < 1e-3)
+  }
 }
