@@ -333,6 +333,25 @@ object DedupOps {
       .withColumn("n_near", coalesce(col("n_near"), lit(0L)))
   }
 
+  /** Incremental dedup of a new ingest batch against an existing
+    * snapshot: drop new docs whose content digest is already indexed
+    * (left-anti equi-join on the digest — unhinted, so Catalyst
+    * broadcasts a small index and shuffles a large one), then
+    * exact-dedup within the surviving batch (lowest id wins). The
+    * snapshot side is digest-only — at 100 TB that is the stored dedup
+    * INDEX (32 bytes/doc), not the corpus, which is what makes
+    * continuous ingest dedup cheap: the full-corpus pass happened once
+    * at snapshot build time.
+    */
+  def incrementalDedup(newDocs: DataFrame, snapshotFps: DataFrame,
+                       contentCol: String, idCol: String): DataFrame =
+    newDocs
+      .withColumn("content_fp", md5(col(contentCol).cast("binary")))
+      .join(snapshotFps.select(col("content_fp")).distinct(),
+        Seq("content_fp"), "left_anti")
+      .groupBy(col("content_fp"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
   // ------------------------------------------------------- chunk dedup
 
   /** Sub-document (chunk-level) exact dedup — the "paragraph dedup"

@@ -197,6 +197,20 @@ object TextOps {
     "([0-9]{1,3}\\.){3}[0-9]{1,3}" -> "<IP>",
     "[0-9]{6,}" -> "<ID>")
 
+  /** Canonical text normalization (the pass that runs BEFORE hashing /
+    * dedup so cosmetic variants collapse): lowercase, non-alphanumerics
+    * to spaces, whitespace runs collapsed, trimmed. Emits
+    * `<textCol>_norm` plus `norm_fp` (md5 of the normalized form — the
+    * key exact dedup should group on). Row-local codegen'd regexps,
+    * RE2-compatible so the oracle mirrors them.
+    */
+  def normalize(df: DataFrame, textCol: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", " "), " +", " "))
+    df.withColumn(s"${textCol}_norm", norm)
+      .withColumn("norm_fp", md5(norm.cast("binary")))
+  }
+
   /** Content fingerprint: md5 of the normalized text — identical bytes
     * in any engine, so exact-dup detection is portable and oracle-able.
     */

@@ -801,6 +801,28 @@ class OpsSpec extends AnyFunSuite {
       (2, 2L, 14.9, 100.0))) // above-range clamps into the last bin
   }
 
+  test("DedupOps.incrementalDedup drops snapshot dups then batch dups") {
+    val snap = Seq("seen text").toDF("text")
+      .select(md5($"text".cast("binary")).as("content_fp"))
+    val batch = Seq(
+      (10L, "seen text"),  // already in snapshot -> dropped
+      (11L, "fresh a"), (12L, "fresh a"), // in-batch dup -> min id
+      (13L, "fresh b")).toDF("doc_id", "text")
+    val got = DedupOps.incrementalDedup(batch, snap, "text", "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_copies")))
+    assert(got.toSeq == Seq((11L, 2L), (13L, 1L)))
+  }
+
+  test("TextOps.normalize collapses case/punct/whitespace variants") {
+    val df = Seq((1L, "Hello,  World!"), (2L, "hello world")).toDF("id", "s")
+    val got = TextOps.normalize(df, "s").orderBy("id").collect()
+      .map(r => (r.getAs[String]("s_norm"), r.getAs[String]("norm_fp")))
+    assert(got(0)._1 == "hello world")
+    // cosmetic variants collapse to the same dedup key
+    assert(got(0)._2 == got(1)._2)
+  }
+
   test("TextOps.unigramNll is the corpus-unigram cross-entropy per doc") {
     val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     // corpus counts: a=2 b=2 c=1, N=5
