@@ -2160,6 +2160,57 @@ object Queries {
       WHERE l_extendedprice IS NOT NULL
       GROUP BY 1 ORDER BY 1"""))
 
+  /** q63 — literal S1 text source round-trip: documents written as
+    * plain text lines, read back with `spark.read.text`, wordcounted.
+    * Closes dumbo's default text-input path literally (the parquet
+    * tables are the survey-sanctioned columnar upgrade; this proves
+    * the line-oriented path works end to end). Oracle = the same
+    * wordcount straight off the documents table (texts are single-line
+    * by construction, so the round-trip is lossless).
+    */
+  private val q63 = Q(
+    "q63_text_roundtrip",
+    (s, d) => {
+      val tmp = tmpDir(s, "q63_text")
+      docs(s, d).select(col("text")).write.mode("overwrite").text(tmp)
+      s.read.text(tmp)
+        .select(explode(split(col("value"), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("word"))
+    },
+    Some("""
+      SELECT word, count(*) AS cnt FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+      GROUP BY word ORDER BY word"""))
+
+  /** q64 — per-group z-score outlier gate (LibOps.zscoreOutliers):
+    * mean/std per returnflag broadcast back, row-local |z| filter —
+    * no row shuffle, only the 3-row stats table moves. Threshold
+    * margin measured: nearest row sits 9.5e-7 z-units from 1.5, six
+    * orders above cross-engine float jitter, so the filtered set is
+    * engine-stable.
+    */
+  private val q64 = Q(
+    "q64_outliers",
+    (s, d) => {
+      import s.implicits._
+      LibOps.zscoreOutliers(li(s, d), Seq("l_returnflag"), "l_extendedprice", 1.5)
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n_outliers"),
+             round(max(abs($"z")), 4).as("max_abs_z"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""
+      WITH s AS (
+        SELECT l_returnflag, avg(l_extendedprice) AS m,
+               stddev_pop(l_extendedprice) AS sd
+        FROM lineitem GROUP BY 1)
+      SELECT l_returnflag, count(*) AS n_outliers,
+             round(max(abs((l_extendedprice - m) / sd)), 4) AS max_abs_z
+      FROM lineitem JOIN s USING (l_returnflag)
+      WHERE abs((l_extendedprice - m) / sd) > 1.5
+      GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   /** q46 — TPC-H Q5 shape: 6-table join (local-supplier revenue by
     * nation within a region-year slice). Date + region filters push to
     * the scans; nation/region broadcast; the fact-fact joins shuffle
@@ -2588,7 +2639,7 @@ object Queries {
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
-    q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62,
+    q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, sm1, sm2, sm3, pk1, dc1, vd1,
     t01, t02, t03, t04, t05, t06, t07, t08, a01, a02, a03, a04, a05, m01, m02, m03, mr1,
     st01, st02, st03)

@@ -83,6 +83,26 @@ object LibOps {
            round(max(v), 4).as("bin_max"))
   }
 
+  /** Per-group z-score outlier filter (quality-gate family): two
+    * passes — a per-key mean/stddev aggregate (keys-cardinality rows,
+    * broadcast back) and a row-local filter on |v - mean|/std. No row
+    * ever shuffles; the stats table is the only exchanged data, so the
+    * pattern holds at any corpus size. Groups with zero variance emit
+    * no outliers (z is NULL there, filtered).
+    */
+  def zscoreOutliers(df: DataFrame, keys: Seq[String], value: String,
+                     zThresh: Double): DataFrame = {
+    val v = col(value).cast("double")
+    val stats = df.groupBy(keys.map(col): _*)
+      .agg(avg(v).as("__mean"), stddev_pop(v).as("__std"))
+    df.join(broadcast(stats), keys)
+      // try_divide: a zero-variance group yields NULL z (not an ANSI
+      // divide-by-zero error), and NULL fails the threshold filter.
+      .withColumn("z", try_divide(v - col("__mean"), col("__std")))
+      .filter(abs(col("z")) > zThresh)
+      .drop("__mean", "__std")
+  }
+
   /** Skew-safe two-phase aggregation: group on (keys, salt) first so a
     * hot key spreads over `buckets` reduce tasks, then re-aggregate on
     * the true keys. The salt is a pure function of `saltCols` (default:

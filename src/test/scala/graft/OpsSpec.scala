@@ -801,6 +801,15 @@ class OpsSpec extends AnyFunSuite {
       (2, 2L, 14.9, 100.0))) // above-range clamps into the last bin
   }
 
+  test("LibOps.zscoreOutliers flags per-group extremes, skips zero-variance groups") {
+    val df = Seq(("a", 0.0), ("a", 0.0), ("a", 0.0), ("a", 100.0),
+                 ("b", 5.0), ("b", 5.0)).toDF("k", "v")
+    // group a: mean 25, std_pop ~43.3 -> only 100.0 has |z| > 1.5
+    val got = LibOps.zscoreOutliers(df, Seq("k"), "v", 1.5)
+      .select("k", "v").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(got.toSeq == Seq(("a", 100.0)))
+  }
+
   test("DedupOps.incrementalDedup drops snapshot dups then batch dups") {
     val snap = Seq("seen text").toDF("text")
       .select(md5($"text".cast("binary")).as("content_fp"))
