@@ -894,6 +894,60 @@ object Queries {
       LEFT JOIN hits h ON t.doc_id = h.doc_id
       ORDER BY t.doc_id"""))
 
+  /** decon_bloom — the same decontamination answer via the
+    * Bloom-accelerated path (DeconOps.bloomDecontaminate): corpus
+    * grams probe a ~1.2 byte/gram Bloom filter of the benchmark grams
+    * map-side, and only bloom survivors reach the exact verify join.
+    * This is the shape that holds when the held-out gram set outgrows
+    * broadcast (~1e8 grams ⇒ multi-GB exact set vs ~150 MB bloom).
+    * Bloom filters have no false negatives and the verify join kills
+    * false positives, so the result — and the oracle — is IDENTICAL to
+    * decon_ngram_overlap's exact SQL.
+    */
+  private val dc2 = Q(
+    "decon_bloom",
+    (s, d) => {
+      import s.implicits._
+      val corpus = docs(s, d)
+      DeconOps.bloomDecontaminate(
+          corpus.filter($"source" =!= "src0"),
+          corpus.filter($"source" === "src0"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH tr AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE source <> 'src0'),
+      tg AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS gram
+        FROM tr WHERE len(w) >= 3),
+      bg AS (
+        SELECT DISTINCT unnest(list_transform(range(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+        FROM (SELECT string_split(text, ' ') AS w FROM documents
+              WHERE source = 'src0') b
+        WHERE len(w) >= 3),
+      hits AS (
+        SELECT tg.doc_id, count(bg.gram) AS n_shared
+        FROM tg JOIN bg ON tg.gram = bg.gram
+        GROUP BY tg.doc_id)
+      SELECT t.doc_id,
+             CAST(t.n_grams AS INTEGER) AS n_grams,
+             CAST(coalesce(h.n_shared, 0) AS INTEGER) AS n_shared,
+             coalesce(h.n_shared, 0) >= 1 AS contaminated
+      FROM (SELECT doc_id,
+                   CASE WHEN len(string_split(text, ' ')) >= 3
+                        THEN len(list_distinct(list_transform(
+                               range(1, len(string_split(text, ' ')) - 1),
+                               i -> string_split(text, ' ')[i] || ' ' ||
+                                    string_split(text, ' ')[i+1] || ' ' ||
+                                    string_split(text, ' ')[i+2])))
+                        ELSE 0 END AS n_grams
+            FROM documents WHERE source <> 'src0') t
+      LEFT JOIN hits h ON t.doc_id = h.doc_id
+      ORDER BY t.doc_id"""))
+
   // ---------------------------------------------------------------- text
 
   private val t01 = Q(
@@ -1064,6 +1118,36 @@ object Queries {
              md5(trim(regexp_replace(regexp_replace(lower(c_name),
                '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_fp
       FROM customer ORDER BY c_custkey"""))
+
+  /** text_bm25 — BM25 retrieval ranking of documents for a 3-term
+    * query (TextOps.bm25, k1=1.2 b=0.75, Robertson idf). Docs without
+    * any query term are dropped row-locally before the explode, so the
+    * (doc, term) stream is matching-docs × |query| — never the corpus
+    * vocabulary. Both engines order by the ROUNDED score with a doc_id
+    * tiebreak, so a 1-ulp disagreement in the double sum cannot flip
+    * the emitted ranking.
+    */
+  private val t09 = Q(
+    "text_bm25",
+    (s, d) => TextOps.bm25(docs(s, d), Seq("table", "scan", "merge"), topN = 50),
+    Some("""
+      WITH dd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      stats AS (
+        SELECT count(*) AS n_docs, sum(len(w))::DOUBLE / count(*) AS avgdl
+        FROM dd),
+      m AS (SELECT doc_id, len(w)::DOUBLE AS dl, unnest(w) AS term FROM dd),
+      tf AS (
+        SELECT doc_id, term, any_value(dl) AS dl, count(*)::DOUBLE AS tf
+        FROM m WHERE term IN ('table', 'scan', 'merge')
+        GROUP BY doc_id, term),
+      dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term)
+      SELECT doc_id, CAST(count(*) AS INTEGER) AS n_terms,
+             round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                       * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))),
+                   4) AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+      GROUP BY doc_id
+      ORDER BY score DESC, doc_id LIMIT 50"""))
 
   // ---------------------------------------------------------- similarity
 
@@ -1851,7 +1935,8 @@ object Queries {
     * default this helper restores.
     */
   private def runParityStream(s: SparkSession,
-                              stream: DataFrame, prefix: String): String = {
+                              stream: DataFrame, prefix: String,
+                              mode: String = "append"): String = {
     val sink = s"${prefix}_${System.nanoTime()}"
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     val prevNoData =
@@ -1860,7 +1945,7 @@ object Queries {
     s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try {
       val q = stream.writeStream
-        .format("memory").queryName(sink).outputMode("append")
+        .format("memory").queryName(sink).outputMode(mode)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
@@ -2210,6 +2295,35 @@ object Queries {
       FROM lineitem JOIN s USING (l_returnflag)
       WHERE abs((l_extendedprice - m) / sd) > 1.5
       GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** q65 — equi-depth (quantile) binning of l_extendedprice into 8
+    * bins (LibOps.equidepthBins): distinct-value counts shuffle (D
+    * values, not N rows), one D-row cumulative window, then pure
+    * integer threshold arithmetic — never the single-task global sort
+    * an ntile formulation would pay. The oracle replays the identical
+    * integer recipe, so engine≡oracle is exact (no float boundaries).
+    */
+  private val q65 = Q(
+    "q65_equidepth",
+    (s, d) => LibOps.equidepthSummary(li(s, d), "l_extendedprice", 8)
+      .orderBy(col("bin")),
+    Some("""
+      WITH dv AS (
+        SELECT l_extendedprice AS value, count(*) AS cnt
+        FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+      cum AS (
+        SELECT value, cnt, sum(cnt) OVER (ORDER BY value) AS cum,
+               (SELECT sum(cnt) FROM dv) AS total
+        FROM dv),
+      bins AS (
+        SELECT value, cnt,
+               least(((cum - cnt) * 8) // total, 7) AS bin
+        FROM cum)
+      SELECT CAST(bin AS INTEGER) AS bin,
+             CAST(sum(cnt) AS BIGINT) AS n,
+             round(min(value), 4) AS lo,
+             round(max(value), 4) AS hi
+      FROM bins GROUP BY bin ORDER BY bin"""))
 
   /** q46 — TPC-H Q5 shape: 6-table join (local-supplier revenue by
     * nation within a region-year slice). Date + region filters push to
@@ -2634,15 +2748,51 @@ object Queries {
         AND pu > cu AND pu <= cu + 86400000000
       ORDER BY click_id, purchase_ts_s, purchase_value"""))
 
+  /** streaming_tumbling_parity — the watermarked tumbling-window
+    * aggregation (§2.9's windowed-agg state path, distinct from the
+    * sessions/dedup/join state stores graded by st01–st03) run over a
+    * bounded file stream and graded against q14's exact oracle. The
+    * memory sink runs in COMPLETE mode: append-mode window emission
+    * only fires when the watermark passes a window, and a bounded
+    * harness stream has no post-data batch to flush the tail windows —
+    * complete mode emits every window exactly as the batch query
+    * would. That keeps all windows in state, fine for a parity
+    * harness; production uses append + the real watermark, whose
+    * eviction semantics StreamingSpec proves separately.
+    */
+  private val st04 = Q(
+    "streaming_tumbling_parity",
+    (s, d) => {
+      import s.implicits._
+      import graft.streaming.StreamingOps
+      val batch = ev(s, d).select($"ts", $"event_type", $"value")
+      val stageDir = tmpDir(s, "stream_tumbling_events")
+      batch.coalesce(1).write.mode("overwrite").parquet(stageDir)
+      val src = StreamingOps.eventsStream(s, stageDir, s.read.parquet(stageDir).schema)
+      val windows = StreamingOps.tumblingCounts(src, "1 hour", watermark = "2 hours")
+      val sink = runParityStream(s, windows, "stream_tumbling", mode = "complete")
+      // pin + drop the memory-sink view (same hygiene as st01)
+      val out = s.table(sink)
+        .select($"window_start", $"event_type", $"cnt",
+          round($"sum_value", 2).as("sum_value"))
+        .localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      out.orderBy($"window_start", $"event_type")
+    },
+    Some("""
+      SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+             event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
-    q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, sm1, sm2, sm3, pk1, dc1, vd1,
-    t01, t02, t03, t04, t05, t06, t07, t08, a01, a02, a03, a04, a05, m01, m02, m03, mr1,
-    st01, st02, st03)
+    q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, sm1, sm2, sm3, pk1, dc1, dc2, vd1,
+    t01, t02, t03, t04, t05, t06, t07, t08, t09, a01, a02, a03, a04, a05, m01, m02, m03, mr1,
+    st01, st02, st03, st04)
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

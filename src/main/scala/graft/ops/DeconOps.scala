@@ -48,4 +48,65 @@ object DeconOps {
            count(col("hit")).cast("int").as("n_shared"))
       .withColumn("contaminated", col("n_shared") >= 1)
   }
+
+  /** Bloom-accelerated exact decontamination — the shape that survives
+    * when the benchmark side outgrows broadcast. `decontaminate`
+    * broadcasts the exact gram set (tens of bytes per gram: at ~1e8
+    * held-out grams that is multi-GB per executor). Here the corpus
+    * probes a Bloom filter of the benchmark grams instead
+    * (~1.2 bytes/gram at 3% fpp — two orders smaller), and only the
+    * surviving ~fpp fraction of (doc, gram) rows reaches the exact
+    * verify join. Same trick Spark's InjectRuntimeFilter plays on join
+    * builds, applied to curation.
+    *
+    * Result is EXACT, not approximate: Bloom filters have no false
+    * negatives, and false positives are removed by the keyed equi-join
+    * against the true benchmark grams — so the output (and the DuckDB
+    * oracle) is identical to `decontaminate`'s.
+    *
+    * Scale shape: per-doc `n_grams` is computed row-locally (no
+    * explosion survives past the probe), the corpus never shuffles its
+    * text, and the verify join moves only the bloom-surviving grams —
+    * at a 3% fpp that is ~3% of the corpus gram stream plus the true
+    * hits.
+    *
+    * `expectedGrams` sizes the filter; pass the known benchmark gram
+    * cardinality in production. The default (-1) counts the benchmark
+    * side — a bounded job over the SMALL side only, run once at plan
+    * construction (same documented trade-off as SimOps.detectDim).
+    */
+  def bloomDecontaminate(train: DataFrame, benchmark: DataFrame,
+                         textCol: String = "text", idCol: String = "doc_id",
+                         n: Int = 3, fpp: Double = 0.03,
+                         expectedGrams: Long = -1L): DataFrame = {
+    import graft.functions.TextFunctions.word_ngrams
+    import graft.functions.BloomFunctions.bloom_probe
+    val bmGrams = benchmark
+      .select(explode(word_ngrams(col(textCol), n)).as("gram"))
+      .distinct()
+    val expected =
+      if (expectedGrams > 0) expectedGrams
+      else math.max(1L, bmGrams.count())
+    // distributed build over the benchmark side (treeAggregate under
+    // stat.bloomFilter) — the driver holds only the finished bits
+    val bloom = bmGrams.stat.bloomFilter(col("gram"), expected, fpp)
+    val trainGrams = train.select(col(idCol),
+      explode(array_distinct(word_ngrams(col(textCol), n))).as("gram"))
+    val survivors = trainGrams.where(bloom_probe(col("gram"), bloom))
+    val shared = survivors
+      // inner equi-join on gram = the exact verify; bloom false
+      // positives simply fail to match and drop out here
+      .join(bmGrams, Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_shared"))
+    // n_grams is row-local — the full gram explosion never outlives
+    // the bloom probe, and clean docs cost one projection
+    train
+      .select(col(idCol),
+        coalesce(size(array_distinct(word_ngrams(col(textCol), n))), lit(0))
+          .cast("int").as("n_grams"))
+      .join(shared, Seq(idCol), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0)))
+      .withColumn("contaminated", col("n_shared") >= 1)
+  }
 }

@@ -83,6 +83,53 @@ object LibOps {
            round(max(v), 4).as("bin_max"))
   }
 
+  /** Equi-depth (quantile) binning — the profiling complement to the
+    * fixed-width `histogram`: every bin holds ~N/nbins rows regardless
+    * of the value distribution. The naive formulation (`ntile` over a
+    * global `orderBy`) collapses the corpus into ONE sort task; this
+    * one never sorts rows at all:
+    *
+    *   1. distinct-value counts (partial-aggregated — the shuffle
+    *      carries D distinct values, not N rows);
+    *   2. one cumulative window over the D-row distinct-value table;
+    *   3. bin(v) = min((cum(v) − c(v)) · nbins div N, nbins − 1) —
+    *      the count of depth thresholds ceil(i·N/nbins) fully passed
+    *      before v starts, folded into pure integer arithmetic (no
+    *      threshold table, no float drift at any N).
+    *
+    * Rows sharing a value share a bin, so bins are exactly balanced
+    * except where a hot value straddles a threshold (the unavoidable
+    * tie semantics of value-deterministic equi-depth). The single
+    * unpartitioned window runs over D rows; for columns where D ~ N
+    * (unique continuous readings) use approx-percentile boundaries
+    * with the same assignment step instead. Returns the (value, bin,
+    * count) mapping — `D` rows; join it back on the value column for
+    * per-row bins (AQE broadcasts it when small), or aggregate it
+    * directly for bin summaries.
+    */
+  def equidepthBins(df: DataFrame, value: String, nbins: Int): DataFrame = {
+    require(nbins > 0, s"equidepthBins: nbins=$nbins")
+    val v = col(value).cast("double")
+    val dv = df.filter(v.isNotNull).groupBy(v.as("value")).agg(count(lit(1)).as("cnt"))
+    val total = dv.agg(sum("cnt").as("total"))
+    dv.withColumn("cum", sum("cnt").over(Window.orderBy("value")))
+      .crossJoin(broadcast(total)) // 1 row
+      .withColumn("bin",
+        least(expr(s"((cum - cnt) * ${nbins}L) div total"), lit(nbins - 1L))
+          .cast("int"))
+      .select(col("value"), col("bin"), col("cnt"))
+  }
+
+  /** Bin summaries (bin, n, lo, hi) from `equidepthBins` — aggregates
+    * the D-row mapping, so the summary never rescans the data.
+    */
+  def equidepthSummary(df: DataFrame, value: String, nbins: Int): DataFrame =
+    equidepthBins(df, value, nbins)
+      .groupBy("bin")
+      .agg(sum("cnt").as("n"),
+           round(min("value"), 4).as("lo"),
+           round(max("value"), 4).as("hi"))
+
   /** Per-group z-score outlier filter (quality-gate family): two
     * passes — a per-key mean/stddev aggregate (keys-cardinality rows,
     * broadcast back) and a row-local filter on |v - mean|/std. No row

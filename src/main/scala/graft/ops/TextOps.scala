@@ -166,6 +166,52 @@ object TextOps {
           / sum(col("tf")), 4).as("xent"))
   }
 
+  /** BM25 relevance ranking of the corpus against a small query term
+    * set (Robertson/Sparck-Jones, the retrieval-side sibling of
+    * TF-IDF): score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b +
+    * b·dl/avgdl)), idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+    *
+    * Scale shape: docs without ANY query term are dropped row-locally
+    * (`arrays_overlap` against the ≤|query|-term literal array) BEFORE
+    * tokens explode, so the (doc, term) stream carries only matching
+    * docs × query terms — not the corpus vocabulary. df/N/avgdl are
+    * broadcast one-row/|query|-row aggregates; the final top-k is a
+    * rank bounded O(topN). Everything else is TF-IDF's irreducible
+    * partial-aggregated tf pass.
+    */
+  def bm25(df: DataFrame, queryTerms: Seq[String], topN: Int = 20,
+           k1: Double = 1.2, b: Double = 0.75,
+           textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25: empty query")
+    val qArr = array(queryTerms.distinct.map(lit): _*)
+    val toks = words(col(textCol))
+    // N and avgdl come from the WHOLE corpus (row-local size sum);
+    // the per-doc explode below only ever sees matching docs
+    val stats = df.select(
+      count(lit(1)).cast("long").as("n_docs"),
+      (sum(size(toks)).cast("double") / count(lit(1))).as("avgdl"))
+    val matching = df
+      .where(arrays_overlap(toks, qArr))
+      .select(col(idCol), size(toks).cast("double").as("dl"),
+        explode(toks).as("term"))
+      .where(col("term").isInCollection(queryTerms.distinct))
+    val tf = matching.groupBy(col(idCol), col("term"))
+      .agg(first(col("dl")).as("dl"), count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("w",
+        col("idf") * col("tf") * (lit(k1) + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_terms"),
+           round(sum(col("w")), 4).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topN)
+  }
+
   /** PII-style regex redaction: apply `(pattern → replacement)` rules
     * in order to `srcCol`, emitting `<srcCol>_redacted` plus
     * `n_redacted` (total matches masked across all rules). Patterns

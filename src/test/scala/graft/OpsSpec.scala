@@ -730,6 +730,59 @@ class OpsSpec extends AnyFunSuite {
       (3L, 0, 0, false)))
   }
 
+  test("DeconOps.bloomDecontaminate matches the exact path") {
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "zz alpha beta gamma yy"),
+      (2L, "alpha gamma beta zz yy"),
+      (3L, "one two")
+    ).toDF("doc_id", "text")
+    // bloom pre-filter + exact verify must reproduce the exact answer
+    // (no false negatives; false positives killed by the verify join)
+    val exact = DeconOps.decontaminate(train, bench).orderBy("doc_id").collect().toSeq
+    val bloom = DeconOps.bloomDecontaminate(train, bench).orderBy("doc_id").collect().toSeq
+    assert(bloom == exact)
+    // a definitely-absent gram stream keeps everything clean even at a
+    // high fpp (false positives may pass the bloom but never the verify)
+    val noisy = DeconOps.bloomDecontaminate(train, bench, fpp = 0.5)
+      .orderBy("doc_id").collect().toSeq
+    assert(noisy == exact)
+  }
+
+  test("BloomProbe prunes absent grams and never drops present ones") {
+    import graft.functions.BloomFunctions.bloom_probe
+    val bench = (0L until 200L).map(i => s"gram-$i").toDF("gram")
+    val bloom = bench.stat.bloomFilter(col("gram"), 200L, 0.03)
+    val probe = (0L until 200L).map(i => s"gram-$i")
+      .toDF("g").where(bloom_probe(col("g"), bloom))
+    // no false negatives: every inserted string passes the probe
+    assert(probe.count() == 200L)
+    // definite-absence pruning: disjoint strings mostly fail the probe
+    val absent = (0L until 1000L).map(i => s"other-$i")
+      .toDF("g").where(bloom_probe(col("g"), bloom)).count()
+    assert(absent < 150L, s"bloom pruned too little: $absent/1000 passed")
+  }
+
+  test("TextOps.bm25 ranks by hand-computed Robertson score") {
+    val df = Seq(
+      (1L, "cat dog cat"),   // cat tf=2, dl=3
+      (2L, "cat fish"),      // cat tf=1, dl=2
+      (3L, "bird bird bird") // no query term
+    ).toDF("doc_id", "text")
+    val got = TextOps.bm25(df, Seq("cat"), topN = 10).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    // N=3 docs, avgdl=8/3, df(cat)=2 -> idf = ln(1 + 1.5/2.5)
+    val idf = math.log(1 + 1.5 / 2.5)
+    // BigDecimal.valueOf mirrors Spark's round() exactly (string-based)
+    def s(tf: Double, dl: Double) =
+      java.math.BigDecimal.valueOf(
+          idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / (8.0 / 3))))
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    assert(got.toSeq == Seq((1L, 1, s(2, 3)), (2L, 1, s(1, 2))))
+    // doc 3 has no query term and must not appear at all
+    assert(!got.exists(_._1 == 3L))
+  }
+
   test("TextOps.repetitionStats computes top-word and dup fractions") {
     val df = Seq(
       (1L, "a a a b"),    // top word a: 3/4; distinct 2/4; bigrams [a a, a a, a b] dup 1/3
@@ -799,6 +852,24 @@ class OpsSpec extends AnyFunSuite {
       (0, 3L, -5.0, 4.9), // below-range clamps into bin 0
       (1, 1L, 5.0, 5.0),
       (2, 2L, 14.9, 100.0))) // above-range clamps into the last bin
+  }
+
+  test("LibOps.equidepthBins balances depth and keeps equal values together") {
+    // 12 distinct values, 4 bins -> exactly 3 values (3 rows) per bin
+    val df = (1 to 12).map(_.toDouble).toDF("v")
+    val bins = LibOps.equidepthBins(df, "v", 4).orderBy("value").collect()
+      .map(r => (r.getDouble(0), r.getInt(1), r.getLong(2)))
+    assert(bins.map(_._2).toSeq == Seq(0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 3))
+    // a hot value straddling a threshold stays in ONE bin (ties share)
+    val hot = (Seq.fill(6)(1.0) ++ Seq(2.0, 3.0)).toDF("v")
+    val hotBins = LibOps.equidepthBins(hot, "v", 4).orderBy("value").collect()
+      .map(r => (r.getDouble(0), r.getInt(1)))
+    assert(hotBins.toSeq == Seq((1.0, 0), (2.0, 3), (3.0, 3)))
+    // summary aggregates the mapping: per-bin n / lo / hi
+    val summ = LibOps.equidepthSummary(df, "v", 4).orderBy("bin").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(summ.toSeq == Seq(
+      (0, 3L, 1.0, 3.0), (1, 3L, 4.0, 6.0), (2, 3L, 7.0, 9.0), (3, 3L, 10.0, 12.0)))
   }
 
   test("LibOps.zscoreOutliers flags per-group extremes, skips zero-variance groups") {
