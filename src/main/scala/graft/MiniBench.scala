@@ -11,15 +11,13 @@ object MiniBench {
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.01"
     val out = new StringBuilder
-    for (n <- Seq("q57_bucketed_join", "q58_sorted_layout", "q59_merge_upsert",
-                  "q60_salted_join", "q61_fuzzy_join", "decon_ngram_overlap",
-                  "sample_shards", "validate_orders", "text_repetition")) {
+    for (n <- Seq("decon_bloom", "q65_equidepth", "text_bm25")) {
       val df = SparkEntry.queries(n)(spark, d)
       out.append("===== " + n + "\n")
       out.append(df.queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode) + "\n")
     }
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/plans_r3.txt"), out.toString)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/plans_new.txt"), out.toString)
     println("MINI plans written")
     spark.stop()
   }

@@ -99,21 +99,49 @@ object LibOps {
     *
     * Rows sharing a value share a bin, so bins are exactly balanced
     * except where a hot value straddles a threshold (the unavoidable
-    * tie semantics of value-deterministic equi-depth). The single
-    * unpartitioned window runs over D rows; for columns where D ~ N
-    * (unique continuous readings) use approx-percentile boundaries
-    * with the same assignment step instead. Returns the (value, bin,
-    * count) mapping — `D` rows; join it back on the value column for
-    * per-row bins (AQE broadcasts it when small), or aggregate it
-    * directly for bin summaries.
+    * tie semantics of value-deterministic equi-depth).
+    *
+    * The cumulative count is a two-level prefix sum (the PackOps
+    * idiom), because for near-unique columns D ~ N and a
+    * `Window.orderBy(value)` with no partition key would collapse the
+    * distinct-value table into ONE sort task: values are bucketed by
+    * their position in the [min, max] range (equal values share a
+    * bucket; skew only costs balance, never correctness), the
+    * in-bucket cumsum is an ordinary partitioned window, and bucket
+    * totals cascade through one tiny window over `buckets` rows.
+    *
+    * Returns the (value, bin, cnt) mapping — D rows; join it back on
+    * the value column for per-row bins (AQE broadcasts it when small),
+    * or aggregate it directly for bin summaries.
     */
-  def equidepthBins(df: DataFrame, value: String, nbins: Int): DataFrame = {
-    require(nbins > 0, s"equidepthBins: nbins=$nbins")
+  def equidepthBins(df: DataFrame, value: String, nbins: Int,
+                    buckets: Int = 64): DataFrame = {
+    require(nbins > 0 && buckets > 0, s"equidepthBins: nbins=$nbins buckets=$buckets")
     val v = col(value).cast("double")
     val dv = df.filter(v.isNotNull).groupBy(v.as("value")).agg(count(lit(1)).as("cnt"))
-    val total = dv.agg(sum("cnt").as("total"))
-    dv.withColumn("cum", sum("cnt").over(Window.orderBy("value")))
-      .crossJoin(broadcast(total)) // 1 row
+    // one broadcast row: N plus the value range that defines buckets —
+    // computed off the base scan (plain agg), not the distinct-value
+    // aggregate, so this branch never pays the groupBy
+    val stats = df.filter(v.isNotNull)
+      .agg(count(lit(1)).as("total"), min(v).as("lo"), max(v).as("hi"))
+    val bucketed = dv.crossJoin(broadcast(stats))
+      .withColumn("bucket",
+        when(col("hi") === col("lo"), lit(0))
+          .otherwise(least(
+            floor((col("value") - col("lo")) / (col("hi") - col("lo")) * buckets),
+            lit(buckets - 1.0))).cast("int"))
+      .withColumn("cum_in_bucket",
+        sum("cnt").over(Window.partitionBy("bucket").orderBy("value")))
+    // `buckets` rows: the only unpartitioned window in the plan
+    val offsets = bucketed.groupBy("bucket")
+      .agg(sum("cnt").as("bucket_total"))
+      .withColumn("bucket_offset",
+        coalesce(sum("bucket_total").over(
+          Window.orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("bucket_offset"))
+    bucketed.join(broadcast(offsets), "bucket")
+      .withColumn("cum", col("bucket_offset") + col("cum_in_bucket"))
       .withColumn("bin",
         least(expr(s"((cum - cnt) * ${nbins}L) div total"), lit(nbins - 1L))
           .cast("int"))
