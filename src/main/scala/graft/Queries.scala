@@ -1149,6 +1149,19 @@ object Queries {
       GROUP BY doc_id
       ORDER BY score DESC, doc_id LIMIT 50"""))
 
+  /** text_bpe_merges — distributed BPE tokenizer training
+    * (BpeOps.trainMerges): the corpus collapses to its word-type
+    * vocabulary once, then each of the 3 merge rounds is a vocab-sized
+    * pair-count aggregate + a 1-row argmax collect (the trainCentroids
+    * driver-loop pattern). Counts are exact integers and ties break
+    * lexicographically, so the oracle — a generated 3-stage unrolled
+    * CTE replay — matches byte-for-byte.
+    */
+  private val t10 = Q(
+    "text_bpe_merges",
+    (s, d) => BpeOps.trainMerges(docs(s, d), 3).orderBy(col("step")),
+    Some(BpeOps.mergesOracleSql(3)))
+
   // ---------------------------------------------------------- similarity
 
   /** DuckDB mirror of SimOps' sign-LSH bucket: the SAME seeded plane
@@ -2325,6 +2338,28 @@ object Queries {
              round(max(value), 4) AS hi
       FROM bins GROUP BY bin ORDER BY bin"""))
 
+  /** q66 — percentile-rank feature normalization
+    * (LibOps.percentileRank): every lineitem gains its empirical-CDF
+    * rank of l_quantity. The rank table comes from the shared
+    * distinct-value cumulative (D=50 rows here), broadcast back onto
+    * the fact — the oracle's `rank() OVER (ORDER BY …)` global window
+    * is exactly the single-task sort the operator avoids. Exact
+    * integer ratio, rounded at 6 for the cross-engine hash.
+    */
+  private val q66 = Q(
+    "q66_pct_rank",
+    (s, d) => LibOps.percentileRank(li(s, d), "l_quantity")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("pct_rank"))
+      // the synthetic lineitem repeats (orderkey, linenumber) pairs, so
+      // l_quantity completes the deterministic order
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+    Some("""
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             round((CAST(rank() OVER (ORDER BY l_quantity) AS DOUBLE) - 1)
+                   / count(*) OVER (), 6) AS pct_rank
+      FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity"""))
+
   /** q46 — TPC-H Q5 shape: 6-table join (local-supplier revenue by
     * nation within a region-year slice). Date + region filters push to
     * the scans; nation/region broadcast; the fact-fact joins shuffle
@@ -2789,9 +2824,9 @@ object Queries {
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
-    q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
+    q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, sm1, sm2, sm3, pk1, dc1, dc2, vd1,
-    t01, t02, t03, t04, t05, t06, t07, t08, t09, a01, a02, a03, a04, a05, m01, m02, m03, mr1,
+    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, a01, a02, a03, a04, a05, m01, m02, m03, mr1,
     st01, st02, st03, st04)
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

@@ -116,7 +116,22 @@ object LibOps {
     */
   def equidepthBins(df: DataFrame, value: String, nbins: Int,
                     buckets: Int = 64): DataFrame = {
-    require(nbins > 0 && buckets > 0, s"equidepthBins: nbins=$nbins buckets=$buckets")
+    require(nbins > 0, s"equidepthBins: nbins=$nbins")
+    distinctValueCum(df, value, buckets)
+      .withColumn("bin",
+        least(expr(s"((cum - cnt) * ${nbins}L) div total"), lit(nbins - 1L))
+          .cast("int"))
+      .select(col("value"), col("bin"), col("cnt"))
+  }
+
+  /** The shared cumulative-count core of `equidepthBins` /
+    * `percentileRank`: (value, cnt, cum, total) per distinct value,
+    * where `cum` counts rows with value ≤ this one — built with the
+    * two-level prefix sum documented on `equidepthBins`.
+    */
+  private def distinctValueCum(df: DataFrame, value: String,
+                               buckets: Int): DataFrame = {
+    require(buckets > 0, s"distinctValueCum: buckets=$buckets")
     val v = col(value).cast("double")
     val dv = df.filter(v.isNotNull).groupBy(v.as("value")).agg(count(lit(1)).as("cnt"))
     // one broadcast row: N plus the value range that defines buckets —
@@ -142,10 +157,7 @@ object LibOps {
       .select(col("bucket"), col("bucket_offset"))
     bucketed.join(broadcast(offsets), "bucket")
       .withColumn("cum", col("bucket_offset") + col("cum_in_bucket"))
-      .withColumn("bin",
-        least(expr(s"((cum - cnt) * ${nbins}L) div total"), lit(nbins - 1L))
-          .cast("int"))
-      .select(col("value"), col("bin"), col("cnt"))
+      .select(col("value"), col("cnt"), col("cum"), col("total"))
   }
 
   /** Bin summaries (bin, n, lo, hi) from `equidepthBins` — aggregates
@@ -157,6 +169,28 @@ object LibOps {
       .agg(sum("cnt").as("n"),
            round(min("value"), 4).as("lo"),
            round(max("value"), 4).as("hi"))
+
+  /** Percentile-rank normalization (the ML-feature transform): each
+    * row gains `pct_rank` = (#rows with a strictly smaller value) / N
+    * ∈ [0, 1), ties sharing a rank — SQL's `percent_rank` up to the
+    * denominator (N, not N−1: the empirical CDF convention, exact
+    * integer ratio). A window formulation globally sorts N rows in one
+    * task; here the rank comes from the same distinct-value
+    * cumulative-count machinery as `equidepthBins` (two-level prefix
+    * sum, D-row shuffles), joined back on the value column — at 100 TB
+    * the row data shuffles once, on the join, and AQE broadcasts the
+    * mapping when D is small.
+    */
+  def percentileRank(df: DataFrame, value: String,
+                     buckets: Int = 64): DataFrame = {
+    val v = col(value).cast("double")
+    val ranks = distinctValueCum(df, value, buckets)
+      .select(col("value").as("__v"),
+        ((col("cum") - col("cnt")).cast("double") / col("total")).as("__pr"))
+    df.join(ranks, v === col("__v"), "left")
+      .withColumn("pct_rank", round(col("__pr"), 6))
+      .drop("__v", "__pr")
+  }
 
   /** Per-group z-score outlier filter (quality-gate family): two
     * passes — a per-key mean/stddev aggregate (keys-cardinality rows,

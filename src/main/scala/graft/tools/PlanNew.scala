@@ -11,8 +11,11 @@ object PlanNew {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.01"
-    SparkEntry.queries("text_unigram_lm")(spark, d).coalesce(1)
-      .write.mode("overwrite").parquet("/tmp/verify_r3b/text_unigram_lm")
+    SparkEntry.queries("text_bpe_merges")(spark, d).coalesce(1)
+      .write.mode("overwrite").parquet("/tmp/verify_bpe/text_bpe_merges")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/tmp/bpe_oracle.sql"),
+      graft.ops.BpeOps.mergesOracleSql(3))
     println("dumped")
     spark.stop()
   }

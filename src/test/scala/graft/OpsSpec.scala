@@ -783,6 +783,21 @@ class OpsSpec extends AnyFunSuite {
     assert(!got.exists(_._1 == 3L))
   }
 
+  test("BpeOps.trainMerges reproduces the classic low/lower walk") {
+    val df = Seq((1L, "low low lower")).toDF("doc_id", "text")
+    val got = BpeOps.trainMerges(df, 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // pairs: (l,o)=3 ties (o,w)=3 -> lexicographic "l o" wins; then
+    // (lo,w)=3; then (low,e)=1 ties (e,r)=1 -> "e r" wins
+    assert(got.toSeq == Seq(
+      (1, "l", "o", 3L), (2, "lo", "w", 3L), (3, "e", "r", 1L)))
+    // overlap semantics: "aaa" counts 2 adjacencies, merges to [aa, a]
+    val aaa = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val g2 = BpeOps.trainMerges(aaa, 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(g2.toSeq == Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)))
+  }
+
   test("TextOps.repetitionStats computes top-word and dup fractions") {
     val df = Seq(
       (1L, "a a a b"),    // top word a: 3/4; distinct 2/4; bigrams [a a, a a, a b] dup 1/3
@@ -870,6 +885,13 @@ class OpsSpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
     assert(summ.toSeq == Seq(
       (0, 3L, 1.0, 3.0), (1, 3L, 4.0, 6.0), (2, 3L, 7.0, 9.0), (3, 3L, 10.0, 12.0)))
+  }
+
+  test("LibOps.percentileRank assigns empirical-CDF ranks with shared ties") {
+    val df = Seq(10.0, 20.0, 20.0, 40.0).toDF("v")
+    val got = LibOps.percentileRank(df, "v").orderBy("v").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(got.toSeq == Seq((10.0, 0.0), (20.0, 0.25), (20.0, 0.25), (40.0, 0.75)))
   }
 
   test("LibOps.zscoreOutliers flags per-group extremes, skips zero-variance groups") {
