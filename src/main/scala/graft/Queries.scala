@@ -1162,6 +1162,22 @@ object Queries {
     (s, d) => BpeOps.trainMerges(docs(s, d), 3).orderBy(col("step")),
     Some(BpeOps.mergesOracleSql(3)))
 
+  /** text_bpe_tokenize — tokenizer application: the 3 trained merges
+    * run over every document as a row-local literal-replace chain
+    * (codegen'd projection, linear in corpus bytes — the shape
+    * tokenization must have at 100 TB), emitting per-doc post-merge
+    * token counts. Oracle = the trainer replay feeding per-doc replace
+    * stages through scalar subqueries.
+    */
+  private val t11 = Q(
+    "text_bpe_tokenize",
+    (s, d) => {
+      val merges = BpeOps.trainMerges(docs(s, d), 3).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      BpeOps.applyMerges(docs(s, d), merges).orderBy(col("doc_id"))
+    },
+    Some(BpeOps.tokenizeOracleSql(3)))
+
   // ---------------------------------------------------------- similarity
 
   /** DuckDB mirror of SimOps' sign-LSH bucket: the SAME seeded plane
@@ -2826,7 +2842,7 @@ object Queries {
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, sm1, sm2, sm3, pk1, dc1, dc2, vd1,
-    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, a01, a02, a03, a04, a05, m01, m02, m03, mr1,
+    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, a01, a02, a03, a04, a05, m01, m02, m03, mr1,
     st01, st02, st03, st04)
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

@@ -85,6 +85,28 @@ object BpeOps {
     merges.result().toDF("step", "lhs", "rhs", "pair_count")
   }
 
+  /** Tokenizer APPLICATION: run a trained merge list over the corpus
+    * and count the resulting tokens per doc. Pure row-local work — the
+    * whole text is symbol-wrapped in one regexp (spaces stay bare, so
+    * merges can never cross a word boundary) and each merge is one
+    * literal replace; the projection chain is codegen'd and scales
+    * linearly with corpus bytes, the shape tokenization must have at
+    * 100 TB. Token count = half the separator count.
+    */
+  def applyMerges(df: DataFrame, merges: Seq[(String, String)],
+                  textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val rep0 = regexp_replace(col(textCol), "([^ ])", s"$S$$1$S")
+    val rep = merges.foldLeft(rep0) { case (c, (a, b)) =>
+      regexp_replace(c,
+        java.util.regex.Pattern.quote(s"$S$a$S$S$b$S"),
+        java.util.regex.Matcher.quoteReplacement(s"$S$a$b$S"))
+    }
+    df.select(col(idCol),
+      ((length(rep) - length(regexp_replace(rep, S, "")))
+        .cast("long") / 2).cast("int").as("n_tokens"))
+  }
+
   /** The unrolled DuckDB replay of `trainMerges` — one CTE stage per
     * merge, each recomputing pair counts, picking the same
     * lexicographic-tiebreak argmax, and applying the same literal
@@ -118,6 +140,37 @@ object BpeOps {
              string_split(pair, ' ')[2] AS rhs, cnt AS pair_count
       FROM best$i"""
     }.mkString("", " UNION ALL", "\n      ORDER BY step"))
+    sb.toString
+  }
+
+  /** DuckDB replay of `trainMerges` + `applyMerges`: the trainer CTEs
+    * (shared prefix with `mergesOracleSql`) feed per-doc replace
+    * stages via scalar subqueries on each round's best pair; the final
+    * token count is the same separator arithmetic the engine uses.
+    */
+  def tokenizeOracleSql(nMerges: Int, table: String = "documents",
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): String = {
+    val trainer = mergesOracleSql(nMerges, table, textCol)
+    val prefix = trainer.substring(0, trainer.lastIndexOf("\n      SELECT 1 AS step"))
+    val sb = new StringBuilder(prefix)
+    sb.append(s""",
+      docrep0 AS (
+        SELECT $idCol, regexp_replace($textCol, '([^ ])',
+                 chr(31)||'\\1'||chr(31), 'g') AS rep
+        FROM $table)""")
+    for (i <- 1 to nMerges) {
+      sb.append(s""",
+      docrep$i AS (
+        SELECT $idCol, replace(rep,
+          (SELECT chr(31)||string_split(pair, ' ')[1]||chr(31)||chr(31)||string_split(pair, ' ')[2]||chr(31) FROM best$i),
+          (SELECT chr(31)||replace(pair, ' ', '')||chr(31) FROM best$i)) AS rep
+        FROM docrep${i - 1})""")
+    }
+    sb.append(s"""
+      SELECT $idCol,
+             CAST((len(rep) - len(replace(rep, chr(31), ''))) // 2 AS INTEGER) AS n_tokens
+      FROM docrep$nMerges ORDER BY $idCol""")
     sb.toString
   }
 }

@@ -798,6 +798,17 @@ class OpsSpec extends AnyFunSuite {
     assert(g2.toSeq == Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)))
   }
 
+  test("BpeOps.applyMerges tokenizes with trained merges, never across spaces") {
+    val df = Seq((1L, "low low lower"), (2L, "ol ol")).toDF("doc_id", "text")
+    // merges from the low/lower walk: low -> 1 token, lower -> [low, er]
+    val merges = Seq(("l", "o"), ("lo", "w"), ("e", "r"))
+    val got = BpeOps.applyMerges(df, merges).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    // doc 1: low(1) + low(1) + low,er(2) = 4; doc 2: "ol" has no (l,o)
+    // adjacency — the space between "ol ol" must not merge l|o across it
+    assert(got.toSeq == Seq((1L, 4), (2L, 4)))
+  }
+
   test("TextOps.repetitionStats computes top-word and dup fractions") {
     val df = Seq(
       (1L, "a a a b"),    // top word a: 3/4; distinct 2/4; bigrams [a a, a a, a b] dup 1/3
