@@ -1169,6 +1169,42 @@ object Queries {
     * token counts. Oracle = the trainer replay feeding per-doc replace
     * stages through scalar subqueries.
     */
+  /** text_filter_cascade — single-scan curation cascade with
+    * per-stage drop attribution (TextOps.filterCascade): three ordered
+    * quality gates over documents; each row's first failing stage
+    * claims it row-locally, so the whole report is ONE
+    * partial-aggregated pass (never N scans). The oracle replays the
+    * same first-fail CASE.
+    */
+  private val t12 = Q(
+    "text_filter_cascade",
+    (s, d) => {
+      import s.implicits._
+      TextOps.filterCascade(docs(s, d), Seq(
+        "min_chars" -> ($"n_chars" >= 50),
+        "lang_latin" -> $"lang".isin("en", "de", "es", "fr"),
+        "min_tokens" -> (size(split($"text", " ")) >= 20)))
+        .orderBy($"stage")
+    },
+    Some("""
+      WITH f AS (
+        SELECT CASE
+          WHEN NOT coalesce(n_chars >= 50, false) THEN 0
+          WHEN NOT coalesce(lang IN ('en', 'de', 'es', 'fr'), false) THEN 1
+          WHEN NOT coalesce(len(string_split(text, ' ')) >= 20, false) THEN 2
+          ELSE -1 END AS ff
+        FROM documents),
+      a AS (
+        SELECT count(*) AS total,
+               CAST(sum(CASE WHEN ff = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d0,
+               CAST(sum(CASE WHEN ff = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+               CAST(sum(CASE WHEN ff = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d2
+        FROM f)
+      SELECT 1 AS stage, 'min_chars' AS stage_name, total AS n_in, d0 AS n_dropped FROM a
+      UNION ALL SELECT 2, 'lang_latin', total - d0, d1 FROM a
+      UNION ALL SELECT 3, 'min_tokens', total - d0 - d1, d2 FROM a
+      ORDER BY stage"""))
+
   private val t11 = Q(
     "text_bpe_tokenize",
     (s, d) => {
@@ -2842,7 +2878,7 @@ object Queries {
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, sm1, sm2, sm3, pk1, dc1, dc2, vd1,
-    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, a01, a02, a03, a04, a05, m01, m02, m03, mr1,
+    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, a01, a02, a03, a04, a05, m01, m02, m03, mr1,
     st01, st02, st03, st04)
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

@@ -166,6 +166,52 @@ object TextOps {
           / sum(col("tf")), 4).as("xent"))
   }
 
+  /** Single-scan filter cascade with per-stage observability — the
+    * production shape of a curation pipeline: N ordered row predicates
+    * where stage i only sees rows that survived stages 1..i-1, and the
+    * operator reports how many rows each stage dropped WITHOUT running
+    * N scans. Attribution is computed row-locally (the first failing
+    * stage claims the row), so the stats are ONE partial-aggregated
+    * pass; the surviving rows are the conjunction filter, which
+    * Catalyst pushes into the scan. A NULL predicate counts as a
+    * failure (same convention as ValidateOps).
+    *
+    * Returns the per-stage report: (stage, stage_name, n_in,
+    * n_dropped), where n_in is the count entering that stage. Use
+    * `cascadeSurvivors` for the filtered rows themselves.
+    */
+  def filterCascade(df: DataFrame,
+                    stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty, "filterCascade: no stages")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // first failing stage per row: 0-based stage index, or -1 = kept
+    val firstFail = stages.zipWithIndex.foldRight(lit(-1)) {
+      case (((_, pred), i), rest) =>
+        when(coalesce(pred, lit(false)), rest).otherwise(lit(i))
+    }
+    val agg = df.withColumn("__ff", firstFail)
+      .agg(count(lit(1)).as("n_total"),
+        stages.indices.map(i =>
+          sum(when(col("__ff") === i, 1L).otherwise(0L)).as(s"__d$i")): _*)
+      .head()
+    val total = agg.getLong(0)
+    val dropped = stages.indices.map(i => agg.getLong(i + 1))
+    val nIn = dropped.scanLeft(total)(_ - _)
+    stages.zipWithIndex.map { case ((name, _), i) =>
+      (i + 1, name, nIn(i), dropped(i))
+    }.toDF("stage", "stage_name", "n_in", "n_dropped")
+  }
+
+  /** The rows that pass every cascade stage — the conjunction filter,
+    * pushed into the scan by Catalyst.
+    */
+  def cascadeSurvivors(df: DataFrame,
+                       stages: Seq[(String, Column)]): DataFrame =
+    stages.foldLeft(df) { case (d, (_, pred)) =>
+      d.filter(coalesce(pred, lit(false)))
+    }
+
   /** BM25 relevance ranking of the corpus against a small query term
     * set (Robertson/Sparck-Jones, the retrieval-side sibling of
     * TF-IDF): score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b +

@@ -809,6 +809,25 @@ class OpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 4), (2L, 4)))
   }
 
+  test("TextOps.filterCascade attributes each drop to its first failing stage") {
+    val df = Seq(
+      (1L, "ok row", 10),     // passes all
+      (2L, "s", 1),           // fails stage 1 (len)
+      (3L, "no number", -5),  // passes 1, fails 2 (positive)
+      (4L, "x", -5)           // fails 1 AND 2 -> attributed to stage 1 only
+    ).toDF("id", "t", "v")
+    val stages = Seq(
+      "min_len" -> (length(col("t")) >= 2),
+      "positive" -> (col("v") > 0))
+    val got = TextOps.filterCascade(df, stages).orderBy("stage").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1, "min_len", 4L, 2L),   // rows 2 and 4
+      (2, "positive", 2L, 1L))) // row 3 only — row 4 already claimed
+    val kept = TextOps.cascadeSurvivors(df, stages).collect().map(_.getLong(0))
+    assert(kept.toSeq == Seq(1L))
+  }
+
   test("TextOps.repetitionStats computes top-word and dup fractions") {
     val df = Seq(
       (1L, "a a a b"),    // top word a: 3/4; distinct 2/4; bigrams [a a, a a, a b] dup 1/3
