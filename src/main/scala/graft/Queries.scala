@@ -1162,13 +1162,6 @@ object Queries {
     (s, d) => BpeOps.trainMerges(docs(s, d), 3).orderBy(col("step")),
     Some(BpeOps.mergesOracleSql(3)))
 
-  /** text_bpe_tokenize — tokenizer application: the 3 trained merges
-    * run over every document as a row-local literal-replace chain
-    * (codegen'd projection, linear in corpus bytes — the shape
-    * tokenization must have at 100 TB), emitting per-doc post-merge
-    * token counts. Oracle = the trainer replay feeding per-doc replace
-    * stages through scalar subqueries.
-    */
   /** text_filter_cascade — single-scan curation cascade with
     * per-stage drop attribution (TextOps.filterCascade): three ordered
     * quality gates over documents; each row's first failing stage
@@ -1205,6 +1198,13 @@ object Queries {
       UNION ALL SELECT 3, 'min_tokens', total - d0 - d1, d2 FROM a
       ORDER BY stage"""))
 
+  /** text_bpe_tokenize — tokenizer application: the 3 trained merges
+    * run over every document as a row-local literal-replace chain
+    * (codegen'd projection, linear in corpus bytes — the shape
+    * tokenization must have at 100 TB), emitting per-doc post-merge
+    * token counts. Oracle = the trainer replay feeding per-doc replace
+    * stages through scalar subqueries.
+    */
   private val t11 = Q(
     "text_bpe_tokenize",
     (s, d) => {

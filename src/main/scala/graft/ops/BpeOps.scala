@@ -162,10 +162,14 @@ object BpeOps {
     for (i <- 1 to nMerges) {
       sb.append(s""",
       docrep$i AS (
-        SELECT $idCol, replace(rep,
+        SELECT $idCol, coalesce(replace(rep,
           (SELECT chr(31)||string_split(pair, ' ')[1]||chr(31)||chr(31)||string_split(pair, ' ')[2]||chr(31) FROM best$i),
-          (SELECT chr(31)||replace(pair, ' ', '')||chr(31) FROM best$i)) AS rep
+          (SELECT chr(31)||replace(pair, ' ', '')||chr(31) FROM best$i)), rep) AS rep
         FROM docrep${i - 1})""")
+      // coalesce(..., rep): if merges exhausted before round i, best_i
+      // is empty, the scalar subqueries are NULL, and the un-guarded
+      // replace would cascade NULL reps — the engine's applyMerges just
+      // applies the (shorter) real merge list, so fall back to rep
     }
     sb.append(s"""
       SELECT $idCol,

@@ -84,6 +84,11 @@ object DeconOps {
     val bmGrams = benchmark
       .select(explode(word_ngrams(col(textCol), n)).as("gram"))
       .distinct()
+      // pin: the gram set feeds three consumers (cardinality count,
+      // bloom build, exact verify join) — without the checkpoint each
+      // would rescan and re-shuffle the benchmark corpus (the BpeOps
+      // vocab-pinning idiom)
+      .localCheckpoint(true)
     val expected =
       if (expectedGrams > 0) expectedGrams
       else math.max(1L, bmGrams.count())

@@ -193,7 +193,9 @@ object TextOps {
     val agg = df.withColumn("__ff", firstFail)
       .agg(count(lit(1)).as("n_total"),
         stages.indices.map(i =>
-          sum(when(col("__ff") === i, 1L).otherwise(0L)).as(s"__d$i")): _*)
+          // count, not sum: an empty input yields 0 per stage, never a
+          // NULL cell that getLong would trip on
+          count(when(col("__ff") === i, 1)).as(s"__d$i")): _*)
       .head()
     val total = agg.getLong(0)
     val dropped = stages.indices.map(i => agg.getLong(i + 1))
@@ -235,7 +237,11 @@ object TextOps {
     // the per-doc explode below only ever sees matching docs
     val stats = df.select(
       count(lit(1)).cast("long").as("n_docs"),
-      (sum(size(toks)).cast("double") / count(lit(1))).as("avgdl"))
+      // null-text docs count toward N but contribute 0 tokens — guard
+      // against legacy sizeOfNull's size(NULL) = -1 corrupting the sum
+      // (mirrors DuckDB, where sum skips the NULL len())
+      (sum(when(col(textCol).isNotNull, size(toks)).otherwise(lit(0)))
+        .cast("double") / count(lit(1))).as("avgdl"))
     val matching = df
       .where(arrays_overlap(toks, qArr))
       .select(col(idCol), size(toks).cast("double").as("dl"),

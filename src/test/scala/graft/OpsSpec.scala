@@ -826,6 +826,11 @@ class OpsSpec extends AnyFunSuite {
       (2, "positive", 2L, 1L))) // row 3 only — row 4 already claimed
     val kept = TextOps.cascadeSurvivors(df, stages).collect().map(_.getLong(0))
     assert(kept.toSeq == Seq(1L))
+    // empty input: a zeroed report, not an NPE on null aggregate cells
+    val empty = TextOps.filterCascade(df.filter(col("id") < 0), stages)
+      .orderBy("stage").collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getLong(3)))
+    assert(empty.toSeq == Seq((1, 0L, 0L), (2, 0L, 0L)))
   }
 
   test("TextOps.repetitionStats computes top-word and dup fractions") {
