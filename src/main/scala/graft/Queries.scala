@@ -2390,6 +2390,35 @@ object Queries {
              round(max(value), 4) AS hi
       FROM bins GROUP BY bin ORDER BY bin"""))
 
+  /** q67 — median/MAD robust outlier gate (LibOps.robustOutliers):
+    * the heavy-tail-safe variant of q64 — two grouped exact
+    * percentiles with keys-sized broadcasts between them, then a
+    * row-local |v − med|/MAD filter; no row data ever shuffles.
+    * quantile_cont ≡ Spark percentile (the q24 parity).
+    */
+  private val q67 = Q(
+    "q67_robust_outliers",
+    (s, d) => {
+      import s.implicits._
+      LibOps.robustOutliers(li(s, d), Seq("l_returnflag"), "l_extendedprice", 2.0)
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n_outliers"),
+             round(max(abs($"rz")), 4).as("max_abs_rz"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""
+      WITH m AS (
+        SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+        FROM lineitem GROUP BY 1),
+      d AS (
+        SELECT l_returnflag, quantile_cont(abs(l_extendedprice - med), 0.5) AS mad
+        FROM lineitem JOIN m USING (l_returnflag) GROUP BY l_returnflag)
+      SELECT l_returnflag, count(*) AS n_outliers,
+             round(max(abs((l_extendedprice - med) / mad)), 4) AS max_abs_rz
+      FROM lineitem JOIN m USING (l_returnflag) JOIN d USING (l_returnflag)
+      WHERE abs((l_extendedprice - med) / mad) > 2.0
+      GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   /** q66 — percentile-rank feature normalization
     * (LibOps.percentileRank): every lineitem gains its empirical-CDF
     * rank of l_quantity. The rank table comes from the shared
@@ -2876,7 +2905,7 @@ object Queries {
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
-    q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66,
+    q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, sm1, sm2, sm3, pk1, dc1, dc2, vd1,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, a01, a02, a03, a04, a05, m01, m02, m03, mr1,
     st01, st02, st03, st04)

@@ -212,6 +212,30 @@ object LibOps {
       .drop("__mean", "__std")
   }
 
+  /** Median/MAD robust outlier gate — the heavy-tail-safe sibling of
+    * `zscoreOutliers`: mean/stddev are themselves dragged by the
+    * outliers they hunt, so production quality gates prefer the median
+    * and the Median Absolute Deviation. Two grouped percentile
+    * aggregates (per-key medians broadcast back between them — keys ×
+    * tiny rows, never row data), then a row-local filter on
+    * |v − median| / MAD. `percentile` is exact interpolated (the
+    * engine≡oracle parity q24 already proves); zero-MAD groups emit
+    * nothing (NULL via try_divide, same convention as zscoreOutliers).
+    */
+  def robustOutliers(df: DataFrame, keys: Seq[String], value: String,
+                     kThresh: Double): DataFrame = {
+    val v = col(value).cast("double")
+    val med = df.groupBy(keys.map(col): _*)
+      .agg(percentile(v, lit(0.5)).as("__med"))
+    val withMed = df.join(broadcast(med), keys)
+    val mad = withMed.groupBy(keys.map(col): _*)
+      .agg(percentile(abs(v - col("__med")), lit(0.5)).as("__mad"))
+    withMed.join(broadcast(mad), keys)
+      .withColumn("rz", try_divide(v - col("__med"), col("__mad")))
+      .filter(abs(col("rz")) > kThresh)
+      .drop("__med", "__mad")
+  }
+
   /** Skew-safe two-phase aggregation: group on (keys, salt) first so a
     * hot key spreads over `buckets` reduce tasks, then re-aggregate on
     * the true keys. The salt is a pure function of `saltCols` (default:

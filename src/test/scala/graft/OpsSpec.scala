@@ -929,6 +929,18 @@ class OpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((10.0, 0.0), (20.0, 0.25), (20.0, 0.25), (40.0, 0.75)))
   }
 
+  test("LibOps.robustOutliers flags by median/MAD, skips zero-MAD groups") {
+    val df = Seq(("a", 0.0), ("a", 0.0), ("a", 0.0), ("a", 100.0),
+                 ("b", 1.0), ("b", 2.0), ("b", 3.0), ("b", 4.0), ("b", 100.0))
+      .toDF("k", "v")
+    // group a: med 0, MAD 0 -> try_divide NULL -> even 100.0 is not
+    // emitted (a zero-MAD group has no robust scale to judge by);
+    // group b: med 3, MAD 1 -> only 100.0 has |rz| = 97 > 2
+    val got = LibOps.robustOutliers(df, Seq("k"), "v", 2.0)
+      .select("k", "v").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(got.toSeq == Seq(("b", 100.0)))
+  }
+
   test("LibOps.zscoreOutliers flags per-group extremes, skips zero-variance groups") {
     val df = Seq(("a", 0.0), ("a", 0.0), ("a", 0.0), ("a", 100.0),
                  ("b", 5.0), ("b", 5.0)).toDF("k", "v")
