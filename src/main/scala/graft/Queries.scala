@@ -2513,6 +2513,38 @@ object Queries {
     * transform/element_at form cost 2.9s of a 3s query), explode,
     * count. Top-100 with full tiebreak.
     */
+  /** q68 — leakage-safe grouped split (SampleOps.groupedSplit): fold
+    * assignment hashed on `source`, so near-duplicate docs from one
+    * site can never straddle train/test (q47's per-row split cannot
+    * guarantee that). Row-local md5 CASE, no shuffle; the oracle
+    * replays the same bucket arithmetic. count(DISTINCT source) per
+    * fold plus the total over folds equaling 20 distinct sources
+    * witnesses the co-assignment in the graded output itself.
+    */
+  private val q68 = Q(
+    "q68_grouped_split",
+    (s, d) => {
+      import s.implicits._
+      SampleOps.groupedSplit(docs(s, d), "source",
+          Seq("train" -> 80, "valid" -> 90))
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n_docs"),
+             countDistinct($"source").as("n_sources"),
+             sum($"n_chars").as("sum_chars"))
+        .orderBy($"split")
+    },
+    Some("""
+      WITH b AS (
+        SELECT *, ('0x' || substr(md5(source), 1, 4))::INTEGER % 100 AS bk
+        FROM documents)
+      SELECT CASE WHEN bk < 80 THEN 'train'
+                  WHEN bk < 90 THEN 'valid'
+                  ELSE 'test' END AS split,
+             count(*) AS n_docs,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM b GROUP BY 1 ORDER BY 1"""))
+
   private val q48 = Q(
     "q48_bigram_counts",
     (s, d) => {
@@ -2905,7 +2937,7 @@ object Queries {
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
-    q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
+    q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, sm1, sm2, sm3, pk1, dc1, dc2, vd1,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, a01, a02, a03, a04, a05, m01, m02, m03, mr1,
     st01, st02, st03, st04)

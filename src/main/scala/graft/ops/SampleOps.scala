@@ -64,6 +64,32 @@ object SampleOps {
       .withColumn("pos", row_number().over(w).cast("int"))
   }
 
+  /** Leakage-safe grouped split: train/valid/test assignment hashed on
+    * a GROUP key (domain, url host, dedup-cluster id) instead of the
+    * row id, so every row of a group lands in the same fold. This is
+    * the split that survives near-duplicates: with q47's per-row
+    * hash-split, two near-identical docs from one site can straddle
+    * train and test and leak; hashing the group key makes that
+    * structurally impossible. Pure row-local projection (md5 CASE) —
+    * no shuffle, engine-portable, stable under repartitioning.
+    *
+    * `cuts` are cumulative percentage upper bounds over a 0..99 hash
+    * bucket, e.g. Seq("train" -> 80, "valid" -> 90) with the remainder
+    * labeled `lastName`.
+    */
+  def groupedSplit(df: DataFrame, groupCol: String,
+                   cuts: Seq[(String, Int)],
+                   lastName: String = "test"): DataFrame = {
+    require(cuts.nonEmpty && cuts.map(_._2) == cuts.map(_._2).sorted &&
+      cuts.last._2 <= 100, s"groupedSplit: bad cuts $cuts")
+    val bucket = (conv(substring(hashKey(col(groupCol)), 1, 4), 16, 10)
+      .cast("int") % 100)
+    val label = cuts.foldRight(lit(lastName): Column) {
+      case ((name, hi), rest) => when(bucket < hi, name).otherwise(rest)
+    }
+    df.withColumn("split", label)
+  }
+
   /** Domain-mixture sampling: per-group keep rates (e.g. upsample en,
     * downsample zh) applied as a deterministic hash threshold — the
     * curation step that rebalances source/language composition before

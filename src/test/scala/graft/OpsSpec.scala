@@ -846,6 +846,22 @@ class OpsSpec extends AnyFunSuite {
     assert(got(2) == ((3L, 1, 1.0, 0.0, 0.0)))
   }
 
+  test("SampleOps.groupedSplit co-assigns every row of a group to one fold") {
+    val df = (0L until 300L).map(i => (i, s"site${i % 30}")).toDF("id", "grp")
+    val split = SampleOps.groupedSplit(df, "grp", Seq("train" -> 70, "valid" -> 85))
+    // every group appears in exactly one split (the leakage guarantee)
+    val perGroup = split.groupBy("grp")
+      .agg(countDistinct(col("split")).as("n")).collect().map(_.getLong(1))
+    assert(perGroup.forall(_ == 1L))
+    // all three folds are populated and the assignment is stable
+    val folds = split.select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(folds == Set("train", "valid", "test"))
+    val again = SampleOps.groupedSplit(df.repartition(7), "grp",
+      Seq("train" -> 70, "valid" -> 85))
+    assert(split.select("id", "split").collect().toSet ==
+      again.select("id", "split").collect().toSet)
+  }
+
   test("SampleOps.mixtureSample applies per-group rates deterministically") {
     val df = (0L until 200L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
       .toDF("doc_id", "lang")
