@@ -2394,30 +2394,36 @@ object Queries {
     * the heavy-tail-safe variant of q64 — two grouped exact
     * percentiles with keys-sized broadcasts between them, then a
     * row-local |v − med|/MAD filter; no row data ever shuffles.
-    * quantile_cont ≡ Spark percentile (the q24 parity).
+    * quantile_cont ≡ Spark percentile (the q24 parity). Runs on
+    * events.value (heavy-tailed: robust-z reaches ~20, and the ~10k
+    * distinct values per type keep the exact-percentile buffers small
+    * — a near-continuous 100 TB column would use approx_percentile
+    * boundaries with the same plan shape). Threshold 3.75 chosen with
+    * measured cross-engine margin ≥ 3e-4 at every sf (nearest |rz| to
+    * the cut), so a 1-ulp disagreement cannot flip a row.
     */
   private val q67 = Q(
     "q67_robust_outliers",
     (s, d) => {
       import s.implicits._
-      LibOps.robustOutliers(li(s, d), Seq("l_returnflag"), "l_extendedprice", 2.0)
-        .groupBy($"l_returnflag")
+      LibOps.robustOutliers(ev(s, d), Seq("event_type"), "value", 3.75)
+        .groupBy($"event_type")
         .agg(count(lit(1)).as("n_outliers"),
              round(max(abs($"rz")), 4).as("max_abs_rz"))
-        .orderBy($"l_returnflag")
+        .orderBy($"event_type")
     },
     Some("""
       WITH m AS (
-        SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
-        FROM lineitem GROUP BY 1),
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY 1),
       d AS (
-        SELECT l_returnflag, quantile_cont(abs(l_extendedprice - med), 0.5) AS mad
-        FROM lineitem JOIN m USING (l_returnflag) GROUP BY l_returnflag)
-      SELECT l_returnflag, count(*) AS n_outliers,
-             round(max(abs((l_extendedprice - med) / mad)), 4) AS max_abs_rz
-      FROM lineitem JOIN m USING (l_returnflag) JOIN d USING (l_returnflag)
-      WHERE abs((l_extendedprice - med) / mad) > 2.0
-      GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+        FROM events JOIN m USING (event_type) GROUP BY event_type)
+      SELECT event_type, count(*) AS n_outliers,
+             round(max(abs((value - med) / mad)), 4) AS max_abs_rz
+      FROM events JOIN m USING (event_type) JOIN d USING (event_type)
+      WHERE abs((value - med) / mad) > 3.75
+      GROUP BY event_type ORDER BY event_type"""))
 
   /** q66 — percentile-rank feature normalization
     * (LibOps.percentileRank): every lineitem gains its empirical-CDF

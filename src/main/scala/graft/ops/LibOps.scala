@@ -225,11 +225,17 @@ object LibOps {
   def robustOutliers(df: DataFrame, keys: Seq[String], value: String,
                      kThresh: Double): DataFrame = {
     val v = col(value).cast("double")
+    // pin each keys-sized stats table: without the checkpoint, the MAD
+    // broadcast's subplan re-runs the whole median pass (scan + heavy
+    // ObjectHashAggregate percentile buffers) a second time, and the
+    // final plan a third — measured 3.1 s -> ~1 s warm at sf0.1
     val med = df.groupBy(keys.map(col): _*)
       .agg(percentile(v, lit(0.5)).as("__med"))
+      .localCheckpoint(true)
     val withMed = df.join(broadcast(med), keys)
     val mad = withMed.groupBy(keys.map(col): _*)
       .agg(percentile(abs(v - col("__med")), lit(0.5)).as("__mad"))
+      .localCheckpoint(true)
     withMed.join(broadcast(mad), keys)
       .withColumn("rz", try_divide(v - col("__med"), col("__mad")))
       .filter(abs(col("rz")) > kThresh)
