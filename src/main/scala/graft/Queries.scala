@@ -2551,6 +2551,33 @@ object Queries {
              CAST(sum(n_chars) AS BIGINT) AS sum_chars
       FROM b GROUP BY 1 ORDER BY 1"""))
 
+  /** q69 — quality-weighted sampling (SampleOps.weightedSample): docs
+    * survive with probability proportional to length (capped at 1) —
+    * the continuous generalization of the mixture rates. Row-local
+    * hash-threshold WHERE; the oracle computes the identical double
+    * expression in the identical order, so the cut is bit-stable
+    * across engines.
+    */
+  private val q69 = Q(
+    "q69_weighted_sample",
+    (s, d) => {
+      import s.implicits._
+      SampleOps.weightedSample(docs(s, d), "doc_id",
+          least($"n_chars".cast("double") / 2000.0, lit(1.0)))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+        .orderBy($"lang")
+    },
+    Some("""
+      WITH b AS (
+        SELECT *, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER AS bk
+        FROM documents)
+      SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM b
+      WHERE CAST(bk AS DOUBLE) <
+            least(greatest(CAST(n_chars AS DOUBLE) / 2000.0, 0.0), 1.0) * 65536.0
+      GROUP BY lang ORDER BY lang"""))
+
   private val q48 = Q(
     "q48_bigram_counts",
     (s, d) => {
@@ -2943,7 +2970,7 @@ object Queries {
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
-    q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
+    q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, sm1, sm2, sm3, pk1, dc1, dc2, vd1,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, a01, a02, a03, a04, a05, m01, m02, m03, mr1,
     st01, st02, st03, st04)

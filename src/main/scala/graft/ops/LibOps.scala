@@ -139,16 +139,21 @@ object LibOps {
     // aggregate, so this branch never pays the groupBy
     val stats = df.filter(v.isNotNull)
       .agg(count(lit(1)).as("total"), min(v).as("lo"), max(v).as("hi"))
-    val bucketed = dv.crossJoin(broadcast(stats))
+    val dvb = dv.crossJoin(broadcast(stats))
       .withColumn("bucket",
         when(col("hi") === col("lo"), lit(0))
           .otherwise(least(
             floor((col("value") - col("lo")) / (col("hi") - col("lo")) * buckets),
             lit(buckets - 1.0))).cast("int"))
+      // pin: the bucketed distinct-value table feeds BOTH the cumsum
+      // window and the offsets aggregate — without this the
+      // corpus-sized distinct aggregation runs twice
+      .localCheckpoint(true)
+    val bucketed = dvb
       .withColumn("cum_in_bucket",
         sum("cnt").over(Window.partitionBy("bucket").orderBy("value")))
     // `buckets` rows: the only unpartitioned window in the plan
-    val offsets = bucketed.groupBy("bucket")
+    val offsets = dvb.groupBy("bucket")
       .agg(sum("cnt").as("bucket_total"))
       .withColumn("bucket_offset",
         coalesce(sum("bucket_total").over(

@@ -64,6 +64,23 @@ object SampleOps {
       .withColumn("pos", row_number().over(w).cast("int"))
   }
 
+  /** Quality-weighted deterministic sampling: each row survives with
+    * probability = clamp(weight, 0, 1), decided by its id-hash bucket
+    * — the curation step that keeps high-quality documents at full
+    * rate and down-samples junk in proportion to a per-row score
+    * (mixtureSample generalized from per-group rates to a continuous
+    * per-row weight). Pure row-local WHERE: no shuffle, pushes past
+    * downstream ops, and the same doc survives under any partitioning,
+    * cluster size, or engine. The weight expression must be
+    * deterministic for reproducibility (scores from a table column or
+    * row-local arithmetic, not rand()).
+    */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column): DataFrame = {
+    val bucket = conv(substring(hashKey(col(idCol)), 1, 4), 16, 10).cast("int")
+    df.filter(bucket.cast("double") <
+      least(greatest(weight.cast("double"), lit(0.0)), lit(1.0)) * 65536.0)
+  }
+
   /** Leakage-safe grouped split: train/valid/test assignment hashed on
     * a GROUP key (domain, url host, dedup-cluster id) instead of the
     * row id, so every row of a group lands in the same fold. This is

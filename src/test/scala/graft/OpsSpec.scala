@@ -862,6 +862,24 @@ class OpsSpec extends AnyFunSuite {
       again.select("id", "split").collect().toSet)
   }
 
+  test("SampleOps.weightedSample keeps rows in proportion to their weight") {
+    val df = (0L until 2000L).map(i => (i, if (i < 1000) 1.0 else 0.2))
+      .toDF("id", "w")
+    val kept = SampleOps.weightedSample(df, "id", col("w"))
+      .groupBy("w").count().collect().map(r => (r.getDouble(0), r.getLong(1))).toMap
+    // weight 1.0 keeps everything; weight 0.2 keeps ~20% (hash-uniform)
+    assert(kept(1.0) == 1000L)
+    assert(kept(0.2) > 100L && kept(0.2) < 300L, s"got ${kept(0.2)}")
+    // deterministic: same survivors under any partitioning
+    val ids1 = SampleOps.weightedSample(df, "id", col("w")).collect().map(_.getLong(0)).toSet
+    val ids2 = SampleOps.weightedSample(df.repartition(7), "id", col("w"))
+      .collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    // out-of-range weights clamp instead of misbehaving
+    val neg = (0L until 100L).map((_, -5.0)).toDF("id", "w")
+    assert(SampleOps.weightedSample(neg, "id", col("w")).count() == 0L)
+  }
+
   test("SampleOps.mixtureSample applies per-group rates deterministically") {
     val df = (0L until 200L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
       .toDF("doc_id", "lang")
