@@ -11,13 +11,13 @@ object MiniBench {
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.01"
     val out = new StringBuilder
-    for (n <- Seq("text_filter_cascade", "q67_robust_outliers", "q66_pct_rank")) {
+    for (n <- Seq("q66_pct_rank", "q67_robust_outliers")) {
       val df = SparkEntry.queries(n)(spark, d)
       out.append("===== " + n + "\n")
       out.append(df.queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode) + "\n")
     }
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/plans_new2.txt"), out.toString)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/plans_new3.txt"), out.toString)
     println("MINI plans written")
     spark.stop()
   }

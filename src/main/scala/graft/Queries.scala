@@ -2420,9 +2420,9 @@ object Queries {
         SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
         FROM events JOIN m USING (event_type) GROUP BY event_type)
       SELECT event_type, count(*) AS n_outliers,
-             round(max(abs((value - med) / mad)), 4) AS max_abs_rz
+             round(max(abs((value - med) / nullif(mad, 0))), 4) AS max_abs_rz
       FROM events JOIN m USING (event_type) JOIN d USING (event_type)
-      WHERE abs((value - med) / mad) > 3.75
+      WHERE abs((value - med) / nullif(mad, 0)) > 3.75
       GROUP BY event_type ORDER BY event_type"""))
 
   /** q66 — percentile-rank feature normalization
@@ -2514,11 +2514,6 @@ object Queries {
              count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
       FROM b GROUP BY 1 ORDER BY 1"""))
 
-  /** q48 — bigram counts (every occurrence, unlike the deduplicated
-    * dedup shingles): native WordNgrams (the interpreted
-    * transform/element_at form cost 2.9s of a 3s query), explode,
-    * count. Top-100 with full tiebreak.
-    */
   /** q68 — leakage-safe grouped split (SampleOps.groupedSplit): fold
     * assignment hashed on `source`, so near-duplicate docs from one
     * site can never straddle train/test (q47's per-row split cannot
@@ -2575,9 +2570,14 @@ object Queries {
       SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
       FROM b
       WHERE CAST(bk AS DOUBLE) <
-            least(greatest(CAST(n_chars AS DOUBLE) / 2000.0, 0.0), 1.0) * 65536.0
+            least(greatest(least(CAST(n_chars AS DOUBLE) / 2000.0, 1.0), 0.0), 1.0) * 65536.0
       GROUP BY lang ORDER BY lang"""))
 
+  /** q48 — bigram counts (every occurrence, unlike the deduplicated
+    * dedup shingles): native WordNgrams (the interpreted
+    * transform/element_at form cost 2.9s of a 3s query), explode,
+    * count. Top-100 with full tiebreak.
+    */
   private val q48 = Q(
     "q48_bigram_counts",
     (s, d) => {

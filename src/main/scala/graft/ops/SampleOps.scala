@@ -20,6 +20,13 @@ object SampleOps {
     */
   def hashKey(id: Column): Column = md5(id.cast("string").cast("binary"))
 
+  /** The 16-bit hash bucket every threshold sampler shares: first 4
+    * hex digits of the id hash as an int in [0, 65536) (SQL mirror:
+    * `('0x' || substr(md5(...), 1, 4))::INTEGER`).
+    */
+  private def bucket16(id: Column): Column =
+    conv(substring(hashKey(id), 1, 4), 16, 10).cast("int")
+
   /** Up to `n` rows per stratum, chosen by hash order (ties to the
     * lower id — md5 collisions are no concern, but determinism is).
     * One window over the stratum key: a single hash-partitioned
@@ -40,8 +47,7 @@ object SampleOps {
     */
   def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
     require(fraction >= 0 && fraction <= 1, s"fraction $fraction out of [0,1]")
-    val bucket = conv(substring(hashKey(col(idCol)), 1, 4), 16, 10).cast("int")
-    df.filter(bucket < (fraction * 65536).toInt)
+    df.filter(bucket16(col(idCol)) < (fraction * 65536).toInt)
   }
 
   /** Deterministic shuffle + shard assignment — the last step before a
@@ -75,11 +81,9 @@ object SampleOps {
     * deterministic for reproducibility (scores from a table column or
     * row-local arithmetic, not rand()).
     */
-  def weightedSample(df: DataFrame, idCol: String, weight: Column): DataFrame = {
-    val bucket = conv(substring(hashKey(col(idCol)), 1, 4), 16, 10).cast("int")
-    df.filter(bucket.cast("double") <
+  def weightedSample(df: DataFrame, idCol: String, weight: Column): DataFrame =
+    df.filter(bucket16(col(idCol)).cast("double") <
       least(greatest(weight.cast("double"), lit(0.0)), lit(1.0)) * 65536.0)
-  }
 
   /** Leakage-safe grouped split: train/valid/test assignment hashed on
     * a GROUP key (domain, url host, dedup-cluster id) instead of the
@@ -97,10 +101,13 @@ object SampleOps {
   def groupedSplit(df: DataFrame, groupCol: String,
                    cuts: Seq[(String, Int)],
                    lastName: String = "test"): DataFrame = {
-    require(cuts.nonEmpty && cuts.map(_._2) == cuts.map(_._2).sorted &&
-      cuts.last._2 <= 100, s"groupedSplit: bad cuts $cuts")
-    val bucket = (conv(substring(hashKey(col(groupCol)), 1, 4), 16, 10)
-      .cast("int") % 100)
+    val pcts = cuts.map(_._2)
+    // strictly increasing positive cuts: a zero/negative or duplicate
+    // cut would silently produce a permanently empty fold
+    require(cuts.nonEmpty && pcts.head > 0 && pcts.last <= 100 &&
+      pcts.zip(pcts.tail).forall { case (a, b) => a < b },
+      s"groupedSplit: cuts must be strictly increasing in (0, 100]: $cuts")
+    val bucket = bucket16(col(groupCol)) % 100
     val label = cuts.foldRight(lit(lastName): Column) {
       case ((name, hi), rest) => when(bucket < hi, name).otherwise(rest)
     }
@@ -121,11 +128,12 @@ object SampleOps {
                     defaultRate: Double = 0.0): DataFrame = {
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
       "mixture rates must be in [0,1]")
-    val bucket = conv(substring(hashKey(col(idCol)), 1, 4), 16, 10).cast("int")
-    // rates are few (one per domain) — a literal CASE cascade, codegen'd
+    // rates are few (one per domain) — a literal CASE cascade, codegen'd;
+    // the threshold mechanics are weightedSample's (rates pre-validated
+    // to [0,1], so its clamp is a no-op)
     val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
       case (acc, (k, v)) => when(col(groupCol) === k, lit(v)).otherwise(acc)
     }
-    df.filter(bucket.cast("double") < rate * 65536.0)
+    weightedSample(df, idCol, rate)
   }
 }
