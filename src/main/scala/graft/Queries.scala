@@ -2175,6 +2175,37 @@ object Queries {
       FROM lineitem WHERE l_orderkey BETWEEN 100 AND 999
       GROUP BY 1 ORDER BY 1"""))
 
+  /** q70 — Z-order layout round-trip (Layout.ZOrder): lineitem
+    * rewritten clustered on the Morton interleave of (l_partkey,
+    * l_suppkey), read back through a 2-dim box predicate, aggregated.
+    * The single-key layout (q58) leaves the second column full-width
+    * per file; the space-filling curve gives BOTH columns narrow
+    * per-file ranges (OpsSpec proves the box-volume shrink from the
+    * parquet footers). Oracle = the same box aggregate over the
+    * original table — the rewrite must be content-preserving.
+    */
+  private val q70 = Q(
+    "q70_zorder_layout",
+    (s, d) => {
+      import s.implicits._
+      import graft.io.Layout
+      val tmp = tmpDir(s, "q70_zorder")
+      Layout.ZOrder.writeZOrdered(
+        li(s, d).select($"l_partkey", $"l_suppkey", $"l_quantity"),
+        tmp, 8, "l_partkey", "l_suppkey")
+      s.read.parquet(tmp)
+        .filter($"l_partkey".between(100, 600) && $"l_suppkey".between(10, 60))
+        .groupBy(($"l_partkey" % 10).as("pk_bucket"))
+        .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("sum_qty"))
+        .orderBy($"pk_bucket")
+    },
+    Some("""
+      SELECT l_partkey % 10 AS pk_bucket, count(*) AS n,
+             round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem
+      WHERE l_partkey BETWEEN 100 AND 600 AND l_suppkey BETWEEN 10 AND 60
+      GROUP BY 1 ORDER BY 1"""))
+
   /** q59 — snapshot merge (MERGE INTO semantics): a deterministic
     * changeset derived from orders itself — updates (repriced, status
     * 'U'), inserts (new negative keys, status 'N'), deletes — applied
@@ -2970,7 +3001,7 @@ object Queries {
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
-    q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
+    q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, sm1, sm2, sm3, pk1, dc1, dc2, vd1,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, a01, a02, a03, a04, a05, m01, m02, m03, mr1,
     st01, st02, st03, st04)

@@ -27,6 +27,68 @@ object Layout {
       .sortWithinPartitions(sortCols: _*)
       .write.mode("overwrite").parquet(path)
 
+  /** Z-order (Morton) layout — multi-dimensional data skipping, the
+    * Delta/Iceberg `Z-ORDER BY` capability: a single-key sorted layout
+    * (`writeSorted`) gives tight min/max on ONE column and leaves
+    * every other column's file ranges full-width; interleaving the
+    * bits of two range-bucketed keys clusters rows into space-filling-
+    * curve tiles, so BOTH columns get narrow per-file ranges and a
+    * 2-dim box predicate prunes on either (or both) dimensions. The
+    * write pays one range shuffle on the Morton key; every later
+    * selective read skips row groups via footer stats — same
+    * amortization argument as `writeSorted`, extended to 2-dim
+    * predicates.
+    */
+  object ZOrder {
+    import org.apache.spark.sql.functions._
+
+    /** Spread the low 16 bits of `b` so bit i lands at position 2i —
+      * the classic Morton bit-twiddle as a codegen'd arithmetic chain.
+      */
+    private def spread16(b: Column): Column = {
+      val s1 = b.bitwiseOR(shiftleft(b, 8)).bitwiseAND(lit(0x00FF00FFL))
+      val s2 = s1.bitwiseOR(shiftleft(s1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      val s3 = s2.bitwiseOR(shiftleft(s2, 2)).bitwiseAND(lit(0x33333333L))
+      s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(0x55555555L))
+    }
+
+    /** 32-bit Morton key of two columns range-bucketed to 16 bits each
+      * over their [lo, hi] — row-local arithmetic, codegen'd.
+      */
+    def mortonKey(x: Column, xLo: Double, xHi: Double,
+                  y: Column, yLo: Double, yHi: Double): Column = {
+      def bucket(c: Column, lo: Double, hi: Double): Column =
+        if (hi == lo) lit(0L)
+        else least(greatest(
+          floor((c.cast("double") - lo) / (hi - lo) * 65536.0), lit(0.0)),
+          lit(65535.0)).cast("long")
+      spread16(bucket(x, xLo, xHi))
+        .bitwiseOR(shiftleft(spread16(bucket(y, yLo, yHi)), 1))
+    }
+
+    /** Write `df` clustered on the Morton key of (`xCol`, `yCol`) into
+      * `numParts` files. The column ranges come from one bounded
+      * min/max aggregate (4 values to the driver — the detectDim
+      * trade; pass a production job its known ranges via `mortonKey`
+      * directly to skip it).
+      */
+    def writeZOrdered(df: DataFrame, path: String, numParts: Int,
+                      xCol: String, yCol: String): Unit = {
+      val r = df.agg(
+        org.apache.spark.sql.functions.min(df(xCol).cast("double")),
+        org.apache.spark.sql.functions.max(df(xCol).cast("double")),
+        org.apache.spark.sql.functions.min(df(yCol).cast("double")),
+        org.apache.spark.sql.functions.max(df(yCol).cast("double"))).head()
+      val z = mortonKey(df(xCol), r.getDouble(0), r.getDouble(1),
+        df(yCol), r.getDouble(2), r.getDouble(3))
+      df.withColumn("__z", z)
+        .repartitionByRange(numParts, org.apache.spark.sql.functions.col("__z"))
+        .sortWithinPartitions(org.apache.spark.sql.functions.col("__z"))
+        .drop("__z")
+        .write.mode("overwrite").parquet(path)
+    }
+  }
+
   /** Per-row-group (path, rows, min, max) stats of a long column over
     * every parquet file under `path` — the evidence a skipping claim
     * rests on: tight disjoint ranges = prunable layout. Driver-side

@@ -616,6 +616,30 @@ class OpsSpec extends AnyFunSuite {
     assert(got == 100)
   }
 
+  test("Layout.ZOrder narrows per-file ranges on BOTH dimensions") {
+    import graft.io.Layout
+    // a 64x64 grid in shuffled order: x and y are independent keys
+    val grid = (0L until 4096L).map(i => ((i * 2711) % 4096))
+      .map(j => (j % 64, j / 64)).toDF("x", "y")
+    val zDir = "/tmp/graft_test_zorder"
+    Layout.ZOrder.writeZOrdered(grid, zDir, 16, "x", "y")
+    def spans(dir: String, c: String): Seq[Long] =
+      Layout.rowGroupStats(spark, dir, c).map { case (_, _, mn, mx) => mx - mn }
+    // 16 z-tiles over a 64x64 grid: files cover ~a quarter of each
+    // dimension on average (a range boundary straddling a quadrant
+    // seam can widen an individual file, so assert the mean)
+    def avg(xs: Seq[Long]) = xs.sum.toDouble / xs.size
+    assert(avg(spans(zDir, "x")) <= 24, spans(zDir, "x").mkString(","))
+    assert(avg(spans(zDir, "y")) <= 24, spans(zDir, "y").mkString(","))
+    // contrast: the single-key sorted layout leaves y full-width
+    val sDir = "/tmp/graft_test_zorder_sorted"
+    Layout.writeSorted(grid, sDir, 16, Seq($"x"))
+    assert(avg(spans(sDir, "y")) >= 55)
+    // lossless: content survives the rewrite
+    assert(spark.read.parquet(zDir).groupBy("x").count().collect().toSet ==
+      grid.groupBy("x").count().collect().toSet)
+  }
+
   test("MergeOps.upsert applies updates, inserts, and deletes") {
     val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
       .toDF("id", "name", "price")
