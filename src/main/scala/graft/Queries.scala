@@ -2194,7 +2194,8 @@ object Queries {
         li(s, d).select($"l_partkey", $"l_suppkey", $"l_quantity"),
         tmp, 8, "l_partkey", "l_suppkey")
       s.read.parquet(tmp)
-        .filter($"l_partkey".between(100, 600) && $"l_suppkey".between(10, 60))
+        // box bounds valid at every sf (sf0.001 keys only span 0..199 x 0..9)
+        .filter($"l_partkey".between(20, 150) && $"l_suppkey".between(1, 7))
         .groupBy(($"l_partkey" % 10).as("pk_bucket"))
         .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("sum_qty"))
         .orderBy($"pk_bucket")
@@ -2203,7 +2204,7 @@ object Queries {
       SELECT l_partkey % 10 AS pk_bucket, count(*) AS n,
              round(sum(l_quantity), 2) AS sum_qty
       FROM lineitem
-      WHERE l_partkey BETWEEN 100 AND 600 AND l_suppkey BETWEEN 10 AND 60
+      WHERE l_partkey BETWEEN 20 AND 150 AND l_suppkey BETWEEN 1 AND 7
       GROUP BY 1 ORDER BY 1"""))
 
   /** q59 — snapshot merge (MERGE INTO semantics): a deterministic
