@@ -2207,6 +2207,37 @@ object Queries {
       WHERE l_partkey BETWEEN 20 AND 150 AND l_suppkey BETWEEN 1 AND 7
       GROUP BY 1 ORDER BY 1"""))
 
+  /** q71 — incremental aggregate maintenance (MergeOps.aggState /
+    * mergeAggState): orders split into a historical snapshot
+    * (< 1996-01-01) and an arriving batch (≥), each reduced to per-key
+    * mergeable state, then MERGED — the shuffle carries state rows,
+    * never the snapshot's raw corpus. The oracle aggregates the whole
+    * table in one pass: incremental ≡ recompute is the graded claim.
+    */
+  private val q71 = Q(
+    "q71_incremental_agg",
+    (s, d) => {
+      import s.implicits._
+      val o = ord(s, d)
+      val cut = "1996-01-01"
+      val snap = MergeOps.aggState(
+        o.filter($"o_orderdate" < cut), Seq("o_orderstatus"), Seq("o_totalprice"))
+      val batch = MergeOps.aggState(
+        o.filter($"o_orderdate" >= cut), Seq("o_orderstatus"), Seq("o_totalprice"))
+      MergeOps.mergeAggState(snap, batch, Seq("o_orderstatus"), Seq("o_totalprice"))
+        .select($"o_orderstatus", $"n_rows",
+          round($"sum_o_totalprice", 2).as("sum_price"),
+          $"min_o_totalprice".as("min_price"),
+          $"max_o_totalprice".as("max_price"))
+        .orderBy($"o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderstatus, count(*) AS n_rows,
+             round(sum(o_totalprice), 2) AS sum_price,
+             min(o_totalprice) AS min_price,
+             max(o_totalprice) AS max_price
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   /** q59 — snapshot merge (MERGE INTO semantics): a deterministic
     * changeset derived from orders itself — updates (repriced, status
     * 'U'), inserts (new negative keys, status 'N'), deletes — applied
@@ -3002,7 +3033,7 @@ object Queries {
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
-    q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
+    q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, sm1, sm2, sm3, pk1, dc1, dc2, vd1,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, a01, a02, a03, a04, a05, m01, m02, m03, mr1,
     st01, st02, st03, st04)

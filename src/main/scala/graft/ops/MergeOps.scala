@@ -76,4 +76,40 @@ object MergeOps {
       .withColumn("is_delete", lit(true))
     changedOrNew.unionByName(deleted)
   }
+
+  // -------------------------------------- incremental aggregate state
+
+  /** Per-key mergeable aggregate state (n_rows, sum_<v>, min_<v>,
+    * max_<v> per value column) — the building block of incremental
+    * aggregation: every emitted measure is associative, so states from
+    * disjoint batches MERGE into the state of their union without
+    * touching raw rows again (means derive as sum/n at read time;
+    * non-mergeable measures like exact distinct need their own sketch).
+    */
+  def aggState(df: DataFrame, keys: Seq[String],
+               values: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        values.flatMap(v => Seq(
+          sum(col(v)).as(s"sum_$v"),
+          min(col(v)).as(s"min_$v"),
+          max(col(v)).as(s"max_$v"))): _*)
+
+  /** Merge a new batch's aggregate state into the snapshot state —
+    * incremental aggregate maintenance. The shuffle carries
+    * key-cardinality STATE rows from both sides, never the corpus: at
+    * 100 TB the snapshot's raw rows are long gone, and keeping corpus
+    * statistics current costs O(batch + |keys|) per ingest instead of
+    * a full recompute. Result ≡ `aggState(snapshot_rows ∪ batch_rows)`
+    * (the associativity law OpsSpec pins).
+    */
+  def mergeAggState(snapshot: DataFrame, batchState: DataFrame,
+                    keys: Seq[String], values: Seq[String]): DataFrame =
+    snapshot.unionByName(batchState)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("n_rows")).as("n_rows"),
+        values.flatMap(v => Seq(
+          sum(col(s"sum_$v")).as(s"sum_$v"),
+          min(col(s"min_$v")).as(s"min_$v"),
+          max(col(s"max_$v")).as(s"max_$v"))): _*)
 }

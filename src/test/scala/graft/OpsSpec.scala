@@ -640,6 +640,22 @@ class OpsSpec extends AnyFunSuite {
       grid.groupBy("x").count().collect().toSet)
   }
 
+  test("MergeOps aggState merge law: state(a) ++ state(b) == state(a ∪ b)") {
+    val a = Seq(("x", 1.0), ("x", 2.0), ("y", 5.0)).toDF("k", "v")
+    val b = Seq(("x", 10.0), ("z", -1.0)).toDF("k", "v")
+    val merged = MergeOps.mergeAggState(
+      MergeOps.aggState(a, Seq("k"), Seq("v")),
+      MergeOps.aggState(b, Seq("k"), Seq("v")),
+      Seq("k"), Seq("v")).orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    val direct = MergeOps.aggState(a.unionByName(b), Seq("k"), Seq("v"))
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(merged.toSeq == direct.toSeq)
+    assert(merged.toSeq == Seq(
+      ("x", 3L, 13.0, 1.0, 10.0), ("y", 1L, 5.0, 5.0, 5.0), ("z", 1L, -1.0, -1.0, -1.0)))
+  }
+
   test("MergeOps.upsert applies updates, inserts, and deletes") {
     val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
       .toDF("id", "name", "price")
