@@ -2238,6 +2238,31 @@ object Queries {
              max(o_totalprice) AS max_price
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  /** q72 — small-file compaction (Layout.compact): documents
+    * fragmented into 64 tiny part files, compacted back into
+    * size-targeted files (one round-robin shuffle), then aggregated.
+    * Compaction is content-neutral by contract, so the oracle is the
+    * plain aggregate over the original table; OpsSpec separately
+    * proves the file-count collapse.
+    */
+  private val q72 = Q(
+    "q72_compact",
+    (s, d) => {
+      import s.implicits._
+      import graft.io.Layout
+      val frag = tmpDir(s, "q72_frag")
+      val compacted = tmpDir(s, "q72_compacted")
+      docs(s, d).repartition(64).write.mode("overwrite").parquet(frag)
+      Layout.compact(s, frag, compacted, targetBytes = 8L * 1024 * 1024)
+      s.read.parquet(compacted)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+        .orderBy($"lang")
+    },
+    Some("""
+      SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM documents GROUP BY lang ORDER BY lang"""))
+
   /** q59 — snapshot merge (MERGE INTO semantics): a deterministic
     * changeset derived from orders itself — updates (repriced, status
     * 'U'), inserts (new negative keys, status 'N'), deletes — applied
@@ -3033,7 +3058,7 @@ object Queries {
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
-    q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71,
+    q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, sm1, sm2, sm3, pk1, dc1, dc2, vd1,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, a01, a02, a03, a04, a05, m01, m02, m03, mr1,
     st01, st02, st03, st04)

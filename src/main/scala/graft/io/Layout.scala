@@ -89,6 +89,32 @@ object Layout {
     }
   }
 
+  /** Small-file compaction — the operational sibling of the layout
+    * writers: long-running ingest leaves directories of thousands of
+    * tiny part files, and at 100 TB the per-file open/footer/seek
+    * overhead (plus NameNode/listing pressure) dominates selective
+    * reads. Compaction rewrites the directory into
+    * ceil(totalBytes / targetBytes) balanced files via one round-robin
+    * shuffle. Returns the target file count. Driver work is one
+    * listing (bounded by file count); data moves once.
+    */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetBytes: Long = 128L * 1024 * 1024): Int = {
+    import org.apache.hadoop.fs.Path
+    require(targetBytes > 0, s"compact: targetBytes=$targetBytes")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(inPath).getFileSystem(conf)
+    val total = fs.listStatus(new Path(inPath))
+      .filter(f => f.getPath.getName.endsWith(".parquet") ||
+        f.getPath.getName.startsWith("part-"))
+      .map(_.getLen).sum
+    val parts = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    spark.read.parquet(inPath)
+      .repartition(parts)
+      .write.mode("overwrite").parquet(outPath)
+    parts
+  }
+
   /** Per-row-group (path, rows, min, max) stats of a long column over
     * every parquet file under `path` — the evidence a skipping claim
     * rests on: tight disjoint ranges = prunable layout. Driver-side

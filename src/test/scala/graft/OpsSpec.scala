@@ -640,6 +640,21 @@ class OpsSpec extends AnyFunSuite {
       grid.groupBy("x").count().collect().toSet)
   }
 
+  test("Layout.compact collapses a fragmented directory losslessly") {
+    import graft.io.Layout
+    val frag = "/tmp/graft_test_compact_in"
+    val out = "/tmp/graft_test_compact_out"
+    val df = (0L until 5000L).map(i => (i, i % 7)).toDF("id", "g")
+    df.repartition(40).write.mode("overwrite").parquet(frag)
+    val parts = Layout.compact(spark, frag, out, targetBytes = 512L * 1024)
+    val outFiles = new java.io.File(out).listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    assert(outFiles == parts && parts < 10, s"parts=$parts files=$outFiles")
+    // lossless: every row survives the rewrite
+    assert(spark.read.parquet(out).orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      (0L until 5000L))
+  }
+
   test("MergeOps aggState merge law: state(a) ++ state(b) == state(a ∪ b)") {
     val a = Seq(("x", 1.0), ("x", 2.0), ("y", 5.0)).toDF("k", "v")
     val b = Seq(("x", 10.0), ("z", -1.0)).toDF("k", "v")
