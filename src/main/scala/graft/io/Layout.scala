@@ -18,6 +18,12 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 object Layout {
 
+  /** A parquet data file (not a _SUCCESS marker, checksum, or
+    * partition subdirectory name) — shared by every listing here.
+    */
+  private def isDataFile(name: String): Boolean =
+    name.endsWith(".parquet") || name.startsWith("part-")
+
   /** Write `df` range-partitioned into `numParts` files and sorted by
     * `sortCols` within each — globally range-clustered parquet.
     */
@@ -74,11 +80,19 @@ object Layout {
       */
     def writeZOrdered(df: DataFrame, path: String, numParts: Int,
                       xCol: String, yCol: String): Unit = {
+      require(!df.columns.contains("__z"),
+        "writeZOrdered: input already has a __z column")
       val r = df.agg(
         org.apache.spark.sql.functions.min(df(xCol).cast("double")),
         org.apache.spark.sql.functions.max(df(xCol).cast("double")),
         org.apache.spark.sql.functions.min(df(yCol).cast("double")),
         org.apache.spark.sql.functions.max(df(yCol).cast("double"))).head()
+      if (r.isNullAt(0) || r.isNullAt(2)) {
+        // empty input (or all-null keys): no range to bucket — write
+        // the data as-is, matching writeSorted's empty-input behavior
+        df.write.mode("overwrite").parquet(path)
+        return
+      }
       val z = mortonKey(df(xCol), r.getDouble(0), r.getDouble(1),
         df(yCol), r.getDouble(2), r.getDouble(3))
       df.withColumn("__z", z)
@@ -104,10 +118,14 @@ object Layout {
     require(targetBytes > 0, s"compact: targetBytes=$targetBytes")
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(inPath).getFileSystem(conf)
-    val total = fs.listStatus(new Path(inPath))
-      .filter(f => f.getPath.getName.endsWith(".parquet") ||
-        f.getPath.getName.startsWith("part-"))
-      .map(_.getLen).sum
+    // recursive: Hive-partitioned layouts keep data files in key=value
+    // subdirectories, which a top-level listing would total as 0 bytes
+    val it = fs.listFiles(new Path(inPath), true)
+    var total = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (isDataFile(f.getPath.getName)) total += f.getLen
+    }
     val parts = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
     spark.read.parquet(inPath)
       .repartition(parts)
@@ -128,7 +146,7 @@ object Layout {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(path).getFileSystem(conf)
     val files = fs.listStatus(new Path(path)).map(_.getPath)
-      .filter(p => p.getName.endsWith(".parquet") || p.getName.startsWith("part-"))
+      .filter(p => isDataFile(p.getName))
     files.toSeq.flatMap { p =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
       try {

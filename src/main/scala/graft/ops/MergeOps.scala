@@ -95,7 +95,8 @@ object MergeOps {
           min(col(v)).as(s"min_$v"),
           max(col(v)).as(s"max_$v"))): _*)
 
-  /** Merge a new batch's aggregate state into the snapshot state —
+  /** Merge a new batch's aggregate state into the snapshot STATE
+    * (both sides must be `aggState` outputs, never raw rows) —
     * incremental aggregate maintenance. The shuffle carries
     * key-cardinality STATE rows from both sides, never the corpus: at
     * 100 TB the snapshot's raw rows are long gone, and keeping corpus
@@ -103,9 +104,9 @@ object MergeOps {
     * a full recompute. Result ≡ `aggState(snapshot_rows ∪ batch_rows)`
     * (the associativity law OpsSpec pins).
     */
-  def mergeAggState(snapshot: DataFrame, batchState: DataFrame,
+  def mergeAggState(snapshotState: DataFrame, batchState: DataFrame,
                     keys: Seq[String], values: Seq[String]): DataFrame =
-    snapshot.unionByName(batchState)
+    snapshotState.unionByName(batchState)
       .groupBy(keys.map(col): _*)
       .agg(sum(col("n_rows")).as("n_rows"),
         values.flatMap(v => Seq(
