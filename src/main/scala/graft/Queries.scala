@@ -1198,6 +1198,54 @@ object Queries {
       UNION ALL SELECT 3, 'min_tokens', total - d0 - d1, d2 FROM a
       ORDER BY stage"""))
 
+  /** pipeline_curation — the capstone composition: the full curation
+    * pass a training-data pipeline runs, as ONE declarative plan —
+    * canonical normalization (TextOps.normalize) → exact dedup on the
+    * canonical fingerprint (lowest id survives) → quality gates
+    * (cascadeSurvivors, predicates pushed) → quality-weighted sampling
+    * (weightedSample) → per-language token accounting. Catalyst fuses
+    * the row-local stages into the scan; the only shuffles are the
+    * dedup group and the final 4-group aggregate. The oracle replays
+    * every stage as one CTE chain.
+    */
+  private val p01 = Q(
+    "pipeline_curation",
+    (s, d) => {
+      import s.implicits._
+      val normed = TextOps.normalize(docs(s, d), "text")
+      // exact dedup on the canonical fingerprint: lowest doc_id wins
+      val keep = normed.groupBy($"norm_fp").agg(min($"doc_id").as("doc_id"))
+      val deduped = normed.join(keep, Seq("norm_fp", "doc_id"))
+      val gated = TextOps.cascadeSurvivors(deduped, Seq(
+        "min_chars" -> ($"n_chars" >= 50),
+        "lang_latin" -> $"lang".isin("en", "de", "es", "fr"),
+        "min_tokens" -> (size(split($"text_norm", " ")) >= 20)))
+      SampleOps.weightedSample(gated, "doc_id",
+          least($"n_chars".cast("double") / 2000.0, lit(1.0)))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(size(split($"text_norm", " "))).as("sum_tokens"))
+        .orderBy($"lang")
+    },
+    Some("""
+      WITH n AS (
+        SELECT doc_id, lang, n_chars,
+               trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        FROM documents),
+      f AS (SELECT *, md5(norm) AS fp FROM n),
+      dd AS (SELECT * FROM f
+             QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
+      g AS (SELECT * FROM dd
+            WHERE n_chars >= 50 AND lang IN ('en', 'de', 'es', 'fr')
+              AND len(string_split(norm, ' ')) >= 20),
+      w AS (SELECT * FROM g
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER AS DOUBLE) <
+                  least(greatest(least(CAST(n_chars AS DOUBLE) / 2000.0, 1.0), 0.0), 1.0) * 65536.0)
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(len(string_split(norm, ' '))) AS BIGINT) AS sum_tokens
+      FROM w GROUP BY lang ORDER BY lang"""))
+
   /** text_bpe_tokenize — tokenizer application: the 3 trained merges
     * run over every document as a row-local literal-replace chain
     * (codegen'd projection, linear in corpus bytes — the shape
@@ -3061,7 +3109,7 @@ object Queries {
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, sm1, sm2, sm3, pk1, dc1, dc2, vd1,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, a01, a02, a03, a04, a05, m01, m02, m03, mr1,
-    st01, st02, st03, st04)
+    p01, st01, st02, st03, st04)
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
