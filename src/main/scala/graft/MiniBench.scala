@@ -11,13 +11,13 @@ object MiniBench {
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.01"
     val out = new StringBuilder
-    for (n <- Seq("q66_pct_rank", "q67_robust_outliers")) {
+    for (n <- Seq("pipeline_curation")) {
       val df = SparkEntry.queries(n)(spark, d)
       out.append("===== " + n + "\n")
       out.append(df.queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode) + "\n")
     }
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/plans_new3.txt"), out.toString)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/plans_new4.txt"), out.toString)
     println("MINI plans written")
     spark.stop()
   }
