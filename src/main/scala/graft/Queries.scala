@@ -1198,6 +1198,45 @@ object Queries {
       UNION ALL SELECT 3, 'min_tokens', total - d0 - d1, d2 FROM a
       ORDER BY stage"""))
 
+  /** q73 — schema-evolution read (Tables.readEvolved): the corpus
+    * split into a v1 batch written WITHOUT the source column and a v2
+    * batch with it, read back through mergeSchema into one stable wide
+    * schema (v1 rows carry NULL source). A plain parquet read takes a
+    * random footer's schema and silently drops the evolved column —
+    * the ingest bug this op exists to prevent. Oracle rebuilds the
+    * same union with an explicit NULL.
+    */
+  private val q73 = Q(
+    "q73_schema_evolution",
+    (s, d) => {
+      import s.implicits._
+      val all = docs(s, d)
+      val v1 = tmpDir(s, "q73_v1")
+      val v2 = tmpDir(s, "q73_v2")
+      all.filter($"doc_id" % 2 === 0)
+        .select($"doc_id", $"text", $"lang", $"n_chars")
+        .write.mode("overwrite").parquet(v1)
+      all.filter($"doc_id" % 2 =!= 0)
+        .select($"doc_id", $"text", $"lang", $"n_chars", $"source")
+        .write.mode("overwrite").parquet(v2)
+      Tables.readEvolved(s, Seq(v1, v2))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+             count($"source").as("n_with_source"),
+             countDistinct($"source").as("n_sources"))
+        .orderBy($"lang")
+    },
+    Some("""
+      WITH v AS (
+        SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS source
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT doc_id, lang, source FROM documents WHERE doc_id % 2 <> 0)
+      SELECT lang, count(*) AS n_docs,
+             count(source) AS n_with_source,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+      FROM v GROUP BY lang ORDER BY lang"""))
+
   /** pipeline_curation — the capstone composition: the full curation
     * pass a training-data pipeline runs, as ONE declarative plan —
     * canonical normalization (TextOps.normalize) → exact dedup on the
@@ -3106,7 +3145,7 @@ object Queries {
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
-    q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
+    q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, sm1, sm2, sm3, pk1, dc1, dc2, vd1,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, a01, a02, a03, a04, a05, m01, m02, m03, mr1,
     p01, st01, st02, st03, st04)

@@ -112,4 +112,16 @@ object Tables {
     else if (magic.startsWith("SEQ".getBytes("US-ASCII"))) sequenceFile(spark, path)
     else spark.read.text(path)
   }
+
+  /** Read an EVOLVED dataset: corpus versions written months apart
+    * rarely share an identical schema (new quality columns appear, old
+    * ones linger), and a plain parquet read takes the schema of a
+    * random footer — silently dropping the new columns for every file.
+    * `mergeSchema` unions the footers instead: rows from files missing
+    * a column read it as NULL, so downstream code sees one stable wide
+    * schema. Footer merging is a driver-side metadata pass (bounded by
+    * file count); the data scan is unchanged.
+    */
+  def readEvolved(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
 }

@@ -640,6 +640,20 @@ class OpsSpec extends AnyFunSuite {
       grid.groupBy("x").count().collect().toSet)
   }
 
+  test("Tables.readEvolved surfaces columns an unmergéd read can drop") {
+    import graft.io.Tables
+    val v1 = "/tmp/graft_test_evolve_v1"
+    val v2 = "/tmp/graft_test_evolve_v2"
+    (0L until 50L).toDF("id").write.mode("overwrite").parquet(v1)
+    (50L until 80L).map(i => (i, s"s$i")).toDF("id", "extra")
+      .write.mode("overwrite").parquet(v2)
+    val merged = Tables.readEvolved(spark, Seq(v1, v2))
+    assert(merged.columns.toSet == Set("id", "extra"))
+    assert(merged.count() == 80L)
+    // v1 rows read the evolved column as NULL; v2 rows keep their value
+    assert(merged.where(col("extra").isNotNull).count() == 30L)
+  }
+
   test("Layout.compact collapses a fragmented directory losslessly") {
     import graft.io.Layout
     val frag = "/tmp/graft_test_compact_in"
