@@ -1243,8 +1243,11 @@ object Queries {
     * canonical fingerprint (lowest id survives) → quality gates
     * (cascadeSurvivors, predicates pushed) → quality-weighted sampling
     * (weightedSample) → per-language token accounting. Catalyst fuses
-    * the row-local stages into the scan; the only shuffles are the
-    * dedup group and the final 4-group aggregate. The oracle replays
+    * every row-local stage into the main scan's Filter/Project; the
+    * dedup winner set costs a second, 2-column-pruned scan (a
+    * production run stages the normalized projection once — the
+    * incrementalDedup digest-index idiom). Shuffles: the winner-set
+    * aggregate and the final 4-group aggregate. The oracle replays
     * every stage as one CTE chain.
     */
   private val p01 = Q(

@@ -644,14 +644,19 @@ class OpsSpec extends AnyFunSuite {
     import graft.io.Tables
     val v1 = "/tmp/graft_test_evolve_v1"
     val v2 = "/tmp/graft_test_evolve_v2"
-    (0L until 50L).toDF("id").write.mode("overwrite").parquet(v1)
-    (50L until 80L).map(i => (i, s"s$i")).toDF("id", "extra")
+    // each version has a column the OTHER lacks, so NO single footer
+    // carries the full schema — an unmerged read (whichever footer it
+    // samples) deterministically fails the columns assertion below
+    (0L until 50L).map(i => (i, i * 2)).toDF("id", "only1")
+      .write.mode("overwrite").parquet(v1)
+    (50L until 80L).map(i => (i, s"s$i")).toDF("id", "only2")
       .write.mode("overwrite").parquet(v2)
     val merged = Tables.readEvolved(spark, Seq(v1, v2))
-    assert(merged.columns.toSet == Set("id", "extra"))
+    assert(merged.columns.toSet == Set("id", "only1", "only2"))
     assert(merged.count() == 80L)
-    // v1 rows read the evolved column as NULL; v2 rows keep their value
-    assert(merged.where(col("extra").isNotNull).count() == 30L)
+    // rows read the other version's column as NULL, their own as data
+    assert(merged.where(col("only1").isNotNull).count() == 50L)
+    assert(merged.where(col("only2").isNotNull).count() == 30L)
   }
 
   test("Layout.compact collapses a fragmented directory losslessly") {
