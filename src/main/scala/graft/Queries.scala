@@ -2353,6 +2353,139 @@ object Queries {
       SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
       FROM documents GROUP BY lang ORDER BY lang"""))
 
+  /** q74 — Hive-partitioned layout + partition-pruned read
+    * (Layout.writePartitioned): orders written partitioned by
+    * (month, status), read back through predicates on BOTH partition
+    * columns. The scan's `PartitionFilters` prune non-matching
+    * `key=value` directories at planning time — zero data files opened
+    * outside 1996/'O' (OpsSpec asserts selected files < total files;
+    * PLANS.md shows the non-empty PartitionFilters). The oracle proves
+    * the layout is lossless: same aggregate over the unpartitioned
+    * original. At 100 TB this is THE first-line layout lever — a
+    * date-partitioned corpus answers "last month" from a directory
+    * listing, not a scan.
+    */
+  private val q74 = Q(
+    "q74_partitioned_layout",
+    (s, d) => {
+      import s.implicits._
+      import graft.io.Layout
+      val tmp = tmpDir(s, "q74_part")
+      Layout.writePartitioned(
+        ord(s, d)
+          .withColumn("o_month", date_format($"o_orderdate", "yyyy-MM"))
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+            $"o_month", $"o_orderstatus"),
+        tmp, Seq("o_month", "o_orderstatus"))
+      s.read.parquet(tmp)
+        .filter($"o_month".between("1996-01", "1996-12") &&
+          $"o_orderstatus" === "O")
+        .groupBy($"o_month")
+        .agg(count(lit(1)).as("n_orders"),
+             round(sum($"o_totalprice"), 2).as("sum_price"))
+        .orderBy($"o_month")
+    },
+    Some("""
+      SELECT strftime(o_orderdate, '%Y-%m') AS o_month, count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS sum_price
+      FROM orders
+      WHERE strftime(o_orderdate, '%Y-%m') BETWEEN '1996-01' AND '1996-12'
+        AND o_orderstatus = 'O'
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** q75 — dynamic partition pruning over the partitioned layout: the
+    * fact (orders partitioned by month) carries NO static predicate —
+    * the months to read are only knowable through the join against the
+    * filtered dim (months of 1997). Catalyst plants the dim's
+    * broadcast result as a runtime `dynamicpruningexpression` in the
+    * fact scan's PartitionFilters (OpsSpec asserts it), so the fact
+    * reads 12 of 80 partitions without the query author writing a date
+    * range — the pattern that kills unpruned 100 TB scans static
+    * predicates miss (dim-driven date windows, dimension slices).
+    */
+  private val q75 = Q(
+    "q75_dpp_join",
+    (s, d) => {
+      import s.implicits._
+      import graft.io.Layout
+      val tmp = tmpDir(s, "q75_part")
+      Layout.writePartitioned(
+        ord(s, d)
+          .withColumn("o_month", date_format($"o_orderdate", "yyyy-MM"))
+          .select($"o_orderkey", $"o_totalprice", $"o_orderstatus", $"o_month"),
+        tmp, Seq("o_month"))
+      val fact = s.read.parquet(tmp)
+      // month dim with a year attribute — the filter lives HERE, never
+      // on the fact; only the join can transfer it
+      val dim = ord(s, d)
+        .select(date_format($"o_orderdate", "yyyy-MM").as("m")).distinct()
+        .withColumn("m_year", substring($"m", 1, 4))
+      fact.join(broadcast(dim.filter($"m_year" === "1997")),
+          fact("o_month") === dim("m"))
+        .groupBy($"o_month", $"o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+             round(sum($"o_totalprice"), 2).as("sum_price"))
+        .orderBy($"o_month", $"o_orderstatus")
+    },
+    Some("""
+      SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_orderstatus,
+             count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+      FROM orders
+      WHERE strftime(o_orderdate, '%Y') = '1997'
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** q76 — snapshot diff (MergeOps.diffSnapshots): the changeset that
+    * turns `old` into `next`, extracted from the two snapshots — the
+    * inverse of q59's upsert. `next` is a deterministic refresh of
+    * orders (keys %7 dropped = deletes; %10 repriced in DECIMAL, the
+    * q59-proven engine-portable formulation = updates; negative keys =
+    * inserts). Graded output = the full changeset; the oracle replays
+    * the same refresh and diffs with two-sided anti-join semantics.
+    */
+  private val q76 = Q(
+    "q76_diff_snapshots",
+    (s, d) => {
+      import s.implicits._
+      val o = ord(s, d).select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      val repriced = round($"o_totalprice".cast("decimal(18,2)") *
+        expr("CAST(1.1 AS DECIMAL(2,1))"), 2).cast("double")
+      val next = o.filter($"o_orderkey" % 7 =!= 0)
+        .withColumn("o_totalprice",
+          when($"o_orderkey" % 10 === 0, repriced).otherwise($"o_totalprice"))
+        .unionByName(o.filter($"o_orderkey" % 13 === 0)
+          .withColumn("o_orderkey", -$"o_orderkey" - 1))
+      MergeOps.diffSnapshots(o, next, Seq("o_orderkey"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+      nxt AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 10 = 0
+                    THEN CAST(round(CAST(o_totalprice AS DECIMAL(18,2))
+                              * CAST(1.1 AS DECIMAL(2,1)), 2) AS DOUBLE)
+                    ELSE o_totalprice END AS o_totalprice
+        FROM o WHERE o_orderkey % 7 <> 0
+        UNION ALL
+        SELECT -o_orderkey - 1, o_orderstatus, o_totalprice
+        FROM o WHERE o_orderkey % 13 = 0),
+      ch AS (
+        SELECT n.o_orderkey, n.o_orderstatus, n.o_totalprice,
+               FALSE AS is_delete
+        FROM nxt n LEFT JOIN o ON n.o_orderkey = o.o_orderkey
+        WHERE o.o_orderkey IS NULL
+           OR n.o_orderstatus IS DISTINCT FROM o.o_orderstatus
+           OR n.o_totalprice IS DISTINCT FROM o.o_totalprice),
+      del AS (
+        SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice,
+               TRUE AS is_delete
+        FROM o LEFT JOIN (SELECT DISTINCT o_orderkey FROM nxt) n
+          USING (o_orderkey)
+        WHERE n.o_orderkey IS NULL)
+      SELECT * FROM ch UNION ALL SELECT * FROM del
+      ORDER BY o_orderkey"""))
+
   /** q59 — snapshot merge (MERGE INTO semantics): a deterministic
     * changeset derived from orders itself — updates (repriced, status
     * 'U'), inserts (new negative keys, status 'N'), deletes — applied
@@ -3149,6 +3282,7 @@ object Queries {
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
+    q74, q75, q76,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, sm1, sm2, sm3, pk1, dc1, dc2, vd1,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, a01, a02, a03, a04, a05, m01, m02, m03, mr1,
     p01, st01, st02, st03, st04)

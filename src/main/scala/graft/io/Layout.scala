@@ -33,6 +33,31 @@ object Layout {
       .sortWithinPartitions(sortCols: _*)
       .write.mode("overwrite").parquet(path)
 
+  /** Hive-partitioned layout (`key=value` directories) — the most
+    * common physical-layout lever on a real corpus: a predicate on a
+    * partition column prunes whole DIRECTORIES at planning time
+    * (`PartitionFilters` in the scan, zero data files opened for
+    * non-matching partitions), and a join against a filtered dim on
+    * the partition key prunes them at RUNTIME via dynamic partition
+    * pruning. Sorted/Z-order layouts skip row groups INSIDE files;
+    * partitioning skips the files themselves — at 100 TB a
+    * date-partitioned corpus turns "last month" from a full scan into
+    * a 1% listing.
+    *
+    * The `repartition` on the partition columns co-locates each
+    * partition's rows in one task, so every `key=value` directory gets
+    * ONE file per task that holds its rows instead of one file per
+    * (task × partition) — an unrepartitioned `partitionBy` write of a
+    * T-task DataFrame over P partitions emits up to T×P small files,
+    * the exact fragmentation [[compactPartitioned]] exists to undo.
+    */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "writePartitioned: no partition columns")
+    df.repartition(partitionCols.map(df(_)): _*)
+      .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+  }
+
   /** Z-order (Morton) layout — multi-dimensional data skipping, the
     * Delta/Iceberg `Z-ORDER BY` capability: a single-key sorted layout
     * (`writeSorted`) gives tight min/max on ONE column and leaves
@@ -111,6 +136,14 @@ object Layout {
     * ceil(totalBytes / targetBytes) balanced files via one round-robin
     * shuffle. Returns the target file count. Driver work is one
     * listing (bounded by file count); data moves once.
+    *
+    * `targetBytes` is APPROXIMATE: the file count is sized from the
+    * COMPRESSED input bytes, but the round-robin split is by row, so
+    * when the rewrite compresses differently from the fragmented input
+    * (tiny files carry proportionally more footer/dictionary overhead
+    * and compress worse) the output files land near, not at, the
+    * target. That is the right trade — an exact-size split would need
+    * a second pass over the data to learn the output ratio.
     */
   def compact(spark: SparkSession, inPath: String, outPath: String,
               targetBytes: Long = 128L * 1024 * 1024): Int = {
@@ -131,6 +164,81 @@ object Layout {
       .repartition(parts)
       .write.mode("overwrite").parquet(outPath)
     parts
+  }
+
+  /** Partition-aware compaction: rewrite a Hive-partitioned layout
+    * with each `key=value` directory compacted toward `targetBytes`
+    * files, PRESERVING the partitioning (plain [[compact]] would
+    * flatten it and throw away the pruning the layout was written
+    * for). One data pass: per-directory byte totals come from the
+    * driver listing (bounded by file count), each row is salted
+    * `hash % partsOf(itsPartition)` via a broadcast of the
+    * directory-sized parts map, and a single `repartition` on
+    * (partition cols, salt) co-locates each output file's rows before
+    * the `partitionBy` write — so a hot partition gets many files and
+    * a cold one gets one, without a per-partition driver loop.
+    * Returns (partitionDirs, targetFileCount). Same `targetBytes`
+    * approximation caveat as [[compact]].
+    */
+  def compactPartitioned(spark: SparkSession, inPath: String, outPath: String,
+                         partitionCols: Seq[String],
+                         targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions._
+    require(partitionCols.nonEmpty, "compactPartitioned: no partition columns")
+    require(targetBytes > 0, s"compactPartitioned: targetBytes=$targetBytes")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(inPath)
+    val fs = root.getFileSystem(conf)
+    val rootUri = fs.makeQualified(root).toString.stripSuffix("/")
+    // per-partition-directory byte totals from one recursive listing
+    val it = fs.listFiles(root, true)
+    val bytesByDir = scala.collection.mutable.Map.empty[String, Long]
+    while (it.hasNext) {
+      val f = it.next()
+      if (isDataFile(f.getPath.getName)) {
+        val rel = f.getPath.getParent.toString.stripPrefix(rootUri).stripPrefix("/")
+        bytesByDir(rel) = bytesByDir.getOrElse(rel, 0L) + f.getLen
+      }
+    }
+    // "month=1996-01/status=O" → partition values (URL-decoded, Hive's
+    // null sentinel mapped back to null), paired with its file budget
+    def partValues(rel: String): Seq[String] = {
+      val segs = rel.split('/').toSeq.filter(_.nonEmpty)
+      require(segs.size == partitionCols.size && segs.zip(partitionCols)
+          .forall { case (seg, c) => seg.startsWith(c + "=") },
+        s"compactPartitioned: '$rel' does not match partition columns $partitionCols")
+      segs.map { seg =>
+        val v = java.net.URLDecoder.decode(seg.substring(seg.indexOf('=') + 1), "UTF-8")
+        if (v == "__HIVE_DEFAULT_PARTITION__") null else v
+      }
+    }
+    val partsRows = bytesByDir.toSeq.map { case (rel, bytes) =>
+      val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+      org.apache.spark.sql.Row.fromSeq(partValues(rel) :+ n)
+    }
+    val partsSchema = org.apache.spark.sql.types.StructType(
+      partitionCols.map(c => org.apache.spark.sql.types.StructField(
+        s"__pc_$c", org.apache.spark.sql.types.StringType)) :+
+      org.apache.spark.sql.types.StructField(
+        "__parts", org.apache.spark.sql.types.IntegerType))
+    val partsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(partsRows, 1), partsSchema)
+    val df = spark.read.parquet(inPath)
+    val dataCols = df.columns.filterNot(partitionCols.contains).toSeq
+    // null-safe string match: the read-back partition value round-trips
+    // through the same directory-name encoding the listing parsed
+    val joinCond = partitionCols.map(c =>
+      df(c).cast("string") <=> col(s"__pc_$c")).reduce(_ && _)
+    val totalParts = partsRows.map(_.getInt(partitionCols.size)).sum
+    df.join(broadcast(partsDf), joinCond)
+      .withColumn("__salt",
+        pmod(xxhash64(dataCols.map(col): _*), col("__parts").cast("long")))
+      .repartition(math.max(totalParts, spark.sparkContext.defaultParallelism),
+        partitionCols.map(col) :+ col("__salt"): _*)
+      .drop((partsSchema.map(_.name) :+ "__salt"): _*)
+      .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(outPath)
+    (bytesByDir.size, totalParts)
   }
 
   /** Per-row-group (path, rows, min, max) stats of a long column over

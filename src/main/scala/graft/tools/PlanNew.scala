@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
-// scratch runner (reused across round-3 checks): dump selected queries
+// scratch runner (reused across rounds): dump selected query plans
 object PlanNew {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -10,12 +10,16 @@ object PlanNew {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (sf <- Seq("0.001", "0.1")) {
-      SparkEntry.queries("q67_robust_outliers")(spark, s"/root/testdata/sf$sf")
-        .coalesce(1).write.mode("overwrite")
-        .parquet(s"/tmp/verify_q67_$sf/q67_robust_outliers")
+    val d = "/root/testdata/sf0.01"
+    val out = new StringBuilder
+    for (n <- args.toSeq) {
+      val df = SparkEntry.queries(n)(spark, d)
+      df.collect() // finalize AQE so the dumped plan is the executed one
+      out.append("===== " + n + "\n")
+      out.append(df.queryExecution.executedPlan.toString + "\n")
     }
-    println("dumped")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/plans_new4.txt"), out.toString)
+    println("plans written")
     spark.stop()
   }
 }

@@ -674,6 +674,84 @@ class OpsSpec extends AnyFunSuite {
       (0L until 5000L))
   }
 
+  test("Layout.writePartitioned prunes partitions: selected files < total") {
+    import graft.io.Layout
+    val dir = "/tmp/graft_test_hivepart"
+    val df = (0L until 3000L)
+      .map(i => (i, s"m${i % 6}", i % 7)).toDF("id", "m", "v")
+    Layout.writePartitioned(df, dir, Seq("m"))
+    // total data files on disk (recursive: files live in m=... dirs)
+    def countFiles(f: java.io.File): Int =
+      if (f.isDirectory) f.listFiles().map(countFiles).sum
+      else if (f.getName.startsWith("part-")) 1 else 0
+    val total = countFiles(new java.io.File(dir))
+    assert(total >= 6, s"expected >=6 partition files, got $total")
+    val q = spark.read.parquet(dir).filter($"m" === "m3")
+    // planning-time pruning: the partition predicate lands in
+    // PartitionFilters (non-empty), NOT in the data filter
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(m"), plan)
+    // and the scan actually opens only the matching directory's files
+    val filesRead = q.select(input_file_name()).distinct().count()
+    assert(filesRead < total, s"read $filesRead of $total files")
+    assert(q.count() == 500)
+    graft.io.FsOps.rm(spark, dir)
+  }
+
+  test("dynamic partition pruning plants a runtime filter in the fact scan") {
+    import graft.io.Layout
+    val dir = "/tmp/graft_test_dpp"
+    val fact = (0L until 4000L).map(i => (i, s"d${i % 8}")).toDF("v", "day")
+    Layout.writePartitioned(fact, dir, Seq("day"))
+    // the dim must be a real source scan: a filter over an in-memory
+    // LocalRelation constant-folds away before the PartitionPruning
+    // rule runs, and DPP only fires on a surviving selective predicate
+    val dimDir = "/tmp/graft_test_dpp_dim"
+    (0 until 8).map(i => (s"d$i", if (i < 2) "hot" else "cold"))
+      .toDF("day_key", "tier").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val q = spark.read.parquet(dir)
+      .join(broadcast(dim.filter($"tier" === "hot")), $"day" === $"day_key")
+      .groupBy($"day").agg(count(lit(1)).as("n"))
+    q.collect() // finalize the adaptive plan before inspecting it
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamicpruningexpression in the fact scan:\n$plan")
+    assert(q.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("d0", 500L), ("d1", 500L)))
+    graft.io.FsOps.rm(spark, dir); graft.io.FsOps.rm(spark, dimDir)
+  }
+
+  test("Layout.compactPartitioned compacts per-partition, preserving layout") {
+    import graft.io.Layout
+    val frag = "/tmp/graft_test_pcompact_in"
+    val out = "/tmp/graft_test_pcompact_out"
+    // skewed partitions (g=a 4x g=b), plus a NULL partition value —
+    // fragment every partition into ~12 files
+    val df = ((0L until 4000L).map(i => (i, "a")) ++
+      (4000L until 5000L).map(i => (i, "b")) ++
+      (5000L until 5100L).map(i => (i, null: String))).toDF("id", "g")
+    df.repartition(12).write.mode("overwrite").partitionBy("g").parquet(frag)
+    def filesUnder(d: java.io.File): Map[String, Int] =
+      d.listFiles().filter(_.isDirectory).map(sub =>
+        sub.getName -> sub.listFiles().count(_.getName.startsWith("part-"))).toMap
+    val before = filesUnder(new java.io.File(frag))
+    assert(before.values.forall(_ >= 10), before.toString)
+    val (dirs, _) = Layout.compactPartitioned(spark, frag, out, Seq("g"),
+      targetBytes = 512L * 1024 * 1024)
+    assert(dirs == 3)
+    val after = filesUnder(new java.io.File(out))
+    // partitioning preserved (incl. the Hive null sentinel), each
+    // partition collapsed to its byte-budget file count (1 here)
+    assert(after.keySet == before.keySet, after.toString)
+    assert(after.values.forall(_ == 1), after.toString)
+    // lossless, null partition included
+    assert(spark.read.parquet(out).orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      (0L until 5100L))
+    assert(spark.read.parquet(out).filter($"g".isNull).count() == 100)
+    graft.io.FsOps.rm(spark, frag); graft.io.FsOps.rm(spark, out)
+  }
+
   test("MergeOps aggState merge law: state(a) ++ state(b) == state(a ∪ b)") {
     val a = Seq(("x", 1.0), ("x", 2.0), ("y", 5.0)).toDF("k", "v")
     val b = Seq(("x", 10.0), ("z", -1.0)).toDF("k", "v")
