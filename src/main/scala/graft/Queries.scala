@@ -497,21 +497,101 @@ object Queries {
       FROM documents GROUP BY md5(text) ORDER BY doc_id"""))
 
   /** dedup_minhash — MinHash(32)+LSH(8x4) near-dup with exact Jaccard
-    * verification of candidates. Hash-family results are engine-
-    * specific → rows-only check (SURVEY.md §7.3).
+    * verification of candidates. Graded projection (round 4, was
+    * rows-only): (doc_id, is_dup, dup_jaccard) — the VERIFIED outputs,
+    * which are SQL-checkable even though the xxhash64 signatures are
+    * not. The oracle computes ground truth (exact 3-gram Jaccard, same
+    * d04 CTE) and the parity claim is doc-level: is_dup ≡ "has an
+    * exact-Jaccard >= 0.8 partner". That claim holds because LSH
+    * recall over the >= 0.8 pairs is MEASURED TOTAL on this fixture at
+    * every sf (tools/Probe, round 4: 28/25/256 ground-truth pairs,
+    * 0 missed — the fixed seeded family makes this deterministic), and
+    * the corpus' pair-Jaccard distribution has a structural gap
+    * (nothing in (0.14, 0.8) at any sf) so a dup doc's best candidate
+    * is always a verified >= 0.8 pair. dup_jaccard is NULL for
+    * non-dups: their best candidate may be a sub-threshold pair LSH
+    * legitimately missed.
     */
   private val d02 = Q(
     "dedup_minhash",
     (s, d) => DedupOps.minhashNearDup(docs(s, d), "text", "doc_id")
+      .select(col("doc_id"), col("is_dup"),
+        when(col("is_dup"), col("max_jaccard")).as("dup_jaccard"))
       .orderBy(col("doc_id")),
-    None)
+    Some("""
+      WITH sets AS (
+        SELECT doc_id,
+               CASE WHEN len(w) >= 3
+                    THEN list_distinct(list_transform(range(1, len(w) - 1),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                    ELSE [text] END AS sh
+        FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents) b),
+      posts AS (
+        SELECT doc_id, CAST(len(sh) AS BIGINT) AS sz, unnest(sh) AS s FROM sets),
+      keep AS (
+        SELECT s FROM posts GROUP BY s HAVING count(*) <= 100),
+      pr AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+               count(*) AS n_inter
+        FROM posts a JOIN keep USING (s) JOIN posts b USING (s)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4),
+      j AS (
+        SELECT id_a, id_b, n_inter::DOUBLE / (sz_a + sz_b - n_inter) AS jac
+        FROM pr WHERE n_inter::DOUBLE / (sz_a + sz_b - n_inter) >= 0.8),
+      dup AS (
+        SELECT doc_id, round(max(jac), 4) AS dup_jaccard FROM (
+          SELECT id_a AS doc_id, jac FROM j
+          UNION ALL SELECT id_b AS doc_id, jac FROM j) t
+        GROUP BY doc_id)
+      SELECT d.doc_id, dup.doc_id IS NOT NULL AS is_dup, dup.dup_jaccard
+      FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
+      ORDER BY d.doc_id"""))
 
-  /** dedup_simhash — 64-bit SimHash + 16-bit-segment blocking. */
+  /** dedup_simhash — 64-bit SimHash + 16-bit-segment blocking. FULL
+    * mirror oracle (round 4, was rows-only): the per-word hash is the
+    * low 64 bits of MD5 — bit-for-bit DuckDB's `md5_number_lower` —
+    * so the oracle replays the entire operator exactly: word hashes,
+    * the 64 vote sums, the >= 0 tie rule, and hamming <= 3 pair
+    * counting. The oracle counts pairs ALL-PAIRS (correct by
+    * definition); the engine counts them via 4x16-bit segment blocking
+    * — equal because any hamming <= 3 pair agrees on >= 1 segment
+    * (pigeonhole), and no fixture bucket nears the maxBucket cap.
+    * Signatures reassemble as signed BIGINT (bit 63 = -2^63) to match
+    * Spark's LongType without UBIGINT/HUGEINT schema drift.
+    */
   private val d03 = Q(
     "dedup_simhash",
     (s, d) => DedupOps.simhashNearDup(docs(s, d), "text", "doc_id")
       .orderBy(col("doc_id")),
-    None)
+    Some("""
+      WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      hs AS (
+        SELECT doc_id, md5_number_lower(w) AS h FROM words),
+      votes AS (
+        SELECT doc_id, t.b AS b,
+               sum(CASE WHEN (h >> t.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM hs, range(64) t(b) GROUP BY 1, 2),
+      sh AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN v < 0 THEN 0
+                             WHEN b = 63 THEN -9223372036854775808
+                             ELSE (CAST(1 AS BIGINT) << b) END) AS BIGINT)
+                 AS simhash
+        FROM votes GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b2.doc_id AS id_b
+        FROM sh a JOIN sh b2 ON a.doc_id < b2.doc_id
+        WHERE bit_count(xor(a.simhash, b2.simhash)) <= 3),
+      near AS (
+        SELECT doc_id, count(*) AS n_near FROM (
+          SELECT id_a AS doc_id FROM pairs
+          UNION ALL SELECT id_b AS doc_id FROM pairs) t
+        GROUP BY doc_id)
+      SELECT s.doc_id, s.simhash, COALESCE(near.n_near, 0) AS n_near
+      FROM sh s LEFT JOIN near ON s.doc_id = near.doc_id
+      ORDER BY s.doc_id"""))
 
   /** dedup_ngram_jaccard — exact shingle Jaccard via inverted-index
     * join, top-50 most similar pairs. Oracled: Jaccard over 64-bit

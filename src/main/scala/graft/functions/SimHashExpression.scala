@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -13,10 +13,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * SimHash is a per-document function: the explode-words → 64 vote
   * aggregates → reassemble formulation costs a full shuffle of every
-  * token; this computes the same value (same xxhash64-seed-42 word
-  * hashes, same >= 0 vote rule) in one pass over the row — no shuffle
-  * at all. At 100 TB that turns near-dup signatures into a pure
-  * map-side projection.
+  * token; this computes the same value in one pass over the row — no
+  * shuffle at all. At 100 TB that turns near-dup signatures into a
+  * pure map-side projection.
+  *
+  * The per-word hash is the low 64 bits of MD5 (little-endian bytes
+  * 8..15 — bit-for-bit what DuckDB's `md5_number_lower` returns) and
+  * is part of the operator's CONTRACT, not an implementation detail:
+  * simhash fingerprints get persisted and compared across systems, so
+  * an engine-portable, standardized hash beats a faster private one
+  * (xxhash64 measured ~2× faster here, but no other engine can
+  * reproduce the fingerprints). Vote rule: bit b of the result is set
+  * iff >= half the words have bit b set (ties round up).
   */
 case class SimHash64(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -30,11 +38,16 @@ case class SimHash64(child: Expression)
 
   override def nullSafeEval(input: Any): Any = {
     val words = input.asInstanceOf[UTF8String].split(UTF8String.fromString(" "), -1)
+    val md = SimHash64.md5.get()
     val votes = new Array[Int](64)
     var i = 0
     while (i < words.length) {
-      val w = words(i)
-      val h = XXH64.hashUnsafeBytes(w.getBaseObject, w.getBaseOffset, w.numBytes, 42L)
+      md.reset()
+      val d = md.digest(words(i).getBytes)
+      // little-endian long of digest bytes 8..15 = md5_number_lower
+      var h = 0L
+      var k = 15
+      while (k >= 8) { h = (h << 8) | (d(k) & 0xFFL); k -= 1 }
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -53,6 +66,12 @@ case class SimHash64(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object SimHash64 {
+  // MessageDigest is stateful and not thread-safe; one per task thread
+  private val md5: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 }
 
 /** Generator (UDTF-shaped, SURVEY.md §2.10): all ordered pairs (a < b)

@@ -60,10 +60,28 @@ object DedupOps {
       .select(col(idCol), col("band.band_idx"), col("band.band_hash"))
   }
 
-  /** Candidate pairs (a < b) from shared LSH bands, deduplicated. */
-  def minhashCandidates(bands: DataFrame, idCol: String): DataFrame = {
-    val l = bands.select(col("band_idx"), col("band_hash"), col(idCol).as("id_a"))
-    val r = bands.select(col("band_idx"), col("band_hash"), col(idCol).as("id_b"))
+  /** Candidate pairs (a < b) from shared LSH bands, deduplicated.
+    *
+    * Buckets larger than `maxBucket` are dropped BEFORE the self-join
+    * — the same guard as [[ngramJaccardPairs]]' maxDF: on a power-law
+    * corpus a degenerate bucket (mass-duplicated boilerplate sharing
+    * every band) would otherwise explode into size² pairs inside one
+    * task. The window count shares the join's hash partitioning on the
+    * bucket key and WindowExec spills, so the guard itself is OOM-safe
+    * on the hot bucket. Pair volume is bounded by maxBucket per bucket
+    * occurrence; content mass-duplicated past the cap is exact-dup
+    * territory — [[exactDedup]] reports it from one aggregate.
+    */
+  def minhashCandidates(bands: DataFrame, idCol: String,
+                        maxBucket: Int = 256): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_idx"), col("band_hash"))
+    val bounded = bands
+      .withColumn("__bsz", count(lit(1)).over(w))
+      .filter(col("__bsz") <= maxBucket)
+      .drop("__bsz")
+    val l = bounded.select(col("band_idx"), col("band_hash"), col(idCol).as("id_a"))
+    val r = bounded.select(col("band_idx"), col("band_hash"), col(idCol).as("id_b"))
     l.join(r, Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
@@ -74,7 +92,8 @@ object DedupOps {
     * candidates. Keeps all docs (left join) so the output is total.
     */
   def minhashNearDup(df: DataFrame, textCol: String, idCol: String,
-                     shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
+                     shingleN: Int = 3, threshold: Double = 0.8,
+                     maxBucket: Int = 256): DataFrame = {
     val withSets = df
       .withColumn("sh", graft.functions.TextFunctions.shingle_hashes(col(textCol), shingleN))
     // NOTE: building sig from col("sh") keeps the logical dedup, but
@@ -85,7 +104,7 @@ object DedupOps {
     // impose on callers. Acceptable: the pass is a narrow projection.
     val sig = withSets.select(col(idCol),
       graft.functions.TextFunctions.minhash_sig(col("sh"), NumHashes).as("minhash_sig"))
-    val cands = minhashCandidates(minhashBands(sig, idCol), idCol)
+    val cands = minhashCandidates(minhashBands(sig, idCol), idCol, maxBucket)
     val sets = withSets.select(col(idCol), col("sh"))
     val verified = cands
       .join(sets.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
@@ -307,9 +326,16 @@ object DedupOps {
   /** SimHash near-dup: candidates share one of four 16-bit segments
     * (any pair within Hamming distance 3 must agree on >= 1 segment —
     * pigeonhole), verified with bit_count(xor) <= maxHamming.
+    *
+    * Segment buckets larger than `maxBucket` are dropped before the
+    * self-join (same degenerate-bucket guard as [[minhashCandidates]]:
+    * near-empty docs all simhash to the same value, so one poisoned
+    * segment bucket would otherwise go quadratic). Within-cap recall
+    * keeps the pigeonhole guarantee; mass-identical content past the
+    * cap is [[exactDedup]]'s job.
     */
   def simhashNearDup(df: DataFrame, textCol: String, idCol: String,
-                     maxHamming: Int = 3): DataFrame = {
+                     maxHamming: Int = 3, maxBucket: Int = 256): DataFrame = {
     val sh = simhash(df, textCol, idCol)
     val segs = sh.select(col(idCol), col("simhash"),
       explode(array((0 until 4).map { s =>
@@ -317,9 +343,15 @@ object DedupOps {
           shiftright(col("simhash"), s * 16).bitwiseAND(lit(0xFFFFL)).as("seg_val"))
       }: _*)).as("seg"))
       .select(col(idCol), col("simhash"), col("seg.seg_idx"), col("seg.seg_val"))
-    val l = segs.select(col("seg_idx"), col("seg_val"),
+    val wseg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("seg_idx"), col("seg_val"))
+    val bounded = segs
+      .withColumn("__bsz", count(lit(1)).over(wseg))
+      .filter(col("__bsz") <= maxBucket)
+      .drop("__bsz")
+    val l = bounded.select(col("seg_idx"), col("seg_val"),
       col(idCol).as("id_a"), col("simhash").as("sh_a"))
-    val r = segs.select(col("seg_idx"), col("seg_val"),
+    val r = bounded.select(col("seg_idx"), col("seg_val"),
       col(idCol).as("id_b"), col("simhash").as("sh_b"))
     val pairs = l.join(r, Seq("seg_idx", "seg_val"))
       .filter(col("id_a") < col("id_b"))

@@ -119,6 +119,38 @@ class OpsSpec extends AnyFunSuite {
     assert(got(0).getAs[Double]("max_jaccard") == 1.0)
   }
 
+  test("LSH/segment hot buckets are capped: mass-dup fixture stays sub-quadratic") {
+    // 600 identical docs (every band/segment bucket = 600, over any
+    // sane cap) + a 3-doc near-identical cluster + distinct filler.
+    // Uncapped, the mass bucket alone would emit 600*599/2 ≈ 180k
+    // candidate pairs per band; capped, those buckets drop and pair
+    // volume stays bounded while the small cluster is still found.
+    val boiler = (0L until 600L).map(i => (i, "the same boilerplate text repeated everywhere forever"))
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    val cluster = Seq(
+      (1000L, s"$base theta"),
+      (1001L, s"$base iota"),
+      (1002L, s"$base kappa"))
+    val filler = (2000L until 2050L).map(i => (i, s"unique document number $i with its own words w$i x$i y$i z$i"))
+    val df = (boiler ++ cluster ++ filler).toDF("doc_id", "text")
+    val sig = DedupOps.minhashSignature(df, "text")
+      .select($"doc_id", $"minhash_sig")
+    val cands = DedupOps.minhashCandidates(
+      DedupOps.minhashBands(sig, "doc_id"), "doc_id")
+    val n = cands.count()
+    assert(n < 5000, s"candidate pairs should stay sub-quadratic, got $n")
+    // the under-cap near-dup cluster is still fully detected
+    val clusterPairs = cands.filter($"id_a" >= 1000L && $"id_b" <= 1002L).count()
+    assert(clusterPairs == 3, s"expected the 3-doc cluster's pairs, got $clusterPairs")
+    // simhash path: the mass bucket is dropped there too
+    val near = DedupOps.simhashNearDup(df, "text", "doc_id")
+    val boilerNear = near.filter($"doc_id" < 600L && $"n_near" > 0).count()
+    assert(boilerNear == 0, "over-cap boilerplate bucket must be dropped")
+    val clusterNear = near.filter($"doc_id" >= 1000L && $"doc_id" <= 1002L)
+      .agg(min($"n_near")).collect()(0).getLong(0)
+    assert(clusterNear >= 1, "small cluster must survive the cap")
+  }
+
   test("DedupOps.simhash: identical docs share simhash, distance 0") {
     val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val sh = DedupOps.simhash(df, "text", "doc_id").collect().map(_.getLong(1))
