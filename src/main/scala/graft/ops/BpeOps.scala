@@ -37,21 +37,46 @@ object BpeOps {
   /** Train `nMerges` BPE merges over the whitespace words of `textCol`.
     * Returns one row per merge: (step, lhs, rhs, pair_count), in merge
     * order. Stops early (fewer rows) if no adjacent pair remains.
+    *
+    * Two execution paths with identical semantics (OpsSpec pins the
+    * equivalence): after the corpus collapses to its word-type
+    * vocabulary — the standard trick: word types ≪ corpus — a vocab of
+    * at most `maxInMemoryVocab` types is collected and the merge loop
+    * runs in memory (a real tokenizer's 32k merges would otherwise be
+    * 32k driver-round-trip jobs); an oversized vocab falls back to the
+    * distributed per-merge aggregate. Both tie-break the argmax on the
+    * UTF-8 byte order of the "lhs rhs" pair string — what Spark's and
+    * DuckDB's ORDER BY compare.
     */
   def trainMerges(df: DataFrame, nMerges: Int,
-                  textCol: String = "text"): DataFrame = {
+                  textCol: String = "text",
+                  maxInMemoryVocab: Int = 4 * 1000 * 1000): DataFrame = {
     require(nMerges > 0, s"trainMerges: nMerges=$nMerges")
     val spark = df.sparkSession
     // the ONLY corpus-sized pass: word-type vocabulary with counts,
-    // each word char-wrapped into the ␟-separated representation
+    // each word char-wrapped into the ␟-separated representation.
+    // ([^ ]) not (.): after the space split they match the same chars,
+    // but '.' excludes \r/ /… in Java while RE2-family engines
+    // exclude only \n — [^ ] wraps the identical set everywhere (and
+    // matches applyMerges' wrap)
     var vocab = df
       .select(explode(split(col(textCol), " ")).as("word"))
       .where(length(col("word")) > 0)
-      .groupBy(regexp_replace(col("word"), "(.)", s"$S$$1$S").as("rep"))
+      .groupBy(regexp_replace(col("word"), "([^ ])", s"$S$$1$S").as("rep"))
       .agg(count(lit(1)).as("wc"))
       // pin the vocab: every iteration (and the final count) re-reads
       // this, not the corpus
       .localCheckpoint(true)
+    if (vocab.count() <= maxInMemoryVocab) {
+      import spark.implicits._
+      val collected = vocab.collect().map { r =>
+        val rep = r.getString(0)
+        // ␟c␟␟h␟… → [c, h, …]: strip the outer separators, split on
+        // the inter-symbol ␟␟ boundary
+        (rep.stripPrefix(S).stripSuffix(S).split(S + S), r.getLong(1))
+      }
+      return trainInMemory(collected, nMerges).toDF("step", "lhs", "rhs", "pair_count")
+    }
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var step = 1
     var exhausted = false
@@ -83,6 +108,87 @@ object BpeOps {
     }
     import spark.implicits._
     merges.result().toDF("step", "lhs", "rhs", "pair_count")
+  }
+
+  /** UTF-8 unsigned-byte order of the "lhs rhs" pair string — the
+    * exact collation Spark's UTF8String and DuckDB's default ORDER BY
+    * use. JVM String.compareTo (UTF-16 code units) differs above the
+    * BMP, so the fast path must not use it.
+    */
+  private def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val d = (x(i) & 0xFF) - (y(i) & 0xFF)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** The driver-side merge loop over a collected word-type vocabulary
+    * — semantics identical to the distributed loop: overlapping
+    * adjacencies all count, argmax tie-breaks on the UTF-8 order of
+    * "lhs rhs", merge application is the greedy leftmost
+    * non-overlapping walk (what the literal ␟a␟␟b␟ replace does on the
+    * wrapped representation). O(vocab symbols) per merge.
+    */
+  private def trainInMemory(vocab0: Array[(Array[String], Long)],
+                            nMerges: Int): Seq[(Int, String, String, Long)] = {
+    var vocab = vocab0
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      vocab.foreach { case (syms, wc) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val key = syms(i) + " " + syms(i + 1)
+          counts.update(key, counts.getOrElse(key, 0L) + wc)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var bestPair: String = null
+        var bestCnt = Long.MinValue
+        counts.foreach { case (p, c) =>
+          if (c > bestCnt || (c == bestCnt && utf8Less(p, bestPair)))
+            { bestPair = p; bestCnt = c }
+        }
+        val Array(a, b) = bestPair.split(" ", 2)
+        val ab = a + b
+        merges += ((step, a, b, bestCnt))
+        vocab = vocab.map { case (syms, wc) =>
+          var hit = false
+          var i = 0
+          while (!hit && i < syms.length - 1) {
+            hit = syms(i) == a && syms(i + 1) == b
+            i += 1
+          }
+          if (!hit) (syms, wc)
+          else {
+            val out = Array.newBuilder[String]
+            var j = 0
+            while (j < syms.length) {
+              if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+                out += ab
+                j += 2
+              } else {
+                out += syms(j)
+                j += 1
+              }
+            }
+            (out.result(), wc)
+          }
+        }
+        step += 1
+      }
+    }
+    merges.result()
   }
 
   /** Tokenizer APPLICATION: run a trained merge list over the corpus
@@ -119,7 +225,7 @@ object BpeOps {
     val sb = new StringBuilder
     sb.append(s"""
       WITH v0 AS (
-        SELECT regexp_replace(word, '(.)', chr(31)||'\\1'||chr(31), 'g') AS rep,
+        SELECT regexp_replace(word, '([^ ])', chr(31)||'\\1'||chr(31), 'g') AS rep,
                count(*) AS wc
         FROM (SELECT unnest(string_split($textCol, ' ')) AS word FROM $table) t
         WHERE len(word) > 0 GROUP BY 1)""")

@@ -95,23 +95,28 @@ object DeconOps {
     // distributed build over the benchmark side (treeAggregate under
     // stat.bloomFilter) — the driver holds only the finished bits
     val bloom = bmGrams.stat.bloomFilter(col("gram"), expected, fpp)
-    val trainGrams = train.select(col(idCol),
-      explode(array_distinct(word_ngrams(col(textCol), n))).as("gram"))
-    val survivors = trainGrams.where(bloom_probe(col("gram"), bloom))
-    val shared = survivors
-      // inner equi-join on gram = the exact verify; bloom false
-      // positives simply fail to match and drop out here
-      .join(bmGrams, Seq("gram"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).cast("int").as("n_shared"))
-    // n_grams is row-local — the full gram explosion never outlives
-    // the bloom probe, and clean docs cost one projection
-    train
+    // ONE corpus pass: the distinct-gram array is computed once and
+    // feeds both size() and the probe stream (round 3 recomputed
+    // word_ngrams for each — doubling the most expensive row-local
+    // work per doc at scale). The bloom probe runs INSIDE the array
+    // via a higher-order filter, so only probe-positive grams explode;
+    // explode_outer keeps one NULL-gram row for clean docs, which is
+    // what lets a single downstream aggregate stay total over the
+    // corpus with no join-back to a second scan.
+    val slim = train
       .select(col(idCol),
-        coalesce(size(array_distinct(word_ngrams(col(textCol), n))), lit(0))
-          .cast("int").as("n_grams"))
-      .join(shared, Seq(idCol), "left")
-      .withColumn("n_shared", coalesce(col("n_shared"), lit(0)))
+        array_distinct(word_ngrams(col(textCol), n)).as("__grams"))
+      .select(col(idCol),
+        coalesce(size(col("__grams")), lit(0)).cast("int").as("n_grams"),
+        explode_outer(filter(col("__grams"),
+          g => bloom_probe(g, bloom))).as("gram"))
+    slim
+      // left equi-join on gram = the exact verify; bloom false
+      // positives fail to match (NULL __bm) and count as clean
+      .join(bmGrams.withColumn("__bm", lit(1)), Seq("gram"), "left")
+      .groupBy(col(idCol))
+      .agg(max(col("n_grams")).as("n_grams"),
+        count(col("__bm")).cast("int").as("n_shared"))
       .withColumn("contaminated", col("n_shared") >= 1)
   }
 }

@@ -188,6 +188,10 @@ object LibOps {
     */
   def percentileRank(df: DataFrame, value: String,
                      buckets: Int = 64): DataFrame = {
+    // same guard as ZOrder.writeZOrdered's __z: the join would
+    // otherwise silently collide with a caller column of these names
+    require(!df.columns.contains("__v") && !df.columns.contains("__pr"),
+      "percentileRank: input already has a __v/__pr column")
     val v = col(value).cast("double")
     val ranks = distinctValueCum(df, value, buckets)
       .select(col("value").as("__v"),

@@ -183,6 +183,10 @@ object TextOps {
   def filterCascade(df: DataFrame,
                     stages: Seq[(String, Column)]): DataFrame = {
     require(stages.nonEmpty, "filterCascade: no stages")
+    // same guard as ZOrder.writeZOrdered's __z: silently replacing a
+    // caller's column of the internal name would corrupt attribution
+    require(!df.columns.contains("__ff"),
+      "filterCascade: input already has a __ff column")
     val spark = df.sparkSession
     import spark.implicits._
     // first failing stage per row: 0-based stage index, or -1 = kept

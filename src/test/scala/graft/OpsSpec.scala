@@ -982,6 +982,22 @@ class OpsSpec extends AnyFunSuite {
     assert(g2.toSeq == Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)))
   }
 
+  test("BpeOps.trainMerges: in-memory fast path ≡ distributed loop") {
+    // richer fixture with ties, repeats, multi-char growth; the default
+    // call takes the collected in-memory loop, maxInMemoryVocab=0
+    // forces the distributed per-merge aggregate — results must be
+    // identical merge-for-merge (argmax tie-break and overlap
+    // semantics included)
+    val df = Seq(
+      (1L, "low lower lowest low low"),
+      (2L, "banana bandana and sand"),
+      (3L, "aaa aa aaaa mississippi"),
+      (4L, "the the the thee them theme")).toDF("doc_id", "text")
+    def run(maxMem: Int) = BpeOps.trainMerges(df, 8, maxInMemoryVocab = maxMem)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(run(4000000) == run(0))
+  }
+
   test("BpeOps.applyMerges tokenizes with trained merges, never across spaces") {
     val df = Seq((1L, "low low lower"), (2L, "ol ol")).toDF("doc_id", "text")
     // merges from the low/lower walk: low -> 1 token, lower -> [low, er]
