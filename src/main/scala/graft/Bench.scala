@@ -1,9 +1,30 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Queries whose timed body REWRITES tables (layout writers,
+    * format round-trips) or re-runs a full streaming job per
+    * invocation. Their "warm" numbers re-pay that work by design
+    * (q57's warm rebuilds two bucketed tables), so totals are
+    * reported per family: read-path warm is the compile-jitter-free
+    * series for round-over-round comparison; write-path cost is
+    * one-time-amortized in production and belongs in its own bucket.
+    */
+  private val writePath = Set(
+    "q45_csv_roundtrip", "q55_json_roundtrip", "q56_orc_roundtrip",
+    "q57_bucketed_join", "q58_sorted_layout", "q63_text_roundtrip",
+    "q70_zorder_layout", "q72_compact", "q73_schema_evolution",
+    "q74_partitioned_layout", "q75_dpp_join",
+    "streaming_dedup_parity", "streaming_interval_parity",
+    "streaming_sessions_parity", "streaming_tumbling_parity")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // optional arg (local iteration only; the driver passes none):
+    // comma-separated query names to bench just that subset
+    val only: Option[Set[String]] =
+      if (args.nonEmpty) Some(args(0).split(',').toSet) else None
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -23,28 +44,30 @@ object Bench {
     } catch { case _: Throwable => }
     // cold = fresh plan (includes per-plan codegen compile, the number
     // comparable to BASELINE.md); warm = second run of the same query
-    // (plan/codegen caches hot — what a resident cluster would see, and
-    // the stable basis for round-over-round comparisons: cold deltas of
-    // ±0.3s are usually compile jitter, not plan changes). Caveat: the
-    // streaming_* parity queries re-stage and re-run a full streaming
-    // job per invocation, so their "warm" number is a re-execution, not
-    // a caches-hot read — exclude them when comparing warm totals.
+    // (plan/codegen caches hot — what a resident cluster would see).
+    // Read-path warm is the stable round-over-round basis; write-path
+    // warm re-pays table rewrites / streaming runs (see writePath).
     def time(fn: => Unit): Double = {
       val t0 = System.nanoTime()
       try fn catch { case _: Throwable => }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val cold = time(fn(spark, sfDir).count())
-      val warm = time(fn(spark, sfDir).count())
-      (name, cold, warm)
-    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.forall(_.contains(q._1)))
+      .map { case (name, fn) =>
+        val cold = time(fn(spark, sfDir).count())
+        val warm = time(fn(spark, sfDir).count())
+        (name, cold, warm)
+      }
     def json(sel: ((String, Double, Double)) => (String, Double)): String =
       results.map(sel).map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val totalWarm = results.map(_._3).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(r => (r._1, r._2))},"total_warm":$totalWarm,"queries_warm":${json(r => (r._1, r._3))},"sf":"$sfDir"}"""
+    val (w, r) = results.partition(x => writePath.contains(x._1))
+    val fam = s""""families":{"read":{"n":${r.size},"cold":${r.map(_._2).sum},"warm":${r.map(_._3).sum}},""" +
+      s""""write":{"n":${w.size},"cold":${w.map(_._2).sum},"warm":${w.map(_._3).sum}}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(x => (x._1, x._2))},"total_warm":$totalWarm,"queries_warm":${json(x => (x._1, x._3))},$fam,"sf":"$sfDir"}"""
     println(line)
     // belt-and-suspenders: the same line as a file, in case a harness
     // parses logs that interleave or prefix stdout
