@@ -897,6 +897,63 @@ object Queries {
         FROM documents) t
       ORDER BY shard, pos"""))
 
+  /** sample_budget — token-budget sampling (SampleOps.budgetSample):
+    * keep the highest-quality documents whose running token total fits
+    * an 8k budget — the "best N tokens of this source" data-mixing
+    * primitive. The engine runs the two-level score-bucketed prefix
+    * sum (no global sort, no single-partition window); the oracle IS
+    * the naive global formulation (one window over everything —
+    * DuckDB's single node doesn't care), so the parity claim is
+    * exactly "the distributed prefix sum equals the global running
+    * sum". Integer token arithmetic and an (score, id) total order
+    * make the kept set engine-exact; the boundary-straddling doc is
+    * dropped (cum <= budget) on both sides.
+    */
+  private val sm4 = Q(
+    "sample_budget",
+    (s, d) => {
+      import s.implicits._
+      SampleOps.budgetSample(
+        docs(s, d).withColumn("n_tokens", size(split($"text", " "))),
+        "n_chars", "n_tokens", "doc_id", budget = 8000L)
+        .select($"doc_id", $"n_tokens", $"cum_tokens")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+               n_chars
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tokens,
+               CAST(sum(n_tokens) OVER (ORDER BY n_chars DESC, doc_id)
+                 AS BIGINT) AS cum_tokens
+        FROM t)
+      SELECT doc_id, n_tokens, cum_tokens FROM c
+      WHERE cum_tokens <= 8000 ORDER BY doc_id"""))
+
+  /** q77 — key-skew report (LibOps.skewReport): the shuffle-planning
+    * diagnostic — top keys by row count with share and skew ratio
+    * (count ÷ mean-per-key), computed keys-sized after one partial-
+    * aggregated count. The number that decides whether a join key
+    * needs q60's salting before it hits a 1000-executor shuffle.
+    */
+  private val q77 = Q(
+    "q77_skew_report",
+    (s, d) => LibOps.skewReport(ev(s, d), Seq("event_type"), topK = 5)
+      .orderBy(col("rank")),
+    Some("""
+      WITH c AS (SELECT event_type, count(*) AS cnt FROM events GROUP BY 1),
+      t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS nkeys FROM c)
+      SELECT CAST(row_number() OVER (ORDER BY cnt DESC, event_type)
+               AS INTEGER) AS rank,
+             event_type, cnt,
+             round(CAST(cnt AS DOUBLE) / total * 100.0, 4) AS pct_rows,
+             round(CAST(cnt AS DOUBLE) * nkeys / total, 4) AS skew_ratio
+      FROM c CROSS JOIN t
+      QUALIFY rank <= 5
+      ORDER BY rank"""))
+
   /** validate_orders — declarative data-quality gate: four row-level
     * constraints over orders evaluated in ONE scan (a single
     * partial-aggregated pass; N constraints = one table read), reported
@@ -3373,8 +3430,8 @@ object Queries {
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
-    q74, q75, q76,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, sm1, sm2, sm3, pk1, dc1, dc2, vd1,
+    q74, q75, q76, q77,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, sm1, sm2, sm3, sm4, pk1, dc1, dc2, vd1,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, a01, a02, a03, a04, a05, m01, m02, m03, mr1,
     p01, st01, st02, st03, st04)
 

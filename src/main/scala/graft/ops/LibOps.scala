@@ -201,6 +201,36 @@ object LibOps {
       .drop("__v", "__pr")
   }
 
+  /** Key-skew report — the shuffle-planning diagnostic every 100 TB
+    * join/aggregate decision starts from: per-key row counts reduced
+    * to the `topK` heaviest keys with their share of the table and
+    * skew ratio (count ÷ mean-per-key). A ratio ≫ 1 on a join key is
+    * the signal to salt (q60's pattern) or isolate the hot keys; a
+    * flat report clears the plain hash-partitioned path.
+    *
+    * Scale shape: one partial-aggregated count per key (the wordcount
+    * shuffle), then everything else — the 1-row total/mean aggregate
+    * and the topK window — runs over the keys-sized count table, never
+    * the corpus. The broadcast is 1 row.
+    */
+  def skewReport(df: DataFrame, keys: Seq[String],
+                 topK: Int = 10): DataFrame = {
+    require(keys.nonEmpty, "skewReport: no key columns")
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(
+      sum(col("cnt")).as("__total"), count(lit(1)).as("__nkeys"))
+    val w = Window.orderBy(col("cnt").desc +: keys.map(col): _*)
+    counts.crossJoin(broadcast(totals))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .withColumn("pct_rows",
+        round(col("cnt").cast("double") / col("__total") * 100.0, 4))
+      .withColumn("skew_ratio",
+        round(col("cnt").cast("double") * col("__nkeys") / col("__total"), 4))
+      .select((col("rank") +: keys.map(col)) ++
+        Seq(col("cnt"), col("pct_rows"), col("skew_ratio")): _*)
+  }
+
   /** Per-group z-score outlier filter (quality-gate family): two
     * passes — a per-key mean/stddev aggregate (keys-cardinality rows,
     * broadcast back) and a row-local filter on |v - mean|/std. No row

@@ -136,4 +136,61 @@ object SampleOps {
     }
     weightedSample(df, idCol, rate)
   }
+
+  /** Token-budget sampling: keep the highest-`scoreCol` documents whose
+    * RUNNING token total stays within `budget` — the data-mixing
+    * primitive ("best N billion tokens of this source") that turns a
+    * quality score into a corpus slice of a target size. Greedy by
+    * score, ties broken by `idCol`; the document that would straddle
+    * the boundary is dropped (cum <= budget), so the kept set is
+    * exactly reproducible from (score, id, tokens).
+    *
+    * Scale shape: the naive formulation is a GLOBAL sort + running sum
+    * — `Window.orderBy(score)` with no partition key collapses the
+    * corpus into one task. This is the PackOps two-level prefix sum
+    * keyed by score instead of id: docs bucket by fixed-width score
+    * range (one bounded min/max agg → 2 doubles to the driver), the
+    * in-bucket running sum is an ordinary partitioned window, bucket
+    * totals cascade through one |buckets|-row window, offsets
+    * broadcast back, and the budget cut is a row-local filter. No
+    * global sort, no single-partition window, exact integer token
+    * arithmetic.
+    *
+    * Emits the kept rows plus `cum_tokens` (the running total through
+    * each kept doc) for budget accounting.
+    */
+  def budgetSample(df: DataFrame, scoreCol: String, tokenCol: String,
+                   idCol: String, budget: Long,
+                   buckets: Int = 4096): DataFrame = {
+    require(budget > 0, s"budgetSample: budget=$budget")
+    require(buckets > 0, s"budgetSample: buckets=$buckets")
+    val score = col(scoreCol).cast("double")
+    val r = df.agg(min(score), max(score)).head()
+    if (r.isNullAt(0)) return df.withColumn("cum_tokens", lit(0L)).limit(0)
+    val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+    // bucket 0 = highest scores; equal scores always land in ONE
+    // bucket (bucket is a function of score), so cross-bucket order
+    // respects score order and ties resolve inside a single window
+    val bucket =
+      if (hi == lo) lit(0)
+      else least(floor((lit(hi) - score) / ((hi - lo) / buckets)),
+        lit(buckets - 1)).cast("int")
+    val bucketed = df
+      .withColumn("__bucket", bucket)
+      .withColumn("__cum_in",
+        sum(col(tokenCol).cast("long")).over(
+          Window.partitionBy(col("__bucket"))
+            .orderBy(score.desc, col(idCol).asc)))
+    val offsets = bucketed.groupBy(col("__bucket"))
+      .agg(sum(col(tokenCol).cast("long")).as("__total"))
+      .withColumn("__offset",
+        coalesce(sum(col("__total")).over(
+          Window.orderBy(col("__bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__bucket"), col("__offset"))
+    bucketed.join(broadcast(offsets), "__bucket")
+      .withColumn("cum_tokens", col("__offset") + col("__cum_in"))
+      .filter(col("cum_tokens") <= budget)
+      .drop("__bucket", "__cum_in", "__offset")
+  }
 }

@@ -839,6 +839,48 @@ class OpsSpec extends AnyFunSuite {
       next.exceptAll(replayed).count() == 0)
   }
 
+  test("SampleOps.budgetSample keeps the best-score prefix within budget") {
+    // scores with a tie (ids 2,3 both score 5, broken id asc) and a
+    // boundary doc: order = id1(s9,t4), id2(s5,t3), id3(s5,t4), id4(s1,t10)
+    val df = Seq(
+      (1L, 9.0, 4), (2L, 5.0, 3), (3L, 5.0, 4), (4L, 1.0, 10))
+      .toDF("id", "score", "toks")
+    val got = SampleOps.budgetSample(df, "score", "toks", "id", budget = 11L)
+      .select("id", "cum_tokens").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // prefix: id1 cum=4, id2 cum=7 (tie broken id asc), id3 cum=11;
+    // id4 would reach 21 > 11 -> dropped
+    assert(got.toSeq == Seq((1L, 4L), (2L, 7L), (3L, 11L)))
+    // partition-invariant: same kept set under any input partitioning
+    val re = SampleOps.budgetSample(df.repartition(7), "score", "toks", "id", 11L)
+      .select("id", "cum_tokens").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(re.toSeq == got.toSeq)
+    // two-level path ≡ global running sum on a bigger fixture where
+    // many buckets are populated
+    val big = (0L until 500L).map(i => (i, ((i * 7919) % 101).toDouble, 3))
+      .toDF("id", "score", "toks")
+    val kept = SampleOps.budgetSample(big, "score", "toks", "id", 600L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val expect = big.collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+      .sortBy { case (id, s, _) => (-s, id) }
+      .scanLeft((0L, 0L)) { case ((_, cum), (id, _, t)) => (id, cum + t) }
+      .drop(1).takeWhile(_._2 <= 600L).map(_._1).toSet
+    assert(kept == expect)
+  }
+
+  test("LibOps.skewReport surfaces hot keys with exact shares") {
+    val df = (Seq.fill(60)("hot") ++ Seq.fill(30)("warm") ++ Seq.fill(10)("cold"))
+      .zipWithIndex.map { case (k, i) => (k, i) }.toDF("k", "v")
+    val got = LibOps.skewReport(df, Seq("k"), topK = 2).orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    // 100 rows, 3 keys, mean 33.33: hot 60 rows = 60% = 1.8x mean
+    assert(got.toSeq == Seq(
+      (1, "hot", 60L, 60.0, 1.8),
+      (2, "warm", 30L, 30.0, 0.9)))
+  }
+
   test("SampleOps.shardAssignment is a stable partition-invariant permutation") {
     val df = (0L until 500L).toDF("id")
     val a = SampleOps.shardAssignment(df, "id", 4)
