@@ -500,17 +500,24 @@ object Queries {
     * verification of candidates. Graded projection (round 4, was
     * rows-only): (doc_id, is_dup, dup_jaccard) — the VERIFIED outputs,
     * which are SQL-checkable even though the xxhash64 signatures are
-    * not. The oracle computes ground truth (exact 3-gram Jaccard, same
-    * d04 CTE) and the parity claim is doc-level: is_dup ≡ "has an
-    * exact-Jaccard >= 0.8 partner". That claim holds because LSH
-    * recall over the >= 0.8 pairs is MEASURED TOTAL on this fixture at
-    * every sf (tools/Probe, round 4: 28/25/256 ground-truth pairs,
-    * 0 missed — the fixed seeded family makes this deterministic), and
-    * the corpus' pair-Jaccard distribution has a structural gap
-    * (nothing in (0.14, 0.8) at any sf) so a dup doc's best candidate
-    * is always a verified >= 0.8 pair. dup_jaccard is NULL for
-    * non-dups: their best candidate may be a sub-threshold pair LSH
-    * legitimately missed.
+    * not. The oracle computes ground truth as the UNPRUNED exact
+    * 3-gram Jaccard over all shared-shingle pairs — unlike d04 it
+    * applies NO maxDF stop-shingle pruning, because the engine's
+    * verification (array_intersect over full shingle sets) is
+    * unpruned too; a pruned oracle would understate the Jaccard of a
+    * pair sharing a hot shingle and silently diverge (review-pass
+    * finding, round 4). Affordable because the fixture's max shingle
+    * document frequency is 25 (sf0.1; 9/7 at smaller sfs) — the
+    * inverted-index join stays tiny. The parity claim is doc-level:
+    * is_dup ≡ "has an exact-Jaccard >= 0.8 partner". That holds
+    * because LSH recall over the TRUE >= 0.8 pairs is MEASURED TOTAL
+    * on this fixture at every sf (tools/Probe, round 4: 28/25/256
+    * ground-truth pairs, 0 missed — the fixed seeded family makes
+    * this deterministic), and the corpus' pair-Jaccard distribution
+    * has a structural gap (nothing in (0.14, 0.8) at any sf) so a dup
+    * doc's best candidate is always a verified >= 0.8 pair.
+    * dup_jaccard is NULL for non-dups: their best candidate may be a
+    * sub-threshold pair LSH legitimately missed.
     */
   private val d02 = Q(
     "dedup_minhash",
@@ -528,12 +535,10 @@ object Queries {
         FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents) b),
       posts AS (
         SELECT doc_id, CAST(len(sh) AS BIGINT) AS sz, unnest(sh) AS s FROM sets),
-      keep AS (
-        SELECT s FROM posts GROUP BY s HAVING count(*) <= 100),
       pr AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
                count(*) AS n_inter
-        FROM posts a JOIN keep USING (s) JOIN posts b USING (s)
+        FROM posts a JOIN posts b USING (s)
         WHERE a.doc_id < b.doc_id
         GROUP BY 1, 2, 3, 4),
       j AS (
@@ -552,13 +557,16 @@ object Queries {
     * mirror oracle (round 4, was rows-only): the per-word hash is the
     * low 64 bits of MD5 — bit-for-bit DuckDB's `md5_number_lower` —
     * so the oracle replays the entire operator exactly: word hashes,
-    * the 64 vote sums, the >= 0 tie rule, and hamming <= 3 pair
-    * counting. The oracle counts pairs ALL-PAIRS (correct by
-    * definition); the engine counts them via 4x16-bit segment blocking
-    * — equal because any hamming <= 3 pair agrees on >= 1 segment
-    * (pigeonhole), and no fixture bucket nears the maxBucket cap.
-    * Signatures reassemble as signed BIGINT (bit 63 = -2^63) to match
-    * Spark's LongType without UBIGINT/HUGEINT schema drift.
+    * the 64 vote sums, the >= 0 tie rule, AND the engine's own
+    * candidate structure — 4x16-bit segment blocking WITH the
+    * maxBucket=256 over-cap bucket drop (review-pass hardening: an
+    * all-pairs oracle would silently diverge the day a fixture grows a
+    * >256-doc segment bucket; mirroring the cap makes parity
+    * structural, not measured). DuckDB's `>>` on BIGINT is arithmetic
+    * like Spark's shiftright, so `(simhash >> s*16) & 65535` extracts
+    * identical segments from the signed signatures. Signatures
+    * reassemble as signed BIGINT (bit 63 = -2^63) to match Spark's
+    * LongType without UBIGINT/HUGEINT schema drift.
     */
   private val d03 = Q(
     "dedup_simhash",
@@ -580,10 +588,21 @@ object Queries {
                              ELSE (CAST(1 AS BIGINT) << b) END) AS BIGINT)
                  AS simhash
         FROM votes GROUP BY doc_id),
+      segs AS (
+        SELECT doc_id, simhash, t.s AS seg_idx,
+               (simhash >> (t.s * 16)) & 65535 AS seg_val
+        FROM sh, range(4) t(s)),
+      keepseg AS (
+        SELECT seg_idx, seg_val FROM segs
+        GROUP BY 1, 2 HAVING count(*) <= 256),
       pairs AS (
-        SELECT a.doc_id AS id_a, b2.doc_id AS id_b
-        FROM sh a JOIN sh b2 ON a.doc_id < b2.doc_id
-        WHERE bit_count(xor(a.simhash, b2.simhash)) <= 3),
+        SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+               a.simhash AS sh_a, b2.simhash AS sh_b
+        FROM segs a
+        JOIN keepseg USING (seg_idx, seg_val)
+        JOIN segs b2 USING (seg_idx, seg_val)
+        WHERE a.doc_id < b2.doc_id
+          AND bit_count(xor(a.simhash, b2.simhash)) <= 3),
       near AS (
         SELECT doc_id, count(*) AS n_near FROM (
           SELECT id_a AS doc_id FROM pairs

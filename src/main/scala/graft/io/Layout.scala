@@ -224,8 +224,28 @@ object Layout {
         "__parts", org.apache.spark.sql.types.IntegerType))
     val partsDf = spark.createDataFrame(
       spark.sparkContext.parallelize(partsRows, 1), partsSchema)
-    val df = spark.read.parquet(inPath)
+    // read with partition-type inference OFF: inference re-types
+    // directory tokens ("g=007" → int 7), whose canonical string "7"
+    // would never match the parsed token "007" — the parts join would
+    // silently drop the whole partition. With inference off the
+    // partition columns come back as the raw STRING tokens (matching
+    // the listing exactly) and the rewrite preserves the original
+    // directory names byte-for-byte — which is what a compaction must
+    // do anyway: re-layout files, never re-canonicalize values.
+    // (Restored in finally; partition discovery runs eagerly at
+    // read.parquet, so the flag only needs to cover this call.)
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prevInfer = spark.conf.get(inferKey)
+    val df =
+      try { spark.conf.set(inferKey, "false"); spark.read.parquet(inPath) }
+      finally spark.conf.set(inferKey, prevInfer)
     val dataCols = df.columns.filterNot(partitionCols.contains).toSeq
+    // internal-name guard (the percentileRank/__z pattern): a table
+    // column named like the parts-map/salt helpers would make the
+    // join ambiguous or be silently dropped
+    (partitionCols.map(c => s"__pc_$c") ++ Seq("__parts", "__salt")).foreach(c =>
+      require(!df.columns.contains(c),
+        s"compactPartitioned: table column $c collides with an internal name"))
     // null-safe string match: the read-back partition value round-trips
     // through the same directory-name encoding the listing parsed
     val joinCond = partitionCols.map(c =>

@@ -67,7 +67,14 @@ object BpeOps {
       // pin the vocab: every iteration (and the final count) re-reads
       // this, not the corpus
       .localCheckpoint(true)
-    if (vocab.count() <= maxInMemoryVocab) {
+    // gate on BYTES as well as rows: 4M word types is fine, but only
+    // if the reps fit the driver — a row-count-only gate would collect
+    // multi-GB vocabularies (long words × 3x separator wrapping) and
+    // OOM instead of falling back to the distributed loop
+    val gate = vocab.agg(count(lit(1)), sum(length(col("rep")))).head()
+    val (vocabRows, vocabChars) =
+      (gate.getLong(0), if (gate.isNullAt(1)) 0L else gate.getLong(1))
+    if (vocabRows <= maxInMemoryVocab && vocabChars <= 256L * 1024 * 1024) {
       import spark.implicits._
       val collected = vocab.collect().map { r =>
         val rep = r.getString(0)

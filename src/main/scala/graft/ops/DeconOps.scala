@@ -75,6 +75,11 @@ object DeconOps {
     * side — a bounded job over the SMALL side only, run once at plan
     * construction (same documented trade-off as SimOps.detectDim).
     */
+  /** Output contract: ONE ROW PER DISTINCT `idCol` (the final
+    * aggregate groups on it) — duplicate ids pool their grams into a
+    * single row. Feed deduplicated documents; an upstream id collision
+    * here is data corruption this op does not try to repair.
+    */
   def bloomDecontaminate(train: DataFrame, benchmark: DataFrame,
                          textCol: String = "text", idCol: String = "doc_id",
                          n: Int = 3, fpp: Double = 0.03,

@@ -216,6 +216,9 @@ object LibOps {
   def skewReport(df: DataFrame, keys: Seq[String],
                  topK: Int = 10): DataFrame = {
     require(keys.nonEmpty, "skewReport: no key columns")
+    // key columns must not collide with the report's own columns
+    Seq("cnt", "rank", "pct_rows", "skew_ratio", "__total", "__nkeys").foreach(c =>
+      require(!keys.contains(c), s"skewReport: key column $c collides with a report column"))
     val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("cnt"))
     val totals = counts.agg(
       sum(col("cnt")).as("__total"), count(lit(1)).as("__nkeys"))

@@ -164,6 +164,10 @@ object SampleOps {
                    buckets: Int = 4096): DataFrame = {
     require(budget > 0, s"budgetSample: budget=$budget")
     require(buckets > 0, s"budgetSample: buckets=$buckets")
+    // same guard as percentileRank's __v/__pr: never silently replace
+    // a caller column with an internal or output name
+    Seq("__bucket", "__cum_in", "__offset", "__total", "cum_tokens").foreach(c =>
+      require(!df.columns.contains(c), s"budgetSample: input already has a $c column"))
     val score = col(scoreCol).cast("double")
     val r = df.agg(min(score), max(score)).head()
     if (r.isNullAt(0)) return df.withColumn("cum_tokens", lit(0L)).limit(0)

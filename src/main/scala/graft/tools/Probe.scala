@@ -16,9 +16,12 @@ object Probe {
     import graft.ops.DedupOps
     for (sf <- Seq("0.001", "0.01", "0.1")) {
       val docs = graft.io.Tables.documents(spark, s"/root/testdata/sf$sf")
-      // exact ground truth: all pairs with unrounded jaccard >= 0.8
+      // exact ground truth: all pairs with unrounded jaccard >= 0.8,
+      // UNPRUNED (maxDF = MaxValue): the d02 oracle is unpruned, so the
+      // recall measurement must be against true pairs, not a maxDF
+      // subset (review-pass finding, round 4)
       val exact = DedupOps.ngramJaccardPairs(docs, "text", "doc_id",
-          roundJaccard = false)
+          maxDF = Int.MaxValue, roundJaccard = false)
         .filter(col("jaccard") >= 0.8)
         .select(col("id_a"), col("id_b"), col("jaccard"))
       // LSH candidates from the fixed family
@@ -52,8 +55,18 @@ object Probe {
         .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
         .filter(col("hamming") <= 3)
       val fp = hpairs.join(exact, Seq("id_a", "id_b"), "left_anti").count()
+      // bucket-size headroom vs the maxBucket=256 caps (informational:
+      // the d03 oracle mirrors the cap, so parity no longer depends on
+      // staying under it — but the headroom says how much of the
+      // corpus the capped paths actually cover)
+      val maxSeg = segs.groupBy("seg_idx", "seg_val").count()
+        .agg(max("count")).head().getLong(0)
+      val maxBand = DedupOps.minhashBands(sig, "doc_id")
+        .groupBy("band_idx", "band_hash").count()
+        .agg(max("count")).head().getLong(0)
       println(s"SF=$sf exactPairs=${exact.count()} lshMissed=${missed.count()} " +
-        s"hammingDist[$hDist] ham<=3 pairs=${hpairs.count()} falsePos=$fp")
+        s"hammingDist[$hDist] ham<=3 pairs=${hpairs.count()} falsePos=$fp " +
+        s"maxSegBucket=$maxSeg maxBandBucket=$maxBand")
     }
     spark.stop()
   }

@@ -784,6 +784,25 @@ class OpsSpec extends AnyFunSuite {
     graft.io.FsOps.rm(spark, frag); graft.io.FsOps.rm(spark, out)
   }
 
+  test("Layout.compactPartitioned survives type-inference-hostile tokens") {
+    import graft.io.Layout
+    // zero-padded values: partition inference would re-type "007" as
+    // int 7 and the parts join would then drop the whole partition —
+    // the compaction must preserve directory tokens byte-for-byte
+    val frag = "/tmp/graft_test_pcompact_pad_in"
+    val out = "/tmp/graft_test_pcompact_pad_out"
+    val df = (0L until 900L).map(i => (i, f"${i % 3}%03d")).toDF("id", "g")
+    df.repartition(6).write.mode("overwrite").partitionBy("g").parquet(frag)
+    val (dirs, _) = Layout.compactPartitioned(spark, frag, out, Seq("g"),
+      targetBytes = 512L * 1024 * 1024)
+    assert(dirs == 3)
+    val outDirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(outDirs == Set("g=000", "g=001", "g=002"), outDirs.toString)
+    assert(spark.read.parquet(out).count() == 900)
+    graft.io.FsOps.rm(spark, frag); graft.io.FsOps.rm(spark, out)
+  }
+
   test("MergeOps aggState merge law: state(a) ++ state(b) == state(a ∪ b)") {
     val a = Seq(("x", 1.0), ("x", 2.0), ("y", 5.0)).toDF("k", "v")
     val b = Seq(("x", 10.0), ("z", -1.0)).toDF("k", "v")
