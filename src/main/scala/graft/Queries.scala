@@ -2601,6 +2601,57 @@ object Queries {
       WHERE strftime(o_orderdate, '%Y') = '1997'
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** q78 — the composed production fact layout
+    * (Bucketing.writePartitionedBucketed): orders PARTITIONED by month
+    * AND BUCKETED by orderkey, joined to bucketed lineitem through a
+    * month predicate. The two physical levers compose in one plan —
+    * the partition filter prunes 12 of 80 month directories at
+    * planning time, and within the surviving slice the join reads
+    * co-bucketed files with ZERO shuffle exchanges (OpsSpec asserts
+    * both properties on one executed plan). At 100 TB this is the
+    * canonical fact shape: "this year's orders ⋈ lineitem" reads 15%
+    * of the table and skips both shuffles. The `merge` hint keeps the
+    * scale plan at small sf (Catalyst would broadcast the pruned
+    * orders slice, hiding the bucket path the query grades).
+    */
+  private val q78 = Q(
+    "q78_partitioned_bucketed",
+    (s, d) => {
+      import s.implicits._
+      import graft.io.Bucketing
+      val pid = ProcessHandle.current().pid()
+      val oT = s"graft_pb_orders_$pid"
+      val lT = s"graft_pb_lineitem_$pid"
+      Bucketing.writePartitionedBucketed(
+        ord(s, d)
+          .withColumn("o_month", date_format($"o_orderdate", "yyyy-MM"))
+          .select($"o_orderkey", $"o_orderpriority", $"o_month"),
+        oT, Seq("o_month"), 16, "o_orderkey", Seq("o_orderkey"))
+      Bucketing.writeBucketed(
+        li(s, d).select($"l_orderkey", $"l_extendedprice", $"l_discount"),
+        lT, 16, "l_orderkey", Seq("l_orderkey"))
+      val res = Bucketing.table(s, oT)
+        .filter($"o_month".between("1996-01", "1996-12"))
+        .hint("merge")
+        .join(Bucketing.table(s, lT), $"o_orderkey" === $"l_orderkey")
+        .groupBy($"o_month")
+        .agg(count(lit(1)).as("n_items"),
+             round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+               .as("revenue"))
+        // pin eagerly so the pid-suffixed scratch tables drop before
+        // returning (q57's hygiene)
+        .localCheckpoint(true)
+      Bucketing.drop(s, oT)
+      Bucketing.drop(s, lT)
+      res.orderBy($"o_month")
+    },
+    Some("""
+      SELECT strftime(o_orderdate, '%Y-%m') AS o_month, count(*) AS n_items,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE strftime(o_orderdate, '%Y-%m') BETWEEN '1996-01' AND '1996-12'
+      GROUP BY 1 ORDER BY 1"""))
+
   /** q76 — snapshot diff (MergeOps.diffSnapshots): the changeset that
     * turns `old` into `next`, extracted from the two snapshots — the
     * inverse of q59's upsert. `next` is a deterministic refresh of
@@ -3449,7 +3500,7 @@ object Queries {
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
-    q74, q75, q76, q77,
+    q74, q75, q76, q77, q78,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, sm1, sm2, sm3, sm4, pk1, dc1, dc2, vd1,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, a01, a02, a03, a04, a05, m01, m02, m03, mr1,
     p01, st01, st02, st03, st04)

@@ -30,6 +30,30 @@ object Bucketing {
       .saveAsTable(table)
   }
 
+  /** The full production fact layout: Hive-PARTITIONED on a pruning
+    * key (date/source) AND BUCKETED on a join key — the two physical
+    * levers compose, they don't compete. A predicate on the partition
+    * column prunes whole directories at planning time; within the
+    * surviving partitions every file still belongs to one hash bucket
+    * of the join key, so a join against a same-bucketed table plans
+    * with zero shuffle exchanges over just the pruned slice. At 100 TB
+    * this is the canonical fact-table shape: "this quarter's orders ⋈
+    * lineitem" reads 1/8 of the table AND skips both shuffles.
+    * q78 grades the composition; OpsSpec asserts both plan properties
+    * at once (non-empty PartitionFilters, no Exchange under the join).
+    */
+  def writePartitionedBucketed(df: DataFrame, table: String,
+                               partitionCols: Seq[String], numBuckets: Int,
+                               bucketCol: String,
+                               sortCols: Seq[String] = Nil): Unit = {
+    require(partitionCols.nonEmpty, "writePartitionedBucketed: no partition columns")
+    val w = df.write.mode("overwrite").format("parquet")
+      .partitionBy(partitionCols: _*)
+      .bucketBy(numBuckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   /** Read a bucketed table back (the catalog carries the bucket spec —
     * a plain `read.parquet` of the files would lose it).
     */

@@ -40,4 +40,49 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS ord_bucketed")
     }
   }
+
+  test("partitioned+bucketed layout prunes partitions AND joins shuffle-free") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    spark.sql("DROP TABLE IF EXISTS fact_pb")
+    spark.sql("DROP TABLE IF EXISTS dim_b")
+    try {
+      // fact: 4 partitions x 4 buckets; other side bucketed the same
+      (0L until 2000L).map(i => (i, s"p${i % 4}", i % 7))
+        .toDF("k", "part", "v")
+        .write.partitionBy("part").bucketBy(4, "k").sortBy("k")
+        .mode("overwrite").saveAsTable("fact_pb")
+      (0L until 2000L).map(i => (i, i * 2)).toDF("k2", "w")
+        .write.bucketBy(4, "k2").sortBy("k2")
+        .mode("overwrite").saveAsTable("dim_b")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val q = spark.table("fact_pb").filter($"part" === "p1")
+          .join(spark.table("dim_b"), $"k" === $"k2")
+          .groupBy($"part").agg(count(lit(1)).as("n"))
+        q.collect() // finalize the adaptive plan
+        // AQE's toString appends an "== Initial Plan ==" section that
+        // repeats the tree; assert on the final plan only, or the
+        // join-subtree substring crosses into the repeated copy
+        val full = q.queryExecution.executedPlan.toString
+        val cut = full.indexOf("== Initial Plan ==")
+        val plan = if (cut >= 0) full.substring(0, cut) else full
+        // both physical levers visible in ONE executed plan: the month
+        // slice pruned at the scan, the join exchange-free off buckets
+        // (the aggregate above the join legitimately shuffles — scope
+        // the no-Exchange assert to the join subtree, q57's pattern)
+        assert(plan.contains("PartitionFilters: [isnotnull(part"),
+          s"expected partition pruning in the fact scan:\n$plan")
+        val joinIdx = plan.indexOf("SortMergeJoin")
+        assert(joinIdx >= 0, s"expected a SortMergeJoin:\n$plan")
+        assert(!plan.substring(joinIdx).contains("Exchange hashpartitioning"),
+          s"partitioned+bucketed join should not shuffle its inputs:\n$plan")
+        assert(q.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+          Seq(("p1", 500L)))
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS fact_pb")
+      spark.sql("DROP TABLE IF EXISTS dim_b")
+    }
+  }
 }
