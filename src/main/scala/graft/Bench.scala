@@ -16,7 +16,8 @@ object Bench {
     "q70_zorder_layout", "q72_compact", "q73_schema_evolution",
     "q74_partitioned_layout", "q75_dpp_join", "q78_partitioned_bucketed",
     "streaming_dedup_parity", "streaming_interval_parity",
-    "streaming_sessions_parity", "streaming_tumbling_parity")
+    "streaming_sessions_parity", "streaming_static_join_parity",
+    "streaming_tumbling_parity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

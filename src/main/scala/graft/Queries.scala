@@ -3494,6 +3494,45 @@ object Queries {
              event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** streaming_static_join_parity — the stream-static enrichment path
+    * (StreamingOps.staticEnrich), completing §2.9's join surface next
+    * to the stateful stream-stream interval join: events streamed from
+    * files, each micro-batch broadcast-joined to a static event-type
+    * dim, aggregated per tier in complete mode, graded against the
+    * equivalent batch SQL. Sums run in DECIMAL on both sides (q59's
+    * practice) so the micro-batch partial order can never flip a
+    * rounding boundary.
+    */
+  private val st05 = Q(
+    "streaming_static_join_parity",
+    (s, d) => {
+      import s.implicits._
+      import graft.streaming.StreamingOps
+      val batch = ev(s, d).select($"ts", $"event_type", $"value")
+      val stageDir = tmpDir(s, "stream_static_events")
+      batch.coalesce(1).write.mode("overwrite").parquet(stageDir)
+      val src = StreamingOps.eventsStream(s, stageDir, s.read.parquet(stageDir).schema)
+      val dim = ev(s, d).select($"event_type").distinct()
+        .withColumn("type_tier",
+          when(length($"event_type") >= 6, "long").otherwise("short"))
+      val enriched = StreamingOps.staticEnrich(src, dim, "event_type")
+        .groupBy($"type_tier")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum($"value".cast("decimal(18,6)")), 2).cast("double")
+            .as("sum_value"))
+      val sink = runParityStream(s, enriched, "stream_static", mode = "complete")
+      val out = s.table(sink).localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      out.orderBy($"type_tier")
+    },
+    Some("""
+      SELECT CASE WHEN len(event_type) >= 6 THEN 'long' ELSE 'short' END
+               AS type_tier,
+             count(*) AS cnt,
+             CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS sum_value
+      FROM events GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
@@ -3503,7 +3542,7 @@ object Queries {
     q74, q75, q76, q77, q78,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, sm1, sm2, sm3, sm4, pk1, dc1, dc2, vd1,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, a01, a02, a03, a04, a05, m01, m02, m03, mr1,
-    p01, st01, st02, st03, st04)
+    p01, st01, st02, st03, st04, st05)
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -193,6 +193,18 @@ object StreamingOps {
         col("purchase_value"))
   }
 
+  /** Stream-static enrichment join — the remaining §2.9 join path
+    * (distinct from the stateful stream-stream interval join): each
+    * micro-batch joins against a STATIC dimension, broadcast per
+    * batch. No watermark and no state store — the static side is
+    * re-resolvable at every trigger, which is exactly why this is the
+    * right shape for slowly-refreshed dims at scale (swap the dim
+    * files; the next batch sees the new version; no stream restart).
+    */
+  def staticEnrich(stream: DataFrame, dim: DataFrame,
+                   joinCol: String): DataFrame =
+    stream.join(broadcast(dim), Seq(joinCol))
+
   /** Tumbling-window counts with a watermark: the streaming twin of
     * q14_window_tumbling.
     */

@@ -89,6 +89,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static join enriches every batch row (state-less)") {
+    val dir = java.nio.file.Files.createTempDirectory("events_static")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/events.parquet"),
+      dir.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"$d/events.parquet").schema
+    val stream = StreamingOps.eventsStream(spark, dir.toString, schema)
+    val batch = graft.io.Tables.events(spark, d)
+    val dim = batch.select(col("event_type")).distinct()
+      .withColumn("tier", when(length(col("event_type")) >= 6, "long")
+        .otherwise("short"))
+    val joined = StreamingOps.staticEnrich(stream, dim, "event_type")
+      .groupBy(col("tier")).agg(count(lit(1)).as("cnt"))
+    val q = joined.writeStream.outputMode("complete")
+      .format("memory").queryName("stream_static_test").start()
+    try {
+      q.processAllAvailable()
+      // inner join against a total dim: every event lands in a tier
+      val got = spark.sql("SELECT sum(cnt) FROM stream_static_test")
+        .collect()(0).getLong(0)
+      assert(got == batch.count())
+      // and the per-tier split matches the batch join exactly
+      val streamed = spark.table("stream_static_test").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      val expect = batch.join(dim, "event_type").groupBy("tier").count()
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(streamed == expect)
+    } finally q.stop()
+  }
+
   test("streaming dedup emits each duplicated event exactly once") {
     import org.apache.spark.sql.functions._
     // the same file delivered twice = every event is a duplicate
