@@ -521,7 +521,15 @@ object Queries {
     */
   private val d02 = Q(
     "dedup_minhash",
-    (s, d) => DedupOps.minhashNearDup(docs(s, d), "text", "doc_id")
+    // maxBucket UNBOUNDED in the graded instance: band hashes are
+    // xxhash64 (not SQL-derivable), so unlike d03's segment cap the
+    // band cap cannot be mirrored in the oracle — grading the capped
+    // path would leave parity one mass-duplicated fixture regen from
+    // divergence. The guard's code path (the window count) still
+    // executes; the cap's dropping behavior is pinned by OpsSpec's
+    // 600-identical-doc fixture instead.
+    (s, d) => DedupOps.minhashNearDup(docs(s, d), "text", "doc_id",
+        maxBucket = Int.MaxValue)
       .select(col("doc_id"), col("is_dup"),
         when(col("is_dup"), col("max_jaccard")).as("dup_jaccard"))
       .orderBy(col("doc_id")),
@@ -2640,9 +2648,15 @@ object Queries {
         .hint("merge")
         .join(Bucketing.table(s, lT), $"o_orderkey" === $"l_orderkey")
         .groupBy($"o_orderpriority")
+        // exact-decimal revenue (q59/q71's practice): both inputs are
+        // 2-decimal doubles, so the decimal casts are exact and the
+        // product/sum never depend on partial-aggregation order —
+        // round(sum(double),2) could flip a .005 boundary per engine
         .agg(count(lit(1)).as("n_items"),
-             round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
-               .as("revenue"))
+             round(sum($"l_extendedprice".cast("decimal(18,2)") *
+                 (expr("CAST(1 AS DECIMAL(3,2))") -
+                  $"l_discount".cast("decimal(6,4)"))), 2)
+               .cast("double").as("revenue"))
         // pin eagerly so the pid-suffixed scratch tables drop before
         // returning (q57's hygiene)
         .localCheckpoint(true)
@@ -2652,7 +2666,10 @@ object Queries {
     },
     Some("""
       SELECT o_orderpriority, count(*) AS n_items,
-             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                            (CAST(1 AS DECIMAL(3,2))
+                             - CAST(l_discount AS DECIMAL(6,4)))), 2)
+                  AS DOUBLE) AS revenue
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       WHERE strftime(o_orderdate, '%Y') = '1996'
       GROUP BY 1 ORDER BY 1"""))

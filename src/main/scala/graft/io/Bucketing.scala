@@ -39,8 +39,9 @@ object Bucketing {
     * with zero shuffle exchanges over just the pruned slice. At 100 TB
     * this is the canonical fact-table shape: "this quarter's orders ⋈
     * lineitem" reads 1/8 of the table AND skips both shuffles.
-    * q78 grades the composition; OpsSpec asserts both plan properties
-    * at once (non-empty PartitionFilters, no Exchange under the join).
+    * q78 grades the composition; BucketingSpec asserts both plan
+    * properties at once (non-empty PartitionFilters, no Exchange
+    * under the join).
     */
   def writePartitionedBucketed(df: DataFrame, table: String,
                                partitionCols: Seq[String], numBuckets: Int,

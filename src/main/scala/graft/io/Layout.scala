@@ -201,7 +201,28 @@ object Layout {
         bytesByDir(rel) = bytesByDir.getOrElse(rel, 0L) + f.getLen
       }
     }
-    // "month=1996-01/status=O" → partition values (URL-decoded, Hive's
+    // Hive-style %XX unescape ONLY — java.net.URLDecoder also maps '+'
+    // to space, which Spark's path escaping never produces, so a
+    // literal '+' in a partition value would decode differently from
+    // the read-back column and the parts join would drop the whole
+    // partition (and a lone '%' would throw). Mirror of Spark's
+    // unescapePathName semantics.
+    def unescapePath(s: String): String = {
+      val sb = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 2 < s.length &&
+            Character.digit(s.charAt(i + 1), 16) >= 0 &&
+            Character.digit(s.charAt(i + 2), 16) >= 0) {
+          sb.append(((Character.digit(s.charAt(i + 1), 16) << 4) +
+            Character.digit(s.charAt(i + 2), 16)).toChar)
+          i += 3
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+    // "month=1996-01/status=O" → partition values (unescaped, Hive's
     // null sentinel mapped back to null), paired with its file budget
     def partValues(rel: String): Seq[String] = {
       val segs = rel.split('/').toSeq.filter(_.nonEmpty)
@@ -209,7 +230,7 @@ object Layout {
           .forall { case (seg, c) => seg.startsWith(c + "=") },
         s"compactPartitioned: '$rel' does not match partition columns $partitionCols")
       segs.map { seg =>
-        val v = java.net.URLDecoder.decode(seg.substring(seg.indexOf('=') + 1), "UTF-8")
+        val v = unescapePath(seg.substring(seg.indexOf('=') + 1))
         if (v == "__HIVE_DEFAULT_PARTITION__") null else v
       }
     }

@@ -70,11 +70,14 @@ object BpeOps {
     // gate on BYTES as well as rows: 4M word types is fine, but only
     // if the reps fit the driver — a row-count-only gate would collect
     // multi-GB vocabularies (long words × 3x separator wrapping) and
-    // OOM instead of falling back to the distributed loop
-    val gate = vocab.agg(count(lit(1)), sum(length(col("rep")))).head()
-    val (vocabRows, vocabChars) =
+    // OOM instead of falling back to the distributed loop. octet_length
+    // (UTF-8 bytes), not length (chars): a CJK vocab is ~3 bytes/char.
+    // The 128 MB cap budgets the collect-side expansion (per-symbol
+    // String objects in trainInMemory cost ~10x the raw bytes).
+    val gate = vocab.agg(count(lit(1)), sum(octet_length(col("rep")))).head()
+    val (vocabRows, vocabBytes) =
       (gate.getLong(0), if (gate.isNullAt(1)) 0L else gate.getLong(1))
-    if (vocabRows <= maxInMemoryVocab && vocabChars <= 256L * 1024 * 1024) {
+    if (vocabRows <= maxInMemoryVocab && vocabBytes <= 128L * 1024 * 1024) {
       import spark.implicits._
       val collected = vocab.collect().map { r =>
         val rep = r.getString(0)

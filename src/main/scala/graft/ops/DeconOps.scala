@@ -74,8 +74,8 @@ object DeconOps {
     * cardinality in production. The default (-1) counts the benchmark
     * side — a bounded job over the SMALL side only, run once at plan
     * construction (same documented trade-off as SimOps.detectDim).
-    */
-  /** Output contract: ONE ROW PER DISTINCT `idCol` (the final
+    *
+    * Output contract: ONE ROW PER DISTINCT `idCol` (the final
     * aggregate groups on it) — duplicate ids pool their grams into a
     * single row. Feed deduplicated documents; an upstream id collision
     * here is data corruption this op does not try to repair.

@@ -60,7 +60,7 @@ class BucketingSpec extends AnyFunSuite {
         val q = spark.table("fact_pb").filter($"part" === "p1")
           .join(spark.table("dim_b"), $"k" === $"k2")
           .groupBy($"part").agg(count(lit(1)).as("n"))
-        q.collect() // finalize the adaptive plan
+        val rows = q.collect() // finalize the adaptive plan (and keep the result)
         // AQE's toString appends an "== Initial Plan ==" section that
         // repeats the tree; assert on the final plan only, or the
         // join-subtree substring crosses into the repeated copy
@@ -77,7 +77,7 @@ class BucketingSpec extends AnyFunSuite {
         assert(joinIdx >= 0, s"expected a SortMergeJoin:\n$plan")
         assert(!plan.substring(joinIdx).contains("Exchange hashpartitioning"),
           s"partitioned+bucketed join should not shuffle its inputs:\n$plan")
-        assert(q.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
           Seq(("p1", 500L)))
       } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     } finally {

@@ -745,11 +745,11 @@ class OpsSpec extends AnyFunSuite {
     val q = spark.read.parquet(dir)
       .join(broadcast(dim.filter($"tier" === "hot")), $"day" === $"day_key")
       .groupBy($"day").agg(count(lit(1)).as("n"))
-    q.collect() // finalize the adaptive plan before inspecting it
+    val rows = q.collect() // finalize the adaptive plan before inspecting it
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.toLowerCase.contains("dynamicpruning"),
       s"expected a dynamicpruningexpression in the fact scan:\n$plan")
-    assert(q.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSet ==
       Set(("d0", 500L), ("d1", 500L)))
     graft.io.FsOps.rm(spark, dir); graft.io.FsOps.rm(spark, dimDir)
   }
