@@ -981,6 +981,42 @@ object Queries {
       QUALIFY rank <= 5
       ORDER BY rank"""))
 
+  /** q79 — quantile winsorization (LibOps.winsorize): events.value
+    * clipped at its global [p05, p95], summarized per event type —
+    * rows never shuffle; the corpus reduces to a 2-value cut row that
+    * broadcasts back. Oracle mirrors with quantile_cont (the
+    * q24/q67-established exact-percentile parity); the clipped sum
+    * runs in DECIMAL (cast, not round — cast operates on the exact
+    * binary value in both engines) so partial order can't flip it.
+    * The sf0.1 p05 cut lands exactly ON a repeated data value (19
+    * rows) — safe because both engines compute the SAME cut double and
+    * `v < lo` is false for v == lo on both sides.
+    */
+  private val q79 = Q(
+    "q79_winsorize",
+    (s, d) => {
+      import s.implicits._
+      LibOps.winsorize(ev(s, d), "value")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"was_clipped", 1L).otherwise(0L)).as("n_clipped"),
+          sum($"clipped".cast("decimal(18,6)")).cast("double")
+            .as("sum_clipped"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      WITH c AS (
+        SELECT quantile_cont(value, 0.05) AS lo,
+               quantile_cont(value, 0.95) AS hi
+        FROM events)
+      SELECT event_type, count(*) AS n,
+             CAST(count(*) FILTER (value < lo OR value > hi) AS BIGINT)
+               AS n_clipped,
+             CAST(sum(CAST(least(greatest(value, lo), hi)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS sum_clipped
+      FROM events CROSS JOIN c
+      GROUP BY event_type ORDER BY event_type"""))
+
   /** validate_orders — declarative data-quality gate: four row-level
     * constraints over orders evaluated in ONE scan (a single
     * partial-aggregated pass; N constraints = one table read), reported
@@ -3561,7 +3597,7 @@ object Queries {
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
-    q74, q75, q76, q77, q78,
+    q74, q75, q76, q77, q78, q79,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, sm1, sm2, sm3, sm4, pk1, dc1, dc2, vd1,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, a01, a02, a03, a04, a05, m01, m02, m03, mr1,
     p01, st01, st02, st03, st04, st05)

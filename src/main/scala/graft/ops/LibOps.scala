@@ -201,6 +201,36 @@ object LibOps {
       .drop("__v", "__pr")
   }
 
+  /** Quantile winsorization — clip a value column at its [pLo, pHi]
+    * empirical quantiles (the robust-outliers sibling every feature/
+    * score pipeline runs before normalization: heavy tails saturate
+    * instead of dominating). Appends `lo`/`hi` (the cuts), `clipped`,
+    * and `was_clipped`.
+    *
+    * Scale shape: ONE exact-percentile aggregate reduces the corpus to
+    * a 2-value cut row (broadcast back); the clamp is a row-local
+    * projection. Rows never shuffle. Exact percentile buffers the
+    * column per group — one global group here, the q24/q67-audited
+    * path; at extreme cardinality swap in approx_percentile and keep
+    * the same clamp.
+    */
+  def winsorize(df: DataFrame, value: String, pLo: Double = 0.05,
+                pHi: Double = 0.95): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi,
+      s"winsorize: need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    Seq("lo", "hi", "clipped", "was_clipped").foreach(c =>
+      require(!df.columns.contains(c),
+        s"winsorize: input already has a $c column"))
+    val v = col(value).cast("double")
+    val cuts = df.agg(
+      expr(s"percentile(`$value`, $pLo)").as("lo"),
+      expr(s"percentile(`$value`, $pHi)").as("hi"))
+    df.crossJoin(broadcast(cuts))
+      .withColumn("clipped", least(greatest(v, col("lo")), col("hi")))
+      .withColumn("was_clipped",
+        coalesce(v < col("lo") || v > col("hi"), lit(false)))
+  }
+
   /** Key-skew report — the shuffle-planning diagnostic every 100 TB
     * join/aggregate decision starts from: per-key row counts reduced
     * to the `topK` heaviest keys with their share of the table and

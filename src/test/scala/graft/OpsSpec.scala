@@ -888,6 +888,19 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == expect)
   }
 
+  test("LibOps.winsorize clips at the exact empirical quantiles") {
+    val df = (1 to 20).map(_.toDouble).toDF("v")
+    val got = LibOps.winsorize(df, "v", 0.1, 0.9)
+      .select("v", "clipped", "was_clipped").orderBy("v").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getBoolean(2)))
+    // exact percentile with interpolation: p10 of 1..20 = 2.9, p90 = 18.1
+    assert(got.count(_._3) == 4)
+    assert(got.filter(_._1 <= 2).forall(_._2 == 2.9))
+    assert(got.filter(_._1 >= 19).forall(_._2 == 18.1))
+    // inliers pass through untouched
+    assert(got.filter(g => g._1 >= 3 && g._1 <= 18).forall(g => g._2 == g._1 && !g._3))
+  }
+
   test("LibOps.skewReport surfaces hot keys with exact shares") {
     val df = (Seq.fill(60)("hot") ++ Seq.fill(30)("warm") ++ Seq.fill(10)("cold"))
       .zipWithIndex.map { case (k, i) => (k, i) }.toDF("k", "v")
