@@ -226,7 +226,11 @@ object LibOps {
       expr(s"percentile(`$value`, $pLo)").as("lo"),
       expr(s"percentile(`$value`, $pHi)").as("hi"))
     df.crossJoin(broadcast(cuts))
-      .withColumn("clipped", least(greatest(v, col("lo")), col("hi")))
+      // NULL stays NULL: Spark's least/greatest SKIP nulls, so an
+      // unguarded clamp would fabricate p05-valued data for missing
+      // rows (greatest(NULL, lo) = lo)
+      .withColumn("clipped",
+        when(v.isNotNull, least(greatest(v, col("lo")), col("hi"))))
       .withColumn("was_clipped",
         coalesce(v < col("lo") || v > col("hi"), lit(false)))
   }

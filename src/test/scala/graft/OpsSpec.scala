@@ -899,6 +899,12 @@ class OpsSpec extends AnyFunSuite {
     assert(got.filter(_._1 >= 19).forall(_._2 == 18.1))
     // inliers pass through untouched
     assert(got.filter(g => g._1 >= 3 && g._1 <= 18).forall(g => g._2 == g._1 && !g._3))
+    // NULL stays NULL and unflagged — never fabricated into the cut
+    val withNull = (Seq[Option[Double]](None) ++ (1 to 20).map(i => Some(i.toDouble)))
+      .toDF("v")
+    val nullRow = LibOps.winsorize(withNull, "v", 0.1, 0.9)
+      .filter($"v".isNull).select("clipped", "was_clipped").collect()(0)
+    assert(nullRow.isNullAt(0) && !nullRow.getBoolean(1))
   }
 
   test("LibOps.skewReport surfaces hot keys with exact shares") {
