@@ -15,6 +15,7 @@ object Bench {
     "q57_bucketed_join", "q58_sorted_layout", "q63_text_roundtrip",
     "q70_zorder_layout", "q72_compact", "q73_schema_evolution",
     "q74_partitioned_layout", "q75_dpp_join", "q78_partitioned_bucketed",
+    "q80_compact_partitioned",
     "streaming_dedup_parity", "streaming_interval_parity",
     "streaming_sessions_parity", "streaming_static_join_parity",
     "streaming_tumbling_parity")

@@ -981,6 +981,38 @@ object Queries {
       QUALIFY rank <= 5
       ORDER BY rank"""))
 
+  /** q80 — partition-aware compaction (Layout.compactPartitioned):
+    * documents written partitioned by lang, fragmented into ~12 files
+    * per partition, compacted back toward the byte budget WITHIN each
+    * `lang=` directory — the layout-preserving sibling of q72 (plain
+    * compact would flatten the partitioning and throw away pruning).
+    * Compaction is content-neutral by contract, so the oracle is the
+    * plain aggregate over the original table; the read-back filter
+    * exercises partition pruning over the compacted layout, and
+    * OpsSpec separately proves per-directory file collapse, the
+    * preserved null sentinel, and token-exact round-tripping.
+    */
+  private val q80 = Q(
+    "q80_compact_partitioned",
+    (s, d) => {
+      import s.implicits._
+      import graft.io.Layout
+      val frag = tmpDir(s, "q80_frag")
+      val compacted = tmpDir(s, "q80_compacted")
+      docs(s, d).repartition(12)
+        .write.mode("overwrite").partitionBy("lang").parquet(frag)
+      Layout.compactPartitioned(s, frag, compacted, Seq("lang"),
+        targetBytes = 8L * 1024 * 1024)
+      s.read.parquet(compacted)
+        .filter($"lang" =!= "zz") // partition predicate over the new layout
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+        .orderBy($"lang")
+    },
+    Some("""
+      SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM documents WHERE lang <> 'zz' GROUP BY lang ORDER BY lang"""))
+
   /** q79 — quantile winsorization (LibOps.winsorize): events.value
     * clipped at its global [p05, p95], summarized per event type —
     * rows never shuffle; the corpus reduces to a 2-value cut row that
@@ -3597,7 +3629,7 @@ object Queries {
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
-    q74, q75, q76, q77, q78, q79,
+    q74, q75, q76, q77, q78, q79, q80,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, sm1, sm2, sm3, sm4, pk1, dc1, dc2, vd1,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, a01, a02, a03, a04, a05, m01, m02, m03, mr1,
     p01, st01, st02, st03, st04, st05)
