@@ -1044,8 +1044,10 @@ object Queries {
       SELECT event_type, count(*) AS n,
              CAST(count(*) FILTER (value < lo OR value > hi) AS BIGINT)
                AS n_clipped,
-             CAST(sum(CAST(least(greatest(value, lo), hi)
-                           AS DECIMAL(18,6))) AS DOUBLE) AS sum_clipped
+             CAST(sum(CASE WHEN value IS NOT NULL
+                           THEN CAST(least(greatest(value, lo), hi)
+                                     AS DECIMAL(18,6)) END)
+                  AS DOUBLE) AS sum_clipped
       FROM events CROSS JOIN c
       GROUP BY event_type ORDER BY event_type"""))
 
@@ -2624,13 +2626,17 @@ object Queries {
         .filter($"o_month".between("1996-01", "1996-12") &&
           $"o_orderstatus" === "O")
         .groupBy($"o_month")
+        // exact-decimal sum (q59/q71/q78 practice): 2-decimal prices
+        // cast exactly, so partial order can't flip a .005 boundary
         .agg(count(lit(1)).as("n_orders"),
-             round(sum($"o_totalprice"), 2).as("sum_price"))
+             sum($"o_totalprice".cast("decimal(18,2)")).cast("double")
+               .as("sum_price"))
         .orderBy($"o_month")
     },
     Some("""
       SELECT strftime(o_orderdate, '%Y-%m') AS o_month, count(*) AS n_orders,
-             round(sum(o_totalprice), 2) AS sum_price
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
       FROM orders
       WHERE strftime(o_orderdate, '%Y-%m') BETWEEN '1996-01' AND '1996-12'
         AND o_orderstatus = 'O'
@@ -2667,12 +2673,15 @@ object Queries {
           fact("o_month") === dim("m"))
         .groupBy($"o_month", $"o_orderstatus")
         .agg(count(lit(1)).as("n_orders"),
-             round(sum($"o_totalprice"), 2).as("sum_price"))
+             sum($"o_totalprice".cast("decimal(18,2)")).cast("double")
+               .as("sum_price"))
         .orderBy($"o_month", $"o_orderstatus")
     },
     Some("""
       SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_orderstatus,
-             count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+             count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
       FROM orders
       WHERE strftime(o_orderdate, '%Y') = '1997'
       GROUP BY 1, 2 ORDER BY 1, 2"""))

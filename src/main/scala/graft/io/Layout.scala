@@ -19,10 +19,21 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 object Layout {
 
   /** A parquet data file (not a _SUCCESS marker, checksum, or
-    * partition subdirectory name) — shared by every listing here.
+    * partition subdirectory name) — used where the file must actually
+    * BE parquet (footer reads).
     */
   private def isDataFile(name: String): Boolean =
     name.endsWith(".parquet") || name.startsWith("part-")
+
+  /** Any visible (non-hidden) file — Spark's own data-file convention
+    * for listings: only `_`-prefixed (markers) and `.`-prefixed
+    * (checksums) names are metadata. The byte-counting listings use
+    * THIS, not [[isDataFile]]: a Hive-written layout names data files
+    * `000000_0`, and a suffix-based filter would count 0 bytes for the
+    * whole directory and silently drop it from a compaction.
+    */
+  private def isVisibleFile(name: String): Boolean =
+    !name.startsWith("_") && !name.startsWith(".")
 
   /** Write `df` range-partitioned into `numParts` files and sorted by
     * `sortCols` within each — globally range-clustered parquet.
@@ -45,17 +56,31 @@ object Layout {
     * a 1% listing.
     *
     * The `repartition` on the partition columns co-locates each
-    * partition's rows in one task, so every `key=value` directory gets
-    * ONE file per task that holds its rows instead of one file per
-    * (task × partition) — an unrepartitioned `partitionBy` write of a
-    * T-task DataFrame over P partitions emits up to T×P small files,
-    * the exact fragmentation [[compactPartitioned]] exists to undo.
+    * partition's rows, so every `key=value` directory gets
+    * `filesPerPartition` files instead of one per (task × partition) —
+    * an unrepartitioned `partitionBy` write of a T-task DataFrame over
+    * P partitions emits up to T×P small files, the exact fragmentation
+    * [[compactPartitioned]] exists to undo. The default of 1 file per
+    * partition funnels each partition through one task: right for
+    * date-grained partitions of moderate size, a straggler for a hot
+    * partition (one task writes lang=en's 60% of the corpus) — raise
+    * `filesPerPartition` there and the salt spreads each partition
+    * over that many tasks/files.
     */
   def writePartitioned(df: DataFrame, path: String,
-                       partitionCols: Seq[String]): Unit = {
+                       partitionCols: Seq[String],
+                       filesPerPartition: Int = 1): Unit = {
     require(partitionCols.nonEmpty, "writePartitioned: no partition columns")
-    df.repartition(partitionCols.map(df(_)): _*)
-      .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+    require(filesPerPartition > 0,
+      s"writePartitioned: filesPerPartition=$filesPerPartition")
+    import org.apache.spark.sql.functions._
+    val parted =
+      if (filesPerPartition == 1) df.repartition(partitionCols.map(df(_)): _*)
+      else df.repartition(
+        partitionCols.map(df(_)) :+
+          pmod(xxhash64(monotonically_increasing_id()),
+            lit(filesPerPartition.toLong)): _*)
+    parted.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
   }
 
   /** Z-order (Morton) layout — multi-dimensional data skipping, the
@@ -157,7 +182,7 @@ object Layout {
     var total = 0L
     while (it.hasNext) {
       val f = it.next()
-      if (isDataFile(f.getPath.getName)) total += f.getLen
+      if (isVisibleFile(f.getPath.getName)) total += f.getLen
     }
     val parts = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
     spark.read.parquet(inPath)
@@ -196,41 +221,28 @@ object Layout {
     val bytesByDir = scala.collection.mutable.Map.empty[String, Long]
     while (it.hasNext) {
       val f = it.next()
-      if (isDataFile(f.getPath.getName)) {
+      if (isVisibleFile(f.getPath.getName)) {
         val rel = f.getPath.getParent.toString.stripPrefix(rootUri).stripPrefix("/")
         bytesByDir(rel) = bytesByDir.getOrElse(rel, 0L) + f.getLen
       }
     }
-    // Hive-style %XX unescape ONLY — java.net.URLDecoder also maps '+'
-    // to space, which Spark's path escaping never produces, so a
-    // literal '+' in a partition value would decode differently from
-    // the read-back column and the parts join would drop the whole
-    // partition (and a lone '%' would throw). Mirror of Spark's
-    // unescapePathName semantics.
-    def unescapePath(s: String): String = {
-      val sb = new StringBuilder(s.length)
-      var i = 0
-      while (i < s.length) {
-        val c = s.charAt(i)
-        if (c == '%' && i + 2 < s.length &&
-            Character.digit(s.charAt(i + 1), 16) >= 0 &&
-            Character.digit(s.charAt(i + 2), 16) >= 0) {
-          sb.append(((Character.digit(s.charAt(i + 1), 16) << 4) +
-            Character.digit(s.charAt(i + 2), 16)).toChar)
-          i += 3
-        } else { sb.append(c); i += 1 }
-      }
-      sb.toString
-    }
-    // "month=1996-01/status=O" → partition values (unescaped, Hive's
-    // null sentinel mapped back to null), paired with its file budget
+    require(bytesByDir.nonEmpty,
+      s"compactPartitioned: no visible data files under $inPath")
+    // "month=1996-01/status=O" → partition values, unescaped with
+    // SPARK'S OWN path unescaper (not java.net.URLDecoder, which maps
+    // a literal '+' to space — a byte Spark's escaping never produces,
+    // so the parts join would silently drop that partition); Hive's
+    // null sentinel maps back to null. Delegating to catalyst keeps
+    // the listing-side parse in lockstep with whatever Spark's
+    // read-back does, across Spark upgrades.
     def partValues(rel: String): Seq[String] = {
       val segs = rel.split('/').toSeq.filter(_.nonEmpty)
       require(segs.size == partitionCols.size && segs.zip(partitionCols)
           .forall { case (seg, c) => seg.startsWith(c + "=") },
         s"compactPartitioned: '$rel' does not match partition columns $partitionCols")
       segs.map { seg =>
-        val v = unescapePath(seg.substring(seg.indexOf('=') + 1))
+        val v = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(seg.substring(seg.indexOf('=') + 1))
         if (v == "__HIVE_DEFAULT_PARTITION__") null else v
       }
     }
@@ -260,7 +272,6 @@ object Layout {
     val df =
       try { spark.conf.set(inferKey, "false"); spark.read.parquet(inPath) }
       finally spark.conf.set(inferKey, prevInfer)
-    val dataCols = df.columns.filterNot(partitionCols.contains).toSeq
     // internal-name guard (the percentileRank/__z pattern): a table
     // column named like the parts-map/salt helpers would make the
     // join ambiguous or be silently dropped
@@ -273,8 +284,12 @@ object Layout {
       df(c).cast("string") <=> col(s"__pc_$c")).reduce(_ && _)
     val totalParts = partsRows.map(_.getInt(partitionCols.size)).sum
     df.join(broadcast(partsDf), joinCond)
+      // salt on a per-row id, NOT a content hash: a partition of
+      // mass-duplicated rows (this codebase's core workload) would
+      // content-hash to ONE salt and defeat the split entirely; file
+      // assignment needs no cross-run stability, only spread
       .withColumn("__salt",
-        pmod(xxhash64(dataCols.map(col): _*), col("__parts").cast("long")))
+        pmod(xxhash64(monotonically_increasing_id()), col("__parts").cast("long")))
       .repartition(math.max(totalParts, spark.sparkContext.defaultParallelism),
         partitionCols.map(col) :+ col("__salt"): _*)
       .drop((partsSchema.map(_.name) :+ "__salt"): _*)
