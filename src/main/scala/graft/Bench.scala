@@ -54,11 +54,32 @@ object Bench {
       try fn catch { case _: Throwable => }
       (System.nanoTime() - t0) / 1e9
     }
+    // State hygiene between timed runs. Several operators pin blocks
+    // with eager localCheckpoint(true) (distinct-value cums, BPE merge
+    // tables, capstone staging) and never unpersist — correct inside
+    // one query (the caller may still consume the checkpointed frame),
+    // but across 124 queries x 2 runs in one 8 GiB JVM the pinned
+    // blocks accumulate until late-alphabet queries run against a
+    // heap-pressured executor (round 4: read-family "warm" measured
+    // SLOWER than cold; text_bm25 39 s in-session vs 1.65 s isolated).
+    // Each bench invocation builds a fresh DataFrame, so dropping every
+    // persisted RDD + cached relation after the count() materializes is
+    // safe and makes each timed run see the same clean session.
+    def hygiene(): Unit = {
+      try {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.valuesIterator
+          .foreach(_.unpersist(blocking = true))
+      } catch { case _: Throwable => }
+      System.gc()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.forall(_.contains(q._1)))
       .map { case (name, fn) =>
         val cold = time(fn(spark, sfDir).count())
+        hygiene()
         val warm = time(fn(spark, sfDir).count())
+        hygiene()
         (name, cold, warm)
       }
     def json(sel: ((String, Double, Double)) => (String, Double)): String =
@@ -69,12 +90,18 @@ object Bench {
     val (w, r) = results.partition(x => writePath.contains(x._1))
     val fam = s""""families":{"read":{"n":${r.size},"cold":${r.map(_._2).sum},"warm":${r.map(_._3).sum}},""" +
       s""""write":{"n":${w.size},"cold":${w.map(_._2).sum},"warm":${w.map(_._3).sum}}}"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(x => (x._1, x._2))},"total_warm":$totalWarm,"queries_warm":${json(x => (x._1, x._3))},$fam,"sf":"$sfDir"}"""
+    // Subset runs (local iteration) are tagged so their partial totals
+    // can never be mistaken for a full-suite artifact, and they do NOT
+    // overwrite BENCH_LOCAL.json — only the driver-shape full run pins
+    // the file a later reader would quote.
+    val subsetTag = only.map(s => s""""subset":${s.size},""").getOrElse("")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec",$subsetTag"queries":${json(x => (x._1, x._2))},"total_warm":$totalWarm,"queries_warm":${json(x => (x._1, x._3))},$fam,"sf":"$sfDir"}"""
     println(line)
     // belt-and-suspenders: the same line as a file, in case a harness
     // parses logs that interleave or prefix stdout
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line)
-    catch { case _: Throwable => }
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line)
+      catch { case _: Throwable => }
     spark.stop()
   }
 }

@@ -2599,16 +2599,21 @@ object Queries {
       FROM documents GROUP BY lang ORDER BY lang"""))
 
   /** q74 — Hive-partitioned layout + partition-pruned read
-    * (Layout.writePartitioned): orders written partitioned by
-    * (month, status), read back through predicates on BOTH partition
-    * columns. The scan's `PartitionFilters` prune non-matching
-    * `key=value` directories at planning time — zero data files opened
-    * outside 1996/'O' (OpsSpec asserts selected files < total files;
-    * PLANS.md shows the non-empty PartitionFilters). The oracle proves
-    * the layout is lossless: same aggregate over the unpartitioned
-    * original. At 100 TB this is THE first-line layout lever — a
-    * date-partitioned corpus answers "last month" from a directory
-    * listing, not a scan.
+    * (Layout.writePartitioned): orders written partitioned by month
+    * ONLY (~80 directories at sf0.1), read back through a month range
+    * (pruned at planning time via `PartitionFilters` — zero data files
+    * opened outside 1996; OpsSpec asserts selected files < total
+    * files; PLANS.md shows the non-empty PartitionFilters) plus a
+    * status predicate that stays a pushed DATA filter. Round 4
+    * partitioned by month×status (~240 dirs) — violating q78's own
+    * file-count lesson (partition keys multiply directories; pick the
+    * coarsest key real predicates range over). Month is that key:
+    * date ranges prune directories; a 3-value status column earns 3×
+    * the files for a predicate parquet row-group stats already serve.
+    * The oracle proves the layout is lossless: same aggregate over the
+    * unpartitioned original. At 100 TB this is THE first-line layout
+    * lever — a date-partitioned corpus answers "last month" from a
+    * directory listing, not a scan.
     */
   private val q74 = Q(
     "q74_partitioned_layout",
@@ -2621,7 +2626,7 @@ object Queries {
           .withColumn("o_month", date_format($"o_orderdate", "yyyy-MM"))
           .select($"o_orderkey", $"o_custkey", $"o_totalprice",
             $"o_month", $"o_orderstatus"),
-        tmp, Seq("o_month", "o_orderstatus"))
+        tmp, Seq("o_month"))
       s.read.parquet(tmp)
         .filter($"o_month".between("1996-01", "1996-12") &&
           $"o_orderstatus" === "O")
@@ -2809,12 +2814,18 @@ object Queries {
     * via MergeOps.upsert (ONE union shuffle + per-key window, no
     * join), then aggregated per status. Update/delete key sets are
     * disjoint by construction so the merge needs no version column.
+    *
+    * Orders is STAGED ONCE (eager localCheckpoint, the capstone
+    * pattern): base + the three changeset branches all derive from the
+    * staged frame, so the executed plan has ZERO orders FileScans
+    * after the one staging scan — without staging each branch re-reads
+    * the parquet (4 scans; at 100 TB that is 4 passes over the fact).
     */
   private val q59 = Q(
     "q59_merge_upsert",
     (s, d) => {
       import s.implicits._
-      val o = ord(s, d)
+      val o = ord(s, d).localCheckpoint(true)
       val upd = o.filter($"o_orderkey" % 10 === 0 && $"o_orderkey" % 7 =!= 0)
         // reprice in DECIMAL: round(double * 1.1, 2) is engine-
         // dependent (Spark rounds the shortest decimal repr, DuckDB

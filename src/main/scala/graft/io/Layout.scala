@@ -73,13 +73,28 @@ object Layout {
     require(partitionCols.nonEmpty, "writePartitioned: no partition columns")
     require(filesPerPartition > 0,
       s"writePartitioned: filesPerPartition=$filesPerPartition")
+    require(!df.columns.contains("__salt"),
+      "writePartitioned: table column __salt collides with an internal name")
     import org.apache.spark.sql.functions._
     val parted =
       if (filesPerPartition == 1) df.repartition(partitionCols.map(df(_)): _*)
-      else df.repartition(
-        partitionCols.map(df(_)) :+
+      // Salt on a per-row id, NOT a content hash: a hot partition of
+      // mass-duplicated rows would content-hash to ONE salt and defeat
+      // the split. The id is positional, so a shuffle-fetch-failure
+      // retry could re-salt recomputed rows differently and duplicate/
+      // drop rows in the written output (the SPARK-23207 hazard that
+      // makes round-robin repartition sort first) — so the salted
+      // frame is MATERIALIZED (eager localCheckpoint) before the
+      // repartition: downstream retries re-read frozen blocks, never
+      // re-derive salts. Lost-executor recovery degrades to a loud job
+      // failure (localCheckpoint's documented trade) — never silent
+      // corruption. Only the filesPerPartition > 1 path pays this.
+      else df.withColumn("__salt",
           pmod(xxhash64(monotonically_increasing_id()),
-            lit(filesPerPartition.toLong)): _*)
+            lit(filesPerPartition.toLong)))
+        .localCheckpoint(true)
+        .repartition(partitionCols.map(col) :+ col("__salt"): _*)
+        .drop("__salt")
     parted.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
   }
 
@@ -275,7 +290,8 @@ object Layout {
     // internal-name guard (the percentileRank/__z pattern): a table
     // column named like the parts-map/salt helpers would make the
     // join ambiguous or be silently dropped
-    (partitionCols.map(c => s"__pc_$c") ++ Seq("__parts", "__salt")).foreach(c =>
+    (partitionCols.map(c => s"__pc_$c") ++
+        Seq("__parts", "__salt", "__salt_src")).foreach(c =>
       require(!df.columns.contains(c),
         s"compactPartitioned: table column $c collides with an internal name"))
     // null-safe string match: the read-back partition value round-trips
@@ -283,16 +299,24 @@ object Layout {
     val joinCond = partitionCols.map(c =>
       df(c).cast("string") <=> col(s"__pc_$c")).reduce(_ && _)
     val totalParts = partsRows.map(_.getInt(partitionCols.size)).sum
-    df.join(broadcast(partsDf), joinCond)
-      // salt on a per-row id, NOT a content hash: a partition of
-      // mass-duplicated rows (this codebase's core workload) would
-      // content-hash to ONE salt and defeat the split entirely; file
-      // assignment needs no cross-run stability, only spread
-      .withColumn("__salt",
-        pmod(xxhash64(monotonically_increasing_id()), col("__parts").cast("long")))
+    df
+      // salt on (source file, row index) from the parquet _metadata
+      // column, NOT a content hash and NOT a positional id: a
+      // partition of mass-duplicated rows (this codebase's core
+      // workload) would content-hash to ONE salt and defeat the split,
+      // while monotonically_increasing_id is positional — a shuffle-
+      // fetch-failure retry that recomputes the map side could re-salt
+      // rows differently and duplicate/drop rows in the written output
+      // (the SPARK-23207 hazard). (file, row_index) is a stable row
+      // identity: deterministic across retries AND across split
+      // re-planning, and distinct for every physical row.
+      .withColumn("__salt_src",
+        xxhash64(col("_metadata.file_path"), col("_metadata.row_index")))
+      .join(broadcast(partsDf), joinCond)
+      .withColumn("__salt", pmod(col("__salt_src"), col("__parts").cast("long")))
       .repartition(math.max(totalParts, spark.sparkContext.defaultParallelism),
         partitionCols.map(col) :+ col("__salt"): _*)
-      .drop((partsSchema.map(_.name) :+ "__salt"): _*)
+      .drop((partsSchema.map(_.name) :+ "__salt" :+ "__salt_src"): _*)
       .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(outPath)
     (bytesByDir.size, totalParts)
   }

@@ -141,9 +141,12 @@ object SampleOps {
     * RUNNING token total stays within `budget` — the data-mixing
     * primitive ("best N billion tokens of this source") that turns a
     * quality score into a corpus slice of a target size. Greedy by
-    * score, ties broken by `idCol`; the document that would straddle
-    * the boundary is dropped (cum <= budget), so the kept set is
-    * exactly reproducible from (score, id, tokens).
+    * score, ties broken by `idCol`; NULL scores sort LAST (unknown
+    * quality spends budget only after every scored doc — the
+    * NULLS LAST of a naive ORDER BY score DESC in either engine); the
+    * document that would straddle the boundary is dropped
+    * (cum <= budget), so the kept set is exactly reproducible from
+    * (score, id, tokens).
     *
     * Scale shape: the naive formulation is a GLOBAL sort + running sum
     * — `Window.orderBy(score)` with no partition key collapses the
@@ -170,15 +173,23 @@ object SampleOps {
       require(!df.columns.contains(c), s"budgetSample: input already has a $c column"))
     val score = col(scoreCol).cast("double")
     val r = df.agg(min(score), max(score)).head()
-    if (r.isNullAt(0)) return df.withColumn("cum_tokens", lit(0L)).limit(0)
-    val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+    // min/max ignore NULLs; all-NULL scores → every row takes the
+    // NULL bucket below and lo/hi are never consulted
+    val (lo, hi) =
+      if (r.isNullAt(0)) (0.0, 0.0) else (r.getDouble(0), r.getDouble(1))
     // bucket 0 = highest scores; equal scores always land in ONE
     // bucket (bucket is a function of score), so cross-bucket order
-    // respects score order and ties resolve inside a single window
-    val bucket =
+    // respects score order and ties resolve inside a single window.
+    // NULL scores take a DEDICATED bucket AFTER every scored bucket —
+    // "unknown quality sorts worst", the NULLS LAST both engines give
+    // a naive ORDER BY score DESC — rather than silently vanishing
+    // through a null-unsafe bucket join; they spend budget only after
+    // every scored doc, greedy by id among themselves.
+    val scoredBucket =
       if (hi == lo) lit(0)
       else least(floor((lit(hi) - score) / ((hi - lo) / buckets)),
         lit(buckets - 1)).cast("int")
+    val bucket = when(score.isNull, lit(buckets)).otherwise(scoredBucket)
     val bucketed = df
       .withColumn("__bucket", bucket)
       .withColumn("__cum_in",

@@ -888,6 +888,28 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == expect)
   }
 
+  test("SampleOps.budgetSample: NULL scores sort last, never vanish") {
+    // NULL-score docs take the dedicated after-all-scores bucket: they
+    // are kept only with budget left after every scored doc (greedy by
+    // id among themselves), instead of being silently dropped by a
+    // null-unsafe bucket join
+    val df = Seq(
+      (1L, Some(9.0), 4), (2L, Some(5.0), 3),
+      (3L, None, 2), (4L, None, 5))
+      .toDF("id", "score", "toks")
+    val got = SampleOps.budgetSample(df, "score", "toks", "id", budget = 10L)
+      .select("id", "cum_tokens").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // order: id1(4), id2(7), then nulls by id: id3(9); id4 would hit 14
+    assert(got.toSeq == Seq((1L, 4L), (2L, 7L), (3L, 9L)))
+    // all-NULL scores: pure id-order greedy, not an empty result
+    val allNull = Seq((1L, Option.empty[Double], 6), (2L, None, 3), (3L, None, 4))
+      .toDF("id", "score", "toks")
+    val gotAll = SampleOps.budgetSample(allNull, "score", "toks", "id", 9L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(gotAll == Set(1L, 2L))
+  }
+
   test("LibOps.winsorize clips at the exact empirical quantiles") {
     val df = (1 to 20).map(_.toDouble).toDF("v")
     val got = LibOps.winsorize(df, "v", 0.1, 0.9)
