@@ -11,7 +11,7 @@ object MiniBench {
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.01"
     val out = new StringBuilder
-    for (n <- Seq("pipeline_curation")) {
+    for (n <- Seq("q59_merge_upsert", "q74_partitioned_layout")) {
       val df = SparkEntry.queries(n)(spark, d)
       out.append("===== " + n + "\n")
       out.append(df.queryExecution.explainString(

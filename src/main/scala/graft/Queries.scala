@@ -1051,6 +1051,70 @@ object Queries {
       FROM events CROSS JOIN c
       GROUP BY event_type ORDER BY event_type"""))
 
+  /** q81 — approx-percentile winsorization at SCALE
+    * (LibOps.winsorizeApprox): the q79 clamp with histogram-bucket
+    * boundaries instead of the exact-percentile buffer — the variant
+    * q67/q79's docstrings promise for near-continuous 100 TB columns,
+    * where exact `percentile` buffers every value per group (measured
+    * 18.9 s on the round-3 q67 fixture) and sketch-based
+    * `approx_percentile` is engine-specific and ungradeable. The
+    * histogram quantile is pure deterministic arithmetic, so DuckDB
+    * replays it BIT-FOR-BIT: the oracle mirrors the bucketing
+    * (floor/least), the cumulative, the `ceil(p·n)` rank target, and
+    * the upper-edge cut — a full-strength hash grade of an
+    * approximate operator. Cut error ≤ one bucket width
+    * ((max−min)/4096 ≈ 0.12 here; ApproxSpec measures the actual
+    * margin vs the exact percentile). Decimal-cast clipped sum and
+    * integer clip counts per event type, the q79 output convention.
+    */
+  private val q81 = Q(
+    "q81_approx_winsorize",
+    (s, d) => {
+      import s.implicits._
+      LibOps.winsorizeApprox(ev(s, d), "value", 0.05, 0.95, 4096)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"value" < $"lo", 1L).otherwise(0L)).as("n_lo"),
+          sum(when($"value" > $"hi", 1L).otherwise(0L)).as("n_hi"),
+          round(min($"lo"), 6).as("cut_lo"),
+          round(min($"hi"), 6).as("cut_hi"),
+          sum($"clipped".cast("decimal(18,6)")).cast("double")
+            .as("sum_clipped"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      WITH s AS (
+        SELECT min(value) AS vlo, max(value) AS vhi, count(value) AS total
+        FROM events),
+      h AS (
+        SELECT least(CAST(floor((value - vlo) / ((vhi - vlo) / 4096.0))
+                          AS INTEGER), 4095) AS bkt,
+               count(*) AS cnt
+        FROM events, s WHERE value IS NOT NULL GROUP BY 1),
+      c AS (
+        SELECT bkt, sum(cnt) OVER (ORDER BY bkt) AS cum FROM h),
+      cut AS (
+        SELECT vlo + ((vhi - vlo) / 4096.0) *
+                 (min(CASE WHEN cum >= ceil(0.05 * total) THEN bkt END) + 1)
+                 AS lo,
+               vlo + ((vhi - vlo) / 4096.0) *
+                 (min(CASE WHEN cum >= ceil(0.95 * total) THEN bkt END) + 1)
+                 AS hi
+        FROM c, s GROUP BY vlo, vhi, total)
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_lo,
+             CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hi,
+             round(min(lo), 6) AS cut_lo,
+             round(min(hi), 6) AS cut_hi,
+             CAST(sum(CASE WHEN value IS NOT NULL
+                           THEN CAST(least(greatest(value, lo), hi)
+                                     AS DECIMAL(18,6)) END)
+                  AS DOUBLE) AS sum_clipped
+      FROM events CROSS JOIN cut
+      GROUP BY event_type ORDER BY event_type"""))
+
   /** validate_orders — declarative data-quality gate: four row-level
     * constraints over orders evaluated in ONE scan (a single
     * partial-aggregated pass; N constraints = one table read), reported
@@ -3649,7 +3713,7 @@ object Queries {
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
-    q74, q75, q76, q77, q78, q79, q80,
+    q74, q75, q76, q77, q78, q79, q80, q81,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, sm1, sm2, sm3, sm4, pk1, dc1, dc2, vd1,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, a01, a02, a03, a04, a05, m01, m02, m03, mr1,
     p01, st01, st02, st03, st04, st05)

@@ -235,6 +235,95 @@ object LibOps {
         coalesce(v < col("lo") || v > col("hi"), lit(false)))
   }
 
+  /** Deterministic approximate quantiles via an equi-width histogram —
+    * the percentile SCALE path for near-continuous columns, where the
+    * exact `percentile` aggregate buffers every value per group (the
+    * q67-measured bottleneck: 18.9 s buffering a near-unique double
+    * column that two histogram passes answer in a fraction).
+    *
+    * Returns ONE row with `cut_i` per requested prob: the upper edge
+    * of the first histogram bucket whose cumulative count reaches
+    * `ceil(p * n)`. Value error is bounded by one bucket width,
+    * (max−min)/buckets; rank error by the bucket's occupancy
+    * (ApproxSpec measures both on real data).
+    *
+    * Why not `approx_percentile`: its sketch is engine-specific — the
+    * result is unreproducible outside Spark and ungradeable against
+    * any oracle. This histogram is pure deterministic arithmetic
+    * (floor/least/ceil over doubles), so ANY engine replays it
+    * bit-for-bit — reproducibility a 100 TB pipeline wants from a
+    * boundary that decides what data survives.
+    *
+    * Scale shape: two corpus passes, neither buffering values — a
+    * min/max/count aggregate (1 row, pinned by localCheckpoint so its
+    * two consumers don't re-run the scan) and a partial-aggregated
+    * histogram groupBy (≤ `buckets` rows). The only unpartitioned
+    * window runs over the buckets-sized histogram (the equidepthBins
+    * convention), and the clamp consumers get a 1-row broadcast.
+    */
+  def approxQuantileCuts(df: DataFrame, value: String, probs: Seq[Double],
+                         buckets: Int = 4096): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1),
+      s"approxQuantileCuts: probs must be in (0, 1], got $probs")
+    require(buckets > 0, s"approxQuantileCuts: buckets=$buckets")
+    Seq("__lo", "__hi", "__total", "__bkt", "__cnt", "__cum").foreach(c =>
+      require(!df.columns.contains(c),
+        s"approxQuantileCuts: input already has a $c column"))
+    val v = col(value).cast("double")
+    val stats = df.agg(min(v).as("__lo"), max(v).as("__hi"),
+        count(v).as("__total"))
+      .localCheckpoint(true)
+    val span = (col("__hi") - col("__lo")) / lit(buckets.toDouble)
+    // constant column (hi == lo): everything lands in bucket 0 and
+    // every cut degenerates to lo — the guard keeps the division sane
+    val bkt = when(col("__hi") === col("__lo"), lit(0))
+      .otherwise(least(floor((v - col("__lo")) / span),
+        lit((buckets - 1).toDouble)))
+      .cast("int")
+    val hist = df.crossJoin(broadcast(stats))
+      .filter(v.isNotNull)
+      .groupBy(bkt.as("__bkt"))
+      .agg(count(lit(1)).as("__cnt"))
+    val cum = hist.withColumn("__cum",
+      sum(col("__cnt")).over(Window.orderBy(col("__bkt"))))
+    val aggs = probs.zipWithIndex.map { case (p, i) =>
+      min(when(col("__cum") >= ceil(lit(p) * col("__total")), col("__bkt")))
+        .as(s"__b$i")
+    } ++ Seq(first(col("__lo")).as("__lo"), first(col("__hi")).as("__hi"))
+    cum.crossJoin(broadcast(stats.select("__lo", "__hi", "__total")))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(probs.indices.map { i =>
+        (col("__lo") +
+          ((col("__hi") - col("__lo")) / lit(buckets.toDouble)) *
+            (col(s"__b$i") + 1)).as(s"cut_$i")
+      }: _*)
+  }
+
+  /** [[winsorize]] through [[approxQuantileCuts]] — identical clamp
+    * semantics (NULL-preserving, appends lo/hi/clipped/was_clipped)
+    * with the histogram boundaries instead of the exact-percentile
+    * buffer: the variant to reach for when the column is
+    * near-continuous at corpus scale and an error of one bucket width
+    * in the cut is acceptable (for clipping heavy tails it always is).
+    */
+  def winsorizeApprox(df: DataFrame, value: String, pLo: Double = 0.05,
+                      pHi: Double = 0.95, buckets: Int = 4096): DataFrame = {
+    require(pLo > 0 && pHi <= 1 && pLo < pHi,
+      s"winsorizeApprox: need 0 < pLo < pHi <= 1, got ($pLo, $pHi)")
+    Seq("lo", "hi", "clipped", "was_clipped").foreach(c =>
+      require(!df.columns.contains(c),
+        s"winsorizeApprox: input already has a $c column"))
+    val v = col(value).cast("double")
+    val cuts = approxQuantileCuts(df, value, Seq(pLo, pHi), buckets)
+      .select(col("cut_0").as("lo"), col("cut_1").as("hi"))
+    df.crossJoin(broadcast(cuts))
+      // NULL stays NULL — the same guard winsorize carries
+      .withColumn("clipped",
+        when(v.isNotNull, least(greatest(v, col("lo")), col("hi"))))
+      .withColumn("was_clipped",
+        coalesce(v < col("lo") || v > col("hi"), lit(false)))
+  }
+
   /** Key-skew report — the shuffle-planning diagnostic every 100 TB
     * join/aggregate decision starts from: per-key row counts reduced
     * to the `topK` heaviest keys with their share of the table and

@@ -910,6 +910,52 @@ class OpsSpec extends AnyFunSuite {
     assert(gotAll == Set(1L, 2L))
   }
 
+  test("LibOps.approxQuantileCuts: cut within one bucket width of exact") {
+    // near-continuous deterministic fixture (the regime the op exists
+    // for): 10k pseudo-random doubles in [0, 500)
+    val df = (0 until 10000)
+      .map(i => ((i * 2654435761L) % 1000003).toDouble / 2000.0)
+      .toDF("v")
+    val buckets = 4096
+    val cuts = LibOps.approxQuantileCuts(df, "v", Seq(0.05, 0.95), buckets)
+      .collect()(0)
+    val exact = df.agg(
+      expr("percentile(v, 0.05)"), expr("percentile(v, 0.95)")).collect()(0)
+    val Seq(lo, hi) = df.agg(min($"v"), max($"v")).collect()(0)
+      .toSeq.map(_.asInstanceOf[Double])
+    val width = (hi - lo) / buckets
+    // the documented margin: upper-edge cut lands within one bucket
+    // width of the exact interpolated percentile
+    assert(math.abs(cuts.getDouble(0) - exact.getDouble(0)) <= width,
+      s"p05 approx=${cuts.getDouble(0)} exact=${exact.getDouble(0)} width=$width")
+    assert(math.abs(cuts.getDouble(1) - exact.getDouble(1)) <= width,
+      s"p95 approx=${cuts.getDouble(1)} exact=${exact.getDouble(1)} width=$width")
+    // rank guarantee (the cut's definition, independent of width): at
+    // least ceil(p*n) values sit at or below each cut
+    val n = 10000L
+    assert(df.filter($"v" <= cuts.getDouble(0)).count() >= math.ceil(0.05 * n).toLong)
+    assert(df.filter($"v" <= cuts.getDouble(1)).count() >= math.ceil(0.95 * n).toLong)
+  }
+
+  test("LibOps.winsorizeApprox: NULL-preserving clamp, constant column") {
+    val df = Seq(Some(1.0), Some(2.0), None, Some(100.0)).toDF("v")
+    val got = LibOps.winsorizeApprox(df, "v", 0.25, 0.75, 16)
+      .select("v", "clipped", "was_clipped").collect()
+    // NULL row: clipped stays NULL, was_clipped false (no fabricated
+    // boundary values — the q79 review lesson)
+    val nullRow = got.find(_.isNullAt(0)).get
+    assert(nullRow.isNullAt(1) && !nullRow.getBoolean(2))
+    // non-null rows: clipped ∈ [lo, hi]
+    val clipped = got.filter(!_.isNullAt(0)).map(_.getDouble(1))
+    assert(clipped.forall(c => c >= 1.0 && c <= 100.0))
+    // constant column: every cut degenerates to the single value,
+    // nothing clips, no division blow-up
+    val const = Seq(7.0, 7.0, 7.0).toDF("v")
+    val gotC = LibOps.winsorizeApprox(const, "v", 0.05, 0.95, 64)
+      .select("clipped", "was_clipped").collect()
+    assert(gotC.forall(r => r.getDouble(0) == 7.0 && !r.getBoolean(1)))
+  }
+
   test("LibOps.winsorize clips at the exact empirical quantiles") {
     val df = (1 to 20).map(_.toDouble).toDF("v")
     val got = LibOps.winsorize(df, "v", 0.1, 0.9)
