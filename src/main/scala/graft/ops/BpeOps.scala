@@ -227,6 +227,12 @@ object BpeOps {
     * merge, each recomputing pair counts, picking the same
     * lexicographic-tiebreak argmax, and applying the same literal
     * replace. Generated here so Spark and SQL can never drift.
+    *
+    * Every stage CTE is `AS MATERIALIZED`: each v_i is referenced
+    * twice (by pairs_{i+1} and v_{i+1}), and DuckDB's default inlining
+    * re-expands the whole chain per reference — exponential work and
+    * one parquet open per inlined v0 ("Too many open files" at 256
+    * stages). Materialization makes the replay linear in nMerges.
     */
   def mergesOracleSql(nMerges: Int, table: String = "documents",
                       textCol: String = "text"): String = {
@@ -234,7 +240,7 @@ object BpeOps {
       s"string_split(trim(replace($v.rep, chr(31)||chr(31), ' '), chr(31)), ' ')"
     val sb = new StringBuilder
     sb.append(s"""
-      WITH v0 AS (
+      WITH v0 AS MATERIALIZED (
         SELECT regexp_replace(word, '([^ ])', chr(31)||'\\1'||chr(31), 'g') AS rep,
                count(*) AS wc
         FROM (SELECT unnest(string_split($textCol, ' ')) AS word FROM $table) t
@@ -243,8 +249,8 @@ object BpeOps {
       val p = s"(SELECT wc, unnest(list_transform(range(1, len(tk)), j -> tk[j] || ' ' || tk[j+1])) AS pair FROM (SELECT wc, ${toks(s"v${i - 1}")} AS tk FROM v${i - 1}) s)"
       sb.append(s""",
       pairs$i AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS cnt FROM $p u GROUP BY 1),
-      best$i AS (SELECT pair, cnt FROM pairs$i ORDER BY cnt DESC, pair LIMIT 1),
-      v$i AS (
+      best$i AS MATERIALIZED (SELECT pair, cnt FROM pairs$i ORDER BY cnt DESC, pair LIMIT 1),
+      v$i AS MATERIALIZED (
         SELECT replace(v${i - 1}.rep,
                  chr(31)||string_split(b.pair, ' ')[1]||chr(31)||chr(31)||string_split(b.pair, ' ')[2]||chr(31),
                  chr(31)||replace(b.pair, ' ', '')||chr(31)) AS rep, wc
