@@ -959,6 +959,47 @@ object Queries {
       SELECT doc_id, n_tokens, cum_tokens FROM c
       WHERE cum_tokens <= 8000 ORDER BY doc_id"""))
 
+  /** sample_temperature — temperature-flattened language mixing
+    * (SampleOps.temperatureSample, alpha = 0.5, target 250 docs): the
+    * multilingual corpus-balancing practice — rates DERIVED from the
+    * observed per-lang counts (∝ √n), upsampling low-resource langs
+    * (fr: 64 docs → rate ~0.61) relative to the head (en: 218 →
+    * ~0.33 at sf0.01) while the kept total tracks the target. The
+    * corpus never shuffles: per-lang counts (5 rows), a 1-row weight
+    * total, a broadcast rates join, a row-local md5 threshold. Parity
+    * is engine-exact by construction: sqrt is IEEE-correctly-rounded
+    * everywhere, the weight total sums in DECIMAL (partial order
+    * can't flip an ulp), and every remaining op is a correctly-
+    * rounded IEEE primitive in the same tree order the oracle writes.
+    */
+  private val sm5 = Q(
+    "sample_temperature",
+    (s, d) => {
+      import s.implicits._
+      SampleOps.temperatureSample(docs(s, d), "lang", "doc_id", 0.5, 250L)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_kept"),
+             round(min($"mix_rate"), 6).as("rate"))
+        .orderBy($"lang")
+    },
+    Some("""
+      WITH c AS (
+        SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+      t AS (
+        SELECT CAST(sum(CAST(sqrt(CAST(n AS DOUBLE)) AS DECIMAL(38,18)))
+                    AS DOUBLE) AS tw
+        FROM c),
+      r AS (
+        SELECT lang,
+               least(1.0, sqrt(CAST(n AS DOUBLE)) / tw * 250.0
+                            / CAST(n AS DOUBLE)) AS rate
+        FROM c, t)
+      SELECT d.lang, count(*) AS n_kept, round(min(rate), 6) AS rate
+      FROM documents d JOIN r USING (lang)
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER
+              < rate * 65536.0
+      GROUP BY d.lang ORDER BY d.lang"""))
+
   /** q77 — key-skew report (LibOps.skewReport): the shuffle-planning
     * diagnostic — top keys by row count with share and skew ratio
     * (count ÷ mean-per-key), computed keys-sized after one partial-
@@ -3745,7 +3786,7 @@ object Queries {
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q75, q76, q77, q78, q79, q80, q81,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, sm1, sm2, sm3, sm4, pk1, dc1, dc2, vd1,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, sm1, sm2, sm3, sm4, sm5, pk1, dc1, dc2, vd1,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, a01, a02, a03, a04, a05, m01, m02, m03, mr1,
     p01, st01, st02, st03, st04, st05)
 

@@ -888,6 +888,31 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == expect)
   }
 
+  test("SampleOps.temperatureSample flattens composition toward target") {
+    // skewed sources: a=400, b=100, c=25 rows
+    val df = ((0 until 400).map(i => ("a", i.toLong)) ++
+      (400 until 500).map(i => ("b", i.toLong)) ++
+      (500 until 525).map(i => ("c", i.toLong))).toDF("src", "id")
+    val kept = SampleOps.temperatureSample(df, "src", "id", 0.5, 200L)
+    val by = kept.groupBy($"src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = kept.groupBy($"src").agg(min($"mix_rate")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // alpha=0.5: weights 20/10/5 of 35 -> rates ~0.286/0.571/1.143->1.0
+    assert(math.abs(rates("a") - 20.0 / 35 * 200 / 400) < 1e-12)
+    assert(rates("c") == 1.0) // capped: tiny source keeps everything
+    assert(by("c") == 25)
+    // kept total tracks the target (hash threshold is ~uniform)
+    val total = by.values.sum
+    assert(total > 140 && total < 260, s"total=$total")
+    // low-resource share rises vs natural: b kept/b total > a kept/a total
+    assert(by("b").toDouble / 100 > by("a").toDouble / 400)
+    // deterministic under repartitioning
+    val re = SampleOps.temperatureSample(df.repartition(13), "src", "id", 0.5, 200L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(re == kept.select("id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("SampleOps.budgetSample: NULL scores sort last, never vanish") {
     // NULL-score docs take the dedicated after-all-scores bucket: they
     // are kept only with budget left after every scored doc (greedy by
