@@ -94,7 +94,10 @@ object Bench {
     // can never be mistaken for a full-suite artifact, and they do NOT
     // overwrite BENCH_LOCAL.json — only the driver-shape full run pins
     // the file a later reader would quote.
-    val subsetTag = only.map(s => s""""subset":${s.size},""").getOrElse("")
+    // tag with the count of queries actually benched (a misspelled
+    // name silently drops out of the filter — the requested-name count
+    // would overstate the run)
+    val subsetTag = only.map(_ => s""""subset":${results.size},""").getOrElse("")
     val line = s"""{"metric":"total","value":$total,"unit":"sec",$subsetTag"queries":${json(x => (x._1, x._2))},"total_warm":$totalWarm,"queries_warm":${json(x => (x._1, x._3))},$fam,"sf":"$sfDir"}"""
     println(line)
     // belt-and-suspenders: the same line as a file, in case a harness

@@ -1156,6 +1156,59 @@ object Queries {
       FROM events CROSS JOIN cut
       GROUP BY event_type ORDER BY event_type"""))
 
+  /** q82 — deterministic KMV distinct-count sketch (LibOps.kmvDistinct,
+    * k=64): the gradeable counterpart of q32's HLL — per event type,
+    * distinct users estimated from the 64 smallest md5-derived hashes
+    * ((k−1)/h_(k)), with the EXACT count and the measured error
+    * percentage in the same graded row (the q81 practice: the margin
+    * is part of the contract, not prose). At sf0.001 every group has
+    * < k distinct users, so the grade covers the exact-fallback branch
+    * there and the estimator branch at sf0.01/0.1. DuckDB replays
+    * hash, normalization, rank, and estimator bit-for-bit.
+    */
+  private val q82 = Q(
+    "q82_kmv_distinct",
+    (s, d) => {
+      import s.implicits._
+      val exact = ev(s, d).groupBy($"event_type")
+        .agg(countDistinct($"user_id").as("n_exact"))
+      LibOps.kmvDistinct(ev(s, d), Seq("event_type"), "user_id", 64)
+        .join(exact, "event_type")
+        .select($"event_type", $"n_exact",
+          round($"n_distinct_est", 4).as("n_kmv"),
+          round(abs($"n_distinct_est" - $"n_exact".cast("double"))
+            / $"n_exact".cast("double") * 100.0, 2).as("err_pct"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      WITH dv AS (
+        SELECT DISTINCT event_type, user_id FROM events
+        WHERE user_id IS NOT NULL),
+      h AS (
+        SELECT event_type,
+               (CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                     ::BIGINT AS DOUBLE) + 1.0) / 1152921504606846976.0
+                 AS hv
+        FROM dv),
+      r AS (
+        SELECT event_type, hv,
+               row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rk
+        FROM h),
+      est AS (
+        SELECT event_type,
+               CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                    ELSE 63.0 / max(CASE WHEN rk = 64 THEN hv END) END
+                 AS n_est
+        FROM r WHERE rk <= 64 GROUP BY 1),
+      ex AS (
+        SELECT event_type, count(DISTINCT user_id) AS n_exact
+        FROM events GROUP BY 1)
+      SELECT event_type, n_exact, round(n_est, 4) AS n_kmv,
+             round(abs(n_est - CAST(n_exact AS DOUBLE))
+                   / CAST(n_exact AS DOUBLE) * 100.0, 2) AS err_pct
+      FROM est JOIN ex USING (event_type)
+      ORDER BY event_type"""))
+
   /** validate_orders — declarative data-quality gate: four row-level
     * constraints over orders evaluated in ONE scan (a single
     * partial-aggregated pass; N constraints = one table read), reported
@@ -3785,7 +3838,7 @@ object Queries {
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
-    q74, q75, q76, q77, q78, q79, q80, q81,
+    q74, q75, q76, q77, q78, q79, q80, q81, q82,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, sm1, sm2, sm3, sm4, sm5, pk1, dc1, dc2, vd1,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, a01, a02, a03, a04, a05, m01, m02, m03, mr1,
     p01, st01, st02, st03, st04, st05)

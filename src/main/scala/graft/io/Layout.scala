@@ -76,8 +76,10 @@ object Layout {
     require(!df.columns.contains("__salt"),
       "writePartitioned: table column __salt collides with an internal name")
     import org.apache.spark.sql.functions._
-    val parted =
-      if (filesPerPartition == 1) df.repartition(partitionCols.map(df(_)): _*)
+    if (filesPerPartition == 1)
+      df.repartition(partitionCols.map(df(_)): _*)
+        .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+    else {
       // Salt on a per-row id, NOT a content hash: a hot partition of
       // mass-duplicated rows would content-hash to ONE salt and defeat
       // the split. The id is positional, so a shuffle-fetch-failure
@@ -88,14 +90,34 @@ object Layout {
       // repartition: downstream retries re-read frozen blocks, never
       // re-derive salts. Lost-executor recovery degrades to a loud job
       // failure (localCheckpoint's documented trade) — never silent
-      // corruption. Only the filesPerPartition > 1 path pays this.
-      else df.withColumn("__salt",
+      // corruption. Only the filesPerPartition > 1 path pays this, and
+      // the pinned blocks are released once the write consumes them
+      // (consumption ends inside this function — nothing else may
+      // reference the staged frame).
+      val sc = df.sparkSession.sparkContext
+      val pinsBefore = sc.getPersistentRDDs.keySet
+      val staged = df.withColumn("__salt",
           pmod(xxhash64(monotonically_increasing_id()),
             lit(filesPerPartition.toLong)))
         .localCheckpoint(true)
-        .repartition(partitionCols.map(col) :+ col("__salt"): _*)
+      // explicit partition count (the compactPartitioned convention):
+      // without it AQE coalesces a small shuffle into one task and the
+      // salt spread silently collapses back to 1 file per directory
+      try staged
+        .repartition(
+          math.max(filesPerPartition, sc.defaultParallelism),
+          partitionCols.map(col) :+ col("__salt"): _*)
         .drop("__salt")
-    parted.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+        .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+      // release the checkpoint's RDD-level pin: Dataset.unpersist only
+      // talks to the cache manager and would leave localCheckpoint
+      // blocks resident for the JVM's life — drop exactly the RDDs
+      // this call pinned (registry diff; single write path, no
+      // concurrent pinning inside this function)
+      finally sc.getPersistentRDDs
+        .filter { case (id, _) => !pinsBefore.contains(id) }
+        .values.foreach(_.unpersist(blocking = false))
+    }
   }
 
   /** Z-order (Morton) layout — multi-dimensional data skipping, the

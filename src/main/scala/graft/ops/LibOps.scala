@@ -299,6 +299,54 @@ object LibOps {
       }: _*)
   }
 
+  /** Deterministic KMV (k-minimum-values) distinct-count sketch — the
+    * approxQuantileCuts argument applied to COUNT DISTINCT: HLL
+    * (`approx_count_distinct`) is engine-specific and ungradeable
+    * (q32 stays rows-only for exactly that reason); KMV over a
+    * portable hash is pure deterministic arithmetic, so any engine
+    * replays the estimate bit-for-bit. Estimator: normalize the md5
+    * of each distinct value into (0,1]; with h_(k) the k-th smallest
+    * per group, est = (k−1)/h_(k) (Bar-Yossef et al. 2002); a group
+    * with fewer than k distinct values reports its EXACT count (the
+    * sketch holds every hash — the standard KMV small-side fallback).
+    * Relative error ~ 1/√k.
+    *
+    * Scale shape: one (keys, value) distinct shuffle, then a per-key
+    * top-k window — `WindowGroupLimit` bounds every map partition's
+    * contribution to k rows per key BEFORE the exchange, so the sketch
+    * state that moves is k hashes per key, never the value set: the
+    * same state bound a production KMV/theta sketch maintains, here as
+    * a declarative plan.
+    */
+  def kmvDistinct(df: DataFrame, keys: Seq[String], value: String,
+                  k: Int = 64): DataFrame = {
+    require(k >= 2, s"kmvDistinct: k=$k")
+    Seq("__h", "__rk", "n_distinct_est").foreach(c =>
+      require(!df.columns.contains(c),
+        s"kmvDistinct: input already has a $c column"))
+    // md5 low-60-bits as a uniform double in (0,1]: first 15 hex
+    // digits parsed to a long (< 2^60, exact), +1.0 AFTER the double
+    // cast (so zero is impossible and the arithmetic order is fixed),
+    // divided by the literal 2^60 — every step correctly rounded and
+    // identical in any engine with md5 (the dedup_simhash contract)
+    val h = (conv(substring(md5(col(value).cast("string").cast("binary")),
+        1, 15), 16, 10).cast("double") + 1.0) /
+      lit(1152921504606846976.0)
+    val hashed = df.filter(col(value).isNotNull)
+      .select((keys.map(col) :+ col(value)): _*).distinct()
+      .withColumn("__h", h)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__h").asc)
+    hashed.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+           max(when(col("__rk") === k, col("__h"))).as("__hk"))
+      .withColumn("n_distinct_est",
+        when(col("__n") < k, col("__n").cast("double"))
+          .otherwise(lit((k - 1).toDouble) / col("__hk")))
+      .drop("__n", "__hk")
+  }
+
   /** [[winsorize]] through [[approxQuantileCuts]] — identical clamp
     * semantics (NULL-preserving, appends lo/hi/clipped/was_clipped)
     * with the histogram boundaries instead of the exact-percentile

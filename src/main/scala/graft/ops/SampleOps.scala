@@ -167,8 +167,12 @@ object SampleOps {
       require(!df.columns.contains(c),
         s"temperatureSample: input already has a $c column"))
     val n = col("__n").cast("double")
+    // pin the S-row counts (the approxQuantileCuts convention): three
+    // consumers (total, rates, and transitively the output join) would
+    // otherwise each re-run the corpus-sized groupBy scan
     val weighted = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
       .withColumn("__w", if (alpha == 0.5) sqrt(n) else pow(n, lit(alpha)))
+      .localCheckpoint(true)
     val total = weighted
       .agg(sum(col("__w").cast("decimal(38,18)")).cast("double").as("__tw"))
     val rates = weighted.crossJoin(broadcast(total))

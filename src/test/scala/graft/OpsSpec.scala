@@ -730,6 +730,33 @@ class OpsSpec extends AnyFunSuite {
     graft.io.FsOps.rm(spark, dir)
   }
 
+  test("Layout.writePartitioned filesPerPartition>1 spreads a hot partition losslessly") {
+    import graft.io.Layout
+    val dir = "/tmp/graft_test_hivepart_multi"
+    // hot partition: 90% of rows in m=hot — the case the salt exists for
+    val df = ((0L until 4500L).map(i => (i, "hot")) ++
+      (4500L until 5000L).map(i => (i, s"cold${i % 2}"))).toDF("id", "m")
+    val pinsBefore = spark.sparkContext.getPersistentRDDs.keySet
+    Layout.writePartitioned(df, dir, Seq("m"), filesPerPartition = 4)
+    def files(sub: String): Int = new java.io.File(s"$dir/m=$sub")
+      .listFiles().count(_.getName.startsWith("part-"))
+    // the hot directory is spread over up to 4 files, more than 1
+    assert(files("hot") > 1 && files("hot") <= 4,
+      s"hot files=${files("hot")}")
+    // lossless: every row comes back exactly once, partition col intact
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 5000)
+    assert(back.select("id").collect().map(_.getLong(0)).toSet ==
+      (0L until 5000L).toSet)
+    assert(back.filter($"m" === "hot").count() == 4500)
+    // the staged salt frame is released after the write: no NEW pinned
+    // RDD survives the call (unpersist removes from the registry
+    // synchronously; blocking=false only defers block deletion)
+    assert(spark.sparkContext.getPersistentRDDs.keySet
+      .diff(pinsBefore).isEmpty)
+    graft.io.FsOps.rm(spark, dir)
+  }
+
   test("dynamic partition pruning plants a runtime filter in the fact scan") {
     import graft.io.Layout
     val dir = "/tmp/graft_test_dpp"
@@ -979,6 +1006,29 @@ class OpsSpec extends AnyFunSuite {
     val gotC = LibOps.winsorizeApprox(const, "v", 0.05, 0.95, 64)
       .select("clipped", "was_clipped").collect()
     assert(gotC.forall(r => r.getDouble(0) == 7.0 && !r.getBoolean(1)))
+  }
+
+  test("LibOps.kmvDistinct: exact under k, bounded error above") {
+    // fewer distinct values than k: the sketch holds every hash and
+    // reports the exact count
+    val small = (0 until 100).map(i => ("g", i % 7)).toDF("g", "v")
+    val sm = LibOps.kmvDistinct(small, Seq("g"), "v", k = 64).collect()(0)
+    assert(sm.getAs[Double]("n_distinct_est") == 7.0)
+    // 5000 distinct values, k=64: estimator within 5 standard errors
+    // (se ~ n/sqrt(k) = 12.5%)
+    val big = (0 until 5000).map(i => ("g", i)).toDF("g", "v")
+    val est = LibOps.kmvDistinct(big, Seq("g"), "v", k = 64)
+      .collect()(0).getAs[Double]("n_distinct_est")
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.625, s"est=$est")
+    // deterministic under repartitioning (the sketch is a pure
+    // function of the value set)
+    val re = LibOps.kmvDistinct(big.repartition(11), Seq("g"), "v", k = 64)
+      .collect()(0).getAs[Double]("n_distinct_est")
+    assert(re == est)
+    // duplicates cannot shift the estimate (distinct-first)
+    val dup = LibOps.kmvDistinct(big.union(big), Seq("g"), "v", k = 64)
+      .collect()(0).getAs[Double]("n_distinct_est")
+    assert(dup == est)
   }
 
   test("LibOps.winsorize clips at the exact empirical quantiles") {
