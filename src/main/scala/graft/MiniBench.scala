@@ -11,7 +11,8 @@ object MiniBench {
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.01"
     val out = new StringBuilder
-    for (n <- Seq("q59_merge_upsert", "q74_partitioned_layout")) {
+    for (n <- Seq("q81_approx_winsorize", "q82_kmv_distinct",
+                  "sample_temperature")) {
       val df = SparkEntry.queries(n)(spark, d)
       out.append("===== " + n + "\n")
       out.append(df.queryExecution.explainString(
