@@ -54,25 +54,13 @@ object Bench {
       try fn catch { case _: Throwable => }
       (System.nanoTime() - t0) / 1e9
     }
-    // State hygiene between timed runs. Several operators pin blocks
-    // with eager localCheckpoint(true) (distinct-value cums, BPE merge
-    // tables, capstone staging) and never unpersist — correct inside
-    // one query (the caller may still consume the checkpointed frame),
-    // but across 124 queries x 2 runs in one 8 GiB JVM the pinned
-    // blocks accumulate until late-alphabet queries run against a
-    // heap-pressured executor (round 4: read-family "warm" measured
-    // SLOWER than cold; text_bm25 39 s in-session vs 1.65 s isolated).
-    // Each bench invocation builds a fresh DataFrame, so dropping every
-    // persisted RDD + cached relation after the count() materializes is
-    // safe and makes each timed run see the same clean session.
-    def hygiene(): Unit = {
-      try {
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.valuesIterator
-          .foreach(_.unpersist(blocking = true))
-      } catch { case _: Throwable => }
-      System.gc()
-    }
+    // State hygiene between timed runs (graft.Hygiene — shared with
+    // Verify): each bench invocation builds a fresh DataFrame, so
+    // dropping every persisted RDD + cached relation after the count()
+    // materializes is safe, and blocking+GC makes each timed run see
+    // the same clean deterministic session (round 4 measured what
+    // happens without this: read-family "warm" slower than cold).
+    def hygiene(): Unit = Hygiene.clearAll(spark, blocking = true, gc = true)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.forall(_.contains(q._1)))
       .map { case (name, fn) =>

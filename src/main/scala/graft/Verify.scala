@@ -29,14 +29,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // the Bench hygiene, for the same reason: queries that pin
-      // blocks eagerly (staged scans, distinct-value cums) would
-      // otherwise accumulate across the whole suite in one JVM
-      try {
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.valuesIterator
-          .foreach(_.unpersist(blocking = false))
-      } catch { case _: Throwable => }
+      // the Bench hygiene (graft.Hygiene), for the same reason:
+      // queries that pin blocks eagerly (staged scans, distinct-value
+      // cums) would otherwise accumulate across the suite in one JVM
+      Hygiene.clearAll(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -94,29 +94,37 @@ object Layout {
       // the pinned blocks are released once the write consumes them
       // (consumption ends inside this function — nothing else may
       // reference the staged frame).
-      val sc = df.sparkSession.sparkContext
-      val pinsBefore = sc.getPersistentRDDs.keySet
       val staged = df.withColumn("__salt",
           pmod(xxhash64(monotonically_increasing_id()),
             lit(filesPerPartition.toLong)))
         .localCheckpoint(true)
       // explicit partition count (the compactPartitioned convention):
       // without it AQE coalesces a small shuffle into one task and the
-      // salt spread silently collapses back to 1 file per directory
+      // salt spread silently collapses back to 1 file per directory.
+      // The count is the session's shuffle parallelism, NOT
+      // defaultParallelism — a session tuned to 200 shuffle partitions
+      // on an 8-core driver would otherwise funnel the whole corpus
+      // through 8 write tasks (and re-merge salts via hash collisions)
+      val shufflePartitions =
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
       try staged
         .repartition(
-          math.max(filesPerPartition, sc.defaultParallelism),
+          math.max(filesPerPartition, shufflePartitions),
           partitionCols.map(col) :+ col("__salt"): _*)
         .drop("__salt")
         .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
       // release the checkpoint's RDD-level pin: Dataset.unpersist only
       // talks to the cache manager and would leave localCheckpoint
-      // blocks resident for the JVM's life — drop exactly the RDDs
-      // this call pinned (registry diff; single write path, no
-      // concurrent pinning inside this function)
-      finally sc.getPersistentRDDs
-        .filter { case (id, _) => !pinsBefore.contains(id) }
-        .values.foreach(_.unpersist(blocking = false))
+      // blocks resident for the JVM's life. Unpersist EXACTLY the RDD
+      // this call pinned — the LogicalRDD the checkpointed Dataset
+      // wraps — never a registry diff, which would sweep pins another
+      // thread of a shared SparkContext created during the write
+      finally staged.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => // plan shape changed across Spark versions: leave the
+                  // pin rather than guess (loud in getPersistentRDDs)
+      }
     }
   }
 

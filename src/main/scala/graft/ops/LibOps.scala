@@ -321,7 +321,7 @@ object LibOps {
   def kmvDistinct(df: DataFrame, keys: Seq[String], value: String,
                   k: Int = 64): DataFrame = {
     require(k >= 2, s"kmvDistinct: k=$k")
-    Seq("__h", "__rk", "n_distinct_est").foreach(c =>
+    Seq("__h", "__rk", "__n", "__hk", "n_distinct_est").foreach(c =>
       require(!df.columns.contains(c),
         s"kmvDistinct: input already has a $c column"))
     // md5 low-60-bits as a uniform double in (0,1]: first 15 hex

@@ -148,9 +148,11 @@ object SampleOps {
     * Appends `mix_rate` for accounting; rows with a NULL group carry
     * no defined rate and are dropped (the inner rates join).
     *
-    * Scale shape: one partial-aggregated count per group (S rows), a
-    * 1-row weight total, and a broadcast S-row rates join feeding the
-    * row-local hash threshold — the corpus never shuffles.
+    * Scale shape: one partial-aggregated count per group (S rows),
+    * the weight total as an S-row window over the same frame (one
+    * linear plan — the corpus-sized scan runs once), and a broadcast
+    * S-row rates join feeding the row-local hash threshold — the
+    * corpus never shuffles.
     *
     * Engine-exact parity (the graded contract): alpha = 0.5 routes
     * through `sqrt`, which IEEE 754 requires correctly rounded in
@@ -167,15 +169,18 @@ object SampleOps {
       require(!df.columns.contains(c),
         s"temperatureSample: input already has a $c column"))
     val n = col("__n").cast("double")
-    // pin the S-row counts (the approxQuantileCuts convention): three
-    // consumers (total, rates, and transitively the output join) would
-    // otherwise each re-run the corpus-sized groupBy scan
-    val weighted = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    // the weight total is a window over the S-row counts frame — ONE
+    // linear plan, so the corpus-sized groupBy scan runs exactly once
+    // (a separate total aggregate re-ran it per consumer; an eager
+    // checkpoint pin would leak for the JVM's life in library callers
+    // and run a corpus job at plan-construction time). The window is
+    // unpartitioned but S-sized — the skewReport convention. DECIMAL
+    // sum: partial order can't flip an ulp of the total.
+    val rates = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
       .withColumn("__w", if (alpha == 0.5) sqrt(n) else pow(n, lit(alpha)))
-      .localCheckpoint(true)
-    val total = weighted
-      .agg(sum(col("__w").cast("decimal(38,18)")).cast("double").as("__tw"))
-    val rates = weighted.crossJoin(broadcast(total))
+      .withColumn("__tw",
+        sum(col("__w").cast("decimal(38,18)"))
+          .over(Window.partitionBy()).cast("double"))
       .withColumn("mix_rate",
         least(lit(1.0),
           col("__w") / col("__tw") * lit(targetRows.toDouble) / n))
