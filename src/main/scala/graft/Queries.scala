@@ -1570,6 +1570,41 @@ object Queries {
     * hash-matching DuckDB byte-for-byte is as strong as a tokenizer-
     * training grade gets.
     */
+  /** text_chunk_windows — overlapping token-window chunking
+    * (TextOps.chunkDocs, window 32 / stride 24): the context-window
+    * prep step of a retrieval/training pipeline — each doc explodes
+    * row-locally (sequence → transform → posexplode, codegen'd, no
+    * shuffle) into provenance-carrying chunks; output rows ≈
+    * corpus_tokens/stride, the linear cost chunking must have. Graded
+    * on the first 50 docs: chunk index, token count, and the md5 of
+    * every chunk's text — the oracle replays the start arithmetic
+    * (range) and 1-based list slice byte-for-byte.
+    */
+  private val t14 = Q(
+    "text_chunk_windows",
+    (s, d) => {
+      import s.implicits._
+      TextOps.chunkDocs(docs(s, d).filter($"doc_id" < 50),
+          "text", "doc_id", windowTokens = 32, strideTokens = 24)
+        .select($"doc_id", $"doc_tokens", $"chunk_idx", $"chunk_tokens",
+          md5($"chunk_text".cast("binary")).as("chunk_md5"))
+        .orderBy($"doc_id", $"chunk_idx")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS ws
+        FROM documents WHERE doc_id < 50),
+      c AS (
+        SELECT doc_id, CAST(len(ws) AS INTEGER) AS doc_tokens,
+               CAST(t.i // 24 AS INTEGER) AS chunk_idx,
+               array_to_string(ws[t.i+1 : t.i+32], ' ') AS chunk_text
+        FROM d, unnest(range(0, greatest(len(ws), 1), 24)) AS t(i))
+      SELECT doc_id, doc_tokens, chunk_idx,
+             CAST(len(string_split(chunk_text, ' ')) AS INTEGER)
+               AS chunk_tokens,
+             md5(chunk_text) AS chunk_md5
+      FROM c ORDER BY doc_id, chunk_idx"""))
+
   private val t13 = Q(
     "text_bpe_merges256",
     (s, d) => {
@@ -3840,7 +3875,7 @@ object Queries {
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q75, q76, q77, q78, q79, q80, q81, q82,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, sm1, sm2, sm3, sm4, sm5, pk1, dc1, dc2, vd1,
-    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, a01, a02, a03, a04, a05, m01, m02, m03, mr1,
+    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, a01, a02, a03, a04, a05, m01, m02, m03, mr1,
     p01, st01, st02, st03, st04, st05)
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

@@ -26,6 +26,45 @@ object TextOps {
   def regexTokens(text: Column): Column =
     regexp_extract_all(text, lit("[a-z0-9]+"), lit(0))
 
+  /** Overlapping token-window chunking — the context-window prep step
+    * of a retrieval/training pipeline: each document explodes into
+    * windows of `windowTokens` words starting every `strideTokens`
+    * (overlap = window − stride), each chunk carrying its index and
+    * token span so provenance survives. Starts run while start < n_w
+    * (the tail chunk may be short; every token is covered exactly by
+    * the chunks whose span contains it). Empty/whitespace-degenerate
+    * docs yield their single trivial chunk rather than vanishing —
+    * corpus accounting must see every doc.
+    *
+    * Scale shape: pure row-local generate (sequence → transform →
+    * posexplode), codegen'd, no UDF, no shuffle — output rows ≈
+    * corpus_tokens / stride, the linear cost chunking must have. The
+    * arithmetic (sequence starts, 1-based slice) is engine-portable:
+    * the oracle replays it with range + list slicing.
+    */
+  def chunkDocs(df: DataFrame, textCol: String = "text",
+                idCol: String = "doc_id",
+                windowTokens: Int = 64,
+                strideTokens: Int = 48): DataFrame = {
+    require(windowTokens > 0 && strideTokens > 0 &&
+      strideTokens <= windowTokens,
+      s"chunkDocs: need 0 < stride <= window, got ($windowTokens, $strideTokens)")
+    val ws = words(col(textCol))
+    val nw = size(ws)
+    // last start = the largest multiple of stride < n_w (n_w >= 1
+    // always: split("", " ") is [""]) — sequence is inclusive of it
+    val starts = sequence(lit(0),
+      greatest(nw - 1, lit(0)) - pmod(greatest(nw - 1, lit(0)),
+        lit(strideTokens)),
+      lit(strideTokens))
+    df.select(col(idCol), nw.as("doc_tokens"),
+        posexplode(transform(starts,
+          s => array_join(slice(ws, s + 1, lit(windowTokens)), " "))))
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumnRenamed("col", "chunk_text")
+      .withColumn("chunk_tokens", size(words(col("chunk_text"))))
+  }
+
   /** C1+C3+C2 wordcount: explode words, count per word. Catalyst plans
     * map-side partial counts — the dumbo combiner, automatically.
     */

@@ -1008,6 +1008,27 @@ class OpsSpec extends AnyFunSuite {
     assert(gotC.forall(r => r.getDouble(0) == 7.0 && !r.getBoolean(1)))
   }
 
+  test("TextOps.chunkDocs: coverage, overlap, tail, degenerate doc") {
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "solo"),                                    // 1 token
+      (3L, "")                                         // degenerate
+    ).toDF("doc_id", "text")
+    val got = TextOps.chunkDocs(df, "text", "doc_id",
+        windowTokens = 4, strideTokens = 3)
+      .select("doc_id", "chunk_idx", "chunk_text").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val d1 = got.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    // starts 0,3,6,9: full windows, then the short tail
+    assert(d1.toSeq == Seq(
+      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10", "w10"))
+    // every token appears in some chunk (coverage), overlap = 1 here
+    assert((1 to 10).forall(i => d1.exists(_.split(" ").contains(s"w$i"))))
+    // single-token and empty docs yield exactly one chunk each
+    assert(got.count(_._1 == 2L) == 1 && got.count(_._1 == 3L) == 1)
+    assert(got.find(_._1 == 2L).get._3 == "solo")
+  }
+
   test("LibOps.kmvDistinct: exact under k, bounded error above") {
     // fewer distinct values than k: the sketch holds every hash and
     // reports the exact count
