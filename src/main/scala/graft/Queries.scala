@@ -1209,6 +1209,77 @@ object Queries {
       FROM est JOIN ex USING (event_type)
       ORDER BY event_type"""))
 
+  /** q83 — PER-GROUP approx-percentile winsorization
+    * (LibOps.approxQuantileCutsBy): the q81 histogram boundaries
+    * computed per event type — the per-domain robust gate a corpus
+    * actually runs ("clip each source at ITS OWN p05/p95"), at scale:
+    * no per-group exact-percentile buffers, no unpartitioned window
+    * (the cumulative is PARTITIONED BY the key, ≤4096 rows per
+    * partition), stats ride the histogram rows. Each group's own
+    * min/max span its buckets, so the cut error is ≤ its own
+    * range/4096. The oracle replays the grouped bucketing, per-key
+    * cumulative, rank targets, and upper-edge cuts bit-for-bit — the
+    * q81 grade, multiplied across groups.
+    */
+  private val q83 = Q(
+    "q83_grouped_winsorize",
+    (s, d) => {
+      import s.implicits._
+      val cuts = LibOps.approxQuantileCutsBy(
+          ev(s, d), Seq("event_type"), "value", Seq(0.05, 0.95), 4096)
+        .select($"event_type", $"cut_0".as("lo"), $"cut_1".as("hi"))
+      ev(s, d).join(broadcast(cuts), "event_type")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"value" < $"lo", 1L).otherwise(0L)).as("n_lo"),
+          sum(when($"value" > $"hi", 1L).otherwise(0L)).as("n_hi"),
+          round(min($"lo"), 6).as("cut_lo"),
+          round(min($"hi"), 6).as("cut_hi"),
+          sum(when($"value".isNotNull,
+            least(greatest($"value", $"lo"), $"hi").cast("decimal(18,6)")))
+            .cast("double").as("sum_clipped"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      WITH s AS (
+        SELECT event_type, min(value) AS vlo, max(value) AS vhi,
+               count(value) AS total
+        FROM events GROUP BY 1),
+      h AS (
+        SELECT e.event_type,
+               least(CAST(floor((value - vlo) / ((vhi - vlo) / 4096.0))
+                          AS INTEGER), 4095) AS bkt,
+               count(*) AS cnt,
+               min(vlo) AS vlo, min(vhi) AS vhi, min(total) AS total
+        FROM events e JOIN s USING (event_type)
+        WHERE value IS NOT NULL GROUP BY 1, 2),
+      c AS (
+        SELECT *, sum(cnt) OVER (PARTITION BY event_type ORDER BY bkt)
+                 AS cum
+        FROM h),
+      cut AS (
+        SELECT event_type,
+               min(vlo) + ((min(vhi) - min(vlo)) / 4096.0) *
+                 (min(CASE WHEN cum >= ceil(0.05 * total) THEN bkt END) + 1)
+                 AS lo,
+               min(vlo) + ((min(vhi) - min(vlo)) / 4096.0) *
+                 (min(CASE WHEN cum >= ceil(0.95 * total) THEN bkt END) + 1)
+                 AS hi
+        FROM c GROUP BY event_type)
+      SELECT e.event_type, count(*) AS n,
+             CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_lo,
+             CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hi,
+             round(min(lo), 6) AS cut_lo,
+             round(min(hi), 6) AS cut_hi,
+             CAST(sum(CASE WHEN value IS NOT NULL
+                           THEN CAST(least(greatest(value, lo), hi)
+                                     AS DECIMAL(18,6)) END)
+                  AS DOUBLE) AS sum_clipped
+      FROM events e JOIN cut USING (event_type)
+      GROUP BY e.event_type ORDER BY e.event_type"""))
+
   /** validate_orders — declarative data-quality gate: four row-level
     * constraints over orders evaluated in ONE scan (a single
     * partial-aggregated pass; N constraints = one table read), reported
@@ -3873,7 +3944,7 @@ object Queries {
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
-    q74, q75, q76, q77, q78, q79, q80, q81, q82,
+    q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, sm1, sm2, sm3, sm4, sm5, pk1, dc1, dc2, vd1,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, a01, a02, a03, a04, a05, m01, m02, m03, mr1,
     p01, st01, st02, st03, st04, st05)

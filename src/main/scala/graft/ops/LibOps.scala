@@ -347,6 +347,62 @@ object LibOps {
       .drop("__n", "__hk")
   }
 
+  /** Per-group [[approxQuantileCuts]] — the grouped percentile SCALE
+    * path: one row of `cut_i` boundaries PER KEY GROUP, so per-domain
+    * winsorization/robust gates run over near-continuous columns
+    * without per-group exact-percentile buffers (the q67-measured
+    * bottleneck) and without an unpartitioned window. Same
+    * deterministic equi-width histogram as the global op (any engine
+    * replays the boundary bit-for-bit); the group's own min/max span
+    * the buckets, so error stays ≤ (max_g − min_g)/buckets per group.
+    *
+    * Scale shape: two corpus passes — the S-row per-key stats
+    * aggregate (broadcast back for bucketing) and the partial-
+    * aggregated per-(key, bucket) histogram (≤ S×B rows) — then
+    * everything runs histogram-sized: the cumulative window is
+    * PARTITIONED BY the keys (≤ B rows per partition), and the cut
+    * selection is a keys-sized aggregate. Stats ride the histogram
+    * rows via `first` (constant per key), so nothing re-joins.
+    */
+  def approxQuantileCutsBy(df: DataFrame, keys: Seq[String], value: String,
+                           probs: Seq[Double],
+                           buckets: Int = 4096): DataFrame = {
+    require(keys.nonEmpty, "approxQuantileCutsBy: no key columns")
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1),
+      s"approxQuantileCutsBy: probs must be in (0, 1], got $probs")
+    require(buckets > 0, s"approxQuantileCutsBy: buckets=$buckets")
+    Seq("__lo", "__hi", "__total", "__bkt", "__cnt", "__cum").foreach(c =>
+      require(!df.columns.contains(c) && !keys.contains(c),
+        s"approxQuantileCutsBy: column $c collides with an internal name"))
+    val v = col(value).cast("double")
+    val stats = df.groupBy(keys.map(col): _*)
+      .agg(min(v).as("__lo"), max(v).as("__hi"), count(v).as("__total"))
+    val span = (col("__hi") - col("__lo")) / lit(buckets.toDouble)
+    val bkt = when(col("__hi") === col("__lo"), lit(0))
+      .otherwise(least(floor((v - col("__lo")) / span),
+        lit((buckets - 1).toDouble)))
+      .cast("int")
+    val hist = df.join(broadcast(stats), keys)
+      .filter(v.isNotNull)
+      .groupBy(keys.map(col) :+ bkt.as("__bkt"): _*)
+      .agg(count(lit(1)).as("__cnt"), first(col("__lo")).as("__lo"),
+        first(col("__hi")).as("__hi"), first(col("__total")).as("__total"))
+    val cum = hist.withColumn("__cum",
+      sum(col("__cnt")).over(Window.partitionBy(keys.map(col): _*)
+        .orderBy(col("__bkt"))))
+    val aggs = probs.zipWithIndex.map { case (p, i) =>
+      min(when(col("__cum") >= ceil(lit(p) * col("__total")), col("__bkt")))
+        .as(s"__b$i")
+    } ++ Seq(first(col("__lo")).as("__lo"), first(col("__hi")).as("__hi"))
+    cum.groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(keys.map(col) ++ probs.indices.map { i =>
+        (col("__lo") +
+          ((col("__hi") - col("__lo")) / lit(buckets.toDouble)) *
+            (col(s"__b$i") + 1)).as(s"cut_$i")
+      }: _*)
+  }
+
   /** [[winsorize]] through [[approxQuantileCuts]] — identical clamp
     * semantics (NULL-preserving, appends lo/hi/clipped/was_clipped)
     * with the histogram boundaries instead of the exact-percentile

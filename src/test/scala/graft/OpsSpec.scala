@@ -1052,6 +1052,44 @@ class OpsSpec extends AnyFunSuite {
     assert(dup == est)
   }
 
+  test("LibOps.approxQuantileCutsBy: per-group cut within the group's bucket width") {
+    // two groups with very different ranges: the cut error bound is
+    // per-group ((max_g - min_g)/B), not global
+    val df = ((0 until 2000).map(i => ("narrow", i / 1000.0)) ++
+      (0 until 2000).map(i => ("wide", i * 50.0))).toDF("g", "v")
+    val buckets = 256
+    val cuts = LibOps.approxQuantileCutsBy(df, Seq("g"), "v",
+        Seq(0.05, 0.95), buckets)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    for (g <- Seq("narrow", "wide")) {
+      val sub = df.filter($"g" === g)
+      val ex = sub.agg(expr("percentile(v, 0.05)"), expr("percentile(v, 0.95)"))
+        .collect()(0)
+      val Seq(lo, hi) = sub.agg(min($"v"), max($"v")).collect()(0)
+        .toSeq.map(_.asInstanceOf[Double])
+      val width = (hi - lo) / buckets
+      assert(math.abs(cuts(g)._1 - ex.getDouble(0)) <= width,
+        s"$g p05: ${cuts(g)._1} vs ${ex.getDouble(0)} width=$width")
+      assert(math.abs(cuts(g)._2 - ex.getDouble(1)) <= width,
+        s"$g p95: ${cuts(g)._2} vs ${ex.getDouble(1)} width=$width")
+    }
+    // constant group: both cuts degenerate to the single value
+    val const = Seq(("c", 5.0), ("c", 5.0)).toDF("g", "v")
+    val cc = LibOps.approxQuantileCutsBy(const, Seq("g"), "v", Seq(0.5))
+      .collect()(0)
+    assert(cc.getDouble(1) == 5.0)
+  }
+
+  test("q59 staged plan has zero parquet scans (orders staged once)") {
+    // the round-5 contract: all four merge branches read the SAME
+    // materialized blocks — a re-introduced per-branch parquet scan
+    // would put FileScan parquet back into this plan
+    val df = Queries.queryMap("q59_merge_upsert")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("FileScan parquet"), plan.take(2000))
+    assert(plan.contains("Scan ExistingRDD"), plan.take(2000))
+  }
+
   test("LibOps.winsorize clips at the exact empirical quantiles") {
     val df = (1 to 20).map(_.toDouble).toDF("v")
     val got = LibOps.winsorize(df, "v", 0.1, 0.9)
