@@ -1247,8 +1247,10 @@ object Queries {
         FROM events GROUP BY 1),
       h AS (
         SELECT e.event_type,
-               least(CAST(floor((value - vlo) / ((vhi - vlo) / 4096.0))
-                          AS INTEGER), 4095) AS bkt,
+               CASE WHEN vhi = vlo THEN 0
+                    ELSE least(CAST(floor((value - vlo)
+                                          / ((vhi - vlo) / 4096.0))
+                               AS INTEGER), 4095) END AS bkt,
                count(*) AS cnt,
                min(vlo) AS vlo, min(vhi) AS vhi, min(total) AS total
         FROM events e JOIN s USING (event_type)
@@ -1279,6 +1281,46 @@ object Queries {
                   AS DOUBLE) AS sum_clipped
       FROM events e JOIN cut USING (event_type)
       GROUP BY e.event_type ORDER BY e.event_type"""))
+
+  /** q84 — weekly cohort retention (TimeOps.retentionCohorts): the
+    * classic activity matrix — users cohorted by the ISO week of
+    * their first event, one row per (cohort, week offset) with the
+    * active count and retention vs the cohort's own week-0 size. Two
+    * user-keyed reductions (per-user min + (user, week) distinct)
+    * co-partition on the user shuffle; everything downstream is
+    * weeks²-sized. Offsets are exact integer day-diffs of
+    * week-truncated dates / 7 — no float until the final rounded
+    * percentage, which both engines derive from the same integers.
+    */
+  private val q84 = Q(
+    "q84_retention_cohorts",
+    (s, d) => {
+      import s.implicits._
+      TimeOps.retentionCohorts(ev(s, d), "user_id", "ts")
+        .orderBy($"cohort_week", $"week_offset")
+    },
+    Some("""
+      WITH f AS (
+        SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE)
+                 AS cohort_week
+        FROM events GROUP BY 1),
+      a AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE)
+                 AS activity_week
+        FROM events),
+      j AS (
+        SELECT cohort_week,
+               CAST(date_diff('day', cohort_week, activity_week) // 7
+                    AS INTEGER) AS week_offset,
+               count(*) AS n_active
+        FROM a JOIN f USING (user_id) GROUP BY 1, 2),
+      s AS (
+        SELECT cohort_week, n_active AS cn FROM j WHERE week_offset = 0)
+      SELECT j.cohort_week, week_offset, n_active,
+             round(CAST(n_active AS DOUBLE) / cn * 100.0, 4)
+               AS pct_retained
+      FROM j JOIN s USING (cohort_week)
+      ORDER BY cohort_week, week_offset"""))
 
   /** validate_orders — declarative data-quality gate: four row-level
     * constraints over orders evaluated in ONE scan (a single
@@ -1669,7 +1711,9 @@ object Queries {
         SELECT doc_id, CAST(len(ws) AS INTEGER) AS doc_tokens,
                CAST(t.i // 24 AS INTEGER) AS chunk_idx,
                array_to_string(ws[t.i+1 : t.i+32], ' ') AS chunk_text
-        FROM d, unnest(range(0, greatest(len(ws), 1), 24)) AS t(i))
+        FROM d, unnest(range(0,
+               ((greatest(len(ws) - 32, 0) + 23) // 24) * 24 + 1,
+               24)) AS t(i))
       SELECT doc_id, doc_tokens, chunk_idx,
              CAST(len(string_split(chunk_text, ' ')) AS INTEGER)
                AS chunk_tokens,
@@ -3944,7 +3988,7 @@ object Queries {
     q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
-    q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
+    q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, sm1, sm2, sm3, sm4, sm5, pk1, dc1, dc2, vd1,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, a01, a02, a03, a04, a05, m01, m02, m03, mr1,
     p01, st01, st02, st03, st04, st05)

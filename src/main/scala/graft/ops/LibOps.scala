@@ -266,7 +266,8 @@ object LibOps {
     require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1),
       s"approxQuantileCuts: probs must be in (0, 1], got $probs")
     require(buckets > 0, s"approxQuantileCuts: buckets=$buckets")
-    Seq("__lo", "__hi", "__total", "__bkt", "__cnt", "__cum").foreach(c =>
+    (Seq("__lo", "__hi", "__total", "__bkt", "__cnt", "__cum") ++
+        probs.indices.map(i => s"cut_$i")).foreach(c =>
       require(!df.columns.contains(c),
         s"approxQuantileCuts: input already has a $c column"))
     val v = col(value).cast("double")
@@ -371,7 +372,8 @@ object LibOps {
     require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1),
       s"approxQuantileCutsBy: probs must be in (0, 1], got $probs")
     require(buckets > 0, s"approxQuantileCutsBy: buckets=$buckets")
-    Seq("__lo", "__hi", "__total", "__bkt", "__cnt", "__cum").foreach(c =>
+    (Seq("__lo", "__hi", "__total", "__bkt", "__cnt", "__cum") ++
+        probs.indices.map(i => s"cut_$i")).foreach(c =>
       require(!df.columns.contains(c) && !keys.contains(c),
         s"approxQuantileCutsBy: column $c collides with an internal name"))
     val v = col(value).cast("double")

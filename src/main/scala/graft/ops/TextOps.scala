@@ -30,11 +30,13 @@ object TextOps {
     * of a retrieval/training pipeline: each document explodes into
     * windows of `windowTokens` words starting every `strideTokens`
     * (overlap = window − stride), each chunk carrying its index and
-    * token span so provenance survives. Starts run while start < n_w
-    * (the tail chunk may be short; every token is covered exactly by
-    * the chunks whose span contains it). Empty/whitespace-degenerate
-    * docs yield their single trivial chunk rather than vanishing —
-    * corpus accounting must see every doc.
+    * token span so provenance survives. Starts run 0, S, 2S, … up to
+    * the FIRST start whose window reaches the document end
+    * (ceil((n−W)/S)·S) — full coverage with no chunk that is a strict
+    * sub-span of its predecessor (a redundant duplicate the dedup
+    * family would otherwise have to clean up). Empty/whitespace-
+    * degenerate docs yield their single trivial chunk rather than
+    * vanishing — corpus accounting must see every doc.
     *
     * Scale shape: pure row-local generate (sequence → transform →
     * posexplode), codegen'd, no UDF, no shuffle — output rows ≈
@@ -51,12 +53,15 @@ object TextOps {
       s"chunkDocs: need 0 < stride <= window, got ($windowTokens, $strideTokens)")
     val ws = words(col(textCol))
     val nw = size(ws)
-    // last start = the largest multiple of stride < n_w (n_w >= 1
-    // always: split("", " ") is [""]) — sequence is inclusive of it
-    val starts = sequence(lit(0),
-      greatest(nw - 1, lit(0)) - pmod(greatest(nw - 1, lit(0)),
-        lit(strideTokens)),
-      lit(strideTokens))
+    // last start = ceil((n_w - W)/S) * S — the first start whose
+    // window reaches the end (0 when n_w <= W: one chunk; n_w >= 1
+    // always, split("", " ") is [""]). Non-negative int arithmetic:
+    // double division is exact here and cast truncation == floor.
+    val over = greatest(nw - lit(windowTokens), lit(0))
+    val lastStart =
+      ((over + lit(strideTokens - 1)) / lit(strideTokens.toDouble))
+        .cast("int") * lit(strideTokens)
+    val starts = sequence(lit(0), lastStart, lit(strideTokens))
     df.select(col(idCol), nw.as("doc_tokens"),
         posexplode(transform(starts,
           s => array_join(slice(ws, s + 1, lit(windowTokens)), " "))))

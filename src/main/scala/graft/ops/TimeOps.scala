@@ -40,4 +40,45 @@ object TimeOps {
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("session_start", col("session_window.start").cast("long"))
       .drop("session_window")
+
+  /** Weekly cohort-retention matrix — the classic activity analysis
+    * (cohort = ISO week of a user's FIRST event; one row per
+    * (cohort_week, week_offset) with the active-user count and the
+    * retention percentage against the cohort's own week-0 size).
+    *
+    * Scale shape: a per-user min aggregate (user-cardinality rows,
+    * partial-aggregated) and a (user, week) distinct — both shuffle on
+    * the user key, so the join between them co-partitions with no
+    * extra exchange; everything after runs over cohort×offset rows
+    * (weeks², tiny) — the week-0 size comes from a window PARTITIONED
+    * BY cohort over that tiny frame, so the user-level subtree appears
+    * in the plan exactly once (a filter-and-rejoin formulation plants
+    * it twice). The raw event stream is never joined — only its two
+    * user-level reductions. Offsets divide day-diffs of
+    * week-truncated dates by 7, exact integers in any engine.
+    */
+  def retentionCohorts(df: DataFrame, userCol: String,
+                       ts: String): DataFrame = {
+    Seq("cohort_week", "activity_week", "week_offset", "n_active",
+        "pct_retained", "__cohort_n").foreach(c =>
+      require(!df.columns.contains(c),
+        s"retentionCohorts: input already has a $c column"))
+    val week = date_trunc("week", col(ts)).cast("date")
+    val firsts = df.groupBy(col(userCol))
+      .agg(min(week).as("cohort_week"))
+    val activity = df.select(col(userCol), week.as("activity_week"))
+      .distinct()
+    val counts = activity.join(firsts, userCol)
+      .withColumn("week_offset",
+        (datediff(col("activity_week"), col("cohort_week")) / lit(7))
+          .cast("int"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val cohortN = max(when(col("week_offset") === 0, col("n_active")))
+      .over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cohort_week")))
+    counts
+      .withColumn("pct_retained",
+        round(col("n_active").cast("double") / cohortN * 100.0, 4))
+  }
 }

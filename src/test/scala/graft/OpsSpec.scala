@@ -1019,9 +1019,10 @@ class OpsSpec extends AnyFunSuite {
       .select("doc_id", "chunk_idx", "chunk_text").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
     val d1 = got.filter(_._1 == 1L).sortBy(_._2).map(_._3)
-    // starts 0,3,6,9: full windows, then the short tail
+    // starts 0,3,6 (ceil((10-4)/3)*3 = 6): the last window reaches the
+    // end, and no chunk is a strict sub-span of its predecessor
     assert(d1.toSeq == Seq(
-      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10", "w10"))
+      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10"))
     // every token appears in some chunk (coverage), overlap = 1 here
     assert((1 to 10).forall(i => d1.exists(_.split(" ").contains(s"w$i"))))
     // single-token and empty docs yield exactly one chunk each
@@ -1083,11 +1084,41 @@ class OpsSpec extends AnyFunSuite {
   test("q59 staged plan has zero parquet scans (orders staged once)") {
     // the round-5 contract: all four merge branches read the SAME
     // materialized blocks — a re-introduced per-branch parquet scan
-    // would put FileScan parquet back into this plan
-    val df = Queries.queryMap("q59_merge_upsert")(spark, "/root/testdata/sf0.001")
+    // would put FileScan parquet back into this plan. Inline fixture
+    // (a tiny orders.parquet in a temp dir), not the generated
+    // testdata — the suite must pass on any checkout
+    val dir = "/tmp/graft_test_q59plan"
+    (1L to 40L).map(i => (i, i % 7, if (i % 2 == 0) "O" else "F",
+        100.0 + i, java.sql.Date.valueOf("1995-01-01"), s"p$i"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val df = Queries.queryMap("q59_merge_upsert")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("FileScan parquet"), plan.take(2000))
     assert(plan.contains("Scan ExistingRDD"), plan.take(2000))
+    graft.io.FsOps.rm(spark, dir)
+  }
+
+  test("TimeOps.retentionCohorts builds the weekly retention matrix") {
+    import java.sql.Timestamp
+    def ts(day: Int): Timestamp = Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    // weeks: W1 = Jan 1-7, W2 = Jan 8-14, W3 = Jan 15-21 (Mon starts)
+    // u1: W1, W2, W3; u2: W1 only; u3: W2, W3
+    val df = Seq(
+      (1L, ts(2)), (1L, ts(9)), (1L, ts(16)), (1L, ts(3)),
+      (2L, ts(5)),
+      (3L, ts(10)), (3L, ts(17))).toDF("user_id", "ts")
+    val got = TimeOps.retentionCohorts(df, "user_id", "ts")
+      .orderBy($"cohort_week", $"week_offset").collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      ("2024-01-01", 0, 2L, 100.0),  // u1, u2
+      ("2024-01-01", 1, 1L, 50.0),   // u1
+      ("2024-01-01", 2, 1L, 50.0),   // u1
+      ("2024-01-08", 0, 1L, 100.0),  // u3
+      ("2024-01-08", 1, 1L, 100.0))) // u3
   }
 
   test("LibOps.winsorize clips at the exact empirical quantiles") {
