@@ -1128,8 +1128,10 @@ object Queries {
         SELECT min(value) AS vlo, max(value) AS vhi, count(value) AS total
         FROM events),
       h AS (
-        SELECT least(CAST(floor((value - vlo) / ((vhi - vlo) / 4096.0))
-                          AS INTEGER), 4095) AS bkt,
+        SELECT CASE WHEN vhi = vlo THEN 0
+                    ELSE least(CAST(floor((value - vlo) /
+                                          ((vhi - vlo) / 4096.0))
+                               AS INTEGER), 4095) END AS bkt,
                count(*) AS cnt
         FROM events, s WHERE value IS NOT NULL GROUP BY 1),
       c AS (
@@ -1185,14 +1187,15 @@ object Queries {
         SELECT DISTINCT event_type, user_id FROM events
         WHERE user_id IS NOT NULL),
       h AS (
-        SELECT event_type,
+        SELECT event_type, user_id,
                (CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
                      ::BIGINT AS DOUBLE) + 1.0) / 1152921504606846976.0
                  AS hv
         FROM dv),
       r AS (
         SELECT event_type, hv,
-               row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rk
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY hv, user_id) AS rk
         FROM h),
       est AS (
         SELECT event_type,

@@ -255,11 +255,14 @@ object LibOps {
     * boundary that decides what data survives.
     *
     * Scale shape: two corpus passes, neither buffering values — a
-    * min/max/count aggregate (1 row, pinned by localCheckpoint so its
-    * two consumers don't re-run the scan) and a partial-aggregated
-    * histogram groupBy (≤ `buckets` rows). The only unpartitioned
-    * window runs over the buckets-sized histogram (the equidepthBins
-    * convention), and the clamp consumers get a 1-row broadcast.
+    * min/max/count aggregate (1 row, fetched with `.head()` and
+    * inlined as literals, the budgetSample pattern: nothing pinned for
+    * a library caller to leak, and the stat crossJoins drop out of the
+    * plan) and a partial-aggregated histogram groupBy (≤ `buckets`
+    * rows). The only unpartitioned window runs over the buckets-sized
+    * histogram (the equidepthBins convention). The stats job runs at
+    * call time — same eager cost the checkpoint formulation paid,
+    * without the JVM-lifetime RDD pin.
     */
   def approxQuantileCuts(df: DataFrame, value: String, probs: Seq[Double],
                          buckets: Int = 4096): DataFrame = {
@@ -271,32 +274,33 @@ object LibOps {
       require(!df.columns.contains(c),
         s"approxQuantileCuts: input already has a $c column"))
     val v = col(value).cast("double")
-    val stats = df.agg(min(v).as("__lo"), max(v).as("__hi"),
-        count(v).as("__total"))
-      .localCheckpoint(true)
-    val span = (col("__hi") - col("__lo")) / lit(buckets.toDouble)
+    val statsRow = df.agg(min(v), max(v), count(v)).head()
+    val nTotal = statsRow.getLong(2)
+    // all-NULL/empty column: lo/hi are NULL and every cut is NULL —
+    // the same degenerate row the checkpoint formulation produced
+    val (loLit, hiLit) =
+      if (statsRow.isNullAt(0))
+        (lit(null).cast("double"), lit(null).cast("double"))
+      else (lit(statsRow.getDouble(0)), lit(statsRow.getDouble(1)))
+    val span = (hiLit - loLit) / lit(buckets.toDouble)
     // constant column (hi == lo): everything lands in bucket 0 and
     // every cut degenerates to lo — the guard keeps the division sane
-    val bkt = when(col("__hi") === col("__lo"), lit(0))
-      .otherwise(least(floor((v - col("__lo")) / span),
+    val bkt = when(hiLit === loLit, lit(0))
+      .otherwise(least(floor((v - loLit) / span),
         lit((buckets - 1).toDouble)))
       .cast("int")
-    val hist = df.crossJoin(broadcast(stats))
-      .filter(v.isNotNull)
+    val hist = df.filter(v.isNotNull)
       .groupBy(bkt.as("__bkt"))
       .agg(count(lit(1)).as("__cnt"))
     val cum = hist.withColumn("__cum",
       sum(col("__cnt")).over(Window.orderBy(col("__bkt"))))
     val aggs = probs.zipWithIndex.map { case (p, i) =>
-      min(when(col("__cum") >= ceil(lit(p) * col("__total")), col("__bkt")))
+      min(when(col("__cum") >= ceil(lit(p) * lit(nTotal)), col("__bkt")))
         .as(s"__b$i")
-    } ++ Seq(first(col("__lo")).as("__lo"), first(col("__hi")).as("__hi"))
-    cum.crossJoin(broadcast(stats.select("__lo", "__hi", "__total")))
-      .agg(aggs.head, aggs.tail: _*)
+    }
+    cum.agg(aggs.head, aggs.tail: _*)
       .select(probs.indices.map { i =>
-        (col("__lo") +
-          ((col("__hi") - col("__lo")) / lit(buckets.toDouble)) *
-            (col(s"__b$i") + 1)).as(s"cut_$i")
+        (loLit + span * (col(s"__b$i") + 1)).as(s"cut_$i")
       }: _*)
   }
 
@@ -336,7 +340,12 @@ object LibOps {
     val hashed = df.filter(col(value).isNotNull)
       .select((keys.map(col) :+ col(value)): _*).distinct()
       .withColumn("__h", h)
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__h").asc)
+    // value as secondary sort key: two distinct values sharing a 60-bit
+    // md5 prefix would otherwise make the k-th-smallest selection
+    // order-dependent — the codebase's 'collisions are no concern, but
+    // determinism is' tie-break convention, mirrored in the q82 oracle
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__h").asc, col(value).asc)
     hashed.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= k)
       .groupBy(keys.map(col): _*)
@@ -439,8 +448,14 @@ object LibOps {
     *
     * Scale shape: one partial-aggregated count per key (the wordcount
     * shuffle), then everything else — the 1-row total/mean aggregate
-    * and the topK window — runs over the keys-sized count table, never
-    * the corpus. The broadcast is 1 row.
+    * and the topK selection — runs over the keys-sized count table,
+    * never the corpus. The topK selection is `orderBy(...).limit(topK)`,
+    * which Catalyst plans as `TakeOrderedAndProject`: each task keeps
+    * its own topK then the driver merges K-sized slices — no
+    * single-task sort, even when the key space itself is huge (the one
+    * operator whose input cardinality is *distinct keys of a skewed
+    * table*, so that matters). The rank window that follows runs over
+    * the ≤topK surviving rows only. The broadcast is 1 row.
     */
   def skewReport(df: DataFrame, keys: Seq[String],
                  topK: Int = 10): DataFrame = {
@@ -451,10 +466,13 @@ object LibOps {
     val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("cnt"))
     val totals = counts.agg(
       sum(col("cnt")).as("__total"), count(lit(1)).as("__nkeys"))
-    val w = Window.orderBy(col("cnt").desc +: keys.map(col): _*)
-    counts.crossJoin(broadcast(totals))
+    val ord = col("cnt").desc +: keys.map(col(_).asc)
+    // TakeOrderedAndProject over the keys-sized table; the window below
+    // only ever sees ≤ topK rows (keys in the ordering = deterministic).
+    val top = counts.orderBy(ord: _*).limit(topK)
+    val w = Window.orderBy(ord: _*)
+    top.crossJoin(broadcast(totals))
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
       .withColumn("pct_rows",
         round(col("cnt").cast("double") / col("__total") * 100.0, 4))
       .withColumn("skew_ratio",

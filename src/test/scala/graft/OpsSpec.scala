@@ -1152,6 +1152,26 @@ class OpsSpec extends AnyFunSuite {
       (2, "warm", 30L, 30.0, 0.9)))
   }
 
+  test("LibOps.skewReport plans its top-K as TakeOrderedAndProject") {
+    // the round-6 contract: the topK selection over the per-key count
+    // table must be per-partition top-K + K-sized merge, never an
+    // unpartitioned sort/window — the key space of a skewed table is
+    // unbounded at the design point. A re-introduced global
+    // row_number window would put a Window over a single-partition
+    // Exchange back into this plan.
+    val df = (0 until 1000).map(i => (s"k${i % 97}", i)).toDF("k", "v")
+    val plan = LibOps.skewReport(df, Seq("k"), topK = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    // the rank window must sit ABOVE the top-K (≤ topK input rows), not
+    // below it over the full count table (tree strings list parents
+    // first, so the Window's offset must precede TakeOrderedAndProject;
+    // the only SinglePartition exchange allowed is the 1-row totals agg)
+    assert(plan.indexOf("Window") >= 0 &&
+      plan.indexOf("Window") < plan.indexOf("TakeOrderedAndProject"),
+      plan.take(2000))
+  }
+
   test("SampleOps.shardAssignment is a stable partition-invariant permutation") {
     val df = (0L until 500L).toDF("id")
     val a = SampleOps.shardAssignment(df, "id", 4)
