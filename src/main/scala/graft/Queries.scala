@@ -1000,6 +1000,47 @@ object Queries {
               < rate * 65536.0
       GROUP BY d.lang ORDER BY d.lang"""))
 
+  /** sample_temperature_a03 — the NON-dyadic temperature knob graded
+    * (SampleOps.temperatureSample, alpha = 0.3, target 250): the first
+    * knob a real user turns (alpha 0.3/0.7) routes through `pow`,
+    * which is 1-ulp class, not correctly rounded — so the operator
+    * DEFINES pow-path rates at 1e-9 precision (round(rate, 9) in both
+    * engines), absorbing the cross-engine ulp noise. That documented
+    * precision is the graded contract here: DuckDB replays pow, the
+    * DECIMAL weight total, the rounding, and the md5 threshold; a
+    * kept-set flip would need an unrounded rate within an ulp of a
+    * 0.5e-9 rounding boundary (the operator's documented residual).
+    * Alpha 0.3 flattens harder than √n: fr's rate rises and en's
+    * falls relative to sample_temperature on the same corpus.
+    */
+  private val sm6 = Q(
+    "sample_temperature_a03",
+    (s, d) => {
+      import s.implicits._
+      SampleOps.temperatureSample(docs(s, d), "lang", "doc_id", 0.3, 250L)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_kept"),
+             round(min($"mix_rate"), 6).as("rate"))
+        .orderBy($"lang")
+    },
+    Some("""
+      WITH c AS (
+        SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+      t AS (
+        SELECT CAST(sum(CAST(pow(CAST(n AS DOUBLE), 0.3)
+                             AS DECIMAL(38,18))) AS DOUBLE) AS tw
+        FROM c),
+      r AS (
+        SELECT lang,
+               round(least(1.0, pow(CAST(n AS DOUBLE), 0.3) / tw * 250.0
+                                  / CAST(n AS DOUBLE)), 9) AS rate
+        FROM c, t)
+      SELECT d.lang, count(*) AS n_kept, round(min(rate), 6) AS rate
+      FROM documents d JOIN r USING (lang)
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER
+              < rate * 65536.0
+      GROUP BY d.lang ORDER BY d.lang"""))
+
   /** q77 — key-skew report (LibOps.skewReport): the shuffle-planning
     * diagnostic — top keys by row count with share and skew ratio
     * (count ÷ mean-per-key), computed keys-sized after one partial-
@@ -1159,7 +1200,8 @@ object Queries {
       GROUP BY event_type ORDER BY event_type"""))
 
   /** q82 — deterministic KMV distinct-count sketch (LibOps.kmvDistinct,
-    * k=64): the gradeable counterpart of q32's HLL — per event type,
+    * k=64): the gradeable distinct sketch (it retired q32's rows-only
+    * HLL in round 6) — per event type,
     * distinct users estimated from the 64 smallest md5-derived hashes
     * ((k−1)/h_(k)), with the EXACT count and the measured error
     * percentage in the same graded row (the q81 practice: the margin
@@ -2341,20 +2383,14 @@ object Queries {
       FROM supplier JOIN nation ON s_nationkey = n_nationkey
       GROUP BY n_name ORDER BY n_name"""))
 
-  /** q32 — sketch-based scale variants (A5 at 100 TB): HLL distinct +
-    * approximate percentile. Deterministic within Spark but algorithm-
-    * specific → rows-only.
-    */
-  private val q32 = Q(
-    "q32_approx_sketches",
-    (s, d) => {
-      import s.implicits._
-      ev(s, d).groupBy($"event_type")
-        .agg(approx_count_distinct($"user_id").as("n_users_hll"),
-             round(percentile_approx($"value", lit(0.5), lit(1000)), 4).as("median_approx"))
-        .orderBy($"event_type")
-    },
-    None)
+  // q32_approx_sketches (HLL distinct + approx percentile) was retired
+  // in round 6: both capabilities now have DETERMINISTIC graded
+  // counterparts — q82_kmv_distinct for the distinct sketch and
+  // q81/q83 for histogram quantiles — so the engine-native
+  // convenience ops (LibOps.approxCountDistinctByKey,
+  // percentile_approx) stay available and unit-proven (QueriesSpec
+  // "approx sketches"), but no longer hold a rows-only slot in the
+  // graded surface.
 
   /** q33 — T3 nsmallest: bottom-2 cheapest orders per priority class. */
   private val q33 = Q(
@@ -2803,6 +2839,56 @@ object Queries {
       Bucketing.drop(s, oT)
       Bucketing.drop(s, lT)
       res.orderBy($"o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS n_items,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** q57b — the bucketed join's PROBE side, measured alone: q57's
+    * warm number re-pays two bucketed table writes every run (write
+    * family by design), so the cost the layout exists to amortize —
+    * the exchange-free sort-merge join — never appears as its own
+    * number. Here the bucketed tables build ONCE per JVM (rebuild-or-
+    * reuse by catalog existence; external tables under the graft_tmp
+    * scratch convention, pid+dataset-tagged so concurrent JVMs and
+    * different SFs never collide) and every subsequent run is the pure
+    * probe: bucket-layout scans feeding an SMJ with zero shuffle
+    * exchanges. Cold therefore includes the one-time build — the
+    * amortization story stated honestly — and warm IS the join. At
+    * 100 TB this is the number a resident cluster sees on every
+    * orders⋈lineitem after the layout lands. Same aggregate contract
+    * as q57 (one oracle serves both); BucketingSpec asserts the reuse
+    * (second call leaves the catalog untouched) and the no-Exchange
+    * plan.
+    */
+  private val q57b = Q(
+    "q57b_bucketed_probe",
+    (s, d) => {
+      import s.implicits._
+      import graft.io.Bucketing
+      val pid = ProcessHandle.current().pid()
+      val tag = math.abs(d.hashCode).toString
+      val oT = s"graft_b57p_orders_${pid}_$tag"
+      val lT = s"graft_b57p_lineitem_${pid}_$tag"
+      if (!s.catalog.tableExists(oT) || !s.catalog.tableExists(lT)) {
+        Bucketing.writeBucketed(
+          ord(s, d).select($"o_orderkey", $"o_orderpriority"),
+          oT, 16, "o_orderkey", Seq("o_orderkey"),
+          Some(tmpDir(s, s"q57b_orders_$tag")))
+        Bucketing.writeBucketed(
+          li(s, d).select($"l_orderkey", $"l_extendedprice", $"l_discount"),
+          lT, 16, "l_orderkey", Seq("l_orderkey"),
+          Some(tmpDir(s, s"q57b_lineitem_$tag")))
+      }
+      Bucketing.table(s, oT).hint("merge")
+        .join(Bucketing.table(s, lT), $"o_orderkey" === $"l_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+             round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+               .as("revenue"))
+        .orderBy($"o_orderpriority")
     },
     Some("""
       SELECT o_orderpriority, count(*) AS n_items,
@@ -3988,11 +4074,11 @@ object Queries {
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
-    q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
+    q28, q29, q30, q31, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
-    q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
+    q52, q53, q54, q55, q56, q57, q57b, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, sm1, sm2, sm3, sm4, sm5, pk1, dc1, dc2, vd1,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, sm1, sm2, sm3, sm4, sm5, sm6, pk1, dc1, dc2, vd1,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, a01, a02, a03, a04, a05, m01, m02, m03, mr1,
     p01, st01, st02, st03, st04, st05)
 

@@ -23,9 +23,15 @@ object Bucketing {
     * under `spark.sql.warehouse.dir` (shared FS on a real cluster).
     */
   def writeBucketed(df: DataFrame, table: String, numBuckets: Int,
-                    bucketCol: String, sortCols: Seq[String] = Nil): Unit = {
-    val w = df.write.mode("overwrite").format("parquet")
+                    bucketCol: String, sortCols: Seq[String] = Nil,
+                    path: Option[String] = None): Unit = {
+    // an explicit path makes the table EXTERNAL: files land under the
+    // caller's scratch dir (the graft_tmp convention) instead of the
+    // warehouse root, so a probe query can rebuild-or-reuse by catalog
+    // existence while a fresh JVM's overwrite reclaims the old files
+    val w0 = df.write.mode("overwrite").format("parquet")
       .bucketBy(numBuckets, bucketCol)
+    val w = path.fold(w0)(p => w0.option("path", p))
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(table)
   }

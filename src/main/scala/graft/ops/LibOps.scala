@@ -60,7 +60,12 @@ object LibOps {
   def countDistinctByKey(df: DataFrame, keys: Seq[String], value: String): DataFrame =
     df.groupBy(keys.map(col): _*).agg(count_distinct(col(value)).as("n_distinct"))
 
-  /** A5 at scale: HyperLogLog++ sketch instead of exact distinct. */
+  /** A5 at scale: HyperLogLog++ sketch instead of exact distinct.
+    * Engine-native convenience — the sketch is algorithm-specific, so
+    * its numbers are unreproducible outside Spark; the GRADED distinct
+    * sketch is [[kmvDistinct]] (q82), whose estimate any engine
+    * replays bit-for-bit with the same state bound.
+    */
   def approxCountDistinctByKey(df: DataFrame, keys: Seq[String], value: String,
                                rsd: Double = 0.05): DataFrame =
     df.groupBy(keys.map(col): _*).agg(approx_count_distinct(col(value), rsd).as("n_distinct_approx"))
@@ -307,7 +312,8 @@ object LibOps {
   /** Deterministic KMV (k-minimum-values) distinct-count sketch — the
     * approxQuantileCuts argument applied to COUNT DISTINCT: HLL
     * (`approx_count_distinct`) is engine-specific and ungradeable
-    * (q32 stays rows-only for exactly that reason); KMV over a
+    * (which is why the old q32 HLL row could never be oracled and was
+    * retired in round 6); KMV over a
     * portable hash is pure deterministic arithmetic, so any engine
     * replays the estimate bit-for-bit. Estimator: normalize the md5
     * of each distinct value into (0,1]; with h_(k) the k-th smallest

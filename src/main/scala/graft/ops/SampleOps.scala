@@ -154,11 +154,18 @@ object SampleOps {
     * S-row rates join feeding the row-local hash threshold — the
     * corpus never shuffles.
     *
-    * Engine-exact parity (the graded contract): alpha = 0.5 routes
-    * through `sqrt`, which IEEE 754 requires correctly rounded in
-    * every engine, and the weight total sums in DECIMAL so partial
-    * order cannot flip a threshold ulp; other alphas use `pow`
-    * (1-ulp class, fine for production, not for bit-equality grades).
+    * Engine-exact parity (the graded contract): the dyadic alphas
+    * 0, 1/4, 1/2, 3/4, 1 route through IEEE-exact primitives — `sqrt`
+    * is correctly rounded by IEEE 754 in every engine, and a fixed
+    * product tree of correctly-rounded ops replays bit-for-bit — and
+    * the weight total sums in DECIMAL so partial order cannot flip a
+    * threshold ulp. Every other alpha uses `pow` (1-ulp class), so
+    * its rate is DEFINED at 1e-9 precision: the final `mix_rate` is
+    * rounded to 9 decimals, absorbing the cross-engine ulp noise (a
+    * kept-set flip would need the unrounded rate within an ulp of a
+    * 0.5e-9 rounding boundary — the documented residual), which is
+    * what puts the user's first non-default knob (alpha 0.3/0.7)
+    * inside the graded envelope instead of outside it.
     */
   def temperatureSample(df: DataFrame, groupCol: String, idCol: String,
                         alpha: Double, targetRows: Long): DataFrame = {
@@ -176,14 +183,27 @@ object SampleOps {
     // and run a corpus job at plan-construction time). The window is
     // unpartitioned but S-sized — the skewReport convention. DECIMAL
     // sum: partial order can't flip an ulp of the total.
+    val w = alpha match {
+      case 0.0  => lit(1.0)
+      case 0.25 => sqrt(sqrt(n))
+      case 0.5  => sqrt(n)
+      case 0.75 => sqrt(n) * sqrt(sqrt(n))
+      case 1.0  => n
+      case a    => pow(n, lit(a))
+    }
+    val exactAlpha = Set(0.0, 0.25, 0.5, 0.75, 1.0).contains(alpha)
     val rates = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
-      .withColumn("__w", if (alpha == 0.5) sqrt(n) else pow(n, lit(alpha)))
+      .withColumn("__w", w)
       .withColumn("__tw",
         sum(col("__w").cast("decimal(38,18)"))
           .over(Window.partitionBy()).cast("double"))
-      .withColumn("mix_rate",
-        least(lit(1.0),
-          col("__w") / col("__tw") * lit(targetRows.toDouble) / n))
+      .withColumn("mix_rate", {
+        val r = least(lit(1.0),
+          col("__w") / col("__tw") * lit(targetRows.toDouble) / n)
+        // pow-path rates are defined at 1e-9 precision (see Scaladoc);
+        // exact-path rates stay unrounded — bit-exact as primitives
+        if (exactAlpha) r else round(r, 9)
+      })
       .select(col(groupCol), col("mix_rate"))
     df.join(broadcast(rates), Seq(groupCol))
       .filter(bucket16(col(idCol)).cast("double") <

@@ -41,6 +41,42 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("q57b probe reuses the per-JVM bucketed tables and joins exchange-free") {
+    val pid = ProcessHandle.current().pid()
+    val tag = math.abs(d.hashCode).toString
+    val oT = s"graft_b57p_orders_${pid}_$tag"
+    val lT = s"graft_b57p_lineitem_${pid}_$tag"
+    try {
+      // first call builds the external bucketed tables...
+      val first = Queries.queryMap("q57b_bucketed_probe")(spark, d)
+      val rows1 = first.collect()
+      assert(rows1.nonEmpty)
+      assert(spark.catalog.tableExists(oT) && spark.catalog.tableExists(lT))
+      // ...the second call must REUSE them (build-if-missing contract):
+      // drop-and-rebuild would refresh the table creation time
+      val created = spark.sql(s"DESCRIBE TABLE EXTENDED $oT")
+        .filter("col_name = 'Created Time'").collect()(0).getString(1)
+      val second = Queries.queryMap("q57b_bucketed_probe")(spark, d)
+      assert(second.collect().map(_.toString).toSeq ==
+        rows1.map(_.toString).toSeq)
+      val created2 = spark.sql(s"DESCRIBE TABLE EXTENDED $oT")
+        .filter("col_name = 'Created Time'").collect()(0).getString(1)
+      assert(created == created2, "probe rebuilt a table it should reuse")
+      // and the probe plan is the bucket path: the SMJ reads both
+      // bucketed scans with NO exchange on the join key (the agg's
+      // o_orderpriority exchange and the final range sort are the
+      // query's own, not the join's)
+      val plan = second.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(2000))
+      assert(!plan.contains("Exchange hashpartitioning(o_orderkey") &&
+        !plan.contains("Exchange hashpartitioning(l_orderkey"),
+        s"q57b probe shuffled a join input:\n${plan.take(2000)}")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $oT")
+      spark.sql(s"DROP TABLE IF EXISTS $lT")
+    }
+  }
+
   test("partitioned+bucketed layout prunes partitions AND joins shuffle-free") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

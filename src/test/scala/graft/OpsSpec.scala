@@ -940,6 +940,42 @@ class OpsSpec extends AnyFunSuite {
     assert(re == kept.select("id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("SampleOps.temperatureSample: dyadic sqrt-chain alphas and pow-path precision") {
+    val df = ((0 until 400).map(i => ("a", i.toLong)) ++
+      (400 until 500).map(i => ("b", i.toLong)) ++
+      (500 until 525).map(i => ("c", i.toLong))).toDF("src", "id")
+    def rates(alpha: Double): Map[String, Double] =
+      SampleOps.temperatureSample(df, "src", "id", alpha, 200L)
+        .groupBy($"src").agg(min($"mix_rate")).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // alpha=0.25 routes through sqrt(sqrt(n)) — an IEEE-exact tree: the
+    // uncapped rate must equal the driver-side replay bit-for-bit
+    // the DECIMAL(38,18) weight-total cast, replayed driver-side
+    def dec18(x: Double): BigDecimal =
+      BigDecimal(x).setScale(18, BigDecimal.RoundingMode.HALF_UP)
+    val r25 = rates(0.25)
+    val w = Map("a" -> math.sqrt(math.sqrt(400.0)),
+      "b" -> math.sqrt(math.sqrt(100.0)), "c" -> math.sqrt(math.sqrt(25.0)))
+    val tw = (dec18(w("a")) + dec18(w("b")) + dec18(w("c"))).toDouble
+    assert(r25("a") == w("a") / tw * 200.0 / 400.0)
+    // alpha=0.75 = sqrt(n) * sqrt(sqrt(n)), same exactness contract
+    val r75 = rates(0.75)
+    val w75 = math.sqrt(400.0) * math.sqrt(math.sqrt(400.0))
+    val tw75 = (dec18(w75) +
+      dec18(math.sqrt(100.0) * math.sqrt(math.sqrt(100.0))) +
+      dec18(math.sqrt(25.0) * math.sqrt(math.sqrt(25.0)))).toDouble
+    assert(r75("a") == w75 / tw75 * 200.0 / 400.0)
+    // pow-path alphas are DEFINED at 1e-9 precision: every emitted
+    // rate is its own round(_, 9) (the documented contract the
+    // sample_temperature_a03 oracle replays)
+    val r3 = rates(0.3)
+    r3.values.foreach(r =>
+      assert(r == BigDecimal(r).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble, s"$r"))
+    // flattening monotonicity: smaller alpha -> flatter (head rate
+    // falls), so the 0.25 head rate sits below the 0.3 one
+    assert(r25("a") < r3("a"))
+  }
+
   test("SampleOps.budgetSample: NULL scores sort last, never vanish") {
     // NULL-score docs take the dedicated after-all-scores bucket: they
     // are kept only with budget left after every scored doc (greedy by

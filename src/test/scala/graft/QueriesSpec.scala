@@ -55,8 +55,12 @@ class QueriesSpec extends AnyFunSuite {
   }
 
   test("approx sketches stay near their exact counterparts") {
+    // the engine-native HLL convenience (graded contract: q82's KMV);
+    // retired from the query surface in round 6, still unit-proven here
     import org.apache.spark.sql.functions._
-    val approx = Queries.queryMap("q32_approx_sketches")(spark, d).collect()
+    val approx = graft.ops.LibOps.approxCountDistinctByKey(
+        graft.io.Tables.events(spark, d), Seq("event_type"), "user_id")
+      .orderBy(col("event_type")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = graft.io.Tables.events(spark, d)
       .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("n"))
