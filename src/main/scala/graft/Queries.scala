@@ -2812,6 +2812,14 @@ object Queries {
     * Catalyst would broadcast orders, hiding the bucket path the query
     * exists to exercise); OpsSpec asserts the no-Exchange property.
     */
+  // one aggregate contract for the build-and-probe (q57) and
+  // probe-only (q57b) variants — shared so the two cannot drift
+  private val q57OracleSql = """
+      SELECT o_orderpriority, count(*) AS n_items,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   private val q57 = Q(
     "q57_bucketed_join",
     (s, d) => {
@@ -2840,28 +2848,28 @@ object Queries {
       Bucketing.drop(s, lT)
       res.orderBy($"o_orderpriority")
     },
-    Some("""
-      SELECT o_orderpriority, count(*) AS n_items,
-             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
-      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+    Some(q57OracleSql))
 
   /** q57b — the bucketed join's PROBE side, measured alone: q57's
     * warm number re-pays two bucketed table writes every run (write
     * family by design), so the cost the layout exists to amortize —
     * the exchange-free sort-merge join — never appears as its own
     * number. Here the bucketed tables build ONCE per JVM (rebuild-or-
-    * reuse by catalog existence; external tables under the graft_tmp
-    * scratch convention, pid+dataset-tagged so concurrent JVMs and
-    * different SFs never collide) and every subsequent run is the pure
-    * probe: bucket-layout scans feeding an SMJ with zero shuffle
-    * exchanges. Cold therefore includes the one-time build — the
-    * amortization story stated honestly — and warm IS the join. At
-    * 100 TB this is the number a resident cluster sees on every
-    * orders⋈lineitem after the layout lands. Same aggregate contract
-    * as q57 (one oracle serves both); BucketingSpec asserts the reuse
-    * (second call leaves the catalog untouched) and the no-Exchange
-    * plan.
+    * reuse by catalog existence; the catalog name carries the pid —
+    * catalogs are per-JVM — while the FILES live at a pid-FREE path
+    * under the warehouse keyed by the sanitized dataset path, so a
+    * fresh JVM's `mode(overwrite)` rebuild reclaims the previous run's
+    * files instead of stranding them; the single-warehouse-writer
+    * assumption this makes is the same one every graft_tmp scratch
+    * write already makes) and every subsequent run is the pure probe:
+    * bucket-layout scans feeding an SMJ with zero shuffle exchanges.
+    * Cold therefore includes the one-time build — the amortization
+    * story stated honestly — and warm IS the join. At 100 TB this is
+    * the number a resident cluster sees on every orders⋈lineitem after
+    * the layout lands. Same aggregate contract as q57 (the shared
+    * `q57OracleSql` serves both — structurally one oracle, it cannot
+    * drift); BucketingSpec asserts the reuse (second call leaves the
+    * catalog untouched) and the no-Exchange plan.
     */
   private val q57b = Q(
     "q57b_bucketed_probe",
@@ -2869,18 +2877,21 @@ object Queries {
       import s.implicits._
       import graft.io.Bucketing
       val pid = ProcessHandle.current().pid()
-      val tag = math.abs(d.hashCode).toString
+      // structural tag (sanitized path), not a hash: two datasets can
+      // never alias each other's tables, and the identifier stays valid
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
       val oT = s"graft_b57p_orders_${pid}_$tag"
       val lT = s"graft_b57p_lineitem_${pid}_$tag"
       if (!s.catalog.tableExists(oT) || !s.catalog.tableExists(lT)) {
+        val wh = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
         Bucketing.writeBucketed(
           ord(s, d).select($"o_orderkey", $"o_orderpriority"),
           oT, 16, "o_orderkey", Seq("o_orderkey"),
-          Some(tmpDir(s, s"q57b_orders_$tag")))
+          Some(s"$wh/graft_tmp/q57b_orders_$tag"))
         Bucketing.writeBucketed(
           li(s, d).select($"l_orderkey", $"l_extendedprice", $"l_discount"),
           lT, 16, "l_orderkey", Seq("l_orderkey"),
-          Some(tmpDir(s, s"q57b_lineitem_$tag")))
+          Some(s"$wh/graft_tmp/q57b_lineitem_$tag"))
       }
       Bucketing.table(s, oT).hint("merge")
         .join(Bucketing.table(s, lT), $"o_orderkey" === $"l_orderkey")
@@ -2890,11 +2901,7 @@ object Queries {
                .as("revenue"))
         .orderBy($"o_orderpriority")
     },
-    Some("""
-      SELECT o_orderpriority, count(*) AS n_items,
-             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
-      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+    Some(q57OracleSql))
 
   /** q58 — range-clustered sorted layout + selective read-back:
     * lineitem rewritten `repartitionByRange(l_orderkey) +

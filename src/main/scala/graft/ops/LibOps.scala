@@ -274,7 +274,9 @@ object LibOps {
     require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1),
       s"approxQuantileCuts: probs must be in (0, 1], got $probs")
     require(buckets > 0, s"approxQuantileCuts: buckets=$buckets")
-    (Seq("__lo", "__hi", "__total", "__bkt", "__cnt", "__cum") ++
+    // the stats frame became driver literals in round 6, so only the
+    // histogram's own columns can still collide
+    (Seq("__bkt", "__cnt", "__cum") ++
         probs.indices.map(i => s"cut_$i")).foreach(c =>
       require(!df.columns.contains(c),
         s"approxQuantileCuts: input already has a $c column"))

@@ -43,7 +43,7 @@ class BucketingSpec extends AnyFunSuite {
 
   test("q57b probe reuses the per-JVM bucketed tables and joins exchange-free") {
     val pid = ProcessHandle.current().pid()
-    val tag = math.abs(d.hashCode).toString
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
     val oT = s"graft_b57p_orders_${pid}_$tag"
     val lT = s"graft_b57p_lineitem_${pid}_$tag"
     try {
