@@ -2687,6 +2687,13 @@ object Queries {
     s"$wh/graft_tmp/${name}_${ProcessHandle.current().pid()}"
   }
 
+  /** Injective SQL-identifier-safe tag for a dataset path (hex of its
+    * UTF-8 bytes — lossy sanitization could alias two paths): q57b
+    * keys its per-JVM catalog tables and scratch dirs by it.
+    */
+  private[graft] def pathTag(d: String): String =
+    d.getBytes("UTF-8").map(b => f"$b%02x").mkString
+
   /** Shared harness for the streaming_* parity queries: run `stream`
     * into a memory sink under AvailableNow, await completion, return
     * the sink name (caller projects, pins, and drops the view). Two
@@ -2855,13 +2862,12 @@ object Queries {
     * family by design), so the cost the layout exists to amortize —
     * the exchange-free sort-merge join — never appears as its own
     * number. Here the bucketed tables build ONCE per JVM (rebuild-or-
-    * reuse by catalog existence; the catalog name carries the pid —
-    * catalogs are per-JVM — while the FILES live at a pid-FREE path
-    * under the warehouse keyed by the sanitized dataset path, so a
-    * fresh JVM's `mode(overwrite)` rebuild reclaims the previous run's
-    * files instead of stranding them; the single-warehouse-writer
-    * assumption this makes is the same one every graft_tmp scratch
-    * write already makes) and every subsequent run is the pure probe:
+    * reuse by catalog existence; the catalog name and the file path
+    * both carry the pid — catalogs are per-JVM, and the pid-keyed path
+    * is the graft_tmp convention that makes concurrent JVMs unable to
+    * overwrite each other's files mid-read; like every other graft_tmp
+    * scratch write (q58/q70/q72), the cost is per-JVM dirs that
+    * accumulate until swept) and every subsequent run is the pure probe:
     * bucket-layout scans feeding an SMJ with zero shuffle exchanges.
     * Cold therefore includes the one-time build — the amortization
     * story stated honestly — and warm IS the join. At 100 TB this is
@@ -2877,21 +2883,22 @@ object Queries {
       import s.implicits._
       import graft.io.Bucketing
       val pid = ProcessHandle.current().pid()
-      // structural tag (sanitized path), not a hash: two datasets can
-      // never alias each other's tables, and the identifier stays valid
-      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      // hex of the path bytes — INJECTIVE (lossy sanitization like
+      // replaceAll can alias '/x/sf0.1' with '/x/sf0_1'), so two
+      // datasets can never share a table or path, and the identifier
+      // stays valid for any input
+      val tag = Queries.pathTag(d)
       val oT = s"graft_b57p_orders_${pid}_$tag"
       val lT = s"graft_b57p_lineitem_${pid}_$tag"
       if (!s.catalog.tableExists(oT) || !s.catalog.tableExists(lT)) {
-        val wh = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
         Bucketing.writeBucketed(
           ord(s, d).select($"o_orderkey", $"o_orderpriority"),
           oT, 16, "o_orderkey", Seq("o_orderkey"),
-          Some(s"$wh/graft_tmp/q57b_orders_$tag"))
+          Some(tmpDir(s, s"q57b_orders_$tag")))
         Bucketing.writeBucketed(
           li(s, d).select($"l_orderkey", $"l_extendedprice", $"l_discount"),
           lT, 16, "l_orderkey", Seq("l_orderkey"),
-          Some(s"$wh/graft_tmp/q57b_lineitem_$tag"))
+          Some(tmpDir(s, s"q57b_lineitem_$tag")))
       }
       Bucketing.table(s, oT).hint("merge")
         .join(Bucketing.table(s, lT), $"o_orderkey" === $"l_orderkey")

@@ -67,7 +67,11 @@ object Bucketing {
   def table(spark: SparkSession, name: String): DataFrame =
     spark.table(name)
 
-  /** Drop a bucketed table and its files. */
+  /** Drop a bucketed table. For MANAGED tables (no `path` at write
+    * time) this also deletes the files; for EXTERNAL tables (written
+    * with `path`) only the catalog entry goes — the caller owns the
+    * files and deletes the path itself when it means to (FsOps.rm).
+    */
   def drop(spark: SparkSession, name: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS $name")
 }

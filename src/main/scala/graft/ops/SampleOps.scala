@@ -183,15 +183,17 @@ object SampleOps {
     // and run a corpus job at plan-construction time). The window is
     // unpartitioned but S-sized — the skewReport convention. DECIMAL
     // sum: partial order can't flip an ulp of the total.
-    val w = alpha match {
-      case 0.0  => lit(1.0)
-      case 0.25 => sqrt(sqrt(n))
-      case 0.5  => sqrt(n)
-      case 0.75 => sqrt(n) * sqrt(sqrt(n))
-      case 1.0  => n
-      case a    => pow(n, lit(a))
+    // one match decides BOTH the weight expression and whether it is
+    // IEEE-exact (a separate Set literal could silently drift from the
+    // cases when a new exact alpha lands)
+    val (w, exactAlpha) = alpha match {
+      case 0.0  => (lit(1.0), true)
+      case 0.25 => (sqrt(sqrt(n)), true)
+      case 0.5  => (sqrt(n), true)
+      case 0.75 => (sqrt(n) * sqrt(sqrt(n)), true)
+      case 1.0  => (n, true)
+      case a    => (pow(n, lit(a)), false)
     }
-    val exactAlpha = Set(0.0, 0.25, 0.5, 0.75, 1.0).contains(alpha)
     val rates = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
       .withColumn("__w", w)
       .withColumn("__tw",

@@ -43,7 +43,7 @@ class BucketingSpec extends AnyFunSuite {
 
   test("q57b probe reuses the per-JVM bucketed tables and joins exchange-free") {
     val pid = ProcessHandle.current().pid()
-    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val tag = Queries.pathTag(d)
     val oT = s"graft_b57p_orders_${pid}_$tag"
     val lT = s"graft_b57p_lineitem_${pid}_$tag"
     try {
@@ -72,8 +72,13 @@ class BucketingSpec extends AnyFunSuite {
         !plan.contains("Exchange hashpartitioning(l_orderkey"),
         s"q57b probe shuffled a join input:\n${plan.take(2000)}")
     } finally {
+      // external tables: DROP removes only the catalog entry — delete
+      // the parquet dirs too so the suite leaves no scratch behind
       spark.sql(s"DROP TABLE IF EXISTS $oT")
       spark.sql(s"DROP TABLE IF EXISTS $lT")
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+      graft.io.FsOps.rm(spark, s"$wh/graft_tmp/q57b_orders_${tag}_$pid")
+      graft.io.FsOps.rm(spark, s"$wh/graft_tmp/q57b_lineitem_${tag}_$pid")
     }
   }
 

@@ -71,6 +71,16 @@ class QueriesSpec extends AnyFunSuite {
       assert(math.abs(a - n) <= math.max(2L, (n * 0.1).toLong),
         s"HLL estimate $a too far from exact $n for $k")
     }
+    // the approx-percentile convenience the old q32 also carried (its
+    // graded counterparts are q81/q83's histogram quantiles): sketch
+    // median within 10% of the exact percentile
+    val ev = graft.io.Tables.events(spark, d)
+    val row = ev.agg(
+      percentile_approx(col("value"), lit(0.5), lit(1000)).as("a"),
+      percentile(col("value"), lit(0.5)).as("e")).collect()(0)
+    val (a, e) = (row.getDouble(0), row.getDouble(1))
+    assert(math.abs(a - e) <= math.abs(e) * 0.1 + 1e-9,
+      s"approx median $a too far from exact $e")
   }
 
   test("hash split is exhaustive, deterministic, and roughly 80/10/10") {
