@@ -2689,10 +2689,41 @@ object Queries {
 
   /** Injective SQL-identifier-safe tag for a dataset path (hex of its
     * UTF-8 bytes — lossy sanitization could alias two paths): q57b
-    * keys its per-JVM catalog tables and scratch dirs by it.
+    * keys its per-JVM catalog tables and scratch dirs by it. Hex
+    * doubles the length, so paths past 32 chars fall back to the md5
+    * hex of the path (32 chars, bounded for any input — collision odds
+    * 2^-64-class, documented rather than structural; the repo's own
+    * dataset paths stay on the injective branch).
     */
-  private[graft] def pathTag(d: String): String =
-    d.getBytes("UTF-8").map(b => f"$b%02x").mkString
+  private[graft] def pathTag(d: String): String = {
+    val hex = d.getBytes("UTF-8").map(b => f"$b%02x").mkString
+    if (hex.length <= 64) hex
+    else java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+  }
+
+  /** Remove q57b scratch dirs left by JVMs that no longer exist: the
+    * pid-keyed convention is what makes concurrent runs race-free, and
+    * this dead-pid sweep is what keeps it from growing without bound
+    * (two bucketed copies of the two largest tables per JVM otherwise
+    * accumulate forever). A LIVE pid's dirs are never touched — the
+    * race fix stands.
+    */
+  private def sweepDeadQ57bScratch(s: SparkSession): Unit = {
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+    val root = s"$wh/graft_tmp"
+    try {
+      if (graft.io.FsOps.exists(s, root))
+        graft.io.FsOps.ls(s, root)
+          .filter(_.split('/').last.startsWith("q57b_"))
+          .foreach { dir =>
+            val pid = dir.split('_').last
+            val alive = pid.toLongOption
+              .exists(p => ProcessHandle.of(p).isPresent)
+            if (!alive) graft.io.FsOps.rm(s, dir)
+          }
+    } catch { case _: Throwable => } // sweep is best-effort hygiene
+  }
 
   /** Shared harness for the streaming_* parity queries: run `stream`
     * into a memory sink under AvailableNow, await completion, return
@@ -2891,6 +2922,9 @@ object Queries {
       val oT = s"graft_b57p_orders_${pid}_$tag"
       val lT = s"graft_b57p_lineitem_${pid}_$tag"
       if (!s.catalog.tableExists(oT) || !s.catalog.tableExists(lT)) {
+        // one-time build is also the hygiene point: reclaim scratch
+        // left by dead JVMs before adding this one's
+        sweepDeadQ57bScratch(s)
         Bucketing.writeBucketed(
           ord(s, d).select($"o_orderkey", $"o_orderpriority"),
           oT, 16, "o_orderkey", Seq("o_orderkey"),

@@ -26,9 +26,9 @@ object Bucketing {
                     bucketCol: String, sortCols: Seq[String] = Nil,
                     path: Option[String] = None): Unit = {
     // an explicit path makes the table EXTERNAL: files land under the
-    // caller's scratch dir (the graft_tmp convention) instead of the
-    // warehouse root, so a probe query can rebuild-or-reuse by catalog
-    // existence while a fresh JVM's overwrite reclaims the old files
+    // caller's chosen dir (q57b uses pid-keyed graft_tmp scratch, with
+    // a dead-pid sweep bounding accumulation) and the CALLER owns
+    // their lifecycle — DROP TABLE removes only the catalog entry
     val w0 = df.write.mode("overwrite").format("parquet")
       .bucketBy(numBuckets, bucketCol)
     val w = path.fold(w0)(p => w0.option("path", p))
