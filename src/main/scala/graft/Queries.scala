@@ -1621,6 +1621,49 @@ object Queries {
       FROM tf JOIN wc USING (word) CROSS JOIN n
       GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** text_bigram_lm — interpolated bigram-LM cross-entropy
+    * (TextOps.bigramNll, λ = 0.75): the word-ORDER-aware quality rung
+    * above text_unigram_lm — p(w|prev) = λ·c(prev w)/c(prev) +
+    * (1−λ)·c(w)/N, per-doc mean −ln p over bigram positions. The LM
+    * tables are data joined by key (never a corpus-sized broadcast),
+    * and the per-doc sum runs over DECIMAL(28,12)-cast terms so
+    * aggregation order cannot move an ulp; the oracle replays the
+    * counts, the interpolation tree, the decimal quantization, and
+    * the round-4 output. Docs with < 2 tokens have no bigram
+    * positions and are absent on both sides.
+    */
+  private val t15 = Q(
+    "text_bigram_lm",
+    (s, d) => TextOps.bigramNll(docs(s, d))
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH splits AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w)),
+                 i -> w[i] || ' ' || w[i + 1])) AS bg
+        FROM splits),
+      tf AS (SELECT doc_id, bg, count(*) AS tf FROM bg GROUP BY 1, 2),
+      cbg AS (SELECT bg, count(*) AS cbg FROM bg GROUP BY 1),
+      tok AS (SELECT unnest(w) AS word FROM splits),
+      cw AS (SELECT word, count(*) AS cw FROM tok GROUP BY 1),
+      n AS (SELECT count(*) AS n FROM tok),
+      scored AS (
+        SELECT doc_id, tf,
+               0.75 * (CAST(cbg AS DOUBLE) / CAST(cp.cw AS DOUBLE)) +
+               0.25 * (CAST(cc.cw AS DOUBLE) / CAST(n AS DOUBLE)) AS p
+        FROM tf
+        JOIN cbg USING (bg)
+        JOIN cw cp ON cp.word = string_split(bg, ' ')[1]
+        JOIN cw cc ON cc.word = string_split(bg, ' ')[2]
+        CROSS JOIN n)
+      SELECT doc_id, CAST(sum(tf) AS INTEGER) AS n_bigrams,
+             round(CAST(sum(CAST(CAST(tf AS DOUBLE) * -ln(p)
+                                 AS DECIMAL(28,12))) AS DOUBLE)
+                   / CAST(sum(tf) AS DOUBLE), 4) AS xent
+      FROM scored GROUP BY doc_id ORDER BY doc_id"""))
+
   /** text_redact — PII-style regex masking over customer names with
     * the default rule set (email, IPv4, ≥6-digit ID runs). Staged
     * counting: each rule counts matches in the value AFTER earlier
@@ -4127,7 +4170,7 @@ object Queries {
     q52, q53, q54, q55, q56, q57, q57b, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, sm1, sm2, sm3, sm4, sm5, sm6, pk1, dc1, dc2, vd1,
-    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, a01, a02, a03, a04, a05, m01, m02, m03, mr1,
+    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, a01, a02, a03, a04, a05, m01, m02, m03, mr1,
     p01, st01, st02, st03, st04, st05)
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

@@ -210,6 +210,61 @@ object TextOps {
           / sum(col("tf")), 4).as("xent"))
   }
 
+  /** Interpolated BIGRAM language-model cross-entropy — the quality
+    * scorer one rung above [[unigramNll]] (word-order-aware: "the the
+    * the" scores badly here and fine there), trained on the corpus
+    * itself like the unigram op. Per bigram position,
+    * p(w_i | w_{i-1}) = λ·c(w_{i-1} w_i)/c(w_{i-1}) + (1−λ)·c(w_i)/N
+    * (Jelinek–Mercer interpolation — the unigram back-off term keeps
+    * unseen-history positions finite), and the doc score is the mean
+    * −ln p over its bigram positions. Docs with fewer than two tokens
+    * have no bigram positions and are absent from the output (the
+    * short-doc convention of the shingle family).
+    *
+    * Scale shape: the bigram LM table is DATA, not a broadcast — the
+    * (doc, bigram) tf rows join it with keyed shuffles on the bigram /
+    * word columns (AQE broadcasts the small sides at small SF; at
+    * 100 TB these are the partial-aggregated count tables a corpus LM
+    * actually is). N is the only 1-row broadcast. The per-doc sum runs
+    * over DECIMAL(28,12)-cast terms, so partial aggregation order
+    * cannot move an ulp (the q59 decimal-parity pattern — stronger
+    * than unigramNll's double sum); the surviving cross-engine noise
+    * is ln's 1-ulp class at 1e-12 quantization scale, absorbed by the
+    * round-4 output convention.
+    */
+  def bigramNll(df: DataFrame, textCol: String = "text",
+                idCol: String = "doc_id",
+                lambda: Double = 0.75): DataFrame = {
+    require(lambda > 0 && lambda < 1, s"bigramNll: lambda=$lambda not in (0,1)")
+    import graft.functions.TextFunctions.word_ngrams
+    val bi = df.select(col(idCol),
+      explode(word_ngrams(col(textCol), 2)).as("bg"))
+    val tf = bi.groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("tf"))
+    val cbg = bi.groupBy(col("bg")).agg(count(lit(1)).as("cbg"))
+    val toks = df.select(explode(words(col(textCol))).as("word"))
+    val cw = toks.groupBy(col("word")).agg(count(lit(1)).as("cw"))
+    val n = df.select(sum(size(words(col(textCol)))).cast("long").as("n"))
+    val p = lit(lambda) *
+        (col("cbg").cast("double") / col("c_prev").cast("double")) +
+      lit(1 - lambda) *
+        (col("c_cur").cast("double") / col("n").cast("double"))
+    tf
+      .withColumn("w_prev", split(col("bg"), " ").getItem(0))
+      .withColumn("w_cur", split(col("bg"), " ").getItem(1))
+      .join(cbg, "bg")
+      .join(cw.select(col("word").as("w_prev"), col("cw").as("c_prev")),
+        "w_prev")
+      .join(cw.select(col("word").as("w_cur"), col("cw").as("c_cur")),
+        "w_cur")
+      .crossJoin(broadcast(n))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("tf")).cast("int").as("n_bigrams"),
+        round(
+          sum((col("tf").cast("double") * -log(p)).cast("decimal(28,12)"))
+            .cast("double") / sum(col("tf")).cast("double"), 4).as("xent"))
+  }
+
   /** Single-scan filter cascade with per-stage observability — the
     * production shape of a curation pipeline: N ordered row predicates
     * where stage i only sees rows that survived stages 1..i-1, and the

@@ -1584,4 +1584,33 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(got(0)._3 - math.log(2.5)) < 1e-3) // all tokens p=0.4
     assert(math.abs(got(1)._3 - (math.log(2.5) + math.log(5.0)) / 2) < 1e-3)
   }
+
+  test("TextOps.bigramNll is the interpolated bigram cross-entropy per doc") {
+    // corpus: N=7; cw a=4 b=2 c=1; cbg 'a b'=2 'b a'=1 'a a'=1
+    val df = Seq((1L, "a b a b"), (2L, "a a"), (3L, "c"))
+      .toDF("doc_id", "text")
+    val got = TextOps.bigramNll(df).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    // d3 has one token -> no bigram positions -> absent
+    assert(got.map(_._1).toSeq == Seq(1L, 2L))
+    assert(got(0)._2 == 3 && got(1)._2 == 1)
+    def p(cbg: Double, cp: Double, cc: Double): Double =
+      0.75 * (cbg / cp) + 0.25 * (cc / 7.0)
+    val x1 = (2 * -math.log(p(2, 4, 2)) + 1 * -math.log(p(1, 2, 4))) / 3
+    val x2 = -math.log(p(1, 4, 4))
+    assert(math.abs(got(0)._3 - x1) < 1e-3, s"${got(0)._3} vs $x1")
+    assert(math.abs(got(1)._3 - x2) < 1e-3, s"${got(1)._3} vs $x2")
+    // word-order sensitivity — the capability unigramNll lacks: same
+    // bag of words, scrambled order -> higher cross-entropy than the
+    // corpus-typical order (its bigrams are unseen histories)
+    val df2 = Seq((1L, "a b a b"), (2L, "a b a b"), (3L, "b b a a"))
+      .toDF("doc_id", "text")
+    val r2 = TextOps.bigramNll(df2).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(r2(3L) > r2(1L))
+    // deterministic under repartitioning (decimal-sum order freedom)
+    val re = TextOps.bigramNll(df.repartition(7)).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(re.toSeq == got.toSeq)
+  }
 }
