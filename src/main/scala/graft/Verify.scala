@@ -20,6 +20,10 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS); read as Long, converted
       // to µs timestamps in graft.io.Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // naive TIMESTAMP(MICROS) must read as session-tz TIMESTAMP (not
+      // NTZ) so event-time ops and epoch casts keep rounds-1-5 semantics
+      // and scan-level pushdown (Tables normalizes as a fallback)
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

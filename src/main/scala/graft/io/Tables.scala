@@ -2,7 +2,7 @@ package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet readers for the driver testdata tables (TESTDATA.md).
   *
@@ -21,8 +21,27 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Read a testdata table, normalizing any TIMESTAMP_NTZ column to
+    * session-tz TimestampType. The driver writes timestamp columns
+    * (`events.ts`, `lineitem.l_shipdate`, `orders.o_orderdate`) with
+    * varying parquet annotations across rounds; when they arrive
+    * without isAdjustedToUTC, Spark 4 infers TIMESTAMP_NTZ — a type
+    * event-time windows, watermarks, and epoch casts all reject. Under
+    * the UTC session timezone the cast keeps the wall-clock instant,
+    * which is also how DuckDB's naive TIMESTAMP reads the same file on
+    * the oracle side, so both engines keep seeing identical epochs.
+    * The cast sits above the scan and does not disturb pushdown of
+    * untouched columns; it is a no-op (absent) for tables without NTZ
+    * columns.
+    */
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    val ntz = raw.schema.fields.filter(_.dataType == TimestampNTZType)
+    if (ntz.isEmpty) raw
+    else ntz.foldLeft(raw) { (df, f) =>
+      df.withColumn(f.name, col(f.name).cast(TimestampType))
+    }
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")
@@ -31,19 +50,31 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS) in parquet, which Spark's vectorized
-    * reader rejects. With `spark.sql.legacy.parquet.nanosAsLong=true`
-    * (set in Verify/Bench/tests) it arrives as a Long of nanoseconds;
-    * convert to a proper TimestampType by truncating to µs — exactly
-    * what a native ns→µs read would do.
+  /** events.ts normalization — the driver has shipped this column in
+    * several parquet physical types across rounds, so the reader
+    * accepts all of them and always yields a session-tz TimestampType:
+    *  - TIMESTAMP(NANOS), which Spark's vectorized reader rejects:
+    *    with `spark.sql.legacy.parquet.nanosAsLong=true` (set in
+    *    Verify/Bench/tests) it arrives as a Long of nanoseconds and is
+    *    truncated to µs — exactly what a native ns→µs read would do;
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark 4 infers
+    *    as TIMESTAMP_NTZ (breaking event-time windows, watermarks, and
+    *    epoch casts): cast to TimestampType, which under the UTC
+    *    session timezone keeps the wall-clock instant — the same
+    *    interpretation DuckDB's naive TIMESTAMP gives the oracle side;
+    *  - plain TIMESTAMP, passed through.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = apply(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      // integer `div`, not `/`: double division loses sub-µs precision
-      // on 2024-era epoch-nano magnitudes (> 2^53)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // integer `div`, not `/`: double division loses sub-µs precision
+        // on 2024-era epoch-nano magnitudes (> 2^53)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

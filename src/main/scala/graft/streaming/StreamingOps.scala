@@ -16,15 +16,22 @@ import org.apache.spark.sql.types.StructType
 object StreamingOps {
 
   /** readStream over a parquet directory with an explicit schema (a
-    * streaming source may not infer). ts arrives as TIMESTAMP(NANOS)
-    * → LongType under nanosAsLong; normalize exactly like the batch
-    * reader (graft.io.Tables.events).
+    * streaming source may not infer). ts has shipped as
+    * TIMESTAMP(NANOS) (→ LongType under nanosAsLong) and as naive
+    * TIMESTAMP(MICROS) (→ TIMESTAMP_NTZ, which watermarks reject);
+    * normalize both exactly like the batch reader
+    * (graft.io.Tables.events).
     */
   def eventsStream(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
     val raw = spark.readStream.schema(schema).parquet(dir)
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** Custom per-key streaming state (§2.9: `mapGroupsWithState`):

@@ -11,6 +11,10 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // naive TIMESTAMP(MICROS) must read as session-tz TIMESTAMP (not
+      // NTZ) so event-time ops and epoch casts keep rounds-1-5 semantics
+      // and scan-level pushdown (Tables normalizes as a fallback)
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import graft.ops.DedupOps

@@ -14,6 +14,10 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // naive TIMESTAMP(MICROS) must read as session-tz TIMESTAMP (not
+      // NTZ) so event-time ops and epoch casts keep rounds-1-5 semantics
+      // and scan-level pushdown (Tables normalizes as a fallback)
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
