@@ -828,6 +828,60 @@ object Queries {
       WHERE content_fp NOT IN (SELECT content_fp FROM snap)
       GROUP BY content_fp ORDER BY doc_id"""))
 
+  /** dedup_spans — exact duplicated-substring spans (Lee et al. 2022
+    * modality): sliding word 10-grams fingerprinted with md5, windows
+    * occurring ≥2× corpus-wide merged into maximal per-doc spans.
+    * Oracle mirrors the full chain — same 0-based window starts, same
+    * md5 digests, same gaps-and-islands merge (lag-NULL opens a span
+    * in both engines), same integer-width casts, double-division
+    * coverage rounded to 6 on both sides.
+    */
+  private val d10 = Q(
+    "dedup_spans",
+    (s, d) => DedupOps.spanDedup(docs(s, d), "text", "doc_id", n = 10)
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      starts AS (
+        SELECT doc_id, w, unnest(range(0, greatest(len(w) - 9, 0))) AS pos
+        FROM tok),
+      win AS (
+        SELECT doc_id, pos,
+               md5(array_to_string(w[pos + 1 : pos + 10], ' ')) AS fp
+        FROM starts),
+      hot AS (
+        SELECT fp FROM win GROUP BY fp HAVING count(*) >= 2),
+      dup AS (
+        SELECT win.doc_id, win.pos FROM win JOIN hot USING (fp)),
+      brk AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                         <= 10
+                    THEN 0 ELSE 1 END AS brk
+        FROM dup),
+      grp AS (
+        SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS g
+        FROM brk),
+      sp AS (
+        SELECT doc_id, g, min(pos) AS s, max(pos) AS e0, count(*) AS nw
+        FROM grp GROUP BY 1, 2),
+      agg AS (
+        SELECT doc_id,
+               CAST(count(*) AS INTEGER) AS n_spans,
+               CAST(sum(nw) AS BIGINT) AS n_dup_ngrams,
+               CAST(sum(e0 + 10 - s) AS BIGINT) AS dup_tokens
+        FROM sp GROUP BY 1)
+      SELECT t.doc_id,
+             coalesce(a.n_spans, 0) AS n_spans,
+             coalesce(a.n_dup_ngrams, 0) AS n_dup_ngrams,
+             coalesce(a.dup_tokens, 0) AS dup_tokens,
+             round(coalesce(a.dup_tokens, 0)::DOUBLE / len(w), 6) AS dup_frac
+      FROM tok t LEFT JOIN agg a USING (doc_id)
+      ORDER BY t.doc_id"""))
+
   /** pack_sequences — token-budget packing (PackOps.packBudget): docs
     * in id order are chunked into bins of 4096 whitespace tokens via a
     * distributed two-level prefix sum (NOT a single-partition global
@@ -4169,7 +4223,7 @@ object Queries {
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q57b, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, sm1, sm2, sm3, sm4, sm5, sm6, pk1, dc1, dc2, vd1,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, sm1, sm2, sm3, sm4, sm5, sm6, pk1, dc1, dc2, vd1,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, a01, a02, a03, a04, a05, m01, m02, m03, mr1,
     p01, st01, st02, st03, st04, st05)
 

@@ -443,4 +443,85 @@ object DedupOps {
             struct(col("chunk_idx"), col("chunk"))))),
           c => c("chunk"))).as("clean_text"))
   }
+
+  // -------------------------------------------------------- span dedup
+
+  /** Exact duplicated-SUBSTRING span detection — the within-document
+    * counterpart of chunk dedup: slide a word n-gram window over every
+    * document, find windows whose exact content occurs at least
+    * `minOcc` times corpus-wide (across documents OR repeated inside
+    * one), and merge each document's duplicated window positions into
+    * maximal token spans. This is the "duplicate span" modality of
+    * training-data dedup (cf. the suffix-array substring dedup of
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better"): chunk dedup only sees duplication aligned to
+    * fixed chunk boundaries; the sliding window sees it at every
+    * offset.
+    *
+    * Scale shape: window fingerprints are md5 digests, so the
+    * occurrence count is one digest-keyed aggregate (map-side partial
+    * `count`) and the hot-window filter is one digest-keyed equi-join —
+    * the all-offsets analogue of chunkDedup's plan; nothing is
+    * all-pairs and no shuffle key carries text. The span merge runs in
+    * per-document windows whose partition size is bounded by document
+    * length, never by corpus size. At 100 TB the only superlinear risk
+    * is the ~1-row-per-token explode, the same factor every n-gram op
+    * in this file already carries (and the 30× measurement in
+    * BASELINE.md shows surviving); a 64-bit digest prefix would halve
+    * the shuffle width vs the 32-hex md5 kept here for oracle parity.
+    *
+    * Output: one row per input doc — `n_spans` (maximal merged spans),
+    * `n_dup_ngrams` (duplicated window positions), `dup_tokens` (token
+    * positions covered by some duplicated window), `dup_frac`
+    * (`dup_tokens` over the doc's token count, rounded to 6). Docs
+    * shorter than n words have zero windows and report all-zero.
+    */
+  def spanDedup(df: DataFrame, textCol: String, idCol: String,
+                n: Int = 10, minOcc: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n > 0, s"spanDedup: n must be > 0, got $n")
+    require(minOcc >= 2, s"spanDedup: minOcc must be >= 2, got $minOcc")
+    val ws = split(col(textCol), " ")
+    // one (pos, digest) row per window start; docs with < n words are
+    // filtered here (sequence() would otherwise step BACKWARD for a
+    // negative end) and rejoin as all-zero rows at the end
+    val wins = df
+      .filter(size(ws) >= n)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), size(ws) - n),
+          i => md5(concat_ws(" ", slice(ws, i + 1, lit(n))).cast("binary")))))
+      .withColumnRenamed("col", "fp")
+    val hot = wins.groupBy(col("fp"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= minOcc)
+      .select("fp")
+    val dup = wins.join(hot, "fp").select(col(idCol), col("pos"))
+    // gaps-and-islands over window starts: [p, p+n-1] intervals merge
+    // while the next start is within n of the previous (overlapping or
+    // token-contiguous); lag=NULL on the first row falls to the
+    // otherwise-branch and opens the first span
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val spans = dup
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= n, 0).otherwise(1))
+      .withColumn("g", sum(col("brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("g"))
+      .agg(min(col("pos")).as("s"), max(col("pos")).as("e0"),
+        count(lit(1)).as("nw"))
+    val perDoc = spans.groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("int").as("n_spans"),
+        sum(col("nw")).as("n_dup_ngrams"),
+        // span covers [s, e0+n-1] → e0 + n - s tokens
+        sum(col("e0") + lit(n) - col("s")).as("dup_tokens"))
+    df.select(col(idCol), size(ws).as("__nt"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_spans"), lit(0)).as("n_spans"),
+        coalesce(col("n_dup_ngrams"), lit(0L)).as("n_dup_ngrams"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("__nt"), 6)
+          .as("dup_frac"))
+  }
 }

@@ -167,6 +167,45 @@ class OpsSpec extends AnyFunSuite {
     assert(got(0).getAs[Double]("jaccard") == 0.5)
   }
 
+  test("DedupOps.spanDedup: hand-computed spans, within-doc repeats, short docs") {
+    // n=3, minOcc=2. doc1/doc2 share windows "a b c" and "b c d" (occ 2
+    // each): doc1 dup starts {0,1} merge into one span covering tokens
+    // 0..3 (4 of 6); doc2 dup starts {1,2} cover tokens 1..4 (4 of 6).
+    // doc4 repeats "m n o" WITHIN itself at starts {0,6}; gap 6 > n so
+    // they stay two spans of 3 tokens each (6 of 9). doc3 shares
+    // nothing; doc5 is shorter than n words — both all-zero.
+    val df = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x a b c d y"),
+      (3L, "p q r s"),
+      (4L, "m n o z z z m n o"),
+      (5L, "a b")).toDF("doc_id", "text")
+    val got = DedupOps.spanDedup(df, "text", "doc_id", n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got(0) == ((1L, 1, 2L, 4L, 0.666667)))
+    assert(got(1) == ((2L, 1, 2L, 4L, 0.666667)))
+    assert(got(2) == ((3L, 0, 0L, 0L, 0.0)))
+    assert(got(4) == ((5L, 0, 0L, 0L, 0.0)))
+    val d4 = got(3)
+    assert(d4 == ((4L, 2, 2L, 6L, 0.666667)))
+  }
+
+  test("DedupOps.spanDedup merges token-contiguous (gap == n) windows into one span") {
+    // dup starts {0, 3} with n=3: windows [0,2] and [3,5] touch, so the
+    // merge rule (gap <= n) yields ONE span covering tokens 0..5.
+    // "a b c" appears in doc1@0 and doc2@0; "d e f" in doc1@3 and
+    // doc2@4 — doc1's two dup windows are exactly contiguous.
+    val df = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c z d e f")).toDF("doc_id", "text")
+    val got = DedupOps.spanDedup(df, "text", "doc_id", n = 3)
+      .orderBy("doc_id").collect()
+    assert(got(0).getInt(1) == 1 && got(0).getLong(3) == 6L)
+    // doc2 dup starts {0, 4}: gap 4 > 3 → two spans of 3 tokens
+    assert(got(1).getInt(1) == 2 && got(1).getLong(3) == 6L)
+  }
+
   test("short documents (< shingle width) neither crash nor cross-collide") {
     // regression: sub-3-word docs used to (a) crash shingles() via an
     // illegal slice, (b) crash minhashNearDup with ANSI DIVIDE_BY_ZERO,
