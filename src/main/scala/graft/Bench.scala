@@ -58,6 +58,18 @@ object Bench {
       try fn catch { case _: Throwable => }
       (System.nanoTime() - t0) / 1e9
     }
+    // Materialize through the noop sink, NOT count(): under
+    // df.count() Catalyst prunes every column and then ELIMINATES
+    // whole subtrees whose output is unreferenced — a final left join
+    // against a unique (grouped) key drops entirely, and with it the
+    // plan above it. Rounds 1-5 timed count(), which reduced
+    // dedup_minhash/dedup_simhash (and window-final queries like
+    // q26/q66) to bare scan counts (tools/PlanAudit detects this; the
+    // round-6 disclosure is in SURVEY.md). The noop writer consumes
+    // every output row with all columns live, so the timed number is
+    // the work a real consumer pays, at zero sink cost.
+    def exec(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     // State hygiene between timed runs (graft.Hygiene — shared with
     // Verify): each bench invocation builds a fresh DataFrame, so
     // dropping every persisted RDD + cached relation after the count()
@@ -68,9 +80,9 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.forall(_.contains(q._1)))
       .map { case (name, fn) =>
-        val cold = time(fn(spark, sfDir).count())
+        val cold = time(exec(fn(spark, sfDir)))
         hygiene()
-        val warm = time(fn(spark, sfDir).count())
+        val warm = time(exec(fn(spark, sfDir)))
         hygiene()
         (name, cold, warm)
       }

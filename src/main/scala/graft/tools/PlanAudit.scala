@@ -1,0 +1,47 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Detects queries whose plan SHRINKS under `df.count()` — the audit
+  * that exposed the rounds-1-5 bench under-measurement (round 6).
+  *
+  * Under count() Catalyst prunes all columns and then eliminates
+  * subtrees whose output is unreferenced: a final left join against a
+  * unique (grouped) key drops entirely (taking every Generate/Window/
+  * Join beneath it), and trailing windows vanish wherever their
+  * columns die with the projection. Any query listed here would be
+  * mis-measured by a count()-based harness — which is why Bench
+  * materializes through the noop sink instead. Run after adding a
+  * query to see whether count()-style shortcuts would lie about it.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    def nodes(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Map[String, Int] =
+      p.collect { case n => n.nodeName }.groupBy(identity).view.mapValues(_.size).toMap
+    var flagged = 0
+    for ((name, fn) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {
+      try {
+        val df = fn(spark, d)
+        val full = nodes(df.queryExecution.optimizedPlan)
+        val cnt = nodes(df.agg(count(lit(1))).queryExecution.optimizedPlan)
+        val lost = Seq("Join", "Generate", "Window", "Aggregate").flatMap { k =>
+          val f = full.getOrElse(k, 0); val c = cnt.getOrElse(k, 0)
+          if (c < f) Some(s"$k:$f->$c") else None
+        }
+        if (lost.nonEmpty) { flagged += 1; println(s"AUDIT $name ${lost.mkString(" ")}") }
+      } catch { case e: Throwable => println(s"AUDIT $name ERROR ${e.getClass.getSimpleName}") }
+    }
+    println(s"AUDIT_DONE flagged=$flagged (these queries NEED the noop-sink materialization)")
+    spark.stop()
+  }
+}
