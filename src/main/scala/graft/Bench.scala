@@ -72,8 +72,9 @@ object Bench {
       df.write.format("noop").mode("overwrite").save()
     // State hygiene between timed runs (graft.Hygiene — shared with
     // Verify): each bench invocation builds a fresh DataFrame, so
-    // dropping every persisted RDD + cached relation after the count()
-    // materializes is safe, and blocking+GC makes each timed run see
+    // dropping every persisted RDD + cached relation after the noop
+    // write materializes is safe, and blocking+GC makes each timed run
+    // see
     // the same clean deterministic session (round 4 measured what
     // happens without this: read-family "warm" slower than cold).
     def hygiene(): Unit = Hygiene.clearAll(spark, blocking = true, gc = true)
