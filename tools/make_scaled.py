@@ -5,8 +5,13 @@ library never depends on this).
 
 Replicates the big tables with key offsets so ids stay unique and the
 orders<->lineitem join stays consistent within each replica; copies the
-small dims (and events, whose TIMESTAMP(NANOS) encoding a rewrite would
-not preserve) byte-identical.
+small dims byte-identical. events joined the scaled set in round 6
+(per-replica event_id/user_id offsets, SAME time span — 10x users and
+events inside an unchanged window, the realistic scale axis for
+event-time analytics); earlier rounds copied it byte-identical because
+its then-TIMESTAMP(NANOS) encoding would not survive a DuckDB rewrite,
+so pre-round-6 "x10" rows for events-family queries measured UNSCALED
+input (see BASELINE.md's round-6 correction).
 
 Usage: python tools/make_scaled.py /root/testdata/sf0.1 /tmp/sf_x10 10
 """
@@ -22,8 +27,10 @@ SCALED = {
     "lineitem": ("SELECT l_orderkey + {o} AS l_orderkey, l_partkey, l_suppkey, "
                  "l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, "
                  "l_returnflag, l_linestatus, l_shipdate FROM t"),
+    "events": ("SELECT event_id + {o} AS event_id, ts, user_id + {o} AS user_id, "
+               "event_type, value, props FROM t"),
 }
-COPIED = ["region", "nation", "customer", "supplier", "part", "events"]
+COPIED = ["region", "nation", "customer", "supplier", "part"]
 
 
 def main(src, dst, n):
