@@ -420,12 +420,18 @@ object DedupOps {
     // min (doc_id * 2^20 + chunk_idx): 2^20 chunks/doc caps documents
     // at ~8M words for chunkWords=8 — far above any real document.
     val PosShift = 1L << 20
-    val ws = split(col(textCol), " ")
-    val nChunks = ceil(size(ws).cast("double") / chunkWords).cast("int")
-    val inst = df
+    // `__ws` is materialized as its own projection so split(text) runs
+    // once per doc — the chunk transform is a higher-order function
+    // (interpreted), and a split inlined into its lambda re-tokenizes
+    // the doc per CHUNK (see spanDedup's note; same fix). No fanOut
+    // here: the chunk explode is ~1 row per chunkWords tokens, light
+    // enough that a repartition costs more than it parallelizes
+    // (measured: 1.6 s → 2.1 s warm at sf0.1).
+    val nChunks = ceil(size(col("__ws")).cast("double") / chunkWords).cast("int")
+    val inst = df.select(col(idCol), split(col(textCol), " ").as("__ws"))
       .select(col(idCol), posexplode(
         transform(sequence(lit(0), greatest(nChunks - 1, lit(0))),
-          i => concat_ws(" ", slice(ws, i * chunkWords + 1, lit(chunkWords))))))
+          i => concat_ws(" ", slice(col("__ws"), i * chunkWords + 1, lit(chunkWords))))))
       .withColumnRenamed("pos", "chunk_idx")
       .withColumnRenamed("col", "chunk")
       .withColumn("fp", md5(col("chunk").cast("binary")))
@@ -484,13 +490,34 @@ object DedupOps {
     val ws = split(col(textCol), " ")
     // one (pos, digest) row per window start; docs with < n words are
     // filtered here (sequence() would otherwise step BACKWARD for a
-    // negative end) and rejoin as all-zero rows at the end
-    val wins = df
-      .filter(size(ws) >= n)
+    // negative end) and rejoin as all-zero rows at the end.
+    //
+    // Evaluation shape (measured, sf0.1): the window transform is a
+    // higher-order function, which Spark evaluates INTERPRETED — so
+    // everything inside the lambda runs per WINDOW, not per row.
+    // Three consequences drive the formulation below:
+    //  - `__ws` is materialized as its own projection (kept by
+    //    CollapseProject because a non-cheap expr referenced more than
+    //    once is never inlined) so split(text) runs once per DOC; a
+    //    split inlined into the lambda re-tokenizes the doc per
+    //    window — O(len²)/doc.
+    //  - the md5 moves OUT of the lambda into a codegen'd projection
+    //    after the explode; the lambda keeps only slice+concat (the
+    //    unavoidable window-content materialization).
+    //  - the digest is the BINARY md5 (unhex): same 128 bits, half
+    //    the shuffle width of the 32-char hex (fp is internal — the
+    //    oracle sees only per-doc span stats).
+    // Par.fanOut spreads the explode across the session's cores when
+    // the input has fewer splits than that (a 1-file local input
+    // otherwise runs the whole map side on one task); at scale it is
+    // a no-op.
+    val wins = Par.fanOut(
+        df.select(col(idCol), ws.as("__ws")).filter(size(col("__ws")) >= n))
       .select(col(idCol), posexplode(
-        transform(sequence(lit(0), size(ws) - n),
-          i => md5(concat_ws(" ", slice(ws, i + 1, lit(n))).cast("binary")))))
-      .withColumnRenamed("col", "fp")
+        transform(sequence(lit(0), size(col("__ws")) - n),
+          i => concat_ws(" ", slice(col("__ws"), i + 1, lit(n))))))
+      .select(col(idCol), col("pos"),
+        unhex(md5(col("col").cast("binary"))).as("fp"))
     val hot = wins.groupBy(col("fp"))
       .agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= minOcc)

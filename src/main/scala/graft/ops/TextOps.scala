@@ -51,7 +51,13 @@ object TextOps {
     require(windowTokens > 0 && strideTokens > 0 &&
       strideTokens <= windowTokens,
       s"chunkDocs: need 0 < stride <= window, got ($windowTokens, $strideTokens)")
-    val ws = words(col(textCol))
+    // `__ws` is materialized as its own projection so the tokenize
+    // runs once per doc: the chunk transform is a higher-order
+    // function (interpreted), and a words() inlined into its lambda
+    // re-tokenizes the doc per CHUNK (CollapseProject keeps the
+    // two-step shape — a non-cheap expr referenced twice is never
+    // inlined). Still a pure row-local generate: no shuffle.
+    val ws = col("__ws")
     val nw = size(ws)
     // last start = ceil((n_w - W)/S) * S — the first start whose
     // window reaches the end (0 when n_w <= W: one chunk; n_w >= 1
@@ -62,7 +68,8 @@ object TextOps {
       ((over + lit(strideTokens - 1)) / lit(strideTokens.toDouble))
         .cast("int") * lit(strideTokens)
     val starts = sequence(lit(0), lastStart, lit(strideTokens))
-    df.select(col(idCol), nw.as("doc_tokens"),
+    df.select(col(idCol), words(col(textCol)).as("__ws"))
+      .select(col(idCol), nw.as("doc_tokens"),
         posexplode(transform(starts,
           s => array_join(slice(ws, s + 1, lit(windowTokens)), " "))))
       .withColumnRenamed("pos", "chunk_idx")

@@ -206,6 +206,30 @@ class OpsSpec extends AnyFunSuite {
     assert(got(1).getInt(1) == 2 && got(1).getLong(3) == 6L)
   }
 
+  test("spanDedup plan: tokenize hoisted out of the window lambda, fan-out fires") {
+    // the round-6 perf contract: the window transform is a
+    // higher-order function (interpreted), so anything inside its
+    // lambda runs per WINDOW. A split/md5 re-inlined into the lambda
+    // re-tokenizes (O(len²)/doc) / re-digests interpreted — measured
+    // 3× slower end-to-end. Pin the shape: lambdas carry only
+    // slice+concat, and the 1-partition input is repartitioned so the
+    // explode doesn't run on a single task.
+    val df = Seq((1L, "a b c d e f"), (2L, "a b c z d e f"))
+      .toDF("doc_id", "text").repartition(1)
+    val plan = DedupOps.spanDedup(df, "text", "doc_id", n = 3)
+      .queryExecution.optimizedPlan.toString
+    val lambdas = plan.linesIterator.filter(_.contains("lambdafunction")).toSeq
+    assert(lambdas.nonEmpty, plan.take(2000))
+    assert(lambdas.forall(l => !l.contains("split(")),
+      lambdas.mkString("\n"))
+    assert(lambdas.forall(l => !l.contains("md5(")),
+      lambdas.mkString("\n"))
+    // fanOut target = defaultParallelism (4 in this suite) — distinct
+    // from the fixture's own repartition(1), which CollapseRepartition
+    // folds away beneath it
+    assert(plan.contains("Repartition 4"), plan.take(2000))
+  }
+
   test("short documents (< shingle width) neither crash nor cross-collide") {
     // regression: sub-3-word docs used to (a) crash shingles() via an
     // illegal slice, (b) crash minhashNearDup with ANSI DIVIDE_BY_ZERO,
