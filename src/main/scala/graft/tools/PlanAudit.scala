@@ -1,5 +1,6 @@
 package graft.tools
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Detects queries whose plan SHRINKS under `df.count()` — the audit
@@ -12,11 +13,37 @@ import org.apache.spark.sql.functions._
   * columns die with the projection. Any query listed here would be
   * mis-measured by a count()-based harness — which is why Bench
   * materializes through the noop sink instead. Run after adding a
-  * query to see whether count()-style shortcuts would lie about it.
+  * query to see whether count()-style shortcuts would lie about it;
+  * PlanAuditSpec pins the flagged set so a new eliminable query (or a
+  * harness regression back to count()) cannot land silently.
   */
 object PlanAudit {
+
+  /** (name, lostNodeSummary) for every query whose optimized plan
+    * loses Join/Generate/Window/Aggregate nodes under count();
+    * construction failures surface as (name, "ERROR ...").
+    */
+  def audit(spark: SparkSession, d: String): Seq[(String, String)] = {
+    def nodes(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Map[String, Int] =
+      p.collect { case n => n.nodeName }.groupBy(identity).view.mapValues(_.size).toMap
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val df = fn(spark, d)
+        val full = nodes(df.queryExecution.optimizedPlan)
+        val cnt = nodes(df.agg(count(lit(1))).queryExecution.optimizedPlan)
+        val lost = Seq("Join", "Generate", "Window", "Aggregate").flatMap { k =>
+          val f = full.getOrElse(k, 0); val c = cnt.getOrElse(k, 0)
+          if (c < f) Some(s"$k:$f->$c") else None
+        }
+        if (lost.nonEmpty) Some(name -> lost.mkString(" ")) else None
+      } catch {
+        case e: Throwable => Some(name -> s"ERROR ${e.getClass.getSimpleName}")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
-    val spark = org.apache.spark.sql.SparkSession.builder()
+    val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
@@ -26,22 +53,9 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    def nodes(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Map[String, Int] =
-      p.collect { case n => n.nodeName }.groupBy(identity).view.mapValues(_.size).toMap
-    var flagged = 0
-    for ((name, fn) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {
-      try {
-        val df = fn(spark, d)
-        val full = nodes(df.queryExecution.optimizedPlan)
-        val cnt = nodes(df.agg(count(lit(1))).queryExecution.optimizedPlan)
-        val lost = Seq("Join", "Generate", "Window", "Aggregate").flatMap { k =>
-          val f = full.getOrElse(k, 0); val c = cnt.getOrElse(k, 0)
-          if (c < f) Some(s"$k:$f->$c") else None
-        }
-        if (lost.nonEmpty) { flagged += 1; println(s"AUDIT $name ${lost.mkString(" ")}") }
-      } catch { case e: Throwable => println(s"AUDIT $name ERROR ${e.getClass.getSimpleName}") }
-    }
-    println(s"AUDIT_DONE flagged=$flagged (these queries NEED the noop-sink materialization)")
+    val flagged = audit(spark, d)
+    flagged.foreach { case (n, s) => println(s"AUDIT $n $s") }
+    println(s"AUDIT_DONE flagged=${flagged.size} (these queries NEED the noop-sink materialization)")
     spark.stop()
   }
 }

@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the set of count()-eliminable queries (round-6 queue item 2).
+  *
+  * Context: rounds 1-5 timed queries with `df.count()`, under which
+  * Catalyst eliminates subtrees whose output is unreferenced — for 17
+  * of the queries the timed plan lost Joins/Generates/Windows, and
+  * for the dedup near-dup family the ENTIRE pipeline, so the bench
+  * measured bare scan counts. Bench now materializes through the noop
+  * sink; this spec keeps the failure mode visible: if a query is
+  * added to (or leaves) the eliminable set, the pinned list below
+  * must be updated CONSCIOUSLY — and anyone tempted to time with
+  * count() again will find this list in their diff.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("count()-eliminable query set is pinned (noop-sink bench contract)") {
+    val flagged = graft.tools.PlanAudit.audit(spark, "/root/testdata/sf0.001")
+    val errors = flagged.filter(_._2.startsWith("ERROR"))
+    assert(errors.isEmpty, s"query construction failed: $errors")
+    val pinned = Set(
+      "decon_bloom", "decon_ngram_overlap", "dedup_keep_best",
+      "dedup_minhash", "dedup_simhash", "dedup_spans",
+      "q26_running_sum", "q38_asof_join", "q42_window_analytics",
+      "q51_funnel", "q52_rolling_median", "q66_pct_rank",
+      "q77_skew_report", "q81_approx_winsorize", "q83_grouped_winsorize",
+      "q84_retention_cohorts", "sample_shards")
+    val got = flagged.map(_._1).toSet
+    val msg =
+      s"""count()-eliminable set drifted.
+         |  newly eliminable (a count()-timed harness would UNDER-measure them): ${(got -- pinned).toSeq.sorted.mkString(", ")}
+         |  no longer eliminable: ${(pinned -- got).toSeq.sorted.mkString(", ")}
+         |If intentional, update the pinned set here — and keep Bench on the
+         |noop sink; count() timing under-measures every query above.""".stripMargin
+    assert(got == pinned, msg)
+  }
+}
