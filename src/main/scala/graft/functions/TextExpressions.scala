@@ -115,6 +115,88 @@ case class MinHashSig(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Engine-portable MinHash signature: k minima of universal-hash mixes
+  * of the low 31 bits of each distinct shingle's `md5_number_lower`.
+  *
+  * This is the MIRRORABLE counterpart of ShingleHashes→MinHashSig
+  * (xxhash64 family, ~2× faster, private to this engine): every step
+  * here is replayable in ANSI SQL —
+  *   base  = md5_number_lower(shingle) & 2147483647   (31-bit)
+  *   h_i   = (a_i * base + b_i) % 2147483647          (i = 0..k-1)
+  *   sig_i = min over the doc's distinct shingles of h_i
+  * with a_i = 1 + (2654435761*(i+1)) % 2147483646 (see companion) —
+  * fixed Knuth/Numerical-Recipes multipliers, all arithmetic < 2^62 so
+  * BIGINT-exact in any engine (and ANSI-overflow-safe here). DuckDB
+  * replays base as `md5_number_lower(s) & 2147483647` (little-endian
+  * digest bytes 8..15, the SimHash64 convention).
+  *
+  * Shingle semantics match the d02 oracle: distinct n-word shingles;
+  * docs shorter than n words contribute {whole text}. NULL text → NULL
+  * signature. One O(bytes) pass per row, no shuffle.
+  */
+case class MinHashSigMd5(child: Expression, n: Int, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextExpressions.requireType("minhash_sig_md5", child, StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String]
+    val words = text.split(space, -1)
+    val m = words.length - n + 1
+    val shingles = new java.util.LinkedHashSet[UTF8String]()
+    if (m <= 0) shingles.add(text)
+    else {
+      var i = 0
+      while (i < m) {
+        shingles.add(UTF8String.concatWs(space, words.slice(i, i + n).toIndexedSeq: _*))
+        i += 1
+      }
+    }
+    val md = MinHashSigMd5.md5.get()
+    val mins = Array.fill(k)(Long.MaxValue)
+    val it = shingles.iterator()
+    while (it.hasNext) {
+      md.reset()
+      val d = md.digest(it.next().getBytes)
+      // little-endian long of digest bytes 8..15 = md5_number_lower
+      var h = 0L
+      var b = 15
+      while (b >= 8) { h = (h << 8) | (d(b) & 0xFFL); b -= 1 }
+      val x = h & MinHashSigMd5.Mask31
+      var i = 0
+      while (i < k) {
+        val v = (MinHashSigMd5.A(i) * x + MinHashSigMd5.B(i)) % MinHashSigMd5.P
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+    }
+    new GenericArrayData(mins.map(v => v: Any))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSigMd5 {
+  /** 2^31 - 1 (Mersenne prime) — mix arithmetic stays under 2^62. */
+  val P = 2147483647L
+  val Mask31 = 2147483647L
+  private val MaxK = 64
+  /** a_i ∈ [1, P-1], b_i ∈ [0, P-1]: fixed multiplicative-mix tables,
+    * reproduced verbatim by the oracle SQL (range(k) + the same
+    * formulas). 2654435761 = Knuth's 2^32/φ; 1013904223 = Numerical
+    * Recipes' LCG increment.
+    */
+  val A: Array[Long] = Array.tabulate(MaxK)(i => 1L + (2654435761L * (i + 1)) % (P - 1))
+  val B: Array[Long] = Array.tabulate(MaxK)(i => (1013904223L * (i + 1)) % P)
+  private val md5: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+}
+
 /** All n-word shingle STRINGS of a space-tokenized text, duplicates
   * kept (occurrence counting — unlike ShingleHashes, which emits the
   * distinct hash set for Jaccard). The composable
@@ -173,4 +255,8 @@ object TextFunctions {
   /** All n-word shingle strings (duplicates kept, for counting). */
   def word_ngrams(text: Column, n: Int): Column =
     column(WordNgrams(expression(text), n))
+
+  /** Engine-portable MinHash signature (md5-derived, SQL-replayable). */
+  def minhash_sig_md5(text: Column, n: Int, k: Int): Column =
+    column(MinHashSigMd5(expression(text), n, k))
 }

