@@ -589,8 +589,13 @@ object Queries {
                     ELSE [text] END AS sh
         FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents) b),
       bases AS (
+        -- s IS NOT NULL mirrors the engine's null-signature filter: a
+        -- NULL-text doc signs NULL there and never reaches banding;
+        -- without this a NULL-list band key would JOIN in DuckDB
+        -- (list equality matches NULL elements) and pair NULL docs
         SELECT doc_id, CAST(md5_number_lower(s) % 2147483648 AS BIGINT) AS x
-        FROM (SELECT doc_id, unnest(sh) AS s FROM sets) p),
+        FROM (SELECT doc_id, unnest(sh) AS s FROM sets) p
+        WHERE s IS NOT NULL),
       sig AS (
         SELECT doc_id, t.i AS i,
                min(((1 + (2654435761 * (t.i + 1)) % 2147483646) * x

@@ -137,6 +137,12 @@ case class MinHashSig(child: Expression, k: Int)
 case class MinHashSigMd5(child: Expression, n: Int, k: Int)
     extends UnaryExpression with CodegenFallback {
 
+  // fail at construction, not as a per-row executor crash: the mix
+  // tables are fixed at MaxK entries
+  require(n >= 1, s"minhash_sig_md5: shingle width n must be >= 1, got $n")
+  require(k >= 1 && k <= MinHashSigMd5.MaxK,
+    s"minhash_sig_md5: k must be in [1, ${MinHashSigMd5.MaxK}], got $k")
+
   override def checkInputDataTypes(): TypeCheckResult =
     TextExpressions.requireType("minhash_sig_md5", child, StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -185,7 +191,7 @@ object MinHashSigMd5 {
   /** 2^31 - 1 (Mersenne prime) — mix arithmetic stays under 2^62. */
   val P = 2147483647L
   val Mask31 = 2147483647L
-  private val MaxK = 64
+  val MaxK = 64
   /** a_i ∈ [1, P-1], b_i ∈ [0, P-1]: fixed multiplicative-mix tables,
     * reproduced verbatim by the oracle SQL (range(k) + the same
     * formulas). 2654435761 = Knuth's 2^32/φ; 1013904223 = Numerical

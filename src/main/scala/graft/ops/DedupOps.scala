@@ -46,10 +46,15 @@ object DedupOps {
     * groupBy on (band_idx, band_hash) — shuffle keyed on band buckets,
     * never an all-pairs product.
     */
-  def minhashBands(sigDf: DataFrame, idCol: String): DataFrame = {
+  def minhashBands(sigDf: DataFrame, idCol: String,
+                   bandKey: Seq[Column] => Column =
+                     cols => xxhash64(cols: _*)): DataFrame = {
+    // bandKey maps a band's signature values to its bucket key:
+    // xxhash64 (default, compact) or the raw value tuple (the mirror
+    // family — SQL-replayable, zero collision risk)
     val bandRows = (0 until Bands).map { bIdx =>
       val cols = (0 until RowsPerBand).map(r => element_at(col("minhash_sig"), bIdx * RowsPerBand + r + 1))
-      struct(lit(bIdx).as("band_idx"), xxhash64(cols: _*).as("band_hash"))
+      struct(lit(bIdx).as("band_idx"), bandKey(cols).as("band_hash"))
     }
     sigDf
       // only NULL text yields a null signature (short docs get a
@@ -171,15 +176,7 @@ object DedupOps {
     val sig = df.select(col(idCol),
       graft.functions.TextFunctions.minhash_sig_md5(
         col(textCol), shingleN, NumHashes).as("minhash_sig"))
-    val bandRows = (0 until Bands).map { bIdx =>
-      struct(lit(bIdx).as("band_idx"),
-        array((0 until RowsPerBand).map(r =>
-          element_at(col("minhash_sig"), bIdx * RowsPerBand + r + 1)): _*)
-          .as("band_hash"))
-    }
-    val bands = sig.filter(col("minhash_sig").isNotNull)
-      .select(col(idCol), explode(array(bandRows: _*)).as("band"))
-      .select(col(idCol), col("band.band_idx"), col("band.band_hash"))
+    val bands = minhashBands(sig, idCol, cols => array(cols: _*))
     val cands = minhashCandidates(bands, idCol, maxBucket)
     val wsz = size(split(col(textCol), " "))
     val sets = df.select(col(idCol),

@@ -27,6 +27,10 @@ object StageProbe {
     spark.sparkContext.setLogLevel("WARN")
     case class St(id: Int, nameLine: String, wallMs: Long, runMs: Long,
                   cpuMs: Long, tasks: Int, recordsIn: Long, recordsOut: Long)
+    // appended from the listener-bus thread, read/cleared from main:
+    // every access synchronizes on the buffer (a straggler event
+    // landing mid-sort would otherwise throw or leak into the next
+    // run's attribution)
     val stages = ArrayBuffer.empty[St]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
@@ -34,21 +38,24 @@ object StageProbe {
         val m = i.taskMetrics
         val wall = (for {s <- i.submissionTime; c <- i.completionTime}
           yield c - s).getOrElse(-1L)
-        stages += St(i.stageId, i.name.takeWhile(_ != '\n').take(80), wall,
-          m.executorRunTime, m.executorCpuTime / 1000000, i.numTasks,
-          m.inputMetrics.recordsRead + m.shuffleReadMetrics.recordsRead,
-          m.outputMetrics.recordsWritten + m.shuffleWriteMetrics.recordsWritten)
+        stages.synchronized {
+          stages += St(i.stageId, i.name.takeWhile(_ != '\n').take(80), wall,
+            m.executorRunTime, m.executorCpuTime / 1000000, i.numTasks,
+            m.inputMetrics.recordsRead + m.shuffleReadMetrics.recordsRead,
+            m.outputMetrics.recordsWritten + m.shuffleWriteMetrics.recordsWritten)
+        }
       }
     })
     for (name <- names; fn = SparkEntry.queries(name); r <- 1 to repeats) {
-      stages.clear()
+      stages.synchronized(stages.clear())
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
       // listener events are posted async; give the bus a moment to drain
       Thread.sleep(1000)
-      println(f"== run $r: $name total ${wall}%.2f s, ${stages.size} stages")
-      stages.sortBy(-_.runMs).take(15).foreach { s =>
+      val snap = stages.synchronized(stages.toVector)
+      println(f"== run $r: $name total ${wall}%.2f s, ${snap.size} stages")
+      snap.sortBy(-_.runMs).take(15).foreach { s =>
         println(f"  stage ${s.id}%3d wall=${s.wallMs}%6d ms run=${s.runMs}%6d ms " +
           f"cpu=${s.cpuMs}%6d ms tasks=${s.tasks}%3d in=${s.recordsIn}%9d " +
           f"out=${s.recordsOut}%9d  ${s.nameLine}")

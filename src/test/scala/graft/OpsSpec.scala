@@ -170,15 +170,25 @@ class OpsSpec extends AnyFunSuite {
       assert(got(i) ==
         (MinHashSigMd5.A(i) * x + MinHashSigMd5.B(i)) % MinHashSigMd5.P)
     // identical docs → identical signatures → verified dup at 1.0;
-    // distinct docs stay clean
+    // distinct docs stay clean; NULL-text docs sign NULL, never band,
+    // and report 0/0.0/false (the oracle filters them identically —
+    // review-pass finding: DuckDB list joins MATCH null elements, so
+    // an unfiltered oracle would pair NULL docs with each other)
     val rep = DedupOps.minhashNearDupMirror(Seq(
       (1L, "alpha beta gamma delta epsilon"),
       (2L, "alpha beta gamma delta epsilon"),
-      (3L, "nothing in common with those")).toDF("doc_id", "text"),
+      (3L, "nothing in common with those"),
+      (4L, null.asInstanceOf[String]),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text"),
       "text", "doc_id").orderBy("doc_id").collect()
     assert(rep(0).getAs[Boolean]("is_dup") && rep(1).getAs[Boolean]("is_dup"))
     assert(rep(0).getAs[Double]("max_jaccard") == 1.0)
     assert(!rep(2).getAs[Boolean]("is_dup"))
+    for (r <- Seq(rep(3), rep(4))) {
+      assert(r.getAs[Long]("n_candidates") == 0L)
+      assert(r.getAs[Double]("max_jaccard") == 0.0)
+      assert(!r.getAs[Boolean]("is_dup"))
+    }
     // the GRADED configuration runs capped: an over-cap mass bucket is
     // dropped (no candidates for boilerplate docs) while an under-cap
     // cluster is still found — the behavior the mirror oracle replays
