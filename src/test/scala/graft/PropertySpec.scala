@@ -91,6 +91,58 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("spanDedup equals a brute-force reference on random small corpora") {
+    // reference: count every sliding n-window string corpus-wide,
+    // mark positions whose window occurs >= 2 times, merge positions
+    // into maximal spans (gap <= n), report per-doc stats — the
+    // operator's contract, computed with none of its machinery
+    val n = 3
+    def reference(docs: Seq[(Long, String)]): Map[Long, (Int, Long, Long, Double)] = {
+      val wins = docs.flatMap { case (id, t) =>
+        val ws = t.split(" ", -1)
+        if (ws.length < n) Seq.empty
+        else (0 to ws.length - n).map(p => (id, p, ws.slice(p, p + n).mkString(" ")))
+      }
+      val occ = wins.groupBy(_._3).view.mapValues(_.size).toMap
+      val dupByDoc = wins.filter(w => occ(w._3) >= 2)
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      docs.map { case (id, t) =>
+        val nt = t.split(" ", -1).length
+        val ps = dupByDoc.getOrElse(id, Seq.empty)
+        if (ps.isEmpty) id -> ((0, 0L, 0L, 0.0))
+        else {
+          val spans = ps.tail.foldLeft(List((ps.head, ps.head))) {
+            case ((s, e) :: rest, p) =>
+              if (p - e <= n) (s, p) :: rest else (p, p) :: (s, e) :: rest
+            case (Nil, p) => List((p, p))
+          }
+          val dupTokens = spans.map { case (s, e) => e + n - s }.map(_.toLong).sum
+          val frac = BigDecimal(dupTokens.toDouble / nt)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          id -> ((spans.size, ps.size.toLong, dupTokens, frac))
+        }
+      }.toMap
+    }
+    val corpusGen: Gen[List[(Long, String)]] =
+      Gen.listOfN(8, Gen.chooseNum(0, 15).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" "))))
+        .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    samples(corpusGen, 12).foreach { docs =>
+      val exp = reference(docs)
+      val got = DedupOps.spanDedup(docs.toDF("doc_id", "text"),
+          "text", "doc_id", n = n).collect()
+      assert(got.length == docs.size)
+      got.foreach { r =>
+        val id = r.getLong(0)
+        val (eSpans, eNg, eTok, eFrac) = exp(id)
+        assert(r.getInt(1) == eSpans, s"doc $id n_spans: $docs")
+        assert(r.getLong(2) == eNg, s"doc $id n_dup_ngrams: $docs")
+        assert(r.getLong(3) == eTok, s"doc $id dup_tokens: $docs")
+        assert(math.abs(r.getDouble(4) - eFrac) < 1e-9, s"doc $id dup_frac: $docs")
+      }
+    }
+  }
+
   test("minhash signature similarity approximates exact jaccard on dup docs") {
     // two near-identical docs: signature agreement should be high
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
