@@ -265,8 +265,12 @@ class OpsSpec extends AnyFunSuite {
     // 3× slower end-to-end. Pin the shape: lambdas carry only
     // slice+concat, and the 1-partition input is repartitioned so the
     // explode doesn't run on a single task.
+    // bare LocalRelation: 2 rows plan as 2 partitions < the suite's
+    // defaultParallelism(4), so fanOut fires. (An explicit caller
+    // repartition would be RESPECTED instead — the exchange guard
+    // returns such plans unchanged, probe-free.)
     val df = Seq((1L, "a b c d e f"), (2L, "a b c z d e f"))
-      .toDF("doc_id", "text").repartition(1)
+      .toDF("doc_id", "text")
     val plan = DedupOps.spanDedup(df, "text", "doc_id", n = 3)
       .queryExecution.optimizedPlan.toString
     val lambdas = plan.linesIterator.filter(_.contains("lambdafunction")).toSeq
@@ -275,9 +279,7 @@ class OpsSpec extends AnyFunSuite {
       lambdas.mkString("\n"))
     assert(lambdas.forall(l => !l.contains("md5(")),
       lambdas.mkString("\n"))
-    // fanOut target = defaultParallelism (4 in this suite) — distinct
-    // from the fixture's own repartition(1), which CollapseRepartition
-    // folds away beneath it
+    // fanOut target = defaultParallelism (4 in this suite)
     assert(plan.contains("Repartition 4"), plan.take(2000))
   }
 
