@@ -634,6 +634,78 @@ object Queries {
       FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
       ORDER BY d.doc_id"""))
 
+  /** dedup_minhash_incremental — near-dup scoring of an incoming
+    * batch (doc_id % 10 == 0) against the existing corpus (the rest)
+    * WITHOUT re-pairing the corpus: candidates are incoming×corpus
+    * only, the crawl-ingest shape. Runs on the mirror family (an
+    * incremental index persists signatures, which is exactly when a
+    * private hash family becomes a trap), so the oracle replays the
+    * whole pipeline: signatures for both sides, the corpus-side
+    * maxBucket=256 drop, the probe join, verification, per-batch-doc
+    * aggregate. The near-dup analogue of dedup_incremental's exact
+    * path.
+    */
+  private val d02i = Q(
+    "dedup_minhash_incremental",
+    (s, d) => {
+      val all = docs(s, d)
+      DedupOps.minhashNearDupIncremental(
+        all.filter(col("doc_id") % 10 =!= 0),
+        all.filter(col("doc_id") % 10 === 0),
+        "text", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH sets AS (
+        SELECT doc_id,
+               CASE WHEN len(w) >= 3
+                    THEN list_distinct(list_transform(range(1, len(w) - 1),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                    ELSE [text] END AS sh
+        FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents) b),
+      bases AS (
+        SELECT doc_id, CAST(md5_number_lower(s) % 2147483648 AS BIGINT) AS x
+        FROM (SELECT doc_id, unnest(sh) AS s FROM sets) p
+        WHERE s IS NOT NULL),
+      sig AS (
+        SELECT doc_id, t.i AS i,
+               min(((1 + (2654435761 * (t.i + 1)) % 2147483646) * x
+                    + (1013904223 * (t.i + 1)) % 2147483647) % 2147483647) AS v
+        FROM bases, range(32) t(i) GROUP BY 1, 2),
+      bands AS (
+        SELECT doc_id, i // 4 AS band_idx, list(v ORDER BY i) AS band_key
+        FROM sig GROUP BY doc_id, i // 4),
+      oldb AS (SELECT * FROM bands WHERE doc_id % 10 <> 0),
+      newb AS (SELECT * FROM bands WHERE doc_id % 10 = 0),
+      ok AS (
+        SELECT band_idx, band_key FROM oldb
+        GROUP BY 1, 2 HAVING count(*) <= 256),
+      cand AS (
+        SELECT DISTINCT n.doc_id AS id_new, o.doc_id AS id_old
+        FROM newb n, oldb o, ok
+        WHERE n.band_idx = ok.band_idx AND n.band_key = ok.band_key
+          AND o.band_idx = ok.band_idx AND o.band_key = ok.band_key),
+      jac AS (
+        SELECT c.id_new, c.id_old,
+               CASE WHEN len(list_distinct(sa.sh || sb.sh)) > 0
+                    THEN len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                         / len(list_distinct(sa.sh || sb.sh))
+                    ELSE 0.0 END AS jaccard
+        FROM cand c
+        JOIN sets sa ON sa.doc_id = c.id_new
+        JOIN sets sb ON sb.doc_id = c.id_old),
+      per AS (
+        SELECT id_new AS doc_id, count(*) AS n_candidates,
+               max(jaccard) AS mj
+        FROM jac GROUP BY id_new)
+      SELECT d.doc_id,
+             coalesce(per.n_candidates, 0) AS n_candidates,
+             round(coalesce(per.mj, 0), 4) AS max_jaccard,
+             coalesce(per.mj, 0) >= 0.8 AS is_dup
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+      LEFT JOIN per ON d.doc_id = per.doc_id
+      ORDER BY d.doc_id"""))
+
   /** dedup_simhash — 64-bit SimHash + 16-bit-segment blocking. FULL
     * mirror oracle (round 4, was rows-only): the per-word hash is the
     * low 64 bits of MD5 — bit-for-bit DuckDB's `md5_number_lower` —
@@ -4296,7 +4368,7 @@ object Queries {
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q57b, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84,
-    d01, d02, d02m, d03, d04, d05, d06, d07, d08, d09, d10, sm1, sm2, sm3, sm4, sm5, sm6, pk1, dc1, dc2, vd1,
+    d01, d02, d02m, d02i, d03, d04, d05, d06, d07, d08, d09, d10, sm1, sm2, sm3, sm4, sm5, sm6, pk1, dc1, dc2, vd1,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, a01, a02, a03, a04, a05, m01, m02, m03, mr1,
     p01, st01, st02, st03, st04, st05)
 

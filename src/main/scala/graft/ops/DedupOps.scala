@@ -178,13 +178,91 @@ object DedupOps {
         col(textCol), shingleN, NumHashes).as("minhash_sig"))
     val bands = minhashBands(sig, idCol, cols => array(cols: _*))
     val cands = minhashCandidates(bands, idCol, maxBucket)
+    nearDupReport(df, cands, shingleStringSets(df, textCol, idCol, shingleN),
+      idCol, threshold)
+  }
+
+  /** Distinct n-word shingle STRING sets per doc (the d02-oracle
+    * semantics: short docs contribute {whole text}, NULL text a NULL
+    * set) — the replayable verification basis of the mirror family.
+    */
+  private def shingleStringSets(df: DataFrame, textCol: String,
+                                idCol: String, shingleN: Int): DataFrame = {
     val wsz = size(split(col(textCol), " "))
-    val sets = df.select(col(idCol),
+    df.select(col(idCol),
       when(col(textCol).isNull, lit(null).cast("array<string>"))
         .when(wsz >= shingleN, array_distinct(
           graft.functions.TextFunctions.word_ngrams(col(textCol), shingleN)))
         .otherwise(array(col(textCol))).as("sh"))
-    nearDupReport(df, cands, sets, idCol, threshold)
+  }
+
+  /** Incremental near-dup: score an INCOMING batch of documents
+    * against an existing CORPUS without recomputing or re-pairing the
+    * corpus — the standard crawl-ingest shape (the near-dup analogue
+    * of [[incrementalDedup]]'s exact path). Candidates are
+    * incoming×corpus only: corpus docs never pair with each other, so
+    * the cost per ingest is bounded by the batch, not the archive.
+    *
+    * Runs on the ENGINE-PORTABLE mirror family ([[MinHashSigMd5]] +
+    * raw-tuple band keys) by design, not convenience: an incremental
+    * index PERSISTS signatures/bands across runs and systems, which is
+    * exactly when a private hash family becomes a trap — the md5
+    * family lets any engine (or an oracle) recompute and verify the
+    * stored bands bit-for-bit.
+    *
+    * `maxBucket` caps CORPUS-side band buckets (a >cap bucket is
+    * mass-duplicated boilerplate — exact-dedup territory — and would
+    * make every matching incoming doc fan out cap× per band); the
+    * incoming side is a batch and needs no cap. At 100 TB the corpus
+    * bands live bucketed on (band_idx, band_hash); the probe is one
+    * keyed join against a batch-sized side — broadcastable when the
+    * ingest is small.
+    *
+    * Output: one row per incoming doc — n_candidates (verified corpus
+    * pairings), max_jaccard (rounded), is_dup (unrounded ≥ threshold).
+    */
+  def minhashNearDupIncremental(corpus: DataFrame, incoming: DataFrame,
+                                textCol: String, idCol: String,
+                                shingleN: Int = 3, threshold: Double = 0.8,
+                                maxBucket: Int = 256): DataFrame = {
+    def sig(df: DataFrame) = df.select(col(idCol),
+      graft.functions.TextFunctions.minhash_sig_md5(
+        col(textCol), shingleN, NumHashes).as("minhash_sig"))
+    val rawKey = (cols: Seq[Column]) => array(cols: _*)
+    val corpusBands = minhashBands(sig(corpus), idCol, rawKey)
+    val incomingBands = minhashBands(sig(incoming), idCol, rawKey)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_idx"), col("band_hash"))
+    val boundedCorpus =
+      if (maxBucket == Int.MaxValue) corpusBands
+      else corpusBands
+        .withColumn("__bsz", count(lit(1)).over(w))
+        .filter(col("__bsz") <= maxBucket)
+        .drop("__bsz")
+    val cands = incomingBands
+      .select(col("band_idx"), col("band_hash"), col(idCol).as("id_new"))
+      .join(boundedCorpus
+        .select(col("band_idx"), col("band_hash"), col(idCol).as("id_old")),
+        Seq("band_idx", "band_hash"))
+      .select("id_new", "id_old").distinct()
+    val newSets = shingleStringSets(incoming, textCol, idCol, shingleN)
+    val oldSets = shingleStringSets(corpus, textCol, idCol, shingleN)
+    val verified = cands
+      .join(newSets.select(col(idCol).as("id_new"), col("sh").as("sh_a")), "id_new")
+      .join(oldSets.select(col(idCol).as("id_old"), col("sh").as("sh_b")), "id_old")
+      .withColumn("jaccard",
+        when(size(array_union(col("sh_a"), col("sh_b"))) > 0,
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+        .otherwise(lit(0.0)))
+    val perDoc = verified.groupBy(col("id_new").as(idCol))
+      .agg(count(lit(1)).as("n_candidates"), max(col("jaccard")).as("max_jaccard"))
+    incoming.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .withColumn("n_candidates", coalesce(col("n_candidates"), lit(0L)))
+      .withColumn("is_dup", coalesce(col("max_jaccard"), lit(0.0)) >= threshold)
+      .withColumn("max_jaccard", round(coalesce(col("max_jaccard"), lit(0.0)), 4))
+      .select(col(idCol), col("n_candidates"), col("max_jaccard"), col("is_dup"))
   }
 
   // ------------------------------------------------- exact n-gram Jaccard

@@ -202,6 +202,37 @@ class OpsSpec extends AnyFunSuite {
     assert(cap.filter($"doc_id" >= 1000L && $"is_dup").count() == 2)
   }
 
+  test("minhashNearDupIncremental: batch-vs-corpus only, corpus cap, total output") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),   // corpus-internal dup: must NOT surface
+      (3L, "completely different corpus text here")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (100L, "alpha beta gamma delta epsilon"), // dup of corpus 1 and 2
+      (101L, "brand new never seen words")).toDF("doc_id", "text")
+    val got = DedupOps.minhashNearDupIncremental(
+      corpus, incoming, "text", "doc_id").orderBy("doc_id").collect()
+    // output is the incoming batch, total — corpus docs never appear
+    assert(got.map(_.getLong(0)).toSeq == Seq(100L, 101L))
+    assert(got(0).getAs[Boolean]("is_dup"))
+    assert(got(0).getAs[Double]("max_jaccard") == 1.0)
+    assert(got(0).getAs[Long]("n_candidates") == 2L) // paired with BOTH copies
+    assert(!got(1).getAs[Boolean]("is_dup"))
+    assert(got(1).getAs[Long]("n_candidates") == 0L)
+    // corpus-side cap: an over-cap boilerplate bucket is dropped, so an
+    // incoming copy of mass-duplicated corpus text reports clean (the
+    // documented exact-dedup division of labor); an under-cap corpus
+    // partner is still found
+    val boiler = (0L until 300L).map(i => (i, "same boilerplate text everywhere"))
+    val capGot = DedupOps.minhashNearDupIncremental(
+      (boiler :+ (900L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text"),
+      Seq((100L, "same boilerplate text everywhere"),
+          (101L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text"),
+      "text", "doc_id", maxBucket = 256).orderBy("doc_id").collect()
+    assert(capGot(0).getAs[Long]("n_candidates") == 0L)
+    assert(capGot(1).getAs[Boolean]("is_dup"))
+  }
+
   test("DedupOps.simhash: identical docs share simhash, distance 0") {
     val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val sh = DedupOps.simhash(df, "text", "doc_id").collect().map(_.getLong(1))
