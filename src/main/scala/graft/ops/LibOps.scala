@@ -138,28 +138,36 @@ object LibOps {
                                buckets: Int): DataFrame = {
     require(buckets > 0, s"distinctValueCum: buckets=$buckets")
     val v = col(value).cast("double")
-    val dv = df.filter(v.isNotNull).groupBy(v.as("value")).agg(count(lit(1)).as("cnt"))
-    // one broadcast row: N plus the value range that defines buckets —
-    // computed off the base scan (plain agg), not the distinct-value
-    // aggregate, so this branch never pays the groupBy
-    val stats = df.filter(v.isNotNull)
-      .agg(count(lit(1)).as("total"), min(v).as("lo"), max(v).as("hi"))
-    val dvb = dv.crossJoin(broadcast(stats))
-      .withColumn("bucket",
-        when(col("hi") === col("lo"), lit(0))
-          .otherwise(least(
-            floor((col("value") - col("lo")) / (col("hi") - col("lo")) * buckets),
-            lit(buckets - 1.0))).cast("int"))
-      // pin: the bucketed distinct-value table feeds BOTH the cumsum
-      // window and the offsets aggregate — without this the
-      // corpus-sized distinct aggregation runs twice
-      .localCheckpoint(true)
-    val bucketed = dvb
+    val nn = df.filter(v.isNotNull)
+    // one driver row: N plus the value range that defines buckets —
+    // fetched eagerly (the approxQuantileCuts pattern), which lets the
+    // bucket expression be pure literals in BOTH consumers below; the
+    // old formulation instead checkpointed the D-sized distinct-value
+    // table to share it, an RDD pin a library caller could never
+    // release (the leak class the round-5 advice flagged on
+    // approxQuantileCuts)
+    val statsRow = nn.agg(count(lit(1)), min(v), max(v)).head()
+    val total = statsRow.getLong(0)
+    // empty/all-NULL column: lo/hi degenerate to a constant — every
+    // branch below still planifies and the result is the same empty
+    // (value, cnt, cum, total) frame the pinned formulation produced
+    val (lo, hi) =
+      if (statsRow.isNullAt(1)) (0.0, 0.0)
+      else (statsRow.getDouble(1), statsRow.getDouble(2))
+    def bucketOf(c: Column): Column =
+      (if (hi == lo) lit(0)
+       else least(floor((c - lit(lo)) / (lit(hi) - lit(lo)) * buckets),
+         lit(buckets - 1.0))).cast("int")
+    val bucketed = nn.groupBy(v.as("value")).agg(count(lit(1)).as("cnt"))
+      .withColumn("bucket", bucketOf(col("value")))
       .withColumn("cum_in_bucket",
         sum("cnt").over(Window.partitionBy("bucket").orderBy("value")))
-    // `buckets` rows: the only unpartitioned window in the plan
-    val offsets = dvb.groupBy("bucket")
-      .agg(sum("cnt").as("bucket_total"))
+    // `buckets` rows computed off the BASE scan (a partial-aggregated
+    // count — never the distinct-value groupBy), so the D-sized
+    // aggregate above is consumed exactly once and nothing needs a
+    // checkpoint; the tiny window is the only unpartitioned one
+    val offsets = nn.groupBy(bucketOf(v).as("bucket"))
+      .agg(count(lit(1)).as("bucket_total"))
       .withColumn("bucket_offset",
         coalesce(sum("bucket_total").over(
           Window.orderBy("bucket")
@@ -167,7 +175,7 @@ object LibOps {
       .select(col("bucket"), col("bucket_offset"))
     bucketed.join(broadcast(offsets), "bucket")
       .withColumn("cum", col("bucket_offset") + col("cum_in_bucket"))
-      .select(col("value"), col("cnt"), col("cum"), col("total"))
+      .select(col("value"), col("cnt"), col("cum"), lit(total).as("total"))
   }
 
   /** Bin summaries (bin, n, lo, hi) from `equidepthBins` — aggregates
