@@ -844,6 +844,53 @@ object Queries {
       FROM embeddings e LEFT JOIN top1 t ON e.vec_id = t.qid
       ORDER BY e.vec_id"""))
 
+  /** dedup_semantic — SemDeDup cluster-then-prune over embeddings
+    * (SimOps.semanticDedup): trained k-means cells (the a04 trainer,
+    * replayed by the oracle through the same unrolled-Lloyd's SQL
+    * fragments), centroid cosine per vector, then inside each
+    * size-capped cell a vector is a duplicate when a ≥ tau neighbor
+    * ranks better under the keep-farthest-from-centroid rule. tau is
+    * 0.40 because the synthetic embeddings top out near 0.51 pairwise
+    * cosine — the paper's 0.95 would grade an all-false column.
+    */
+  private val d11 = Q(
+    "dedup_semantic",
+    (s, d) => {
+      import s.implicits._
+      SimOps.semanticDedup(emb(s, d), "vec_id", "embedding",
+          numCells = 16, iters = 2, tau = 0.40, maxCell = 512)
+        .orderBy($"vec_id")
+    },
+    Some(s"""
+      WITH
+      pos AS (SELECT unnest(range(1, 65)) AS p),
+      e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      cb0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+               emb AS cvec
+        FROM (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT 16) s),
+      ${a04Round(0)},
+      ${a04Round(1)},
+      ${a04Score("sf_", "cb2")},
+      ${a04Argmax("assign", "vec_id, emb, cell", "sf_", "", "r = 1")},
+      csim AS (
+        SELECT a.vec_id, a.emb, a.cell,
+               round(list_cosine_similarity(a.emb, cb.cvec), 4) AS csim
+        FROM assign a JOIN cb2 cb USING (cell)),
+      sizes AS (SELECT cell, count(*) AS n FROM csim GROUP BY cell),
+      elig AS (
+        SELECT c.* FROM csim c JOIN sizes s USING (cell) WHERE s.n <= 512),
+      dup AS (
+        SELECT DISTINCT a.vec_id
+        FROM elig a JOIN elig b USING (cell)
+        WHERE b.vec_id <> a.vec_id
+          AND (b.csim < a.csim OR (b.csim = a.csim AND b.vec_id < a.vec_id))
+          AND round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.40)
+      SELECT e.vec_id, c.cell, c.csim,
+             d.vec_id IS NOT NULL AS is_dup
+      FROM e LEFT JOIN csim c USING (vec_id) LEFT JOIN dup d USING (vec_id)
+      ORDER BY e.vec_id"""))
+
   /** dedup_clusters — transitive closure over near-dup pairs (the step
     * after pair generation in production dedup): min-label propagation
     * to connected components; cluster id = component minimum, so
@@ -4368,7 +4415,7 @@ object Queries {
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q57b, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84,
-    d01, d02, d02m, d02i, d03, d04, d05, d06, d07, d08, d09, d10, sm1, sm2, sm3, sm4, sm5, sm6, pk1, dc1, dc2, vd1,
+    d01, d02, d02m, d02i, d03, d04, d05, d06, d07, d08, d09, d10, d11, sm1, sm2, sm3, sm4, sm5, sm6, pk1, dc1, dc2, vd1,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, a01, a02, a03, a04, a05, m01, m02, m03, mr1,
     p01, st01, st02, st03, st04, st05)
 

@@ -325,4 +325,78 @@ object SimOps {
       .filter(col("rnk") <= k)
       .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"), col("rnk"))
   }
+
+  /** Semantic (cluster-then-prune) deduplication — the SemDeDup recipe
+    * (Abbas et al. 2023, arXiv:2303.09540): partition the corpus into
+    * k-means cells, and inside each cell mark as duplicate every
+    * vector that has a sufficiently-similar neighbor ranking better
+    * under the keep rule. Keep rule per the paper's finding that
+    * retaining LOW-centroid-similarity examples works best: rank =
+    * (centroid cosine ASC, id ASC), so among near-duplicates the
+    * vector farthest from its centroid survives. This is the
+    * embedding-space complement of MinHash dedup: it removes
+    * *semantic* templates/paraphrases exact and shingle methods miss.
+    *
+    * Semantics: `is_dup(a)` ⇔ ∃ b in a's cell with
+    * round(cos(a,b),4) ≥ tau and (b.csim < a.csim or (= and b.id <
+    * a.id)) — the same exists-better-neighbor rule as
+    * `dedup_embedding`/`keepBest` (deterministic and SQL-replayable,
+    * vs. the paper's order-dependent greedy sweep). Vectors in cells
+    * larger than `maxCell` are exempt from pairing (the LSH
+    * maxBucket valve: a degenerate cell must not go quadratic);
+    * NULL embeddings keep NULL cell/csim and is_dup = false.
+    *
+    * Scale shape (the reason SemDeDup exists at 100 TB): numCells
+    * grows with the corpus so cells stay O(corpus/numCells); the
+    * pairwise stage is a co-partitioned merge self-join on the cell
+    * id — never corpus×corpus — with the cap valve bounding any one
+    * cell's quadratic term. Assignment is one narrow projection (K
+    * fused dots/row); centroids are K·dim driver doubles (collected
+    * once, broadcast); cell sizes are a numCells-row broadcast. The
+    * assignment subplan is recomputed per consumer rather than
+    * checkpoint-pinned — the spanDedup resolution: a cheap narrow
+    * recompute beats a corpus-sized RDD pin a library caller can
+    * never release.
+    */
+  def semanticDedup(corpus: DataFrame, idCol: String, embCol: String,
+                    numCells: Int = 16, iters: Int = 2, tau: Double = 0.95,
+                    maxCell: Int = 4096,
+                    codebook: Option[Array[Array[Double]]] = None): DataFrame = {
+    require(numCells > 0, s"semanticDedup: numCells=$numCells")
+    require(maxCell > 0, s"semanticDedup: maxCell=$maxCell")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = codebook.getOrElse(
+      trainCentroids(corpus, idCol, embCol, numCells, iters))
+    if (centroids.isEmpty) // empty corpus: schema-stable all-kept frame
+      return corpus.select(col(idCol).as("vec_id"),
+        lit(null).cast("int").as("cell"), lit(null).cast("double").as("csim"),
+        lit(false).as("is_dup"))
+    val cbDf = centroids.zipWithIndex.map { case (cvec, i) => (i, cvec) }
+      .toSeq.toDF("cell", "cvec")
+    val assigned = corpus.where(col(embCol).isNotNull)
+      .select(col(idCol).as("vec_id"), col(embCol).as("emb"))
+      .withColumn("cell", cellArgmax(col("emb"), centroids))
+      .join(broadcast(cbDf), "cell")
+      // rounded once here so the keep-rank ordering and the tau
+      // threshold both see the same 4-digit value in every engine
+      .withColumn("csim", round(cosine(col("emb"), col("cvec")), 4))
+      .select(col("vec_id"), col("emb"), col("cell"), col("csim"))
+    val okCells = assigned.groupBy("cell").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxCell).select("cell")
+    val eligible = assigned.join(broadcast(okCells), "cell")
+    val rhs = eligible.select(col("cell"), col("vec_id").as("b_id"),
+      col("emb").as("b_emb"), col("csim").as("b_csim"))
+    val dupIds = eligible.hint("merge").join(rhs.hint("merge"), Seq("cell"))
+      .filter(col("b_id") =!= col("vec_id"))
+      .filter(col("b_csim") < col("csim") ||
+        (col("b_csim") === col("csim") && col("b_id") < col("vec_id")))
+      .filter(round(cosine(col("emb"), col("b_emb")), 4) >= tau)
+      .select(col("vec_id")).distinct()
+    corpus.select(col(idCol).as("vec_id"))
+      .join(assigned.select(col("vec_id"), col("cell"), col("csim")),
+        Seq("vec_id"), "left")
+      .join(dupIds.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
+      .withColumn("is_dup", coalesce(col("is_dup"), lit(false)))
+  }
 }

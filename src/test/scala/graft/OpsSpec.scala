@@ -365,6 +365,30 @@ class OpsSpec extends AnyFunSuite {
     assert(hits >= exact.size / 4, s"IVF recall too low: $hits/${exact.size}")
   }
 
+  test("SimOps.semanticDedup keeps the farthest-from-centroid duplicate") {
+    // two cells on the axes; ids 1/2 are near-duplicates in cell 0 —
+    // id 2 sits farther from the centroid (csim 0.9939 < 1.0), so the
+    // keep-low-centroid-sim rule keeps 2 and marks 1 the duplicate
+    val df = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1)),
+      (3L, Array(0.0, 1.0)), (4L, null.asInstanceOf[Array[Double]]))
+      .toDF("vec_id", "embedding")
+    val cb = Some(Array(Array(1.0, 0.0), Array(0.0, 1.0)))
+    val got = SimOps.semanticDedup(df, "vec_id", "embedding",
+        numCells = 2, tau = 0.95, maxCell = 16, codebook = cb)
+      .orderBy("vec_id").collect()
+    assert(got.map(_.getAs[Boolean]("is_dup")).toSeq ==
+      Seq(true, false, false, false))
+    assert(got(0).getAs[Int]("cell") == 0 && got(2).getAs[Int]("cell") == 1)
+    assert(got(3).isNullAt(got(3).fieldIndex("cell")) &&
+      got(3).isNullAt(got(3).fieldIndex("csim"))) // NULL embedding kept
+    // the maxCell valve exempts degenerate cells from pairing
+    val capped = SimOps.semanticDedup(df, "vec_id", "embedding",
+        numCells = 2, tau = 0.95, maxCell = 1, codebook = cb)
+      .orderBy("vec_id").collect()
+    assert(capped.forall(!_.getAs[Boolean]("is_dup")))
+  }
+
   test("SimOps.trainCentroids: deterministic k-means improves or matches IVF recall") {
     val e = graft.io.Tables.embeddings(spark, TestSpark.Sf0001)
     val trained = SimOps.trainCentroids(e, "vec_id", "embedding", numCells = 8, iters = 2)

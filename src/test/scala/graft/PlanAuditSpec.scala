@@ -24,7 +24,7 @@ class PlanAuditSpec extends AnyFunSuite {
     val pinned = Set(
       "decon_bloom", "decon_ngram_overlap", "dedup_keep_best",
       "dedup_minhash", "dedup_minhash_incremental", "dedup_minhash_mirror",
-      "dedup_simhash", "dedup_spans",
+      "dedup_semantic", "dedup_simhash", "dedup_spans",
       "q26_running_sum", "q38_asof_join", "q42_window_analytics",
       "q51_funnel", "q52_rolling_median", "q66_pct_rank",
       "q77_skew_report", "q81_approx_winsorize", "q83_grouped_winsorize",
