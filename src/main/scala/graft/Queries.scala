@@ -1757,6 +1757,45 @@ object Queries {
              CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INTEGER) AS n_re_tokens
       FROM documents ORDER BY doc_id"""))
 
+  /** text_quality_model — linear quality classifier inference
+    * (TextOps.qualityModel): fixed-point micro-ratio features, integer
+    * weighted sum, margin decision. Bit-exact in any engine (pure
+    * BIGINT arithmetic, floor division, no sigmoid), so score AND
+    * decision are hash-graded. Weights: bias calibrated so the corpus
+    * splits near 50/50 and the decision column carries information.
+    */
+  private val t16 = Q(
+    "text_quality_model",
+    (s, d) => TextOps.qualityModel(docs(s, d))
+      .select(col("doc_id"), col("stop_m"), col("dup_m"), col("punct_m"),
+        col("digit_m"), col("score"), col("keep"))
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH f AS (
+        SELECT doc_id,
+               len(string_split(lower(text), ' ')) AS n_tok,
+               length(text) AS n_char,
+               len(list_filter(string_split(lower(text), ' '),
+                 w -> w IN ('the','a','of','and','to','in','is','it'))) AS n_stop,
+               len(list_distinct(string_split(lower(text), ' '))) AS n_dist,
+               length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+               length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
+        FROM documents),
+      m AS (
+        SELECT doc_id,
+               (1000000 * n_stop) // greatest(n_tok, 1) AS stop_m,
+               (1000000 * (n_tok - n_dist)) // greatest(n_tok, 1) AS dup_m,
+               (1000000 * n_punct) // greatest(n_char, 1) AS punct_m,
+               (1000000 * n_digit) // greatest(n_char, 1) AS digit_m,
+               least(n_tok, 64) AS len_c
+        FROM f)
+      SELECT doc_id, stop_m, dup_m, punct_m, digit_m,
+             540000 + 4*stop_m - 3*dup_m - 2*punct_m - 3*digit_m
+               + 15625*len_c AS score,
+             coalesce(540000 + 4*stop_m - 3*dup_m - 2*punct_m - 3*digit_m
+               + 15625*len_c > 0, false) AS keep
+      FROM m ORDER BY doc_id"""))
+
   private val t02 = Q(
     "text_quality",
     (s, d) => TextOps.qualityScore(docs(s, d))
@@ -4416,7 +4455,7 @@ object Queries {
     q52, q53, q54, q55, q56, q57, q57b, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84,
     d01, d02, d02m, d02i, d03, d04, d05, d06, d07, d08, d09, d10, d11, sm1, sm2, sm3, sm4, sm5, sm6, pk1, dc1, dc2, vd1,
-    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, a01, a02, a03, a04, a05, m01, m02, m03, mr1,
+    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, a01, a02, a03, a04, a05, m01, m02, m03, mr1,
     p01, st01, st02, st03, st04, st05)
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

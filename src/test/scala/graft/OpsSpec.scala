@@ -365,6 +365,23 @@ class OpsSpec extends AnyFunSuite {
     assert(hits >= exact.size / 4, s"IVF recall too low: $hits/${exact.size}")
   }
 
+  test("TextOps.qualityModel scores with exact integer arithmetic") {
+    val df = Seq(
+      (1L, "the cat is in the hat and it is fine"), // stopword-rich prose
+      (2L, "111 111 111 111"),                      // repetitive digit junk
+      (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextOps.qualityModel(df).orderBy("doc_id").collect()
+    // doc 1: stop_m=700000 (7/10), dup_m=200000 (2/10), len term 156250
+    //   → 540000 + 4*700000 − 3*200000 + 156250 = 2896250
+    assert(got(0).getAs[Long]("score") == 2896250L)
+    assert(got(0).getAs[Boolean]("keep"))
+    assert(!got(1).getAs[Boolean]("keep")) // dup_m/digit_m dominate
+    assert(got(1).getAs[Long]("digit_m") == 800000L) // 12 of 15 chars
+    assert(got(2).isNullAt(got(2).fieldIndex("score")) &&
+      !got(2).getAs[Boolean]("keep")) // NULL text rejects, score stays NULL
+  }
+
   test("SimOps.semanticDedup keeps the farthest-from-centroid duplicate") {
     // two cells on the axes; ids 1/2 are near-duplicates in cell 0 —
     // id 2 sits farther from the centroid (csim 0.9939 < 1.0), so the
