@@ -963,6 +963,39 @@ object Queries {
         FROM cl c JOIN tok t USING (doc_id)) x
       WHERE rn = 1 ORDER BY cluster_id"""))
 
+  /** dedup_cluster_split — leakage-safe folds at NEAR-DUP-CLUSTER
+    * granularity: the composition groupedSplit's contract names as its
+    * reason to exist ("domain, url host, dedup-cluster id"). A per-row
+    * or per-source split still leaks when two near-identical documents
+    * arrive from different sources; hashing the dedup cluster id makes
+    * train/test contamination by near-duplicates structurally
+    * impossible. Pipeline: dedupClusters (graded at d06) → row-local
+    * md5 CASE on cluster_id — the split adds zero shuffles on top of
+    * clustering. Graded per-doc: split is a pure function of
+    * cluster_id, so the output itself witnesses co-assignment.
+    */
+  private val d12 = Q(
+    "dedup_cluster_split",
+    (s, d) => {
+      import s.implicits._
+      SampleOps.groupedSplit(
+          DedupOps.dedupClusters(docs(s, d), "text", "doc_id"),
+          "cluster_id", Seq("train" -> 80, "valid" -> 90))
+        .orderBy($"doc_id")
+    },
+    Some(s"""$clusterCtesSql,
+      cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+      b AS (
+        SELECT doc_id, cluster_id,
+               ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4))::INTEGER
+                 % 100 AS bk
+        FROM cl)
+      SELECT doc_id, cluster_id,
+             CASE WHEN bk < 80 THEN 'train'
+                  WHEN bk < 90 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM b ORDER BY doc_id"""))
+
   /** dedup_chunks — sub-document (paragraph-idiom) exact dedup: 8-word
     * chunks, global first occurrence wins (lowest (doc, position)),
     * docs reassembled from surviving chunks. Ownership is a
@@ -4454,7 +4487,7 @@ object Queries {
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q57b, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84,
-    d01, d02, d02m, d02i, d03, d04, d05, d06, d07, d08, d09, d10, d11, sm1, sm2, sm3, sm4, sm5, sm6, pk1, dc1, dc2, vd1,
+    d01, d02, d02m, d02i, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, sm1, sm2, sm3, sm4, sm5, sm6, pk1, dc1, dc2, vd1,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, a01, a02, a03, a04, a05, m01, m02, m03, mr1,
     p01, st01, st02, st03, st04, st05)
 

@@ -365,6 +365,18 @@ class OpsSpec extends AnyFunSuite {
     assert(hits >= exact.size / 4, s"IVF recall too low: $hits/${exact.size}")
   }
 
+  test("groupedSplit on dedup clusters never splits a near-dup cluster") {
+    val docs = graft.io.Tables.documents(spark, TestSpark.Sf0001)
+    val split = SampleOps.groupedSplit(
+      DedupOps.dedupClusters(docs, "text", "doc_id"),
+      "cluster_id", Seq("train" -> 80, "valid" -> 90))
+    val perCluster = split.groupBy("cluster_id")
+      .agg(countDistinct("split").as("n_folds"), count(lit(1)).as("n_docs"))
+    assert(perCluster.filter(col("n_folds") > 1).count() == 0)
+    // non-vacuous: the corpus has multi-member near-dup clusters
+    assert(perCluster.filter(col("n_docs") > 1).count() > 0)
+  }
+
   test("TextOps.qualityModel scores with exact integer arithmetic") {
     val df = Seq(
       (1L, "the cat is in the hat and it is fine"), // stopword-rich prose
