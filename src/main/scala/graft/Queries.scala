@@ -1182,6 +1182,48 @@ object Queries {
       ORDER BY lang, doc_id"""
     })
 
+  /** sample_epochs — epoch-replicated mixing (SampleOps.epochMixture):
+    * the UP-sampling half of data mixing — repeat small high-quality
+    * sources for multiple epochs (src0 ×2.5) while down-weighting
+    * others (src1 ×0.25), emitting explicit (doc, copy_idx) pairs.
+    * Integer-only engine arithmetic (driver-computed floor/threshold
+    * literals, hash compare, sequence generate), so the oracle replays
+    * copies and indices exactly; the CASE literals are generated from
+    * the same epoch map so the two sides cannot drift.
+    */
+  private val EpochMap: Seq[(String, Double)] =
+    Seq("src0" -> 2.5, "src1" -> 0.25)
+
+  private val sm7 = Q(
+    "sample_epochs",
+    (s, d) => SampleOps.epochMixture(docs(s, d), "source", "doc_id",
+        EpochMap.toMap)
+      .select(col("doc_id"), col("source"), col("copy_idx"))
+      .orderBy(col("doc_id"), col("copy_idx")),
+    Some {
+      def fullOf(e: Double): Int = math.floor(e).toInt
+      def thrOf(e: Double): Int = math.round((e - math.floor(e)) * 65536.0).toInt
+      val fullCases = EpochMap.map { case (g, e) =>
+        s"WHEN '$g' THEN ${fullOf(e)}"
+      }.mkString(" ")
+      val thrCases = EpochMap.map { case (g, e) =>
+        s"WHEN '$g' THEN ${thrOf(e)}"
+      }.mkString(" ")
+      s"""
+      WITH b AS (
+        SELECT doc_id, source,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER AS bk,
+               CASE source $fullCases ELSE 1 END AS fc,
+               CASE source $thrCases ELSE 0 END AS th
+        FROM documents),
+      c AS (
+        SELECT doc_id, source,
+               fc + CASE WHEN bk < th THEN 1 ELSE 0 END AS n
+        FROM b)
+      SELECT doc_id, source, CAST(unnest(range(0, n)) AS INTEGER) AS copy_idx
+      FROM c WHERE n > 0 ORDER BY doc_id, copy_idx"""
+    })
+
   /** sample_shards — deterministic shuffle + shard assignment: every
     * doc gets a stable (shard, pos) from its id hash — the reproducible
     * global permutation a training dataloader reads. Shard membership
@@ -4487,7 +4529,7 @@ object Queries {
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q57b, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84,
-    d01, d02, d02m, d02i, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, sm1, sm2, sm3, sm4, sm5, sm6, pk1, dc1, dc2, vd1,
+    d01, d02, d02m, d02i, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, sm1, sm2, sm3, sm4, sm5, sm6, sm7, pk1, dc1, dc2, vd1,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, a01, a02, a03, a04, a05, m01, m02, m03, mr1,
     p01, st01, st02, st03, st04, st05)
 

@@ -137,6 +137,54 @@ object SampleOps {
     weightedSample(df, idCol, rate)
   }
 
+  /** Epoch-replicated source mixing — the UP-sampling half of data
+    * mixing that mixtureSample (rates ≤ 1) cannot express: training
+    * recipes repeat small high-quality sources for multiple epochs
+    * (e.g. Wikipedia ×3) while crawl data runs sub-epoch. Each row is
+    * replicated `copies` times with a `copy_idx` column (0-based), so
+    * downstream shard writers and packers see the repetition
+    * explicitly instead of re-reading a source:
+    *
+    *   copies = floor(epochs_g) + [bucket16(id) < frac_g · 65536]
+    *
+    * i.e. every row gets the integer epochs, and the fractional epoch
+    * keeps the deterministic hash-threshold slice (exactly
+    * weightedSample's rule, so epochs ≤ 1 degenerates to mixtureSample
+    * semantics with an explicit copy_idx = 0). The fractional
+    * threshold is computed DRIVER-side per group into integer
+    * literals — engine arithmetic is integer compares and a
+    * row-local sequence generate: no shuffle, no doubles, replayable
+    * bit-for-bit by any engine.
+    *
+    * Scale shape: pure map-side generate with replication bounded by
+    * max(epochs); the copies exist as (row, copy_idx) pairs only — at
+    * 100 TB the replication cost is the sink's, and the sink can
+    * write copy_idx instead of duplicating payload bytes.
+    */
+  def epochMixture(df: DataFrame, groupCol: String, idCol: String,
+                   epochs: Map[String, Double],
+                   defaultEpochs: Double = 1.0): DataFrame = {
+    require((epochs.values ++ Seq(defaultEpochs)).forall(e => e >= 0 && e <= 100),
+      s"epochMixture: epochs must be in [0, 100]: $epochs")
+    require(!df.columns.contains("copy_idx"),
+      "epochMixture: input already has a copy_idx column")
+    def full(e: Double): Int = math.floor(e).toInt
+    def thr(e: Double): Int = math.round((e - math.floor(e)) * 65536.0).toInt
+    val fullCol = epochs.toSeq.sortBy(_._1)
+      .foldLeft(lit(full(defaultEpochs)): Column) {
+        case (acc, (k, e)) => when(col(groupCol) === k, lit(full(e))).otherwise(acc)
+      }
+    val thrCol = epochs.toSeq.sortBy(_._1)
+      .foldLeft(lit(thr(defaultEpochs)): Column) {
+        case (acc, (k, e)) => when(col(groupCol) === k, lit(thr(e))).otherwise(acc)
+      }
+    val copies = fullCol + when(bucket16(col(idCol)) < thrCol, 1).otherwise(0)
+    df.withColumn("__copies", copies)
+      .filter(col("__copies") > 0)
+      .withColumn("copy_idx", explode(sequence(lit(0), col("__copies") - 1)))
+      .drop("__copies")
+  }
+
   /** Temperature-flattened source mixing — the multilingual/multi-
     * source rebalancing practice (sample group g with probability
     * ∝ n_g^alpha): alpha = 1 preserves the natural distribution,

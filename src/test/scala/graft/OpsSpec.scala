@@ -365,6 +365,22 @@ class OpsSpec extends AnyFunSuite {
     assert(hits >= exact.size / 4, s"IVF recall too low: $hits/${exact.size}")
   }
 
+  test("SampleOps.epochMixture replicates integer epochs and hash-slices the fraction") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c"))
+      .toDF("doc_id", "source")
+    // a ×2.0: every row exactly twice; b ×0: dropped; c (default 1.0): once
+    val got = SampleOps.epochMixture(df, "source", "doc_id",
+        Map("a" -> 2.0, "b" -> 0.0))
+      .orderBy("doc_id", "copy_idx").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("copy_idx")))
+    assert(got.toSeq == Seq((1L, 0), (1L, 1), (2L, 0), (2L, 1), (4L, 0)))
+    // fractional epochs keep a deterministic subset: 0 <= kept <= n and
+    // repeated evaluation is identical
+    val frac = SampleOps.epochMixture(df, "source", "doc_id", Map(), 0.5)
+    assert(frac.count() == frac.count())
+    assert(frac.count() <= 4)
+  }
+
   test("groupedSplit on dedup clusters never splits a near-dup cluster") {
     val docs = graft.io.Tables.documents(spark, TestSpark.Sf0001)
     val split = SampleOps.groupedSplit(
