@@ -17,8 +17,8 @@ object Bench {
     "q74_partitioned_layout", "q75_dpp_join", "q78_partitioned_bucketed",
     "q80_compact_partitioned",
     "streaming_dedup_parity", "streaming_interval_parity",
-    "streaming_sessions_parity", "streaming_static_join_parity",
-    "streaming_tumbling_parity")
+    "streaming_quality_parity", "streaming_sessions_parity",
+    "streaming_static_join_parity", "streaming_tumbling_parity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1839,13 +1839,12 @@ object Queries {
     * decision are hash-graded. Weights: bias calibrated so the corpus
     * splits near 50/50 and the decision column carries information.
     */
-  private val t16 = Q(
-    "text_quality_model",
-    (s, d) => TextOps.qualityModel(docs(s, d))
-      .select(col("doc_id"), col("stop_m"), col("dup_m"), col("punct_m"),
-        col("digit_m"), col("score"), col("keep"))
-      .orderBy(col("doc_id")),
-    Some("""
+  /** Shared quality-model SQL fragments (text_quality_model +
+    * streaming_quality_parity — the clusterCtesSql idiom): feature
+    * CTEs and the integer score expression defined once so the batch
+    * and streaming oracles cannot drift.
+    */
+  private def qualityModelCtes: String = """
       WITH f AS (
         SELECT doc_id,
                len(string_split(lower(text), ' ')) AS n_tok,
@@ -1863,12 +1862,21 @@ object Queries {
                (1000000 * n_punct) // greatest(n_char, 1) AS punct_m,
                (1000000 * n_digit) // greatest(n_char, 1) AS digit_m,
                least(n_tok, 64) AS len_c
-        FROM f)
+        FROM f)"""
+
+  private def qualityScoreSql: String =
+    "540000 + 4*stop_m - 3*dup_m - 2*punct_m - 3*digit_m + 15625*len_c"
+
+  private val t16 = Q(
+    "text_quality_model",
+    (s, d) => TextOps.qualityModel(docs(s, d))
+      .select(col("doc_id"), col("stop_m"), col("dup_m"), col("punct_m"),
+        col("digit_m"), col("score"), col("keep"))
+      .orderBy(col("doc_id")),
+    Some(s"""$qualityModelCtes
       SELECT doc_id, stop_m, dup_m, punct_m, digit_m,
-             540000 + 4*stop_m - 3*dup_m - 2*punct_m - 3*digit_m
-               + 15625*len_c AS score,
-             coalesce(540000 + 4*stop_m - 3*dup_m - 2*punct_m - 3*digit_m
-               + 15625*len_c > 0, false) AS keep
+             $qualityScoreSql AS score,
+             coalesce($qualityScoreSql > 0, false) AS keep
       FROM m ORDER BY doc_id"""))
 
   private val t02 = Q(
@@ -4522,6 +4530,36 @@ object Queries {
                AS sum_value
       FROM events GROUP BY 1 ORDER BY 1"""))
 
+  /** streaming_quality_parity — the curation path run STREAMING: the
+    * document corpus streamed from files and scored by the SAME
+    * TextOps.qualityModel plan the batch query grades (row-local
+    * stateless transform: no watermark, no state store, append mode —
+    * the ingest-time quality gate of a production pipeline). Graded
+    * per-doc against the shared quality-model SQL fragments, so batch
+    * query, streaming query, and oracle share one definition of the
+    * model.
+    */
+  private val st06 = Q(
+    "streaming_quality_parity",
+    (s, d) => {
+      import s.implicits._
+      import graft.streaming.StreamingOps
+      val batch = docs(s, d).select($"doc_id", $"text")
+      val stageDir = tmpDir(s, "stream_quality_docs")
+      batch.coalesce(1).write.mode("overwrite").parquet(stageDir)
+      val src = StreamingOps.docsStream(s, stageDir, s.read.parquet(stageDir).schema)
+      val scored = TextOps.qualityModel(src)
+        .select($"doc_id", $"score", $"keep")
+      val sink = runParityStream(s, scored, "stream_quality", mode = "append")
+      val out = s.table(sink).localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      out.orderBy($"doc_id")
+    },
+    Some(s"""$qualityModelCtes
+      SELECT doc_id, $qualityScoreSql AS score,
+             coalesce($qualityScoreSql > 0, false) AS keep
+      FROM m ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
@@ -4531,7 +4569,7 @@ object Queries {
     q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84,
     d01, d02, d02m, d02i, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, sm1, sm2, sm3, sm4, sm5, sm6, sm7, pk1, dc1, dc2, vd1,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, a01, a02, a03, a04, a05, m01, m02, m03, mr1,
-    p01, st01, st02, st03, st04, st05)
+    p01, st01, st02, st03, st04, st05, st06)
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
