@@ -526,21 +526,34 @@ object LibOps {
     * |v − median| / MAD. `percentile` is exact interpolated (the
     * engine≡oracle parity q24 already proves); zero-MAD groups emit
     * nothing (NULL via try_divide, same convention as zscoreOutliers).
+    *
+    * `pin = true` (default) eagerly localCheckpoints the two
+    * keys-sized stats tables: without that, the MAD broadcast's
+    * subplan re-runs the whole median pass (scan + heavy
+    * ObjectHashAggregate percentile buffers) a second time and the
+    * final plan a third — measured 3.1 s → ~1 s warm at sf0.1. The
+    * pins are keys-sized RDD blocks that live until
+    * `Hygiene.clearAll` (what Bench/Verify run) or session end — a
+    * long-lived library embedder that cannot sweep should pass
+    * `pin = false` and pay the recompute instead (the
+    * approxQuantileCuts/distinctValueCum leak class, made an explicit
+    * caller choice here because BOTH formulations are correct and the
+    * fast one is the better plan whenever the caller controls
+    * hygiene). A pin-free single-pass window formulation was measured
+    * too (diff = 0, tools/Probe): it shuffles full corpus rows where
+    * this shape only ever exchanges keys-sized stats — the wrong
+    * trade at 100 TB.
     */
   def robustOutliers(df: DataFrame, keys: Seq[String], value: String,
-                     kThresh: Double): DataFrame = {
+                     kThresh: Double, pin: Boolean = true): DataFrame = {
     val v = col(value).cast("double")
-    // pin each keys-sized stats table: without the checkpoint, the MAD
-    // broadcast's subplan re-runs the whole median pass (scan + heavy
-    // ObjectHashAggregate percentile buffers) a second time, and the
-    // final plan a third — measured 3.1 s -> ~1 s warm at sf0.1
-    val med = df.groupBy(keys.map(col): _*)
-      .agg(percentile(v, lit(0.5)).as("__med"))
-      .localCheckpoint(true)
+    def maybePin(stats: DataFrame): DataFrame =
+      if (pin) stats.localCheckpoint(true) else stats
+    val med = maybePin(df.groupBy(keys.map(col): _*)
+      .agg(percentile(v, lit(0.5)).as("__med")))
     val withMed = df.join(broadcast(med), keys)
-    val mad = withMed.groupBy(keys.map(col): _*)
-      .agg(percentile(abs(v - col("__med")), lit(0.5)).as("__mad"))
-      .localCheckpoint(true)
+    val mad = maybePin(withMed.groupBy(keys.map(col): _*)
+      .agg(percentile(abs(v - col("__med")), lit(0.5)).as("__mad")))
     withMed.join(broadcast(mad), keys)
       .withColumn("rz", try_divide(v - col("__med"), col("__mad")))
       .filter(abs(col("rz")) > kThresh)

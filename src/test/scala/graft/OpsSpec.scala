@@ -365,6 +365,19 @@ class OpsSpec extends AnyFunSuite {
     assert(hits >= exact.size / 4, s"IVF recall too low: $hits/${exact.size}")
   }
 
+  test("LibOps.robustOutliers pin=false matches pinned output and pins nothing") {
+    val df = Seq(("a", 1.0), ("a", 1.1), ("a", 0.9), ("a", 100.0), ("b", 5.0))
+      .toDF("k", "v")
+    Hygiene.clearAll(spark)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val free = LibOps.robustOutliers(df, Seq("k"), "v", 3.0, pin = false).collect()
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "pin=false must not leave checkpointed RDD blocks behind")
+    val pinned = LibOps.robustOutliers(df, Seq("k"), "v", 3.0).collect()
+    assert(free.map(_.toString).sorted.sameElements(pinned.map(_.toString).sorted))
+    Hygiene.clearAll(spark)
+  }
+
   test("SampleOps.epochMixture replicates integer epochs and hash-slices the fraction") {
     val df = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c"))
       .toDF("doc_id", "source")
