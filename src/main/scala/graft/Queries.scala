@@ -1280,6 +1280,38 @@ object Queries {
       SELECT doc_id, n_tokens, cum_tokens FROM c
       WHERE cum_tokens <= 8000 ORDER BY doc_id"""))
 
+  /** sample_budget_grouped — per-source token budgets
+    * (SampleOps.groupedBudgetSample): the per-domain quota of a mixing
+    * recipe — best 400 tokens of EVERY source, greedy by n_chars. Same
+    * parity claim as sample_budget (distributed two-level prefix sum ≡
+    * the naive per-group running window DuckDB runs), with the group
+    * score ranges riding a keys-sized broadcast instead of driver
+    * literals.
+    */
+  private val sm8 = Q(
+    "sample_budget_grouped",
+    (s, d) => {
+      import s.implicits._
+      SampleOps.groupedBudgetSample(
+        docs(s, d).withColumn("n_tokens", size(split($"text", " "))),
+        "source", "n_chars", "n_tokens", "doc_id", budget = 400L)
+        .select($"source", $"doc_id", $"n_tokens", $"cum_tokens")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT source, doc_id,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+               n_chars
+        FROM documents),
+      c AS (
+        SELECT source, doc_id, n_tokens,
+               CAST(sum(n_tokens) OVER (PARTITION BY source
+                 ORDER BY n_chars DESC, doc_id) AS BIGINT) AS cum_tokens
+        FROM t)
+      SELECT source, doc_id, n_tokens, cum_tokens FROM c
+      WHERE cum_tokens <= 400 ORDER BY doc_id"""))
+
   /** sample_temperature — temperature-flattened language mixing
     * (SampleOps.temperatureSample, alpha = 0.5, target 250 docs): the
     * multilingual corpus-balancing practice — rates DERIVED from the
@@ -4567,7 +4599,7 @@ object Queries {
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q57b, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84,
-    d01, d02, d02m, d02i, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, sm1, sm2, sm3, sm4, sm5, sm6, sm7, pk1, dc1, dc2, vd1,
+    d01, d02, d02m, d02i, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, pk1, dc1, dc2, vd1,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, a01, a02, a03, a04, a05, m01, m02, m03, mr1,
     p01, st01, st02, st03, st04, st05, st06)
 

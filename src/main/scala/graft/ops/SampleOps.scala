@@ -331,4 +331,55 @@ object SampleOps {
       .filter(col("cum_tokens") <= budget)
       .drop("__bucket", "__cum_in", "__offset")
   }
+
+  /** Per-group [[budgetSample]] — the same greedy-by-score token
+    * budget applied INSIDE every group ("best `budget` tokens of EACH
+    * domain", the per-source quota of a mixing recipe), with the same
+    * two-level score-bucketed prefix sum. The global op's driver-side
+    * min/max can't work here (one range per group, groups unbounded),
+    * so each group's score range rides back via a keys-sized broadcast
+    * join — the approxQuantileCutsBy pattern, no checkpoint pin, no
+    * driver collect. Every window is partitioned by (group, bucket) or
+    * group (≤ buckets+1 rows per group partition); the cut stays a
+    * row-local filter. NULL scores keep the global op's dedicated
+    * after-everything bucket, per group.
+    */
+  def groupedBudgetSample(df: DataFrame, groupCol: String, scoreCol: String,
+                          tokenCol: String, idCol: String, budget: Long,
+                          buckets: Int = 1024): DataFrame = {
+    require(budget > 0, s"groupedBudgetSample: budget=$budget")
+    require(buckets > 0, s"groupedBudgetSample: buckets=$buckets")
+    Seq("__lo", "__hi", "__bucket", "__cum_in", "__offset", "__total",
+        "cum_tokens").foreach(c =>
+      require(!df.columns.contains(c),
+        s"groupedBudgetSample: input already has a $c column"))
+    val score = col(scoreCol).cast("double")
+    val stats = df.groupBy(col(groupCol))
+      .agg(min(score).as("__lo"), max(score).as("__hi"))
+    // bucket 0 = the group's highest scores; equal scores share a
+    // bucket; all-NULL groups never consult __lo/__hi (every row takes
+    // the dedicated NULL bucket)
+    val scoredBucket = when(col("__hi") === col("__lo"), lit(0))
+      .otherwise(least(
+        floor((col("__hi") - score) / ((col("__hi") - col("__lo")) / buckets)),
+        lit((buckets - 1).toDouble))).cast("int")
+    val bucket = when(score.isNull, lit(buckets)).otherwise(scoredBucket)
+    val bucketed = df.join(broadcast(stats), Seq(groupCol))
+      .withColumn("__bucket", bucket)
+      .withColumn("__cum_in",
+        sum(col(tokenCol).cast("long")).over(
+          Window.partitionBy(col(groupCol), col("__bucket"))
+            .orderBy(score.desc, col(idCol).asc)))
+    val offsets = bucketed.groupBy(col(groupCol), col("__bucket"))
+      .agg(sum(col(tokenCol).cast("long")).as("__total"))
+      .withColumn("__offset",
+        coalesce(sum(col("__total")).over(
+          Window.partitionBy(col(groupCol)).orderBy(col("__bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(groupCol), col("__bucket"), col("__offset"))
+    bucketed.join(broadcast(offsets), Seq(groupCol, "__bucket"))
+      .withColumn("cum_tokens", col("__offset") + col("__cum_in"))
+      .filter(col("cum_tokens") <= budget)
+      .drop("__bucket", "__cum_in", "__offset", "__lo", "__hi")
+  }
 }

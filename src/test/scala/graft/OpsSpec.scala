@@ -365,6 +365,19 @@ class OpsSpec extends AnyFunSuite {
     assert(hits >= exact.size / 4, s"IVF recall too low: $hits/${exact.size}")
   }
 
+  test("SampleOps.groupedBudgetSample budgets each group independently, NULLs last") {
+    val df = Seq(
+      ("a", 1L, Some(9.0), 50), ("a", 2L, Some(8.0), 50), ("a", 3L, Some(7.0), 50),
+      ("b", 4L, Some(1.0), 80), ("b", 5L, None, 30))
+      .toDF("g", "id", "score", "tok")
+    val kept = SampleOps.groupedBudgetSample(df, "g", "score", "tok", "id", 100L)
+      .select("id", "cum_tokens").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // a: 50, 100, (150 straddles — dropped); b: 80, then the NULL-score
+    // doc spends after every scored doc (110 — dropped)
+    assert(kept.toSeq == Seq((1L, 50L), (2L, 100L), (4L, 80L)))
+  }
+
   test("LibOps.robustOutliers pin=false matches pinned output and pins nothing") {
     val df = Seq(("a", 1.0), ("a", 1.1), ("a", 0.9), ("a", 100.0), ("b", 5.0))
       .toDF("k", "v")
