@@ -864,7 +864,12 @@ object Queries {
     Some(s"""
       WITH
       pos AS (SELECT unnest(range(1, 65)) AS p),
-      e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      e0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      -- the trainer/assignment view excludes NULL embeddings, exactly
+      -- as semanticDedup's where(isNotNull) does: a NULL vector must
+      -- get NULL cell/csim (not argmax-by-NULL-score) and must not
+      -- count toward a cell's maxCell size
+      e AS (SELECT * FROM e0 WHERE emb IS NOT NULL),
       cb0 AS (
         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
                emb AS cvec
@@ -886,10 +891,10 @@ object Queries {
         WHERE b.vec_id <> a.vec_id
           AND (b.csim < a.csim OR (b.csim = a.csim AND b.vec_id < a.vec_id))
           AND round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.40)
-      SELECT e.vec_id, c.cell, c.csim,
+      SELECT e0.vec_id, c.cell, c.csim,
              d.vec_id IS NOT NULL AS is_dup
-      FROM e LEFT JOIN csim c USING (vec_id) LEFT JOIN dup d USING (vec_id)
-      ORDER BY e.vec_id"""))
+      FROM e0 LEFT JOIN csim c USING (vec_id) LEFT JOIN dup d USING (vec_id)
+      ORDER BY e0.vec_id"""))
 
   /** dedup_clusters — transitive closure over near-dup pairs (the step
     * after pair generation in production dedup): min-label propagation
@@ -1201,20 +1206,21 @@ object Queries {
       .select(col("doc_id"), col("source"), col("copy_idx"))
       .orderBy(col("doc_id"), col("copy_idx")),
     Some {
-      def fullOf(e: Double): Int = math.floor(e).toInt
-      def thrOf(e: Double): Int = math.round((e - math.floor(e)) * 65536.0).toInt
+      // SampleOps.epochFull/epochThr: the ONE definition of the
+      // integer decomposition — oracle literals cannot drift from the
+      // engine's arithmetic
       val fullCases = EpochMap.map { case (g, e) =>
-        s"WHEN '$g' THEN ${fullOf(e)}"
+        s"WHEN '$g' THEN ${SampleOps.epochFull(e)}"
       }.mkString(" ")
       val thrCases = EpochMap.map { case (g, e) =>
-        s"WHEN '$g' THEN ${thrOf(e)}"
+        s"WHEN '$g' THEN ${SampleOps.epochThr(e)}"
       }.mkString(" ")
       s"""
       WITH b AS (
         SELECT doc_id, source,
                ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER AS bk,
-               CASE source $fullCases ELSE 1 END AS fc,
-               CASE source $thrCases ELSE 0 END AS th
+               CASE source $fullCases ELSE ${SampleOps.epochFull(1.0)} END AS fc,
+               CASE source $thrCases ELSE ${SampleOps.epochThr(1.0)} END AS th
         FROM documents),
       c AS (
         SELECT doc_id, source,

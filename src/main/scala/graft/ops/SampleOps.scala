@@ -166,17 +166,18 @@ object SampleOps {
                    defaultEpochs: Double = 1.0): DataFrame = {
     require((epochs.values ++ Seq(defaultEpochs)).forall(e => e >= 0 && e <= 100),
       s"epochMixture: epochs must be in [0, 100]: $epochs")
-    require(!df.columns.contains("copy_idx"),
-      "epochMixture: input already has a copy_idx column")
-    def full(e: Double): Int = math.floor(e).toInt
-    def thr(e: Double): Int = math.round((e - math.floor(e)) * 65536.0).toInt
+    Seq("copy_idx", "__copies").foreach(c =>
+      require(!df.columns.contains(c),
+        s"epochMixture: input already has a $c column"))
     val fullCol = epochs.toSeq.sortBy(_._1)
-      .foldLeft(lit(full(defaultEpochs)): Column) {
-        case (acc, (k, e)) => when(col(groupCol) === k, lit(full(e))).otherwise(acc)
+      .foldLeft(lit(epochFull(defaultEpochs)): Column) {
+        case (acc, (k, e)) =>
+          when(col(groupCol) === k, lit(epochFull(e))).otherwise(acc)
       }
     val thrCol = epochs.toSeq.sortBy(_._1)
-      .foldLeft(lit(thr(defaultEpochs)): Column) {
-        case (acc, (k, e)) => when(col(groupCol) === k, lit(thr(e))).otherwise(acc)
+      .foldLeft(lit(epochThr(defaultEpochs)): Column) {
+        case (acc, (k, e)) =>
+          when(col(groupCol) === k, lit(epochThr(e))).otherwise(acc)
       }
     val copies = fullCol + when(bucket16(col(idCol)) < thrCol, 1).otherwise(0)
     df.withColumn("__copies", copies)
@@ -184,6 +185,19 @@ object SampleOps {
       .withColumn("copy_idx", explode(sequence(lit(0), col("__copies") - 1)))
       .drop("__copies")
   }
+
+  /** Driver-side integer decomposition of an epoch count, shared with
+    * the sample_epochs oracle generator so engine and oracle cannot
+    * drift on the arithmetic: `epochFull` whole-corpus copies, plus
+    * one more copy iff bucket16(id) < `epochThr`. The threshold is
+    * ceil(frac · 65536), which makes the fractional slice EXACTLY
+    * weightedSample's `bucket < rate · 65536.0` rule (an integer
+    * bucket is < the real threshold iff it is < its ceiling), so
+    * epochs ≤ 1 degenerates to mixtureSample's kept set.
+    */
+  private[graft] def epochFull(e: Double): Int = math.floor(e).toInt
+  private[graft] def epochThr(e: Double): Int =
+    math.ceil((e - math.floor(e)) * 65536.0).toInt
 
   /** Temperature-flattened source mixing — the multilingual/multi-
     * source rebalancing practice (sample group g with probability
@@ -342,7 +356,10 @@ object SampleOps {
     * driver collect. Every window is partitioned by (group, bucket) or
     * group (≤ buckets+1 rows per group partition); the cut stays a
     * row-local filter. NULL scores keep the global op's dedicated
-    * after-everything bucket, per group.
+    * after-everything bucket, per group; a NULL GROUP is a group like
+    * any other (both stats joins are null-safe `<=>` — a plain
+    * `Seq(groupCol)` join would silently drop every NULL-group row,
+    * the vanishing budgetSample's NULL bucket exists to prevent).
     */
   def groupedBudgetSample(df: DataFrame, groupCol: String, scoreCol: String,
                           tokenCol: String, idCol: String, budget: Long,
@@ -350,11 +367,11 @@ object SampleOps {
     require(budget > 0, s"groupedBudgetSample: budget=$budget")
     require(buckets > 0, s"groupedBudgetSample: buckets=$buckets")
     Seq("__lo", "__hi", "__bucket", "__cum_in", "__offset", "__total",
-        "cum_tokens").foreach(c =>
+        "__g_stats", "__g_off", "__b_off", "cum_tokens").foreach(c =>
       require(!df.columns.contains(c),
         s"groupedBudgetSample: input already has a $c column"))
     val score = col(scoreCol).cast("double")
-    val stats = df.groupBy(col(groupCol))
+    val stats = df.groupBy(col(groupCol).as("__g_stats"))
       .agg(min(score).as("__lo"), max(score).as("__hi"))
     // bucket 0 = the group's highest scores; equal scores share a
     // bucket; all-NULL groups never consult __lo/__hi (every row takes
@@ -364,22 +381,25 @@ object SampleOps {
         floor((col("__hi") - score) / ((col("__hi") - col("__lo")) / buckets)),
         lit((buckets - 1).toDouble))).cast("int")
     val bucket = when(score.isNull, lit(buckets)).otherwise(scoredBucket)
-    val bucketed = df.join(broadcast(stats), Seq(groupCol))
+    val bucketed = df.join(broadcast(stats), col(groupCol) <=> col("__g_stats"))
       .withColumn("__bucket", bucket)
       .withColumn("__cum_in",
         sum(col(tokenCol).cast("long")).over(
           Window.partitionBy(col(groupCol), col("__bucket"))
             .orderBy(score.desc, col(idCol).asc)))
-    val offsets = bucketed.groupBy(col(groupCol), col("__bucket"))
+    val offsets = bucketed.groupBy(col(groupCol).as("__g_off"),
+        col("__bucket").as("__b_off"))
       .agg(sum(col(tokenCol).cast("long")).as("__total"))
       .withColumn("__offset",
         coalesce(sum(col("__total")).over(
-          Window.partitionBy(col(groupCol)).orderBy(col("__bucket"))
+          Window.partitionBy(col("__g_off")).orderBy(col("__b_off"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col(groupCol), col("__bucket"), col("__offset"))
-    bucketed.join(broadcast(offsets), Seq(groupCol, "__bucket"))
+      .select(col("__g_off"), col("__b_off"), col("__offset"))
+    bucketed.join(broadcast(offsets),
+        col(groupCol) <=> col("__g_off") && col("__bucket") === col("__b_off"))
       .withColumn("cum_tokens", col("__offset") + col("__cum_in"))
       .filter(col("cum_tokens") <= budget)
-      .drop("__bucket", "__cum_in", "__offset", "__lo", "__hi")
+      .drop("__bucket", "__cum_in", "__offset", "__lo", "__hi",
+        "__g_stats", "__g_off", "__b_off")
   }
 }

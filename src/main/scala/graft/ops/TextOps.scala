@@ -136,6 +136,13 @@ object TextOps {
                    bias: Long = 540000L, wStop: Long = 4L, wDup: Long = -3L,
                    wPunct: Long = -2L, wDigit: Long = -3L,
                    lenCap: Int = 64, wLen: Long = 15625L): DataFrame = {
+    // same guard as winsorize/budgetSample: feature and output names
+    // must never silently replace a caller column ("score"/"keep" are
+    // exactly the names a curation pipeline is likely to carry)
+    Seq("n_tok", "n_char", "n_stop", "n_dist", "n_punct", "n_digit",
+        "stop_m", "dup_m", "punct_m", "digit_m", "score", "keep").foreach(c =>
+      require(!df.columns.contains(c),
+        s"qualityModel: input already has a $c column"))
     val ws = words(lower(col(textCol)))
     val stops = array(StopWords.map(lit): _*)
     df.withColumn("n_tok", size(ws).cast("bigint"))

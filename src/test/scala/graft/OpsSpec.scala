@@ -376,6 +376,16 @@ class OpsSpec extends AnyFunSuite {
     // a: 50, 100, (150 straddles — dropped); b: 80, then the NULL-score
     // doc spends after every scored doc (110 — dropped)
     assert(kept.toSeq == Seq((1L, 50L), (2L, 100L), (4L, 80L)))
+    // a NULL GROUP budgets like any other (null-safe stats joins — a
+    // plain equi-join would silently drop these rows entirely)
+    val withNull = Seq(
+      (Some("a"), 1L, Some(9.0), 50),
+      (None, 6L, Some(2.0), 40), (None, 7L, Some(1.0), 70))
+      .toDF("g", "id", "score", "tok")
+    val keptN = SampleOps.groupedBudgetSample(withNull, "g", "score", "tok", "id", 100L)
+      .select("id", "cum_tokens").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(keptN.toSeq == Seq((1L, 50L), (6L, 40L)))
   }
 
   test("LibOps.robustOutliers pin=false matches pinned output and pins nothing") {
@@ -400,11 +410,16 @@ class OpsSpec extends AnyFunSuite {
       .orderBy("doc_id", "copy_idx").collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("copy_idx")))
     assert(got.toSeq == Seq((1L, 0), (1L, 1), (2L, 0), (2L, 1), (4L, 0)))
-    // fractional epochs keep a deterministic subset: 0 <= kept <= n and
-    // repeated evaluation is identical
-    val frac = SampleOps.epochMixture(df, "source", "doc_id", Map(), 0.5)
-    assert(frac.count() == frac.count())
-    assert(frac.count() <= 4)
+    // fractional epochs: deterministic (two fresh plans agree) and
+    // EXACTLY mixtureSample's kept set at the same rate — the ceil
+    // threshold rule (bucket < ceil(frac*65536) ⇔ bucket < frac*65536.0)
+    def ids(d: org.apache.spark.sql.DataFrame): Seq[Long] =
+      d.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val frac1 = ids(SampleOps.epochMixture(df, "source", "doc_id", Map(), 0.5))
+    val frac2 = ids(SampleOps.epochMixture(df, "source", "doc_id", Map(), 0.5))
+    assert(frac1 == frac2 && frac1.size <= 4 && frac1.distinct == frac1)
+    val mix = ids(SampleOps.mixtureSample(df, "source", "doc_id", Map(), 0.5))
+    assert(frac1 == mix, s"epochs=0.5 must equal mixtureSample(0.5): $frac1 vs $mix")
   }
 
   test("groupedSplit on dedup clusters never splits a near-dup cluster") {
