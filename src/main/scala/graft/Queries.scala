@@ -1857,6 +1857,51 @@ object Queries {
       LEFT JOIN hits h ON t.doc_id = h.doc_id
       ORDER BY t.doc_id"""))
 
+  /** decon_semantic — embedding-space contamination scan
+    * (DeconOps.semanticDecontaminate): train vectors (label ≠ 0)
+    * checked against the benchmark set (label 0) for cosine ≥ 0.40
+    * within shared sign-LSH buckets — the paraphrase-robust third
+    * member of the decon family. Benchmark broadcast (small by
+    * contract), train never shuffles; the per-doc verdict is a
+    * partial-aggregated max over (sim, −bench_id), mirrored by the
+    * oracle's row_number over the same rounded sim. tau = 0.25: the
+    * synthetic cross-label sims top out near 0.32, so the paper-range
+    * thresholds would grade an all-false column.
+    */
+  private val dc3 = Q(
+    "decon_semantic",
+    (s, d) => {
+      import s.implicits._
+      val e = emb(s, d)
+      DeconOps.semanticDecontaminate(
+          e.filter($"label" =!= 0), e.filter($"label" === 0),
+          "vec_id", "embedding", tau = 0.25)
+        .orderBy($"vec_id")
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT vec_id AS bench_id, embedding::DOUBLE[] AS emb,
+          ${lshBucketSql("embedding::DOUBLE[]", 64)} AS bucket
+        FROM embeddings WHERE label = 0),
+      t AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb,
+          ${lshBucketSql("embedding::DOUBLE[]", 64)} AS bucket
+        FROM embeddings WHERE label <> 0),
+      top AS (
+        SELECT vec_id, bench_id, sim FROM (
+          SELECT t.vec_id, b.bench_id,
+                 round(list_cosine_similarity(t.emb, b.emb), 4) AS sim,
+                 row_number() OVER (PARTITION BY t.vec_id
+                   ORDER BY round(list_cosine_similarity(t.emb, b.emb), 4) DESC,
+                            b.bench_id ASC) AS r
+          FROM t JOIN b USING (bucket)) x
+        WHERE r = 1)
+      SELECT e.vec_id, p.bench_id, p.sim,
+             coalesce(p.sim >= 0.25, false) AS contaminated
+      FROM (SELECT vec_id FROM embeddings WHERE label <> 0) e
+      LEFT JOIN top p USING (vec_id)
+      ORDER BY e.vec_id"""))
+
   // ---------------------------------------------------------------- text
 
   private val t01 = Q(
@@ -4605,7 +4650,7 @@ object Queries {
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q57b, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84,
-    d01, d02, d02m, d02i, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, pk1, dc1, dc2, vd1,
+    d01, d02, d02m, d02i, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, pk1, dc1, dc2, dc3, vd1,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, a01, a02, a03, a04, a05, m01, m02, m03, mr1,
     p01, st01, st02, st03, st04, st05, st06)
 

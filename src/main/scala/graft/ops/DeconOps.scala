@@ -124,4 +124,49 @@ object DeconOps {
         count(col("__bm")).cast("int").as("n_shared"))
       .withColumn("contaminated", col("n_shared") >= 1)
   }
+
+  /** Embedding-space (semantic) decontamination — the third member of
+    * the decon family: exact n-gram overlap and its Bloom variant
+    * catch verbatim leakage, but a PARAPHRASED benchmark item shares
+    * no 3-grams with its source. Here a train doc is contaminated when
+    * its embedding sits within cosine `tau` of ANY benchmark
+    * embedding — the semantic-similarity contamination scan (the
+    * dedup_semantic argument applied to held-out data).
+    *
+    * Candidates are bucket-bounded (the shared sign-LSH family), so
+    * recall has the same trade as every LSH op here; the verdict per
+    * train doc is its best in-bucket benchmark neighbor. Emits
+    * (idCol, bench_id, sim, contaminated), total over the train set —
+    * docs with no in-bucket benchmark (or NULL embedding) keep a NULL
+    * neighbor and contaminated = false (the d05 convention).
+    *
+    * Scale shape: the BENCHMARK side is small by contract (held-out
+    * eval sets) — it broadcasts, bucketed once; the train corpus never
+    * shuffles its embeddings: one narrow sketch projection, a
+    * map-side bucket join, then a partial-aggregated max over
+    * (sim, −bench_id) replaces the per-query window (no
+    * corpus-sized window shuffle; ties go to the lowest bench id,
+    * the usual determinism rule).
+    */
+  def semanticDecontaminate(train: DataFrame, benchmark: DataFrame,
+                            idCol: String, embCol: String,
+                            tau: Double = 0.95, dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim else SimOps.detectDim(Seq(benchmark, train), embCol)
+    val b = benchmark.where(col(embCol).isNotNull)
+      .select(col(idCol).as("bench_id"), col(embCol).as("b_emb"))
+      .withColumn("bucket", SimOps.lshBucket(col("b_emb"), d))
+    val t = train
+      .select(col(idCol), col(embCol))
+      .where(col(embCol).isNotNull)
+      .withColumn("bucket", SimOps.lshBucket(col(embCol), d))
+    val scored = t.join(broadcast(b), Seq("bucket"))
+      .withColumn("sim", round(SimOps.cosine(col(embCol), col("b_emb")), 4))
+    val top = scored.groupBy(col(idCol))
+      .agg(max(struct(col("sim"), (-col("bench_id")).as("nb"))).as("__m"))
+      .select(col(idCol), (-col("__m.nb")).as("bench_id"), col("__m.sim").as("sim"))
+    train.select(col(idCol))
+      .join(top, Seq(idCol), "left")
+      .select(col(idCol), col("bench_id"), col("sim"),
+        coalesce(col("sim") >= tau, lit(false)).as("contaminated"))
+  }
 }

@@ -59,7 +59,7 @@ object SimOps {
     * join output is empty for any plane dimensionality, but query-side
     * sketch evaluation still needs planes sized to the query vectors.
     */
-  private def detectDim(dfs: Seq[DataFrame], embCol: String): Int =
+  private[ops] def detectDim(dfs: Seq[DataFrame], embCol: String): Int =
     dfs.iterator
       .flatMap(_.filter(col(embCol).isNotNull)
         .select(size(col(embCol)).as("d")).limit(1).collect())

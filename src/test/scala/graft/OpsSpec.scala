@@ -365,6 +365,23 @@ class OpsSpec extends AnyFunSuite {
     assert(hits >= exact.size / 4, s"IVF recall too low: $hits/${exact.size}")
   }
 
+  test("DeconOps.semanticDecontaminate flags near-benchmark vectors only") {
+    val bench = Seq((100L, Array(1.0, 0.0))).toDF("vec_id", "embedding")
+    val train = Seq(
+      (1L, Array(0.999, 0.01)), // ~0.57° off the benchmark → contaminated
+      (2L, Array(0.0, 1.0)),    // orthogonal → clean whatever its bucket
+      (3L, null.asInstanceOf[Array[Double]])) // NULL embedding → clean
+      .toDF("vec_id", "embedding")
+    val got = DeconOps.semanticDecontaminate(train, bench,
+        "vec_id", "embedding", tau = 0.95, dim = 2)
+      .orderBy("vec_id").collect()
+    assert(got(0).getAs[Boolean]("contaminated") &&
+      got(0).getAs[Long]("bench_id") == 100L)
+    assert(!got(1).getAs[Boolean]("contaminated"))
+    assert(got(2).isNullAt(got(2).fieldIndex("sim")) &&
+      !got(2).getAs[Boolean]("contaminated"))
+  }
+
   test("SampleOps.groupedBudgetSample budgets each group independently, NULLs last") {
     val df = Seq(
       ("a", 1L, Some(9.0), 50), ("a", 2L, Some(8.0), 50), ("a", 3L, Some(7.0), 50),

@@ -22,7 +22,8 @@ class PlanAuditSpec extends AnyFunSuite {
     val errors = flagged.filter(_._2.startsWith("ERROR"))
     assert(errors.isEmpty, s"query construction failed: $errors")
     val pinned = Set(
-      "decon_bloom", "decon_ngram_overlap", "dedup_keep_best",
+      "decon_bloom", "decon_ngram_overlap", "decon_semantic",
+      "dedup_keep_best",
       "dedup_minhash", "dedup_minhash_incremental", "dedup_minhash_mirror",
       "dedup_semantic", "dedup_simhash", "dedup_spans",
       "q26_running_sum", "q38_asof_join", "q42_window_analytics",
