@@ -143,6 +143,57 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("groupedBudgetSample equals the naive per-group running-sum reference") {
+    // groups with NULLs, integer-valued scores (forcing ties through
+    // the (score DESC, id ASC) tiebreak), NULL scores, small budgets
+    val rowGen: Gen[List[(Option[Int], Option[Double], Int)]] =
+      Gen.listOfN(40, Gen.zip(
+        Gen.option(Gen.choose(0, 3)),
+        Gen.option(Gen.choose(0, 5).map(_.toDouble)),
+        Gen.choose(1, 30)))
+    samples(rowGen, 8).filter(_.nonEmpty).foreach { raw =>
+      val rows = raw.zipWithIndex.map { case ((g, sc, tok), i) =>
+        (g, i.toLong, sc, tok)
+      }
+      val budget = 60L
+      // reference: per group, order by (score DESC NULLS LAST, id ASC),
+      // running token sum over ALL rows, keep cum <= budget
+      val expected = rows.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+        val ordered = rs.sortBy { case (_, id, sc, _) =>
+          (sc.isEmpty, sc.map(-_).getOrElse(0.0), id)
+        }
+        var cum = 0L
+        ordered.flatMap { case (_, id, _, tok) =>
+          cum += tok
+          if (cum <= budget) Some((id, cum)) else None
+        }
+      }.toSet
+      val got = SampleOps.groupedBudgetSample(
+          rows.toDF("g", "id", "score", "tok"), "g", "score", "tok", "id", budget)
+        .select("id", "cum_tokens").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected, s"rows=$rows")
+    }
+  }
+
+  test("epochMixture copies = floor(epochs) + mixtureSample fractional membership") {
+    val df = (1L to 30L).map(i => (i, "g")).toDF("id", "g")
+    samples(Gen.choose(0, 30).map(_ / 10.0), 12).foreach { e =>
+      val frac = e - math.floor(e)
+      val fracKept =
+        SampleOps.mixtureSample(df, "g", "id", Map(), defaultRate = frac)
+          .select("id").collect().map(_.getLong(0)).toSet
+      val expected = (1L to 30L).flatMap { id =>
+        val n = math.floor(e).toInt + (if (fracKept(id)) 1 else 0)
+        (0 until n).map(c => (id, c))
+      }.toSet
+      val got = SampleOps.epochMixture(df, "g", "id", Map(), defaultEpochs = e)
+        .select("id", "copy_idx").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(got == expected, s"epochs=$e")
+    }
+  }
+
   test("minhash signature similarity approximates exact jaccard on dup docs") {
     // two near-identical docs: signature agreement should be high
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
