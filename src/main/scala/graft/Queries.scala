@@ -896,6 +896,65 @@ object Queries {
       FROM e0 LEFT JOIN csim c USING (vec_id) LEFT JOIN dup d USING (vec_id)
       ORDER BY e0.vec_id"""))
 
+  /** dedup_semantic_incremental — the ingest shape of semantic dedup
+    * (SimOps.semanticDedupIncremental): a batch (every 10th vec_id)
+    * scored against the established corpus only, in cells trained on
+    * the corpus — the corpus never re-pairs with itself, per-ingest
+    * cost bounded by the batch. Any in-cell corpus neighbor ≥ tau
+    * makes the incoming vector a duplicate (the batch defers to the
+    * established set); the oracle replays trainer, both assignments,
+    * the corpus-side cap, and the best-match row_number.
+    */
+  private val d13 = Q(
+    "dedup_semantic_incremental",
+    (s, d) => {
+      import s.implicits._
+      val e = emb(s, d)
+      SimOps.semanticDedupIncremental(
+          e.filter($"vec_id" % 10 =!= 0), e.filter($"vec_id" % 10 === 0),
+          "vec_id", "embedding",
+          numCells = 16, iters = 2, tau = 0.40, maxCell = 512)
+        .orderBy($"vec_id")
+    },
+    Some(s"""
+      WITH
+      pos AS (SELECT unnest(range(1, 65)) AS p),
+      e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+            WHERE vec_id % 10 <> 0 AND embedding IS NOT NULL),
+      inc AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+              WHERE vec_id % 10 = 0 AND embedding IS NOT NULL),
+      cb0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+               emb AS cvec
+        FROM (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT 16) s),
+      ${a04Round(0)},
+      ${a04Round(1)},
+      ${a04Score("sf_", "cb2")},
+      ${a04Argmax("assign", "vec_id AS nn_id, emb AS c_emb, cell", "sf_", "", "r = 1")},
+      ${a04Score("si_", "cb2", "inc")},
+      ${a04Argmax("qassign", "vec_id, emb, cell", "si_", "", "r = 1")},
+      q AS (
+        SELECT a.vec_id, a.emb, a.cell,
+               round(list_cosine_similarity(a.emb, cb.cvec), 4) AS csim
+        FROM qassign a JOIN cb2 cb USING (cell)),
+      ok AS (
+        SELECT cell FROM (SELECT cell, count(*) AS n FROM assign GROUP BY cell)
+        WHERE n <= 512),
+      best AS (
+        SELECT vec_id, nn_id, sim FROM (
+          SELECT q.vec_id, c.nn_id,
+                 round(list_cosine_similarity(q.emb, c.c_emb), 4) AS sim,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY round(list_cosine_similarity(q.emb, c.c_emb), 4) DESC,
+                            c.nn_id ASC) AS r
+          FROM q JOIN assign c USING (cell) JOIN ok USING (cell)) x
+        WHERE r = 1)
+      SELECT i.vec_id, q.cell, q.csim, b.nn_id, b.sim,
+             coalesce(b.sim >= 0.40, false) AS is_dup
+      FROM (SELECT vec_id FROM embeddings WHERE vec_id % 10 = 0) i
+      LEFT JOIN q USING (vec_id) LEFT JOIN best b USING (vec_id)
+      ORDER BY i.vec_id"""))
+
   /** dedup_clusters — transitive closure over near-dup pairs (the step
     * after pair generation in production dedup): min-label propagation
     * to connected components; cluster id = component minimum, so
@@ -2549,11 +2608,11 @@ object Queries {
   // oracle replays SimOps.trainCentroids in SQL, which needs the same
   // score / argmax-assign / recompute blocks five times — emitted from
   // one definition each so a semantics fix cannot miss a copy.
-  private def a04Score(out: String, cb: String): String =
+  private def a04Score(out: String, cb: String, src: String = "e"): String =
     s"""$out AS (
-      |        SELECT e.vec_id, e.emb, cb.cell,
-      |               list_dot_product(e.emb, cb.cvec) * (1.0 / sqrt(list_dot_product(cb.cvec, cb.cvec))) AS score
-      |        FROM e CROSS JOIN $cb cb)""".stripMargin
+      |        SELECT $src.vec_id, $src.emb, cb.cell,
+      |               list_dot_product($src.emb, cb.cvec) * (1.0 / sqrt(list_dot_product(cb.cvec, cb.cvec))) AS score
+      |        FROM $src CROSS JOIN $cb cb)""".stripMargin
 
   private def a04Argmax(out: String, cols: String, src: String,
                         where: String, keep: String): String =
@@ -4650,7 +4709,7 @@ object Queries {
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q57b, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84,
-    d01, d02, d02m, d02i, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, pk1, dc1, dc2, dc3, vd1,
+    d01, d02, d02m, d02i, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, pk1, dc1, dc2, dc3, vd1,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, a01, a02, a03, a04, a05, m01, m02, m03, mr1,
     p01, st01, st02, st03, st04, st05, st06)
 

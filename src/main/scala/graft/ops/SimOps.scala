@@ -399,4 +399,67 @@ object SimOps {
       .join(dupIds.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
       .withColumn("is_dup", coalesce(col("is_dup"), lit(false)))
   }
+
+  /** Incremental [[semanticDedup]] — the crawl-ingest shape (the
+    * semantic twin of `minhashNearDupIncremental`): an incoming batch
+    * is scored against the ESTABLISHED corpus only; the corpus never
+    * re-pairs with itself, so per-ingest cost is bounded by the batch.
+    * The codebook is trained on (or persisted from) the corpus — the
+    * production deployment model, where the k-means index outlives any
+    * one ingest — and an incoming vector is a duplicate when ANY
+    * corpus vector in its cell clears `tau` (no keep-rank rule: the
+    * corpus is the established set; the batch defers to it). Emits the
+    * best corpus match per incoming vector: (vec_id, cell, csim,
+    * nn_id, sim, is_dup), total over the batch (no in-cell corpus
+    * neighbor, cap-dropped cell, or NULL embedding ⇒ NULL nn/sim,
+    * is_dup = false).
+    *
+    * Scale shape: the corpus side stays put — one narrow argmax
+    * projection plus a `maxCell` size valve (a degenerate corpus cell
+    * must not multiply every future ingest); the BATCH side broadcasts
+    * (it is the small side by contract); the per-vector verdict is a
+    * partial-aggregated max over (sim, −nn_id), never a corpus-wide
+    * window.
+    */
+  def semanticDedupIncremental(corpus: DataFrame, incoming: DataFrame,
+                               idCol: String, embCol: String,
+                               numCells: Int = 16, iters: Int = 2,
+                               tau: Double = 0.95, maxCell: Int = 4096,
+                               codebook: Option[Array[Array[Double]]] = None): DataFrame = {
+    require(numCells > 0, s"semanticDedupIncremental: numCells=$numCells")
+    require(maxCell > 0, s"semanticDedupIncremental: maxCell=$maxCell")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = codebook.getOrElse(
+      trainCentroids(corpus, idCol, embCol, numCells, iters))
+    if (centroids.isEmpty) // empty corpus: nothing established — all clean
+      return incoming.select(col(idCol).as("vec_id"),
+        lit(null).cast("int").as("cell"), lit(null).cast("double").as("csim"),
+        lit(null).cast(incoming.schema(idCol).dataType).as("nn_id"),
+        lit(null).cast("double").as("sim"), lit(false).as("is_dup"))
+    val cbDf = centroids.zipWithIndex.map { case (cvec, i) => (i, cvec) }
+      .toSeq.toDF("cell", "cvec")
+    val c = corpus.where(col(embCol).isNotNull)
+      .select(col(idCol).as("nn_id"), col(embCol).as("c_emb"))
+      .withColumn("cell", cellArgmax(col("c_emb"), centroids))
+    val okCells = c.groupBy("cell").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxCell).select("cell")
+    val q = incoming.where(col(embCol).isNotNull)
+      .select(col(idCol).as("vec_id"), col(embCol).as("emb"))
+      .withColumn("cell", cellArgmax(col("emb"), centroids))
+      .join(broadcast(cbDf), "cell")
+      .withColumn("csim", round(cosine(col("emb"), col("cvec")), 4))
+      .select(col("vec_id"), col("emb"), col("cell"), col("csim"))
+    val best = c.join(broadcast(okCells), "cell")
+      .join(broadcast(q), Seq("cell"))
+      .withColumn("sim", round(cosine(col("emb"), col("c_emb")), 4))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("sim"), (-col("nn_id")).as("nb"))).as("__m"))
+      .select(col("vec_id"), (-col("__m.nb")).as("nn_id"), col("__m.sim").as("sim"))
+    incoming.select(col(idCol).as("vec_id"))
+      .join(q.select(col("vec_id"), col("cell"), col("csim")), Seq("vec_id"), "left")
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("csim"), col("nn_id"), col("sim"),
+        coalesce(col("sim") >= tau, lit(false)).as("is_dup"))
+  }
 }

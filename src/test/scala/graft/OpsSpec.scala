@@ -492,6 +492,26 @@ class OpsSpec extends AnyFunSuite {
     assert(capped.forall(!_.getAs[Boolean]("is_dup")))
   }
 
+  test("SimOps.semanticDedupIncremental scores the batch against the corpus only") {
+    val cb = Some(Array(Array(1.0, 0.0), Array(0.0, 1.0)))
+    val corpus = Seq((1L, Array(1.0, 0.0)), (2L, Array(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val incoming = Seq(
+      (10L, Array(0.999, 0.01)),  // near corpus 1 → dup
+      (11L, Array(-1.0, 0.0)),    // lands in cell 1, orthogonal → clean
+      (12L, null.asInstanceOf[Array[Double]]))
+      .toDF("vec_id", "embedding")
+    val got = SimOps.semanticDedupIncremental(corpus, incoming,
+        "vec_id", "embedding", numCells = 2, tau = 0.95, maxCell = 16,
+        codebook = cb)
+      .orderBy("vec_id").collect()
+    assert(got(0).getAs[Boolean]("is_dup") && got(0).getAs[Long]("nn_id") == 1L)
+    assert(!got(1).getAs[Boolean]("is_dup") &&
+      got(1).getAs[Double]("sim") == 0.0)
+    assert(got(2).isNullAt(got(2).fieldIndex("cell")) &&
+      !got(2).getAs[Boolean]("is_dup")) // NULL embedding stays clean
+  }
+
   test("SimOps.trainCentroids: deterministic k-means improves or matches IVF recall") {
     val e = graft.io.Tables.embeddings(spark, TestSpark.Sf0001)
     val trained = SimOps.trainCentroids(e, "vec_id", "embedding", numCells = 8, iters = 2)

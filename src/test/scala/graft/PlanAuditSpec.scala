@@ -25,7 +25,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "decon_bloom", "decon_ngram_overlap", "decon_semantic",
       "dedup_keep_best",
       "dedup_minhash", "dedup_minhash_incremental", "dedup_minhash_mirror",
-      "dedup_semantic", "dedup_simhash", "dedup_spans",
+      "dedup_semantic", "dedup_semantic_incremental",
+      "dedup_simhash", "dedup_spans",
       "q26_running_sum", "q38_asof_join", "q42_window_analytics",
       "q51_funnel", "q52_rolling_median", "q66_pct_rank",
       "q77_skew_report", "q81_approx_winsorize", "q83_grouped_winsorize",
