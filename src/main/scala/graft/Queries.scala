@@ -1918,7 +1918,7 @@ object Queries {
 
   /** decon_semantic — embedding-space contamination scan
     * (DeconOps.semanticDecontaminate): train vectors (label ≠ 0)
-    * checked against the benchmark set (label 0) for cosine ≥ 0.40
+    * checked against the benchmark set (label 0) for cosine ≥ tau
     * within shared sign-LSH buckets — the paraphrase-robust third
     * member of the decon family. Benchmark broadcast (small by
     * contract), train never shuffles; the per-doc verdict is a
@@ -1941,11 +1941,14 @@ object Queries {
       WITH b AS (
         SELECT vec_id AS bench_id, embedding::DOUBLE[] AS emb,
           ${lshBucketSql("embedding::DOUBLE[]", 64)} AS bucket
-        FROM embeddings WHERE label = 0),
+        FROM embeddings WHERE label = 0 AND embedding IS NOT NULL),
       t AS (
+        -- NULL embeddings stay out of the candidate join (the engine's
+        -- isNotNull guard): under lshBucketSql a NULL vector would
+        -- otherwise land in bucket 0, not bucket NULL
         SELECT vec_id, embedding::DOUBLE[] AS emb,
           ${lshBucketSql("embedding::DOUBLE[]", 64)} AS bucket
-        FROM embeddings WHERE label <> 0),
+        FROM embeddings WHERE label <> 0 AND embedding IS NOT NULL),
       top AS (
         SELECT vec_id, bench_id, sim FROM (
           SELECT t.vec_id, b.bench_id,

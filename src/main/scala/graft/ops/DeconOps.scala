@@ -161,9 +161,10 @@ object DeconOps {
       .withColumn("bucket", SimOps.lshBucket(col(embCol), d))
     val scored = t.join(broadcast(b), Seq("bucket"))
       .withColumn("sim", round(SimOps.cosine(col(embCol), col("b_emb")), 4))
-    val top = scored.groupBy(col(idCol))
-      .agg(max(struct(col("sim"), (-col("bench_id")).as("nb"))).as("__m"))
-      .select(col(idCol), (-col("__m.nb")).as("bench_id"), col("__m.sim").as("sim"))
+    // shared best-match reduction (SimOps.bestNeighbor): highest sim,
+    // ties to the lowest bench id, numeric-id check included
+    val top = SimOps.bestNeighbor(scored, idCol, "bench_id")
+      .select(col(idCol), col("bench_id"), col("sim"))
     train.select(col(idCol))
       .join(top, Seq(idCol), "left")
       .select(col(idCol), col("bench_id"), col("sim"),

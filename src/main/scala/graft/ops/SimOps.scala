@@ -372,19 +372,9 @@ object SimOps {
       return corpus.select(col(idCol).as("vec_id"),
         lit(null).cast("int").as("cell"), lit(null).cast("double").as("csim"),
         lit(false).as("is_dup"))
-    val cbDf = centroids.zipWithIndex.map { case (cvec, i) => (i, cvec) }
-      .toSeq.toDF("cell", "cvec")
-    val assigned = corpus.where(col(embCol).isNotNull)
-      .select(col(idCol).as("vec_id"), col(embCol).as("emb"))
-      .withColumn("cell", cellArgmax(col("emb"), centroids))
-      .join(broadcast(cbDf), "cell")
-      // rounded once here so the keep-rank ordering and the tau
-      // threshold both see the same 4-digit value in every engine
-      .withColumn("csim", round(cosine(col("emb"), col("cvec")), 4))
-      .select(col("vec_id"), col("emb"), col("cell"), col("csim"))
-    val okCells = assigned.groupBy("cell").agg(count(lit(1)).as("__n"))
-      .filter(col("__n") <= maxCell).select("cell")
-    val eligible = assigned.join(broadcast(okCells), "cell")
+    val assigned = cellAssign(corpus, idCol, embCol, centroids,
+      "vec_id", "emb", withCsim = true)
+    val eligible = assigned.join(broadcast(okCells(assigned, maxCell)), "cell")
     val rhs = eligible.select(col("cell"), col("vec_id").as("b_id"),
       col("emb").as("b_emb"), col("csim").as("b_csim"))
     val dupIds = eligible.hint("merge").join(rhs.hint("merge"), Seq("cell"))
@@ -437,29 +427,74 @@ object SimOps {
         lit(null).cast("int").as("cell"), lit(null).cast("double").as("csim"),
         lit(null).cast(incoming.schema(idCol).dataType).as("nn_id"),
         lit(null).cast("double").as("sim"), lit(false).as("is_dup"))
-    val cbDf = centroids.zipWithIndex.map { case (cvec, i) => (i, cvec) }
-      .toSeq.toDF("cell", "cvec")
-    val c = corpus.where(col(embCol).isNotNull)
-      .select(col(idCol).as("nn_id"), col(embCol).as("c_emb"))
-      .withColumn("cell", cellArgmax(col("c_emb"), centroids))
-    val okCells = c.groupBy("cell").agg(count(lit(1)).as("__n"))
-      .filter(col("__n") <= maxCell).select("cell")
-    val q = incoming.where(col(embCol).isNotNull)
-      .select(col(idCol).as("vec_id"), col(embCol).as("emb"))
-      .withColumn("cell", cellArgmax(col("emb"), centroids))
-      .join(broadcast(cbDf), "cell")
-      .withColumn("csim", round(cosine(col("emb"), col("cvec")), 4))
-      .select(col("vec_id"), col("emb"), col("cell"), col("csim"))
-    val best = c.join(broadcast(okCells), "cell")
+    val c = cellAssign(corpus, idCol, embCol, centroids,
+      "nn_id", "c_emb", withCsim = false)
+    val q = cellAssign(incoming, idCol, embCol, centroids,
+      "vec_id", "emb", withCsim = true)
+    val scored = c.join(broadcast(okCells(c, maxCell)), "cell")
       .join(broadcast(q), Seq("cell"))
       .withColumn("sim", round(cosine(col("emb"), col("c_emb")), 4))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("sim"), (-col("nn_id")).as("nb"))).as("__m"))
-      .select(col("vec_id"), (-col("__m.nb")).as("nn_id"), col("__m.sim").as("sim"))
+    val best = bestNeighbor(scored, "vec_id", "nn_id")
     incoming.select(col(idCol).as("vec_id"))
       .join(q.select(col("vec_id"), col("cell"), col("csim")), Seq("vec_id"), "left")
       .join(best, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"), col("csim"), col("nn_id"), col("sim"),
         coalesce(col("sim") >= tau, lit(false)).as("is_dup"))
+  }
+
+  /** Codebook-cosine cell assignment shared by the semantic-dedup
+    * family: NULL embeddings drop HERE (they re-enter through the
+    * callers' total-function left joins with NULL cell/csim), cell =
+    * argmax cosine vs the driver-side codebook, and — when `withCsim`
+    * — the 4-digit centroid cosine, rounded once so keep-rank ordering
+    * and tau thresholds see the same value in every engine. One
+    * definition so the batch/corpus/graded variants cannot drift.
+    */
+  private def cellAssign(df: DataFrame, idCol: String, embCol: String,
+                         centroids: Array[Array[Double]],
+                         idName: String, embName: String,
+                         withCsim: Boolean): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.where(col(embCol).isNotNull)
+      .select(col(idCol).as(idName), col(embCol).as(embName))
+      .withColumn("cell", cellArgmax(col(embName), centroids))
+    if (!withCsim) base
+    else {
+      val cbDf = centroids.zipWithIndex.map { case (cvec, i) => (i, cvec) }
+        .toSeq.toDF("cell", "cvec")
+      base.join(broadcast(cbDf), "cell")
+        .withColumn("csim", round(cosine(col(embName), col("cvec")), 4))
+        .select(col(idName), col(embName), col("cell"), col("csim"))
+    }
+  }
+
+  /** The maxCell valve: cells small enough to pair (a degenerate cell
+    * must never go quadratic — the LSH maxBucket rule).
+    */
+  private def okCells(assigned: DataFrame, maxCell: Int): DataFrame =
+    assigned.groupBy("cell").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxCell).select("cell")
+
+  /** Best match per `keyCol` from a scored candidate frame (must carry
+    * a rounded `sim` column) WITHOUT a corpus-wide window: one
+    * partial-aggregated max over (sim, −neighbor id) — highest sim,
+    * ties to the LOWEST id. Shared by semanticDedupIncremental and
+    * DeconOps.semanticDecontaminate so the tie-break and NULL
+    * conventions live in one place. The id negation is why the ops
+    * REQUIRE a numeric id: under non-ANSI implicit casts a string id
+    * would negate to NULL and silently nullify the output — checked
+    * loudly here instead.
+    */
+  private[ops] def bestNeighbor(scored: DataFrame, keyCol: String,
+                                nidCol: String): DataFrame = {
+    require(scored.schema(nidCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"bestNeighbor: $nidCol must be numeric " +
+        s"(got ${scored.schema(nidCol).dataType}) — the deterministic " +
+        "tie-break negates the neighbor id")
+    scored.groupBy(col(keyCol))
+      .agg(max(struct(col("sim"), (-col(nidCol)).as("nb"))).as("__m"))
+      .select(col(keyCol), (-col("__m.nb")).as(nidCol), col("__m.sim").as("sim"))
   }
 }
