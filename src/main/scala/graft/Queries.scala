@@ -1377,6 +1377,50 @@ object Queries {
       SELECT source, doc_id, n_tokens, cum_tokens FROM c
       WHERE cum_tokens <= 400 ORDER BY doc_id"""))
 
+  /** sample_cluster_balance — cluster-balanced subsampling
+    * (SimOps.clusterBalance): cap every learned embedding cluster at
+    * 16 rows (trained 16-cell k-means → md5-ranked top-16 per cell),
+    * flattening the cluster distribution the way the MetaCLIP
+    * per-entry cap balances image-text corpora — head clusters are
+    * bounded, tail clusters survive whole. A composition of two
+    * graded primitives (the a04 trainer + the sample_stratified cap),
+    * so the oracle replays the whole thing: unrolled Lloyd's,
+    * argmax assignment, per-cell sizes, md5-order rank, cap filter.
+    * Output ≤ numCells×cap rows regardless of corpus size.
+    */
+  private val sm9 = Q(
+    "sample_cluster_balance",
+    (s, d) => {
+      import s.implicits._
+      SimOps.clusterBalance(emb(s, d), "vec_id", "embedding",
+          numCells = 16, iters = 2, cap = 16)
+        .orderBy($"vec_id")
+    },
+    Some(s"""
+      WITH
+      pos AS (SELECT unnest(range(1, 65)) AS p),
+      e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+            WHERE embedding IS NOT NULL),
+      cb0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+               emb AS cvec
+        FROM (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT 16) s),
+      ${a04Round(0)},
+      ${a04Round(1)},
+      ${a04Score("sf_", "cb2")},
+      ${a04Argmax("assign", "vec_id, cell", "sf_", "", "r = 1")},
+      sizes AS (SELECT cell, count(*) AS n FROM assign GROUP BY cell),
+      ranked AS (
+        SELECT vec_id, cell,
+               CAST(row_number() OVER (PARTITION BY cell
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC)
+                 AS INTEGER) AS rk
+        FROM assign)
+      SELECT r.vec_id, r.cell, s.n, r.rk
+      FROM ranked r JOIN sizes s USING (cell)
+      WHERE r.rk <= 16
+      ORDER BY r.vec_id"""))
+
   /** sample_temperature — temperature-flattened language mixing
     * (SampleOps.temperatureSample, alpha = 0.5, target 250 docs): the
     * multilingual corpus-balancing practice — rates DERIVED from the
@@ -4712,7 +4756,7 @@ object Queries {
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q57b, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84,
-    d01, d02, d02m, d02i, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, pk1, dc1, dc2, dc3, vd1,
+    d01, d02, d02m, d02i, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, pk1, dc1, dc2, dc3, vd1,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, a01, a02, a03, a04, a05, m01, m02, m03, mr1,
     p01, st01, st02, st03, st04, st05, st06)
 

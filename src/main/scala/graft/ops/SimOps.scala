@@ -442,6 +442,57 @@ object SimOps {
         coalesce(col("sim") >= tau, lit(false)).as("is_dup"))
   }
 
+  /** Cluster-balanced subsampling — the curation step that flattens
+    * the embedding-cluster distribution (the MetaCLIP per-entry cap /
+    * DataComp balancing idea): cap every LEARNED cluster at `cap`
+    * rows, so a few dense head clusters (boilerplate, templated text,
+    * near-duplicate swarms) cannot dominate the training mix while
+    * tail clusters survive intact. The complement of
+    * [[semanticDedup]]: dedup removes redundancy WITHIN a
+    * neighborhood, balancing bounds each neighborhood's SHARE.
+    *
+    * Deliberately a composition of two already-graded primitives, so
+    * it inherits both engines' parity guarantees: [[trainCentroids]]
+    * (deterministic unrolled Lloyd's, 1e-6-rounded centroids) learns
+    * the stratum, and [[SampleOps.stratifiedSample]]'s md5-ranked
+    * top-n applies the cap.
+    *
+    * Emits KEPT rows only — (vec_id, cell, n, rk), `n` = pre-cap cell
+    * size — because that shape is what keeps the plan bounded: the
+    * rank filter over the row_number window becomes a
+    * WindowGroupLimit, holding at most `cap` rows per cell per task
+    * BEFORE the exchange; an all-rows-with-kept-flag output would
+    * force every cell to materialize through the window. Cell sizes
+    * are a numCells-row aggregate broadcast back onto the kept rows.
+    * NULL embeddings are excluded (no cluster, nothing to balance —
+    * the [[semanticDedup]] trainer-view rule).
+    *
+    * Scale shape: one narrow projection for assignment (codebook is a
+    * driver-side k×dim array inside a codegen'd argmax expression),
+    * one count-per-cell partial aggregate (numCells rows), one
+    * hash-partitioned shuffle for the capped window. The output is at
+    * most numCells×cap rows regardless of corpus size — the operator
+    * that READS 100 TB but emits a bounded, balanced sample.
+    */
+  def clusterBalance(corpus: DataFrame, idCol: String, embCol: String,
+                     numCells: Int = 16, iters: Int = 2, cap: Int = 1024,
+                     codebook: Option[Array[Array[Double]]] = None): DataFrame = {
+    require(numCells > 0, s"clusterBalance: numCells=$numCells")
+    require(cap > 0, s"clusterBalance: cap=$cap")
+    val centroids = codebook.getOrElse(
+      trainCentroids(corpus, idCol, embCol, numCells, iters))
+    if (centroids.isEmpty) // empty corpus: schema-stable empty frame
+      return corpus.select(col(idCol).as("vec_id"),
+        lit(null).cast("int").as("cell"), lit(null).cast("long").as("n"),
+        lit(null).cast("int").as("rk")).filter(lit(false))
+    val assigned = cellAssign(corpus, idCol, embCol, centroids,
+      "vec_id", "emb", withCsim = false)
+    val sizes = assigned.groupBy("cell").agg(count(lit(1)).as("n"))
+    SampleOps.stratifiedSample(assigned, "cell", "vec_id", cap)
+      .join(broadcast(sizes), "cell")
+      .select(col("vec_id"), col("cell"), col("n"), col("rk"))
+  }
+
   /** Codebook-cosine cell assignment shared by the semantic-dedup
     * family: NULL embeddings drop HERE (they re-enter through the
     * callers' total-function left joins with NULL cell/csim), cell =

@@ -512,6 +512,43 @@ class OpsSpec extends AnyFunSuite {
       !got(2).getAs[Boolean]("is_dup")) // NULL embedding stays clean
   }
 
+  test("SimOps.clusterBalance caps each learned cell deterministically") {
+    val cb = Some(Array(Array(1.0, 0.0), Array(0.0, 1.0)))
+    val df = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1)), (3L, Array(0.8, 0.2)),
+      (4L, Array(0.0, 1.0)), (5L, null.asInstanceOf[Array[Double]]))
+      .toDF("vec_id", "embedding")
+    // cap=2: cell 0 holds {1,2,3} pre-cap (n=3) and keeps the two
+    // md5-first ids; cell 1 keeps its single row whole (n=1). The NULL
+    // embedding has no cluster and is excluded entirely.
+    val got = SimOps.clusterBalance(df, "vec_id", "embedding",
+        numCells = 2, cap = 2, codebook = cb).orderBy("vec_id").collect()
+    assert(got.length == 3)
+    val byCell = got.groupBy(_.getAs[Int]("cell"))
+    assert(byCell(0).length == 2 && byCell(0).forall(_.getAs[Long]("n") == 3L))
+    assert(byCell(1).length == 1 && byCell(1).head.getAs[Long]("n") == 1L)
+    assert(!got.exists(_.getAs[Long]("vec_id") == 5L))
+    // the kept pair is the md5-order prefix of the cell, rk dense from 1
+    val md5First = Seq(1L, 2L, 3L)
+      .sortBy(id => org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString))
+      .take(2).toSet
+    assert(byCell(0).map(_.getAs[Long]("vec_id")).toSet == md5First)
+    assert(byCell(0).map(_.getAs[Int]("rk")).sorted.toSeq == Seq(1, 2))
+    // cap >= cell size keeps everything; repartitioning can't change the set
+    assert(SimOps.clusterBalance(df, "vec_id", "embedding",
+      numCells = 2, cap = 16, codebook = cb).count() == 4)
+    val again = SimOps.clusterBalance(df.repartition(7, $"vec_id"),
+        "vec_id", "embedding", numCells = 2, cap = 2, codebook = cb)
+      .orderBy("vec_id").collect()
+    assert(again.map(_.toSeq).toSeq == got.map(_.toSeq).toSeq)
+    // the rank filter must plan as WindowGroupLimit: per-task state is
+    // bounded to cap rows per cell BEFORE the exchange (the scale claim)
+    val plan = SimOps.clusterBalance(df, "vec_id", "embedding",
+        numCells = 2, cap = 2, codebook = cb)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
+  }
+
   test("SimOps.trainCentroids: deterministic k-means improves or matches IVF recall") {
     val e = graft.io.Tables.embeddings(spark, TestSpark.Sf0001)
     val trained = SimOps.trainCentroids(e, "vec_id", "embedding", numCells = 8, iters = 2)
