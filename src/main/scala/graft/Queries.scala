@@ -2771,6 +2771,70 @@ object Queries {
         FROM cand c JOIN e q ON q.vec_id = c.qid JOIN e n ON n.vec_id = c.nid) t
       WHERE rnk <= 5 ORDER BY qid, rnk"""))
 
+  /** ann_recall_report — recall@5 of the IVF index vs the exact
+    * brute-force baseline, computed IN the engine
+    * (SimOps.recallAtK): the quality number an operator of a
+    * corpus-scale ANN index watches, graded instead of trusted — both
+    * sides are deterministic (the a01/a03 plans verbatim), so the
+    * oracle replays approx, exact, the (qid, nid) hit join, and the
+    * per-query ratio. The report itself adds nothing corpus-sized:
+    * |queries|×k rows per side, broadcast join, partial aggregate.
+    */
+  private val a06 = Q(
+    "ann_recall_report",
+    (s, d) => {
+      import s.implicits._
+      val e = emb(s, d)
+      val q = e.filter($"vec_id" < 10)
+      SimOps.recallAtK(
+          SimOps.bruteForceTopK(q, e, "vec_id", "embedding", 5),
+          SimOps.ivfTopK(q, e, "vec_id", "embedding", 5))
+        .orderBy($"qid")
+    },
+    Some("""
+      WITH cb AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+               embedding::DOUBLE[] AS cvec,
+               1.0 / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cinv
+        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16) s),
+      scored AS (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS emb, cb.cell,
+               list_dot_product(e.embedding::DOUBLE[], cb.cvec) * cb.cinv AS score
+        FROM embeddings e CROSS JOIN cb),
+      assign AS (
+        SELECT vec_id AS nid, emb AS c_emb, cell FROM (
+          SELECT vec_id, emb, cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS r
+          FROM scored) t WHERE r = 1),
+      probe AS (
+        SELECT vec_id AS qid, emb AS q_emb, cell FROM (
+          SELECT vec_id, emb, cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS r
+          FROM scored WHERE vec_id < 10) t WHERE r <= 2),
+      ivf AS (
+        SELECT qid, nid FROM (
+          SELECT q.qid, c.nid,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY list_cosine_similarity(q.q_emb, c.c_emb) DESC, c.nid) AS rnk
+          FROM probe q JOIN assign c USING (cell)
+          WHERE q.qid <> c.nid) t
+        WHERE rnk <= 5),
+      exact AS (
+        SELECT qid, nid FROM (
+          SELECT q.vec_id AS qid, c.vec_id AS nid,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                            c.vec_id) AS rnk
+          FROM embeddings q CROSS JOIN embeddings c
+          WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id) t
+        WHERE rnk <= 5)
+      SELECT e.qid, CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(CASE WHEN i.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+             round(CAST(sum(CASE WHEN i.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   / CAST(count(*) AS BIGINT), 4) AS recall
+      FROM exact e LEFT JOIN ivf i ON e.qid = i.qid AND e.nid = i.nid
+      GROUP BY e.qid ORDER BY e.qid"""))
+
   // ---------------------------------------------------------- multimodal
 
   /** media_meta — binary media column + typed metadata; the
@@ -4757,7 +4821,7 @@ object Queries {
     q52, q53, q54, q55, q56, q57, q57b, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84,
     d01, d02, d02m, d02i, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, pk1, dc1, dc2, dc3, vd1,
-    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, a01, a02, a03, a04, a05, m01, m02, m03, mr1,
+    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, a01, a02, a03, a04, a05, a06, m01, m02, m03, mr1,
     p01, st01, st02, st03, st04, st05, st06)
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

@@ -442,6 +442,31 @@ object SimOps {
         coalesce(col("sim") >= tau, lit(false)).as("is_dup"))
   }
 
+  /** Recall@k of an approximate ANN result against the exact one —
+    * the quality leg of the ANN family, measured IN the engine so an
+    * index's recall can be monitored at corpus scale instead of
+    * trusted from a paper. Both inputs are (qid, nid, …)-shaped top-k
+    * frames (any of [[ivfTopK]]/[[lshTopK]]/[[pqTopK]] vs
+    * [[bruteForceTopK]]); output is one row per query:
+    * (qid, k, n_hit, recall), where k counts the EXACT side (the
+    * denominator recall is defined over — an approx side that returns
+    * fewer rows just scores lower).
+    *
+    * Scale shape: both inputs are |queries|×k rows — microscopic next
+    * to the corpus that produced them — so the (qid, nid) equi-join
+    * broadcasts and the per-qid aggregate is partial→final. The
+    * expensive part is producing the inputs; this report adds nothing
+    * corpus-sized.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.select(col("qid"), col("nid"))
+      .join(approx.select(col("qid"), col("nid")).withColumn("__hit", lit(1)),
+        Seq("qid", "nid"), "left")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("k"),
+           sum(coalesce(col("__hit"), lit(0))).as("n_hit"))
+      .withColumn("recall", round(col("n_hit") / col("k"), 4))
+
   /** Cluster-balanced subsampling — the curation step that flattens
     * the embedding-cluster distribution (the MetaCLIP per-entry cap /
     * DataComp balancing idea): cap every LEARNED cluster at `cap`

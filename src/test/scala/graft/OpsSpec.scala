@@ -549,6 +549,24 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
   }
 
+  test("SimOps.recallAtK scores approx hits over the exact denominator") {
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
+      .toDF("qid", "nid")
+    // q1: one hit + one miss + an extra approx row outside the exact
+    // set (must not inflate recall); q2: perfect
+    val approx = Seq((1L, 10L), (1L, 99L), (1L, 98L), (2L, 20L), (2L, 21L))
+      .toDF("qid", "nid")
+    val got = SimOps.recallAtK(exact, approx).orderBy("qid").collect()
+    assert(got.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("k"),
+      r.getAs[Long]("n_hit"), r.getAs[Double]("recall"))).toSeq ==
+      Seq((1L, 2L, 1L, 0.5), (2L, 2L, 2L, 1.0)))
+    // a query the approx side missed entirely still reports (recall 0)
+    val none = SimOps.recallAtK(exact, approx.filter($"qid" =!= 2L))
+      .orderBy("qid").collect()
+    assert(none(1).getAs[Long]("n_hit") == 0L &&
+      none(1).getAs[Double]("recall") == 0.0)
+  }
+
   test("SimOps.trainCentroids: deterministic k-means improves or matches IVF recall") {
     val e = graft.io.Tables.embeddings(spark, TestSpark.Sf0001)
     val trained = SimOps.trainCentroids(e, "vec_id", "embedding", numCells = 8, iters = 2)

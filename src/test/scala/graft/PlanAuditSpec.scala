@@ -22,6 +22,7 @@ class PlanAuditSpec extends AnyFunSuite {
     val errors = flagged.filter(_._2.startsWith("ERROR"))
     assert(errors.isEmpty, s"query construction failed: $errors")
     val pinned = Set(
+      "ann_recall_report",
       "decon_bloom", "decon_ngram_overlap", "decon_semantic",
       "dedup_keep_best",
       "dedup_minhash", "dedup_minhash_incremental", "dedup_minhash_mirror",
