@@ -2835,6 +2835,164 @@ object Queries {
       FROM exact e LEFT JOIN ivf i ON e.qid = i.qid AND e.nid = i.nid
       GROUP BY e.qid ORDER BY e.qid"""))
 
+  /** ann_filtered_topk — metadata-FILTERED vector search
+    * (SimOps.ivfTopKFiltered): the vector-DB filtered-search mode.
+    * The IVF index (codebook = 16 lowest-id FULL-corpus vectors) is
+    * built once over the whole corpus; the label predicate applies to
+    * candidates BEFORE ranking, so each query gets its 5 nearest
+    * even-label neighbors — not a post-filtered remnant of an
+    * unfiltered top-5. The oracle is the a03 replay with the label
+    * carried through assignment and filtered in the candidate set
+    * (the codebook CTE stays unfiltered — that is the semantic under
+    * test).
+    */
+  private val a07 = Q(
+    "ann_filtered_topk",
+    (s, d) => {
+      import s.implicits._
+      val e = emb(s, d)
+      SimOps.ivfTopKFiltered(e.filter($"vec_id" < 10), e, "vec_id", "embedding",
+          col("label") % 2 === 0, 5)
+        .orderBy($"qid", $"rnk")
+    },
+    Some("""
+      WITH cb AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+               embedding::DOUBLE[] AS cvec,
+               1.0 / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cinv
+        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16) s),
+      scored AS (
+        SELECT e.vec_id, e.label, e.embedding::DOUBLE[] AS emb, cb.cell,
+               list_dot_product(e.embedding::DOUBLE[], cb.cvec) * cb.cinv AS score
+        FROM embeddings e CROSS JOIN cb),
+      assign AS (
+        SELECT vec_id AS nid, emb AS c_emb, cell FROM (
+          SELECT vec_id, label, emb, cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS r
+          FROM scored) t WHERE r = 1 AND label % 2 = 0),
+      probe AS (
+        SELECT vec_id AS qid, emb AS q_emb, cell FROM (
+          SELECT vec_id, emb, cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS r
+          FROM scored WHERE vec_id < 10) t WHERE r <= 2)
+      SELECT qid, nid, sim, rnk FROM (
+        SELECT q.qid, c.nid,
+               round(list_cosine_similarity(q.q_emb, c.c_emb), 4) AS sim,
+               CAST(row_number() OVER (PARTITION BY q.qid
+                 ORDER BY list_cosine_similarity(q.q_emb, c.c_emb) DESC, c.nid) AS INTEGER) AS rnk
+        FROM probe q JOIN assign c USING (cell)
+        WHERE q.qid <> c.nid) t
+      WHERE rnk <= 5 ORDER BY qid, rnk"""))
+
+  /** search_hybrid_rrf — hybrid retrieval: lexical BM25
+    * (query-by-document, TextOps.bm25PerQuery) and dense cosine
+    * (SimOps.bruteForceTopK) top-10 lists per query, fused with
+    * reciprocal-rank fusion (SimOps.rrfFuse, c = 60) into a final
+    * top-5 — the standard two-tower search stack, run entirely in the
+    * engine. Queries are docs 0–2 (doc_id and vec_id align in the
+    * fixtures). Both retriever legs reuse already-graded parity
+    * machinery (the t-bm25 score algebra, the a01 cosine ranking);
+    * RRF itself is exact IEEE (1/(60+rank), two addends), so the
+    * oracle replays the whole stack: inverted index, df, per-query
+    * scores, both rankings, the full-outer fusion, the fused ranking.
+    */
+  private val a08 = Q(
+    "search_hybrid_rrf",
+    (s, d) => {
+      import s.implicits._
+      val ds = docs(s, d)
+      val e = emb(s, d)
+      SimOps.rrfFuse(
+          TextOps.bm25PerQuery(ds.filter($"doc_id" < 3), ds, topN = 10),
+          SimOps.bruteForceTopK(e.filter($"vec_id" < 3), e, "vec_id", "embedding", 10),
+          k = 5)
+        .orderBy($"qid", $"rnk")
+    },
+    Some("""
+      WITH dd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      stats AS (
+        SELECT count(*) AS n_docs, sum(len(w))::DOUBLE / count(*) AS avgdl
+        FROM dd),
+      qt AS (
+        SELECT doc_id AS qid, unnest(list_distinct(w)) AS term
+        FROM dd WHERE doc_id < 3),
+      ctf AS (
+        SELECT doc_id AS nid, term, any_value(dl) AS dl, count(*)::DOUBLE AS tf
+        FROM (SELECT doc_id, len(w)::DOUBLE AS dl, unnest(w) AS term FROM dd) m
+        WHERE term IN (SELECT DISTINCT term FROM qt)
+        GROUP BY doc_id, term),
+      dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM ctf GROUP BY term),
+      lex AS (
+        SELECT qid, nid, rnk FROM (
+          SELECT qid, nid,
+                 CAST(row_number() OVER (PARTITION BY qid
+                   ORDER BY score DESC, nid) AS INTEGER) AS rnk
+          FROM (
+            SELECT q.qid, c.nid,
+                   round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                         * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))),
+                     4) AS score
+            FROM ctf c JOIN dfreq USING (term) JOIN qt q USING (term) CROSS JOIN stats
+            WHERE q.qid <> c.nid
+            GROUP BY q.qid, c.nid) s) r
+        WHERE rnk <= 10),
+      vec AS (
+        SELECT qid, nid, rnk FROM (
+          SELECT q.vec_id AS qid, c.vec_id AS nid,
+                 CAST(row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                            c.vec_id) AS INTEGER) AS rnk
+          FROM embeddings q CROSS JOIN embeddings c
+          WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id) t
+        WHERE rnk <= 10)
+      SELECT qid, nid, rnk_lex, rnk_vec, round(rrf, 6) AS rrf, rnk FROM (
+        SELECT qid, nid, rnk_lex, rnk_vec, rrf,
+               CAST(row_number() OVER (PARTITION BY qid
+                 ORDER BY rrf DESC, nid) AS INTEGER) AS rnk
+        FROM (
+          SELECT COALESCE(l.qid, v.qid) AS qid, COALESCE(l.nid, v.nid) AS nid,
+                 l.rnk AS rnk_lex, v.rnk AS rnk_vec,
+                 COALESCE(1.0 / (60 + l.rnk), 0) + COALESCE(1.0 / (60 + v.rnk), 0) AS rrf
+          FROM lex l FULL OUTER JOIN vec v ON l.qid = v.qid AND l.nid = v.nid) f) g
+      WHERE rnk <= 5 ORDER BY qid, rnk"""))
+
+  /** corpus_report — the data card: per source×lang token/char/doc
+    * counts with rollup subtotals and each row's share of corpus
+    * tokens — the summary table every released training corpus ships.
+    * One corpus pass: the rollup aggregate (partial map-side — the
+    * token count is a row-local projection) plus a 1-row total
+    * broadcast for the share column. q13's rollup/NULLS FIRST parity
+    * convention.
+    */
+  private val cr1 = Q(
+    "corpus_report",
+    (s, d) => {
+      import s.implicits._
+      val d0 = docs(s, d)
+      val ntok = size(split($"text", " "))
+      val totals = d0.agg(sum(ntok).cast("double").as("__tot"))
+      d0.rollup($"source", $"lang")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(ntok).cast("long").as("n_tokens"),
+             sum($"n_chars").as("n_chars_total"))
+        .crossJoin(broadcast(totals))
+        .withColumn("pct_tokens", round($"n_tokens" / $"__tot" * 100.0, 4))
+        .drop("__tot")
+        .orderBy($"source".asc_nulls_first, $"lang".asc_nulls_first)
+    },
+    Some("""
+      WITH dd AS (
+        SELECT source, lang, len(string_split(text, ' ')) AS ntok, n_chars
+        FROM documents),
+      tot AS (SELECT sum(ntok)::DOUBLE AS tt FROM dd)
+      SELECT source, lang, count(*) AS n_docs,
+             CAST(sum(ntok) AS BIGINT) AS n_tokens,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+             round(CAST(sum(ntok) AS BIGINT) / tt * 100.0, 4) AS pct_tokens
+      FROM dd CROSS JOIN tot
+      GROUP BY ROLLUP(source, lang), tt
+      ORDER BY source NULLS FIRST, lang NULLS FIRST"""))
+
   // ---------------------------------------------------------- multimodal
 
   /** media_meta — binary media column + typed metadata; the
@@ -4821,7 +4979,7 @@ object Queries {
     q52, q53, q54, q55, q56, q57, q57b, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84,
     d01, d02, d02m, d02i, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, pk1, dc1, dc2, dc3, vd1,
-    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, a01, a02, a03, a04, a05, a06, m01, m02, m03, mr1,
+    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, a01, a02, a03, a04, a05, a06, a07, a08, cr1, m01, m02, m03, mr1,
     p01, st01, st02, st03, st04, st05, st06)
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

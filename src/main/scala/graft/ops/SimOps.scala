@@ -222,6 +222,34 @@ object SimOps {
       .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"), col("rnk"))
   }
 
+  /** Metadata-FILTERED vector search — the vector-DB "filtered
+    * search" mode: the IVF index is built over the FULL corpus (the
+    * codebook a production system trains once and reuses for every
+    * query), and the metadata predicate applies to candidates at
+    * query time, BEFORE ranking. Filter-before-rank is the semantic
+    * that matters: each query still gets its k nearest *matching*
+    * neighbors, where post-filtering a plain top-k would silently
+    * return fewer than k (or none) under a selective predicate.
+    *
+    * Expressed compositionally: because cell assignment is per-row
+    * (argmax vs a fixed codebook), assigning the whole corpus and then
+    * filtering candidates is identical to filtering the corpus scan
+    * and assigning the survivors with the SAME full-corpus codebook —
+    * so this is [[ivfTopK]] over `corpus.where(pred)` with the
+    * codebook pinned to the unfiltered corpus. At 100 TB the predicate
+    * lands on the corpus SCAN (a parquet `PushedFilters` residual, or
+    * partition pruning when the metadata column is a partition key),
+    * i.e. the filter makes the query CHEAPER, never wider; the index
+    * metadata (K·dim doubles) is unchanged driver-side state.
+    */
+  def ivfTopKFiltered(queries: DataFrame, corpus: DataFrame, idCol: String,
+                      embCol: String, pred: Column, k: Int,
+                      numCells: Int = 16, nprobe: Int = 2): DataFrame = {
+    val centroids = defaultCodebook(corpus, idCol, embCol, numCells)
+    ivfTopK(queries, corpus.where(pred), idCol, embCol, k, numCells, nprobe,
+      Some(centroids))
+  }
+
   /** Deterministic PQ sub-codebooks: the K lowest-id corpus vectors,
     * each split into `numSub` contiguous subvectors — codebooks(m)(k)
     * is centroid k of subspace m. Same determinism contract as
@@ -466,6 +494,40 @@ object SimOps {
       .agg(count(lit(1)).as("k"),
            sum(coalesce(col("__hit"), lit(0))).as("n_hit"))
       .withColumn("recall", round(col("n_hit") / col("k"), 4))
+
+  /** Reciprocal-rank fusion of two ranked retrieval lists — the
+    * standard hybrid-search combiner (lexical BM25 + dense vector):
+    * rrf(d) = Σ_sides 1/(c + rank_side(d)), c = 60 by convention.
+    * Inputs are (qid, nid, …, rnk)-shaped per-query top-N frames; a
+    * doc absent from one side simply contributes nothing from it (the
+    * full-outer join), which is exactly RRF's definition. Output: the
+    * fused per-query top-k with both source ranks kept for
+    * inspection.
+    *
+    * Determinism: 1/(c+rank) over integer ranks is exact IEEE
+    * division both engines replay bit-for-bit, and the sum has at
+    * most two addends — no fold-order exposure. Ties (mirrored rank
+    * pairs like (1,3) vs (3,1)) break on nid.
+    *
+    * Scale shape: both inputs are |queries|×N rows, so the fusion
+    * join broadcasts and the per-qid rank window is query-sized —
+    * the corpus-scale work happened upstream in the retrievers.
+    */
+  def rrfFuse(lexical: DataFrame, dense: DataFrame, k: Int,
+              c: Int = 60): DataFrame = {
+    val l = lexical.select(col("qid"), col("nid"), col("rnk").as("rnk_lex"))
+    val v = dense.select(col("qid"), col("nid"), col("rnk").as("rnk_vec"))
+    val fused = l.join(v, Seq("qid", "nid"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(c) + col("rnk_lex")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(c) + col("rnk_vec")), lit(0.0)))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf").desc, col("nid").asc)
+    fused.withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("nid"), col("rnk_lex"), col("rnk_vec"),
+        round(col("rrf"), 6).as("rrf"), col("rnk"))
+  }
 
   /** Cluster-balanced subsampling — the curation step that flattens
     * the embedding-cluster distribution (the MetaCLIP per-entry cap /

@@ -432,6 +432,66 @@ object TextOps {
       .limit(topN)
   }
 
+  /** Per-query BM25 — query-BY-DOCUMENT retrieval: each row of
+    * `queries` is a whole document whose distinct terms form the
+    * query, scored against every corpus document (the lexical leg of
+    * hybrid search; also the shape of "find more like this"
+    * curation). Same Robertson/Sparck-Jones idf and k1/b saturation
+    * as [[bm25]]; n_docs/avgdl/df are CORPUS statistics (df = docs
+    * containing the term), independent of the query set. The query
+    * document itself is excluded (it would trivially rank first),
+    * mirroring the ANN family's qid ≠ nid convention.
+    *
+    * Scale shape: the only corpus-sized work is the (doc, term) tf
+    * aggregate — the inverted index every BM25 deployment builds
+    * once — immediately semi-joined down to query terms via a
+    * broadcast (query side is |queries| docs, tiny by contract). df
+    * rides on the term-restricted index (term-restriction does not
+    * change a term's own df), the score join broadcasts the query
+    * term sets, and the final top-N window partitions by qid. No
+    * corpus window, no cross product.
+    */
+  def bm25PerQuery(queries: DataFrame, corpus: DataFrame, topN: Int = 10,
+                   k1: Double = 1.2, b: Double = 0.75,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = words(col(textCol))
+    val stats = corpus.select(
+      count(lit(1)).cast("long").as("n_docs"),
+      (sum(when(col(textCol).isNotNull, size(toks)).otherwise(lit(0)))
+        .cast("double") / count(lit(1))).as("avgdl"))
+    // query term sets: (qid, term) distinct — broadcast-sized
+    val qTerms = queries
+      .select(col(idCol).as("qid"), explode(array_distinct(toks)).as("term"))
+    // corpus inverted index restricted to query terms (semi-join keeps
+    // the index build corpus-sized but its OUTPUT query-vocab-sized)
+    val cTf = corpus
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).as("nid"), size(toks).cast("double").as("dl"),
+        explode(toks).as("term"))
+      .join(broadcast(qTerms.select(col("term")).distinct()), Seq("term"), "left_semi")
+      .groupBy(col("nid"), col("term"))
+      .agg(first(col("dl")).as("dl"), count(lit(1)).cast("double").as("tf"))
+    val dfreq = cTf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("nid").asc)
+    cTf.join(broadcast(dfreq), "term")
+      .join(broadcast(qTerms), "term")
+      .filter(col("qid") =!= col("nid"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("wgt",
+        col("idf") * col("tf") * (lit(k1) + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("qid"), col("nid"))
+      .agg(count(lit(1)).cast("int").as("n_terms"),
+           round(sum(col("wgt")), 4).as("score"))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= topN)
+      .select(col("qid"), col("nid"), col("n_terms"), col("score"), col("rnk"))
+  }
+
   /** PII-style regex redaction: apply `(pattern → replacement)` rules
     * in order to `srcCol`, emitting `<srcCol>_redacted` plus
     * `n_redacted` (total matches masked across all rules). Patterns

@@ -549,6 +549,65 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
   }
 
+  test("SimOps.ivfTopKFiltered: filter-before-rank over a full-corpus index") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.io.Tables.embeddings(spark, TestSpark.Sf0001)
+    val q = e.filter($"vec_id" < 5)
+    val got = SimOps.ivfTopKFiltered(q, e, "vec_id", "embedding",
+      col("label") % 2 === 0, 5).collect()
+    // every neighbor satisfies the predicate...
+    val evenIds = e.filter($"label" % 2 === 0)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(got.forall(r => evenIds.contains(r.getAs[Long]("nid"))))
+    // ...and each query still gets a FULL k (filter-before-rank): a
+    // post-filtered unfiltered top-5 would keep only its even-label
+    // subset, which for this fixture is strictly smaller somewhere
+    val perQ = got.groupBy(_.getAs[Long]("qid")).view.mapValues(_.length)
+    assert(perQ.values.forall(_ == 5), s"short result: ${perQ.toMap}")
+    val plain = SimOps.ivfTopK(q, e, "vec_id", "embedding", 5)
+      .collect().filter(r => evenIds.contains(r.getAs[Long]("nid")))
+    assert(plain.groupBy(_.getAs[Long]("qid")).exists(_._2.length < 5),
+      "fixture too easy: post-filtering lost nothing, test proves nothing")
+  }
+
+  test("TextOps.bm25PerQuery: query-by-document ranking properties") {
+    val corpus = Seq(
+      (10L, "apple banana apple"),
+      (11L, "apple cherry"),
+      (12L, "banana banana durian"),
+      (13L, "elderberry fig")).toDF("doc_id", "text")
+    val queries = Seq((10L, "apple banana apple")).toDF("doc_id", "text")
+    val got = TextOps.bm25PerQuery(queries, corpus, topN = 10)
+      .orderBy("rnk").collect()
+    // the query doc itself is excluded; zero-overlap docs never appear
+    assert(!got.exists(_.getAs[Long]("nid") == 10L))
+    assert(!got.exists(_.getAs[Long]("nid") == 13L))
+    // ranks are dense from 1 and ordered by score desc
+    assert(got.map(_.getAs[Int]("rnk")).toSeq == (1 to got.length))
+    val scores = got.map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // both remaining docs match on one query term each
+    assert(got.map(_.getAs[Long]("nid")).toSet == Set(11L, 12L))
+  }
+
+  test("SimOps.rrfFuse: exact reciprocal-rank fusion of two lists") {
+    val lex = Seq((1L, 100L, 1), (1L, 101L, 2)).toDF("qid", "nid", "rnk")
+    val vec = Seq((1L, 101L, 1), (1L, 102L, 2)).toDF("qid", "nid", "rnk")
+    val got = SimOps.rrfFuse(lex, vec, k = 3).orderBy("rnk").collect()
+    // 101 appears in both lists (1/62 + 1/61) and must win
+    assert(got.map(_.getAs[Long]("nid")).toSeq == Seq(101L, 100L, 102L))
+    val r101 = got(0)
+    assert(r101.getAs[Int]("rnk_lex") == 2 && r101.getAs[Int]("rnk_vec") == 1)
+    assert(math.abs(r101.getAs[Double]("rrf") -
+      BigDecimal(1.0 / 62 + 1.0 / 61).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    // one-sided docs carry a null rank from the missing side
+    assert(got(1).isNullAt(got(1).fieldIndex("rnk_vec")))
+    assert(got(2).isNullAt(got(2).fieldIndex("rnk_lex")))
+    // 100 (lex rank 1: 1/61) beats 102 (vec rank 2: 1/62)
+    assert(got(1).getAs[Double]("rrf") > got(2).getAs[Double]("rrf"))
+  }
+
   test("SimOps.recallAtK scores approx hits over the exact denominator") {
     val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
       .toDF("qid", "nid")
