@@ -509,9 +509,11 @@ object SimOps {
     * most two addends — no fold-order exposure. Ties (mirrored rank
     * pairs like (1,3) vs (3,1)) break on nid.
     *
-    * Scale shape: both inputs are |queries|×N rows, so the fusion
-    * join broadcasts and the per-qid rank window is query-sized —
-    * the corpus-scale work happened upstream in the retrievers.
+    * Scale shape: both inputs are |queries|×N rows — microscopic next
+    * to the corpus the retrievers scanned — so the fusion join (an
+    * SMJ: Spark cannot broadcast a full-outer equi-join) and the
+    * per-qid rank window only ever touch query-sized data. The
+    * corpus-scale work happened upstream in the retrievers.
     */
   def rrfFuse(lexical: DataFrame, dense: DataFrame, k: Int,
               c: Int = 60): DataFrame = {

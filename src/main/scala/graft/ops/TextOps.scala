@@ -464,11 +464,16 @@ object TextOps {
     val qTerms = queries
       .select(col(idCol).as("qid"), explode(array_distinct(toks)).as("term"))
     // corpus inverted index restricted to query terms (semi-join keeps
-    // the index build corpus-sized but its OUTPUT query-vocab-sized)
+    // the index build corpus-sized but its OUTPUT query-vocab-sized).
+    // The tokenization is hoisted into its own projection so the size()
+    // and the generator share ONE split per row (the dedup_spans
+    // lesson: twice-referenced non-cheap exprs survive CollapseProject
+    // only when materialized as a named column first).
     val cTf = corpus
       .where(col(textCol).isNotNull)
-      .select(col(idCol).as("nid"), size(toks).cast("double").as("dl"),
-        explode(toks).as("term"))
+      .select(col(idCol).as("nid"), toks.as("__ws"))
+      .select(col("nid"), size(col("__ws")).cast("double").as("dl"),
+        explode(col("__ws")).as("term"))
       .join(broadcast(qTerms.select(col("term")).distinct()), Seq("term"), "left_semi")
       .groupBy(col("nid"), col("term"))
       .agg(first(col("dl")).as("dl"), count(lit(1)).cast("double").as("tf"))
