@@ -2008,6 +2008,125 @@ object Queries {
       LEFT JOIN top p USING (vec_id)
       ORDER BY e.vec_id"""))
 
+  /** decon_span_removal — decon_ngram_overlap FLAGS, this one
+    * REWRITES (DeconOps.spanRemoval): tokens covered by any train
+    * 3-gram window found verbatim in the benchmark (src0) are
+    * dropped and the survivors rejoin in order — the surgical
+    * alternative to discarding whole contaminated docs. The rebuild
+    * is a row-local indexed lambda filter against each doc's (tiny)
+    * removed-position set; the oracle replays windows, hits, covered
+    * positions, and the comprehension-based rebuild byte-for-byte.
+    */
+  private val dc4 = Q(
+    "decon_span_removal",
+    (s, d) => {
+      import s.implicits._
+      val corpus = docs(s, d)
+      DeconOps.spanRemoval(
+          corpus.filter($"source" =!= "src0"),
+          corpus.filter($"source" === "src0"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH tr AS (
+        SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+        WHERE source <> 'src0'),
+      bg AS (
+        SELECT DISTINCT unnest(list_transform(range(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+        FROM (SELECT string_split(text, ' ') AS w FROM documents
+              WHERE source = 'src0') b
+        WHERE len(w) >= 3),
+      wins AS (
+        SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+        FROM tr WHERE len(w) >= 3),
+      hits AS (
+        -- DuckDB window index i is 1-based (tokens i..i+2); the
+        -- engine's positions are 0-based starts, so covered 0-based
+        -- token positions are i-1 .. i+1
+        SELECT DISTINCT wins.doc_id, unnest([i - 1, i, i + 1]) AS p
+        FROM wins JOIN bg ON (w[i] || ' ' || w[i+1] || ' ' || w[i+2]) = bg.gram),
+      rm AS (
+        SELECT doc_id, count(*) AS nrm, list(p) AS ps
+        FROM hits GROUP BY doc_id)
+      SELECT t.doc_id,
+             CAST(coalesce(len(w), 0) AS INTEGER) AS n_tokens,
+             CAST(coalesce(rm.nrm, 0) AS INTEGER) AS n_removed,
+             CASE WHEN t.text IS NULL THEN NULL
+                  -- coalesce: array_to_string([]) is NULL in DuckDB,
+                  -- but a FULLY-scrubbed doc is an empty string (the
+                  -- engine's concat_ws semantics); NULL stays reserved
+                  -- for NULL input
+                  ELSE coalesce(array_to_string(
+                    [w[j + 1] for j in range(0, coalesce(len(w), 0))
+                     if ps IS NULL OR NOT list_contains(ps, j)], ' '), '')
+             END AS clean_text
+      FROM tr t LEFT JOIN rm ON t.doc_id = rm.doc_id
+      ORDER BY t.doc_id"""))
+
+  /** dedup_source_overlap — the cross-source near-dup overlap matrix
+    * (DedupOps.crossSourceOverlap): verified mirror-family pairs at
+    * jaccard >= 0.8 rolled up per unordered source pair — "how much
+    * does source A duplicate source B", the report that decides which
+    * ingest feeds are redundant. Rides the d02m-graded LSH pipeline
+    * (capped buckets, raw band tuples), so the oracle reuses that
+    * replay verbatim and adds only the source joins and the
+    * least/greatest pair fold. avg() rounds to 4 (the q05 stats
+    * convention).
+    */
+  private val d14 = Q(
+    "dedup_source_overlap",
+    (s, d) => DedupOps.crossSourceOverlap(docs(s, d), "text", "doc_id", "source")
+      .orderBy(col("src_a"), col("src_b")),
+    Some("""
+      WITH sets AS (
+        SELECT doc_id,
+               CASE WHEN len(w) >= 3
+                    THEN list_distinct(list_transform(range(1, len(w) - 1),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                    ELSE [text] END AS sh
+        FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents) b),
+      bases AS (
+        SELECT doc_id, CAST(md5_number_lower(s) % 2147483648 AS BIGINT) AS x
+        FROM (SELECT doc_id, unnest(sh) AS s FROM sets) p
+        WHERE s IS NOT NULL),
+      sig AS (
+        SELECT doc_id, t.i AS i,
+               min(((1 + (2654435761 * (t.i + 1)) % 2147483646) * x
+                    + (1013904223 * (t.i + 1)) % 2147483647) % 2147483647) AS v
+        FROM bases, range(32) t(i) GROUP BY 1, 2),
+      bands AS (
+        SELECT doc_id, i // 4 AS band_idx, list(v ORDER BY i) AS band_key
+        FROM sig GROUP BY doc_id, i // 4),
+      ok AS (
+        SELECT band_idx, band_key FROM bands
+        GROUP BY 1, 2 HAVING count(*) <= 256),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a, bands b, ok
+        WHERE a.band_idx = ok.band_idx AND a.band_key = ok.band_key
+          AND b.band_idx = ok.band_idx AND b.band_key = ok.band_key
+          AND a.doc_id < b.doc_id),
+      jac AS (
+        SELECT c.id_a, c.id_b,
+               CASE WHEN len(list_distinct(sa.sh || sb.sh)) > 0
+                    THEN len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                         / len(list_distinct(sa.sh || sb.sh))
+                    ELSE 0.0 END AS jaccard
+        FROM cand c
+        JOIN sets sa ON sa.doc_id = c.id_a
+        JOIN sets sb ON sb.doc_id = c.id_b)
+      SELECT least(da.source, db.source) AS src_a,
+             greatest(da.source, db.source) AS src_b,
+             count(*) AS n_pairs,
+             round(avg(jaccard), 4) AS avg_jaccard
+      FROM jac
+      JOIN documents da ON da.doc_id = jac.id_a
+      JOIN documents db ON db.doc_id = jac.id_b
+      WHERE jaccard >= 0.8
+      GROUP BY 1, 2
+      ORDER BY src_a, src_b"""))
+
   // ---------------------------------------------------------------- text
 
   private val t01 = Q(
@@ -4978,7 +5097,7 @@ object Queries {
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q57b, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84,
-    d01, d02, d02m, d02i, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, pk1, dc1, dc2, dc3, vd1,
+    d01, d02, d02m, d02i, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, pk1, dc1, dc2, dc3, dc4, vd1,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, a01, a02, a03, a04, a05, a06, a07, a08, cr1, m01, m02, m03, mr1,
     p01, st01, st02, st03, st04, st05, st06)
 

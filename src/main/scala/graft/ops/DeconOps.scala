@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Benchmark decontamination (SURVEY.md §2.11 — training-data
@@ -123,6 +123,60 @@ object DeconOps {
       .agg(max(col("n_grams")).as("n_grams"),
         count(col("__bm")).cast("int").as("n_shared"))
       .withColumn("contaminated", col("n_shared") >= 1)
+  }
+
+  /** Span-level decontamination REMOVAL — [[decontaminate]] flags; this
+    * REWRITES: every token covered by at least one train-doc `n`-gram
+    * window that appears verbatim in the benchmark is dropped, and the
+    * survivors rejoin in order (the GPT-3/FLAN-style surgical
+    * alternative to discarding whole documents — at corpus scale,
+    * whole-doc removal over-deletes: one leaked question in a long doc
+    * costs the entire doc).
+    *
+    * Output: (idCol, n_tokens, n_removed, clean_text), one row per
+    * train doc — clean docs pass through verbatim (n_removed = 0),
+    * NULL-text docs keep a NULL clean_text.
+    *
+    * Scale shape: the benchmark gram set broadcasts (small by
+    * contract — the [[decontaminate]] argument); the corpus pays one
+    * windowed explode whose HIT subset (contamination-sized, rare by
+    * definition) expands to covered positions and groups per doc; the
+    * rebuild is a row-local lambda filter over the doc's own tokens
+    * against its (tiny) removed-position set. No corpus window, no
+    * corpus self-join; clean docs flow through a left join with a
+    * NULL set.
+    */
+  def spanRemoval(train: DataFrame, benchmark: DataFrame,
+                  textCol: String = "text", idCol: String = "doc_id",
+                  n: Int = 3): DataFrame = {
+    import graft.functions.TextFunctions.word_ngrams
+    val bmGrams = benchmark
+      .select(explode(word_ngrams(col(textCol), n)).as("gram"))
+      .distinct()
+    // 0-based window starts whose gram hits the benchmark, expanded to
+    // the n covered token positions (distinct: overlapping hit windows
+    // cover a position once)
+    val hits = train
+      .select(col(idCol), posexplode(word_ngrams(col(textCol), n)))
+      .withColumnRenamed("col", "gram")
+      .join(broadcast(bmGrams), "gram")
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"))
+      .distinct()
+    val removed = hits.groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("p"))).as("__rm"))
+    train.select(col(idCol), col(textCol))
+      .join(removed, Seq(idCol), "left")
+      // hoisted: one split serves size() and the rebuild lambda
+      .withColumn("__ws", split(col(textCol), " "))
+      .select(col(idCol),
+        coalesce(size(col("__ws")), lit(0)).cast("int").as("n_tokens"),
+        coalesce(size(col("__rm")), lit(0)).cast("int").as("n_removed"),
+        when(col(textCol).isNull, lit(null).cast("string"))
+          .otherwise(concat_ws(" ", filter(col("__ws"),
+            (t: Column, i: Column) => not(array_contains(
+              coalesce(col("__rm"), array().cast("array<int>")), i)))))
+          .as("clean_text"))
   }
 
   /** Embedding-space (semantic) decontamination — the third member of

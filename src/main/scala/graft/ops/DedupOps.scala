@@ -124,10 +124,15 @@ object DedupOps {
     * string sets — the array ops are type-generic), aggregate per
     * doc, and keep all docs total via a left join.
     */
-  private def nearDupReport(df: DataFrame, cands: DataFrame,
-                            sets: DataFrame, idCol: String,
-                            threshold: Double): DataFrame = {
-    val verified = cands
+  /** Exact-Jaccard verification of a candidate pair set against
+    * per-doc shingle sets: (id_a, id_b, jaccard). Shared by the
+    * per-doc report and the pair-level consumers (source-overlap
+    * matrix). The join is candidates×(sets keyed by id) — equi-joins
+    * on the id, pair-volume-sized, never corpus×corpus.
+    */
+  private def verifiedPairs(cands: DataFrame, sets: DataFrame,
+                            idCol: String): DataFrame =
+    cands
       .join(sets.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
       // ANSI mode: guard the 0/0 case (two unshingleable docs)
@@ -136,6 +141,12 @@ object DedupOps {
           size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
         .otherwise(lit(0.0)))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+
+  private def nearDupReport(df: DataFrame, cands: DataFrame,
+                            sets: DataFrame, idCol: String,
+                            threshold: Double): DataFrame = {
+    val verified = verifiedPairs(cands, sets, idCol)
     val perDoc = verified.select(col("id_a").as(idCol), col("jaccard"))
       .unionByName(verified.select(col("id_b").as(idCol), col("jaccard")))
       .groupBy(idCol)
@@ -180,6 +191,45 @@ object DedupOps {
     val cands = minhashCandidates(bands, idCol, maxBucket)
     nearDupReport(df, cands, shingleStringSets(df, textCol, idCol, shingleN),
       idCol, threshold)
+  }
+
+  /** Cross-source near-dup overlap matrix — the curation report that
+    * tells you HOW MUCH two ingest sources duplicate each other
+    * (Common Crawl vs C4, a vendor dump vs the open web): verified
+    * near-dup pairs (mirror family, capped LSH — the 100 TB-honest
+    * path) rolled up per unordered source pair with the pair count
+    * and mean verified Jaccard. Sources order by `least/greatest` so
+    * (A,B) and (B,A) land in one cell.
+    *
+    * Scale shape: everything corpus-sized is the LSH pipeline the
+    * graded mirror query already runs; this adds two id-keyed joins
+    * to a sources-projection of the corpus (AQE broadcasts the pair
+    * side when overlap is sparse — the common case) and a
+    * sources²-bounded aggregate. avg() is the one non-exact reduce:
+    * rounded to 4, the established stats-parity convention (q05).
+    */
+  def crossSourceOverlap(df: DataFrame, textCol: String, idCol: String,
+                         srcCol: String, shingleN: Int = 3,
+                         threshold: Double = 0.8,
+                         maxBucket: Int = 256): DataFrame = {
+    val sig = df.select(col(idCol),
+      graft.functions.TextFunctions.minhash_sig_md5(
+        col(textCol), shingleN, NumHashes).as("minhash_sig"))
+    val bands = minhashBands(sig, idCol, cols => array(cols: _*))
+    val cands = minhashCandidates(bands, idCol, maxBucket)
+    val pairs = verifiedPairs(cands,
+        shingleStringSets(df, textCol, idCol, shingleN), idCol)
+      // threshold on the UNROUNDED jaccard (the nearDupReport rule)
+      .filter(col("jaccard") >= threshold)
+    val srcs = df.select(col(idCol), col(srcCol))
+    pairs
+      .join(srcs.select(col(idCol).as("id_a"), col(srcCol).as("__sa")), "id_a")
+      .join(srcs.select(col(idCol).as("id_b"), col(srcCol).as("__sb")), "id_b")
+      .select(least(col("__sa"), col("__sb")).as("src_a"),
+        greatest(col("__sa"), col("__sb")).as("src_b"), col("jaccard"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+           round(avg(col("jaccard")), 4).as("avg_jaccard"))
   }
 
   /** Distinct n-word shingle STRING sets per doc (the d02-oracle

@@ -1691,6 +1691,41 @@ class OpsSpec extends AnyFunSuite {
       (3L, 0, 0, false)))
   }
 
+  test("DeconOps.spanRemoval drops covered tokens, keeps the rest in order") {
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "zz alpha beta gamma yy"),       // one hit window: tokens 1-3 go
+      (2L, "alpha beta gamma delta xx"),    // two overlapping hits: 0-3 go
+      (3L, "alpha gamma beta zz yy"),       // no shared 3-gram: verbatim
+      (4L, "one two"),                      // too short: verbatim
+      (5L, "alpha beta gamma")              // fully covered: empty string
+    ).toDF("doc_id", "text")
+    val got = DeconOps.spanRemoval(train, bench).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 5, 3, "zz yy"),
+      (2L, 5, 4, "xx"),
+      (3L, 5, 0, "alpha gamma beta zz yy"),
+      (4L, 2, 0, "one two"),
+      (5L, 3, 3, "")))
+  }
+
+  test("DedupOps.crossSourceOverlap folds pairs into an unordered source matrix") {
+    val txt = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val df = Seq(
+      (1L, txt, "srcA"), (2L, txt, "srcB"), (3L, txt, "srcA"),
+      (4L, "q1 q2 q3 q4 q5 q6 q7 q8", "srcB")
+    ).toDF("doc_id", "text", "source")
+    val got = DedupOps.crossSourceOverlap(df, "text", "doc_id", "source")
+      .orderBy("src_a", "src_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // identical texts: pairs (1,2) A-B, (1,3) A-A, (2,3) A-B, all j=1.0;
+    // doc 4 shares nothing and must not appear
+    assert(got.toSeq == Seq(
+      ("srcA", "srcA", 1L, 1.0),
+      ("srcA", "srcB", 2L, 1.0)))
+  }
+
   test("DeconOps.bloomDecontaminate matches the exact path") {
     val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val train = Seq(

@@ -24,6 +24,7 @@ class PlanAuditSpec extends AnyFunSuite {
     val pinned = Set(
       "ann_recall_report",
       "decon_bloom", "decon_ngram_overlap", "decon_semantic",
+      "decon_span_removal",
       "dedup_keep_best",
       "dedup_minhash", "dedup_minhash_incremental", "dedup_minhash_mirror",
       "dedup_semantic", "dedup_semantic_incremental",
