@@ -143,6 +143,102 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("spanRemoval equals a brute-force reference on random corpora") {
+    // reference: benchmark 3-window string set; per train doc, union
+    // of [p, p+2] over hit windows; drop those 0-based positions —
+    // the operator's contract with none of its machinery
+    val n = 3
+    def windows(t: String): Seq[(Int, String)] = {
+      val ws = t.split(" ", -1)
+      if (ws.length < n) Seq.empty
+      else (0 to ws.length - n).map(p => (p, ws.slice(p, p + n).mkString(" ")))
+    }
+    def reference(train: Seq[(Long, String)], bench: Seq[String])
+        : Map[Long, (Int, Int, String)] = {
+      val bm = bench.flatMap(windows).map(_._2).toSet
+      train.map { case (id, t) =>
+        val ws = t.split(" ", -1)
+        val covered = windows(t).filter(w => bm.contains(w._2))
+          .flatMap(w => w._1 until w._1 + n).toSet
+        val clean = ws.zipWithIndex.collect {
+          case (w, i) if !covered.contains(i) => w }.mkString(" ")
+        id -> ((ws.length, covered.size, clean))
+      }.toMap
+    }
+    val docGen = Gen.chooseNum(1, 12).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf("a", "b", "c")).map(_.mkString(" ")))
+    val caseGen = Gen.zip(Gen.listOfN(6, docGen), Gen.listOfN(2, docGen))
+    samples(caseGen, 10).foreach { case (trainTxt, benchTxt) =>
+      val train = trainTxt.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val exp = reference(train, benchTxt)
+      val got = DeconOps.spanRemoval(
+          train.toDF("doc_id", "text"),
+          benchTxt.zipWithIndex.map { case (t, i) => (100L + i, t) }
+            .toDF("doc_id", "text"))
+        .collect()
+      assert(got.length == train.size)
+      got.foreach { r =>
+        val id = r.getLong(0)
+        val (eTok, eRm, eClean) = exp(id)
+        assert(r.getInt(1) == eTok, s"doc $id n_tokens: $train vs $benchTxt")
+        assert(r.getInt(2) == eRm, s"doc $id n_removed: $train vs $benchTxt")
+        assert(r.getString(3) == eClean, s"doc $id clean: $train vs $benchTxt")
+      }
+    }
+  }
+
+  test("bm25PerQuery equals a brute-force reference on random corpora") {
+    val (k1, b) = (1.2, 0.75)
+    def reference(queries: Seq[(Long, String)], corpus: Seq[(Long, String)])
+        : Map[(Long, Long), (Int, Double)] = {
+      val toks = corpus.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+      val nDocs = corpus.size.toLong
+      val avgdl = corpus.map(c => toks(c._1).length).sum.toDouble / nDocs
+      val dfOf = toks.values.flatMap(_.distinct).groupBy(identity)
+        .view.mapValues(_.size.toDouble).toMap
+      (for {
+        (qid, qt) <- queries
+        qTerms = qt.split(" ", -1).distinct.toSet
+        (nid, ws) <- toks if nid != qid
+        shared = qTerms.intersect(ws.toSet) if shared.nonEmpty
+      } yield {
+        val dl = ws.length.toDouble
+        val score = shared.toSeq.sorted.map { t =>
+          val tf = ws.count(_ == t).toDouble
+          val idf = math.log(1.0 + (nDocs - dfOf(t) + 0.5) / (dfOf(t) + 0.5))
+          idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        }.sum
+        (qid, nid) -> ((shared.size, score))
+      }).toMap
+    }
+    val docGen = Gen.chooseNum(1, 10).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))
+    samples(Gen.listOfN(6, docGen), 10).foreach { txts =>
+      val corpus = txts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val queries = corpus.take(2)
+      val exp = reference(queries, corpus)
+      val got = TextOps.bm25PerQuery(
+          queries.toDF("doc_id", "text"), corpus.toDF("doc_id", "text"),
+          topN = 50)
+        .collect()
+      assert(got.length == exp.size, s"pair count: $corpus")
+      got.foreach { r =>
+        val key = (r.getLong(0), r.getLong(1))
+        val (eN, eScore) = exp(key)
+        assert(r.getInt(2) == eN, s"pair $key n_terms: $corpus")
+        assert(math.abs(r.getDouble(3) - BigDecimal(eScore)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1.5e-4,
+          s"pair $key score ${r.getDouble(3)} vs $eScore: $corpus")
+      }
+      // ranks are dense per query over (rounded score desc, nid asc)
+      got.groupBy(_.getLong(0)).values.foreach { rows =>
+        val sorted = rows.sortBy(r => (-r.getDouble(3), r.getLong(1)))
+        assert(sorted.map(_.getInt(4)).toSeq == (1 to rows.size),
+          s"rank order: $corpus")
+      }
+    }
+  }
+
   test("groupedBudgetSample equals the naive per-group running-sum reference") {
     // groups with NULLs, integer-valued scores (forcing ties through
     // the (score DESC, id ASC) tiebreak), NULL scores, small budgets
