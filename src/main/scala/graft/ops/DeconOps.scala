@@ -162,7 +162,8 @@ object DeconOps {
       .join(broadcast(bmGrams), "gram")
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"))
-      .distinct()
+    // collect_set dedups overlapping windows' shared positions — no
+    // separate distinct() shuffle ahead of the per-doc aggregate
     val removed = hits.groupBy(col(idCol))
       .agg(sort_array(collect_set(col("p"))).as("__rm"))
     train.select(col(idCol), col(textCol))
