@@ -3075,6 +3075,78 @@ object Queries {
           FROM lex l FULL OUTER JOIN vec v ON l.qid = v.qid AND l.nid = v.nid) f) g
       WHERE rnk <= 5 ORDER BY qid, rnk"""))
 
+  /** Unrolled greedy-MMR oracle: pool (brute-force top-poolN, sims
+    * rounded to 4), pairwise in-pool csims (rounded to 4), then one
+    * CTE pair (sel_t, acc_t) per greedy step — sel_1 is the
+    * pure-relevance argmax, each later step maximizes
+    * `λ·sim − (1 − λ)·max csim vs acc` with the (1 − λ) constant
+    * computed BY the engine (both sides evaluate 1 − λ in IEEE double,
+    * so the constants agree bit-for-bit). The mmrTopK replay.
+    */
+  private def mmrOracleSql(k: Int, poolN: Int, lambda: Double): String = {
+    val steps = (2 to k).map { t =>
+      s"""sel$t AS (
+        SELECT qid, nid, $t AS step, sim FROM (
+          SELECT p.qid, p.nid, p.sim,
+                 row_number() OVER (PARTITION BY p.qid
+                   ORDER BY $lambda * p.sim - (1 - $lambda) * m.msim DESC, p.nid) AS r
+          FROM pool p
+          JOIN (SELECT ps.qid, ps.nid_a AS nid, max(ps.csim) AS msim
+                FROM ps JOIN acc${t - 1} s ON ps.qid = s.qid AND ps.nid_b = s.nid
+                GROUP BY 1, 2) m ON m.qid = p.qid AND m.nid = p.nid
+          WHERE NOT EXISTS (SELECT 1 FROM acc${t - 1} s
+                            WHERE s.qid = p.qid AND s.nid = p.nid)) t
+        WHERE r = 1),
+      acc$t AS (SELECT * FROM acc${t - 1} UNION ALL SELECT * FROM sel$t)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH pool AS (
+        SELECT qid, nid, sim FROM (
+          SELECT q.vec_id AS qid, c.vec_id AS nid,
+                 round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS sim,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                            c.vec_id) AS rnk
+          FROM embeddings q CROSS JOIN embeddings c
+          WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id) t
+        WHERE rnk <= $poolN),
+      ps AS (
+        SELECT a.qid, a.nid AS nid_a, b.nid AS nid_b,
+               round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) AS csim
+        FROM pool a JOIN pool b ON a.qid = b.qid AND a.nid <> b.nid
+        JOIN embeddings ea ON ea.vec_id = a.nid
+        JOIN embeddings eb ON eb.vec_id = b.nid),
+      sel1 AS (
+        SELECT qid, nid, 1 AS step, sim FROM (
+          SELECT qid, nid, sim,
+                 row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS r
+          FROM pool) t WHERE r = 1),
+      acc1 AS (SELECT * FROM sel1),
+      $steps
+      SELECT qid, nid, CAST(step AS INTEGER) AS step, sim
+      FROM acc$k ORDER BY qid, step"""
+  }
+
+  /** ann_mmr_topk — Maximal-Marginal-Relevance diversification
+    * (SimOps.mmrTopK): greedy top-5 from a brute-force top-10 pool at
+    * λ = 0.7, every step graded — relevance minus max-redundancy over
+    * the already-selected set, the standard post-retrieval
+    * diversification pass. All sims round to 4 before selection on
+    * BOTH sides, so the greedy argmax sequence replays exactly; the
+    * per-step machinery (anti-join, per-query max, argmax window) is
+    * query-partitioned — re-ranking a million queries distributes.
+    */
+  private val a09 = Q(
+    "ann_mmr_topk",
+    (s, d) => {
+      import s.implicits._
+      val e = emb(s, d)
+      SimOps.mmrTopK(e.filter($"vec_id" < 3), e, "vec_id", "embedding",
+          k = 5, poolN = 10, lambda = 0.7)
+        .orderBy($"qid", $"step")
+    },
+    Some(mmrOracleSql(k = 5, poolN = 10, lambda = 0.7)))
+
   /** corpus_report — the data card: per source×lang token/char/doc
     * counts with rollup subtotals and each row's share of corpus
     * tokens — the summary table every released training corpus ships.
@@ -5098,7 +5170,7 @@ object Queries {
     q52, q53, q54, q55, q56, q57, q57b, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84,
     d01, d02, d02m, d02i, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, pk1, dc1, dc2, dc3, dc4, vd1,
-    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, a01, a02, a03, a04, a05, a06, a07, a08, cr1, m01, m02, m03, mr1,
+    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, a01, a02, a03, a04, a05, a06, a07, a08, a09, cr1, m01, m02, m03, mr1,
     p01, st01, st02, st03, st04, st05, st06)
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

@@ -590,6 +590,43 @@ class OpsSpec extends AnyFunSuite {
     assert(got.map(_.getAs[Long]("nid")).toSet == Set(11L, 12L))
   }
 
+  test("SimOps.mmrTopK: greedy diversification prefers diverse over redundant") {
+    // query 0 = (1,0); 1 and 2 are IDENTICAL vectors at +26° (sim 0.9,
+    // mutual csim 1.0), 3 mirrors at -26° (sim 0.9, csim(3,1) ≈ 0.62).
+    // Step 1 takes nid 1 (sim tie, nid order). At lambda 0.5 step 2
+    // must take the DIVERSE 3 (0.45 - 0.31) over the duplicate 2
+    // (0.45 - 0.50) — a pure-relevance top-2 would take 2.
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.4358899f)),
+      (2L, Array(0.9f, 0.4358899f)),
+      (3L, Array(0.9f, -0.4358899f))).toDF("vec_id", "embedding")
+    val got = SimOps.mmrTopK(df.filter($"vec_id" === 0L), df,
+        "vec_id", "embedding", k = 3, poolN = 3, lambda = 0.5)
+      .orderBy("step").collect()
+    assert(got.map(r => (r.getAs[Int]("step"), r.getAs[Long]("nid"))).toSeq ==
+      Seq((1, 1L), (2, 3L), (3, 2L)))
+    // steps carry the ORIGINAL query sims, monotone rank-1 first
+    assert(got(0).getAs[Double]("sim") >= got(2).getAs[Double]("sim"))
+    // the greedy is row-local array math over ONE grouped frame: the
+    // plan must stay linear in k — base relations appear a constant
+    // number of times, not once per step (the join-based unroll this
+    // replaced scanned the pool subplan 485 times at k = 5)
+    def nScans(k: Int) = "LocalTableScan".r.findAllIn(
+      SimOps.mmrTopK(df.filter($"vec_id" === 0L), df,
+          "vec_id", "embedding", k = k, poolN = 3, lambda = 0.5)
+        .queryExecution.executedPlan.toString).size
+    val (s2, s3) = (nScans(2), nScans(3))
+    assert(s2 == s3 && s3 <= 10,
+      s"base-relation scan count must be constant in k, got k=2:$s2 k=3:$s3")
+    // partition-invariant (the determinism contract)
+    val again = SimOps.mmrTopK(df.repartition(5).filter($"vec_id" === 0L),
+        df.repartition(3), "vec_id", "embedding", k = 3, poolN = 3,
+        lambda = 0.5)
+      .orderBy("step").collect()
+    assert(again.map(_.toSeq).toSeq == got.map(_.toSeq).toSeq)
+  }
+
   test("SimOps.rrfFuse: exact reciprocal-rank fusion of two lists") {
     val lex = Seq((1L, 100L, 1), (1L, 101L, 2)).toDF("qid", "nid", "rnk")
     val vec = Seq((1L, 101L, 1), (1L, 102L, 2)).toDF("qid", "nid", "rnk")
