@@ -44,6 +44,23 @@ case class MmrSelect(left: Expression, right: Expression,
     StructField("nid", LongType), StructField("step", IntegerType),
     StructField("sim", DoubleType))), containsNull = false)
 
+  // fail at analysis, not mid-job: the eval reads fields by ordinal
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    def fieldTypes(dt: DataType): Option[Seq[DataType]] = dt match {
+      case ArrayType(st: StructType, _) => Some(st.fields.map(_.dataType).toSeq)
+      case _ => None
+    }
+    (fieldTypes(left.dataType), fieldTypes(right.dataType)) match {
+      case (Some(Seq(LongType, DoubleType)),
+            Some(Seq(LongType, LongType, DoubleType))) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"mmr_select expects array<struct<long,double>> candidates and " +
+        s"array<struct<long,long,double>> pairs, got ${left.dataType} / ${right.dataType}")
+    }
+  }
+
   // a null pairs side (single-candidate pool: the pair join found
   // nothing) must still evaluate — override the null-propagating eval
   override def eval(input: InternalRow): Any = {
