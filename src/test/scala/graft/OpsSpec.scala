@@ -1763,6 +1763,31 @@ class OpsSpec extends AnyFunSuite {
       ("srcA", "srcB", 2L, 1.0)))
   }
 
+  test("new-op plan shapes: no corpus window, no cartesian, broadcast sides") {
+    val docs = graft.io.Tables.documents(spark, TestSpark.Sf0001)
+    // spanRemoval: benchmark grams broadcast; the rebuild is row-local —
+    // no Window operator anywhere, no cartesian product
+    val sr = DeconOps.spanRemoval(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"))
+      .queryExecution.executedPlan.toString
+    assert(!sr.contains("Window"), s"spanRemoval grew a window:\n$sr")
+    assert(!sr.contains("CartesianProduct"), "spanRemoval cartesian")
+    assert(sr.contains("BroadcastHashJoin"), "benchmark grams not broadcast")
+    // bm25PerQuery: df/query-term joins broadcast; the only nested-loop
+    // join is the 1-row stats crossJoin
+    val bq = graft.ops.TextOps.bm25PerQuery(
+        docs.filter(col("doc_id") < 3), docs, topN = 10)
+      .queryExecution.executedPlan.toString
+    assert(!bq.contains("CartesianProduct"), "bm25PerQuery cartesian")
+    assert("BroadcastHashJoin".r.findAllIn(bq).size >= 2,
+      s"bm25PerQuery term/df joins not broadcast:\n$bq")
+    // crossSourceOverlap: keyed equi-joins only
+    val cs = DedupOps.crossSourceOverlap(docs, "text", "doc_id", "source")
+      .queryExecution.executedPlan.toString
+    assert(!cs.contains("CartesianProduct"), "crossSourceOverlap cartesian")
+  }
+
   test("DeconOps.bloomDecontaminate matches the exact path") {
     val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val train = Seq(
