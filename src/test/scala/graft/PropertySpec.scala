@@ -239,6 +239,64 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("mmrTopK equals a brute-force greedy reference on random vectors") {
+    // reference: exact cosine pool of size poolN (rounded 4, rank on
+    // unrounded, ties by nid), then greedy λ·sim − (1−λ)·max-csim
+    // (rounded 4) with (mmr desc, nid asc) argmax — the operator's
+    // contract, computed with plain Scala collections
+    val (k, poolN, lam) = (4, 6, 0.7)
+    def round4(x: Double) =
+      math.copySign(math.floor(math.abs(x) * 1e4 + 0.5) / 1e4, x)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+             math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    def reference(vs: Seq[(Long, Seq[Float])], qids: Seq[Long])
+        : Seq[(Long, Long, Int, Double)] = {
+      val m = vs.toMap
+      qids.flatMap { q =>
+        val pool = vs.filter(_._1 != q)
+          .map { case (id, v) => (id, cos(m(q), v)) }
+          .sortBy { case (id, s) => (-s, id) }.take(poolN)
+          .map { case (id, s) => (id, round4(s)) }
+        val sel = scala.collection.mutable.ArrayBuffer[(Long, Int, Double)]()
+        while (sel.length < k && sel.length < pool.length) {
+          val cands = pool.filterNot(c => sel.exists(_._1 == c._1))
+          val scored = cands.map { case (id, s) =>
+            val pen = if (sel.isEmpty) 0.0
+              else sel.map(x => round4(cos(m(id), m(x._1)))).max
+            (id, s, lam * s - (1 - lam) * pen)
+          }
+          val best = scored.minBy { case (id, _, mmr) => (-mmr, id) }
+          sel += ((best._1, sel.length + 1, best._2))
+        }
+        sel.map { case (id, st, s) => (q, id, st, s) }
+      }
+    }
+    val vecGen = Gen.listOfN(4, Gen.chooseNum(-4, 4).map(_.toFloat))
+    val setGen = Gen.listOfN(9, vecGen)
+      // zero vectors make cosine 0/0 — the op's NULL path, excluded here
+      .suchThat(_.forall(v => v.exists(_ != 0f)))
+      .map(_.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) })
+    samples(setGen, 8).foreach { vs =>
+      val qids = Seq(0L, 1L)
+      val exp = reference(vs, qids)
+      val df = vs.map { case (id, v) => (id, v.toArray) }
+        .toDF("vec_id", "embedding")
+      val got = SimOps.mmrTopK(df.filter($"vec_id" < 2), df,
+          "vec_id", "embedding", k = k, poolN = poolN, lambda = lam)
+        .orderBy("qid", "step").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      assert(got.length == exp.length, s"row count: $vs")
+      got.zip(exp).foreach { case (g, e) =>
+        assert(g._1 == e._1 && g._2 == e._2 && g._3 == e._3,
+          s"pick sequence: got ${g} want ${e} on $vs")
+        assert(math.abs(g._4 - e._4) < 1e-9, s"sim: $g vs $e on $vs")
+      }
+    }
+  }
+
   test("groupedBudgetSample equals the naive per-group running-sum reference") {
     // groups with NULLs, integer-valued scores (forcing ties through
     // the (score DESC, id ASC) tiebreak), NULL scores, small budgets
