@@ -348,6 +348,39 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("crossSourceOverlap equals the exact-duplicate matrix on random corpora") {
+    // generator restricted to EXACT copies of base texts: identical
+    // docs always band-collide (equal signatures) and verify at
+    // jaccard 1.0; distinct bases share no shingles (distinct word
+    // sets) so they never survive verification — the expected matrix
+    // is pure combinatorics over (text-group × source) assignments
+    val bases = Vector(
+      "alpha beta gamma delta epsilon zeta eta theta",
+      "one two three four five six seven eight",
+      "red green blue cyan magenta yellow black white")
+    val caseGen = Gen.listOfN(10,
+      Gen.zip(Gen.choose(0, 2), Gen.oneOf("srcA", "srcB", "srcC")))
+    samples(caseGen, 8).foreach { assign =>
+      val docs = assign.zipWithIndex.map { case ((b, s), i) =>
+        (i.toLong, bases(b), s) }
+      val exp = docs.combinations(2).toSeq
+        .filter { case Seq(a, b) => a._2 == b._2 }
+        .map { case Seq(a, b) =>
+          if (a._3 <= b._3) (a._3, b._3) else (b._3, a._3) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val got = DedupOps.crossSourceOverlap(
+          docs.toDF("doc_id", "text", "source"), "text", "doc_id", "source")
+        .collect()
+        .map(r => ((r.getString(0), r.getString(1)),
+          (r.getLong(2), r.getDouble(3)))).toMap
+      assert(got.keySet == exp.keySet, s"matrix cells: $assign")
+      got.foreach { case (cell, (n, avg)) =>
+        assert(n == exp(cell), s"cell $cell count: $assign")
+        assert(avg == 1.0, s"cell $cell avg jaccard: $assign")
+      }
+    }
+  }
+
   test("minhash signature similarity approximates exact jaccard on dup docs") {
     // two near-identical docs: signature agreement should be high
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
