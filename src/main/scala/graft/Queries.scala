@@ -1503,6 +1503,60 @@ object Queries {
               < rate * 65536.0
       GROUP BY d.lang ORDER BY d.lang"""))
 
+  /** sample_dsir — DSIR importance resampling (SampleOps.dsirWeights):
+    * every doc scored by the log-likelihood ratio of its hashed
+    * unigram+bigram features under a TARGET domain (lang = 'en' here —
+    * "select docs that look like the English reference") vs the raw
+    * corpus — the published data-selection recipe at pre-training
+    * scale (hashed features make the model B = 256 buckets, a
+    * broadcast, regardless of corpus size). The oracle replays the
+    * md5 feature hash, both smoothed histograms, the ln-ratio table,
+    * and the DECIMAL(28,12)-quantized per-doc sums; keep derives from
+    * the ROUNDED weight on both sides, so the flag is structurally
+    * parity-safe given the hash-graded logw.
+    */
+  private val sm10 = Q(
+    "sample_dsir",
+    (s, d) => {
+      import s.implicits._
+      val ds = docs(s, d)
+      SampleOps.dsirWeights(ds, ds.filter($"lang" === "en"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH w AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+      g AS (
+        SELECT doc_id, lang,
+               unnest(w || list_transform(range(1, len(w)),
+                 i -> w[i] || ' ' || w[i+1])) AS gram
+        FROM w),
+      gb AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5(gram), 1, 6))::BIGINT % 256
+                 AS INTEGER) AS b
+        FROM g),
+      th AS (SELECT b, count(*)::BIGINT AS ct FROM gb
+             WHERE lang = 'en' GROUP BY b),
+      ch AS (SELECT b, count(*)::BIGINT AS cq FROM gb GROUP BY b),
+      tt AS (SELECT CAST(sum(ct) AS BIGINT) AS nt FROM th),
+      tc AS (SELECT CAST(sum(cq) AS BIGINT) AS nq FROM ch),
+      lr AS (
+        SELECT coalesce(th.b, ch.b) AS b,
+               ln((coalesce(ct, 0) + 1.0) / (nt + 256.0))
+             - ln((coalesce(cq, 0) + 1.0) / (nq + 256.0)) AS lr
+        FROM th FULL JOIN ch ON th.b = ch.b CROSS JOIN tt CROSS JOIN tc),
+      dtf AS (
+        SELECT doc_id, b, count(*)::BIGINT AS tf FROM gb GROUP BY doc_id, b)
+      SELECT doc_id,
+             CAST(sum(tf) AS INTEGER) AS n_grams,
+             round(CAST(sum(CAST(tf * lr AS DECIMAL(28,12))) AS DOUBLE), 4)
+               AS logw,
+             round(CAST(sum(CAST(tf * lr AS DECIMAL(28,12))) AS DOUBLE), 4)
+               > 0 AS keep
+      FROM dtf JOIN lr USING (b)
+      GROUP BY doc_id ORDER BY doc_id"""))
+
   /** q77 — key-skew report (LibOps.skewReport): the shuffle-planning
     * diagnostic — top keys by row count with share and skew ratio
     * (count ÷ mean-per-key), computed keys-sized after one partial-
@@ -5169,7 +5223,7 @@ object Queries {
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q57b, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84,
-    d01, d02, d02m, d02i, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, pk1, dc1, dc2, dc3, dc4, vd1,
+    d01, d02, d02m, d02i, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sm10, pk1, dc1, dc2, dc3, dc4, vd1,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, a01, a02, a03, a04, a05, a06, a07, a08, a09, cr1, m01, m02, m03, mr1,
     p01, st01, st02, st03, st04, st05, st06)
 

@@ -402,4 +402,71 @@ object SampleOps {
       .drop("__bucket", "__cum_in", "__offset", "__lo", "__hi",
         "__g_stats", "__g_off", "__b_off")
   }
+
+  /** DSIR-style importance resampling weights (Xie et al. 2023, "Data
+    * Selection via Importance Resampling"): score every corpus doc by
+    * how much more likely its hashed n-gram features are under a small
+    * TARGET domain (e.g. a curated reference corpus) than under the
+    * raw corpus itself — the published recipe for "select web data
+    * that looks like Wikipedia" at pre-training scale.
+    *
+    * Features are word unigrams + bigrams hashed into `buckets` cells
+    * (md5-based, engine-portable — the hashKey convention). Both
+    * feature distributions are estimated as add-`alpha`-smoothed
+    * bucket histograms, and the per-doc weight is the tf-weighted sum
+    * of per-bucket log-likelihood ratios:
+    *
+    *   logw(doc) = Σ_g tf_g · [ ln((ct[b(g)]+α)/(Nt+αB))
+    *                          − ln((cq[b(g)]+α)/(Nq+αB)) ]
+    *
+    * Scale shape: two corpus passes (bucket histogram, per-doc
+    * scoring), each a partial-aggregated shuffle keyed by bucket /
+    * (doc, bucket); the learned model is B rows — a broadcast — so
+    * scoring never shuffles the corpus against the target. The target
+    * side is small by contract (a reference corpus). Oracle parity:
+    * per-doc terms are cast DECIMAL(28,12) before summing (the
+    * bigramNll convention — aggregation order cannot move an ulp;
+    * ln's cross-engine 1-ulp class dies at 1e-12 quantization under
+    * round-4 output).
+    *
+    * Output: one row per corpus doc — (idCol, n_grams, logw,
+    * keep = rounded logw > 0, i.e. "more target-like than raw").
+    * Docs with no grams (NULL text) score 0 and are dropped.
+    */
+  def dsirWeights(corpus: DataFrame, target: DataFrame,
+                  textCol: String = "text", idCol: String = "doc_id",
+                  buckets: Int = 256, alpha: Double = 1.0): DataFrame = {
+    require(buckets > 0, s"dsirWeights: buckets=$buckets")
+    require(alpha > 0, s"dsirWeights: alpha=$alpha")
+    import graft.functions.TextFunctions.word_ngrams
+    def grams(df: DataFrame) = df.select(col(idCol),
+      explode(concat(split(col(textCol), " "), word_ngrams(col(textCol), 2)))
+        .as("gram"))
+    // 24-bit md5 prefix mod B — mirrors ('0x'||substr(md5(g),1,6))::BIGINT % B
+    val b = pmod(conv(substring(md5(col("gram").cast("binary")), 1, 6), 16, 10)
+      .cast("long"), lit(buckets)).cast("int").as("b")
+    val tHist = grams(target).select(b).groupBy("b")
+      .agg(count(lit(1)).as("ct"))
+    val cHist = grams(corpus).select(b).groupBy("b")
+      .agg(count(lit(1)).as("cq"))
+    // full join: a bucket seen on only one side still needs its
+    // smoothed ratio; totals ride in as 1-row broadcasts
+    val nt = tHist.agg(sum(col("ct")).as("nt"))
+    val nq = cHist.agg(sum(col("cq")).as("nq"))
+    val lr = tHist.join(cHist, Seq("b"), "full")
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nq))
+      .select(col("b"),
+        (log((coalesce(col("ct"), lit(0L)) + alpha) /
+             (col("nt") + alpha * buckets)) -
+         log((coalesce(col("cq"), lit(0L)) + alpha) /
+             (col("nq") + alpha * buckets))).as("lr"))
+    val docTf = grams(corpus).select(col(idCol), b)
+      .groupBy(col(idCol), col("b")).agg(count(lit(1)).as("tf"))
+    docTf.join(broadcast(lr), "b")
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).cast("int").as("n_grams"),
+        round(sum((col("tf").cast("double") * col("lr"))
+          .cast("decimal(28,12)")).cast("double"), 4).as("logw"))
+      .withColumn("keep", col("logw") > 0)
+  }
 }

@@ -1421,6 +1421,32 @@ class OpsSpec extends AnyFunSuite {
     assert(r25("a") < r3("a"))
   }
 
+  test("SampleOps.dsirWeights ranks target-like docs above raw-like docs") {
+    // target domain speaks alpha/beta; the raw corpus is zeta/eta-heavy
+    val corpus = Seq(
+      (1L, "alpha beta alpha beta"), // target-like
+      (2L, "zeta eta zeta eta"),     // raw-like
+      (3L, "alpha beta zeta eta"),   // mixed
+      (4L, "zeta eta theta iota"),
+      (5L, "zeta eta zeta theta")).toDF("doc_id", "text")
+    val target = Seq(
+      (10L, "alpha beta alpha beta"),
+      (11L, "alpha beta alpha beta"),
+      (12L, "alpha beta alpha beta")).toDF("doc_id", "text")
+    val got = SampleOps.dsirWeights(corpus, target).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getBoolean(3))).toMap
+    // n_grams = unigrams + bigrams: 4 + 3 for a 4-word doc
+    assert(got(1L)._1 == 7)
+    // monotone in target-likeness; keep = logw > 0 splits the extremes
+    assert(got(1L)._2 > got(3L)._2 && got(3L)._2 > got(2L)._2)
+    assert(got(1L)._3 && !got(2L)._3)
+    // deterministic under repartitioning (hash features, no rand)
+    val re = SampleOps.dsirWeights(corpus.repartition(7), target).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(re == got.map { case (k, v) => k -> v._2 })
+  }
+
   test("SampleOps.budgetSample: NULL scores sort last, never vanish") {
     // NULL-score docs take the dedicated after-all-scores bucket: they
     // are kept only with budget left after every scored doc (greedy by
