@@ -3201,6 +3201,42 @@ object Queries {
     },
     Some(mmrOracleSql(k = 5, poolN = 10, lambda = 0.7)))
 
+  /** ann_hard_negatives — hard-negative mining for contrastive
+    * training (SimOps.hardNegatives): per query vector, the 5 most
+    * confusable corpus vectors inside the cosine band [0.15, 0.35) —
+    * similar enough to carry gradient, below the near-duplicate zone
+    * that would make them false negatives. Band and output compare the
+    * ROUND-4 cosine on both sides (a01's precision contract extended
+    * to the filter — at sf0.1 rows land exactly ON both band edges,
+    * so banding the raw double would be engine-dependent). Graded as
+    * the exact brute scan; the 100 TB path feeds the same band+rank
+    * from an ivfTopK/lshTopK candidate pool.
+    */
+  private val a10 = Q(
+    "ann_hard_negatives",
+    (s, d) => {
+      import s.implicits._
+      val e = emb(s, d)
+      SimOps.hardNegatives(e.filter($"vec_id" < 5), e, "vec_id", "embedding",
+          k = 5, loBand = 0.15, hiBand = 0.35)
+        .orderBy($"qid", $"rnk")
+    },
+    Some("""
+      SELECT qid, nid, sim, rnk FROM (
+        SELECT qid, nid, sim,
+               CAST(row_number() OVER (PARTITION BY qid
+                 ORDER BY rawsim DESC, nid) AS INTEGER) AS rnk
+        FROM (
+          SELECT q.vec_id AS qid, c.vec_id AS nid,
+                 list_cosine_similarity(q.embedding::DOUBLE[],
+                                        c.embedding::DOUBLE[]) AS rawsim,
+                 round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                              c.embedding::DOUBLE[]), 4) AS sim
+          FROM embeddings q CROSS JOIN embeddings c
+          WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id) s
+        WHERE sim >= 0.15 AND sim < 0.35) t
+      WHERE rnk <= 5 ORDER BY qid, rnk"""))
+
   /** corpus_report — the data card: per source×lang token/char/doc
     * counts with rollup subtotals and each row's share of corpus
     * tokens — the summary table every released training corpus ships.
@@ -5224,7 +5260,7 @@ object Queries {
     q52, q53, q54, q55, q56, q57, q57b, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84,
     d01, d02, d02m, d02i, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sm10, pk1, dc1, dc2, dc3, dc4, vd1,
-    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, a01, a02, a03, a04, a05, a06, a07, a08, a09, cr1, m01, m02, m03, mr1,
+    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, cr1, m01, m02, m03, mr1,
     p01, st01, st02, st03, st04, st05, st06)
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

