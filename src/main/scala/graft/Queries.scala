@@ -2700,6 +2700,23 @@ object Queries {
     },
     Some(BpeOps.tokenizeOracleSql(3)))
 
+  /** text_fertility — tokenizer fertility report (BpeOps.fertility):
+    * per-language tokens-per-word and chars-per-token under the same
+    * 3-merge trained tokenizer t11 grades — the diagnostic that tells
+    * a multilingual vocab which languages it under-serves (high
+    * fertility = words fragment into many tokens). One row-local
+    * projection into one partial-aggregated rollup; the oracle replays
+    * trainer, per-doc merges, and the exact-integer-division ratios.
+    */
+  private val t17 = Q(
+    "text_fertility",
+    (s, d) => {
+      val merges = BpeOps.trainMerges(docs(s, d), 3).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      BpeOps.fertility(docs(s, d), merges).orderBy(col("lang"))
+    },
+    Some(BpeOps.fertilityOracleSql(3)))
+
   // ---------------------------------------------------------- similarity
 
   /** DuckDB mirror of SimOps' sign-LSH bucket: the SAME seeded plane
@@ -5260,7 +5277,7 @@ object Queries {
     q52, q53, q54, q55, q56, q57, q57b, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84,
     d01, d02, d02m, d02i, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sm10, pk1, dc1, dc2, dc3, dc4, vd1,
-    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, cr1, m01, m02, m03, mr1,
+    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, cr1, m01, m02, m03, mr1,
     p01, st01, st02, st03, st04, st05, st06)
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

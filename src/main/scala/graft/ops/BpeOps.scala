@@ -211,17 +211,52 @@ object BpeOps {
     */
   def applyMerges(df: DataFrame, merges: Seq[(String, String)],
                   textCol: String = "text",
-                  idCol: String = "doc_id"): DataFrame = {
+                  idCol: String = "doc_id"): DataFrame =
+    df.select(col(idCol), tokenCountExpr(merges, textCol).as("n_tokens"))
+
+  /** The row-local post-merge token count as a Column — shared by
+    * [[applyMerges]] (per-doc grading) and [[fertility]] (per-group
+    * rollup): symbol-wrap, literal-replace chain, separator count / 2.
+    */
+  private def tokenCountExpr(merges: Seq[(String, String)],
+                             textCol: String): org.apache.spark.sql.Column = {
     val rep0 = regexp_replace(col(textCol), "([^ ])", s"$S$$1$S")
     val rep = merges.foldLeft(rep0) { case (c, (a, b)) =>
       regexp_replace(c,
         java.util.regex.Pattern.quote(s"$S$a$S$S$b$S"),
         java.util.regex.Matcher.quoteReplacement(s"$S$a$b$S"))
     }
-    df.select(col(idCol),
-      ((length(rep) - length(regexp_replace(rep, S, "")))
-        .cast("long") / 2).cast("int").as("n_tokens"))
+    ((length(rep) - length(regexp_replace(rep, S, "")))
+      .cast("long") / 2).cast("int")
   }
+
+  /** Tokenizer fertility report — the vocab-quality diagnostic every
+    * multilingual tokenizer ships with: per `groupCol` (language,
+    * source), tokens-per-word (fertility — how many BPE tokens an
+    * average whitespace word fragments into; high fertility = the
+    * vocab under-serves that language) and chars-per-token
+    * (compression). One row-local projection (the merge chain, a
+    * split size, a length) feeding one partial-aggregated rollup —
+    * no joins, no windows; at 100 TB this is a single corpus pass.
+    * The ratios divide exact integer sums in double (IEEE-correctly
+    * rounded in any engine), so the report grades bit-for-bit.
+    */
+  def fertility(df: DataFrame, merges: Seq[(String, String)],
+                groupCol: String = "lang",
+                textCol: String = "text"): DataFrame =
+    df.select(col(groupCol),
+        tokenCountExpr(merges, textCol).as("__t"),
+        size(split(col(textCol), " ")).as("__w"),
+        length(col(textCol)).as("__c"))
+      .groupBy(col(groupCol))
+      .agg(
+        sum(col("__t")).cast("long").as("tokens"),
+        sum(col("__w")).cast("long").as("words"),
+        sum(col("__c")).cast("long").as("chars"),
+        round(sum(col("__t")).cast("double") / sum(col("__w")), 4)
+          .as("fertility"),
+        round(sum(col("__c")).cast("double") / sum(col("__t")), 4)
+          .as("chars_per_token"))
 
   /** The unrolled DuckDB replay of `trainMerges` — one CTE stage per
     * merge, each recomputing pair counts, picking the same
@@ -272,7 +307,18 @@ object BpeOps {
     */
   def tokenizeOracleSql(nMerges: Int, table: String = "documents",
                         textCol: String = "text",
-                        idCol: String = "doc_id"): String = {
+                        idCol: String = "doc_id"): String =
+    docrepOracleCtes(nMerges, table, textCol, idCol) + s"""
+      SELECT $idCol,
+             CAST((len(rep) - len(replace(rep, chr(31), ''))) // 2 AS INTEGER) AS n_tokens
+      FROM docrep$nMerges ORDER BY $idCol"""
+
+  /** Trainer replay + per-doc replace stages through `docrep$nMerges`
+    * — the shared prefix of [[tokenizeOracleSql]] and
+    * [[fertilityOracleSql]].
+    */
+  private def docrepOracleCtes(nMerges: Int, table: String,
+                               textCol: String, idCol: String): String = {
     val trainer = mergesOracleSql(nMerges, table, textCol)
     val prefix = trainer.substring(0, trainer.lastIndexOf("\n      SELECT 1 AS step"))
     val sb = new StringBuilder(prefix)
@@ -293,10 +339,29 @@ object BpeOps {
       // replace would cascade NULL reps — the engine's applyMerges just
       // applies the (shorter) real merge list, so fall back to rep
     }
-    sb.append(s"""
-      SELECT $idCol,
-             CAST((len(rep) - len(replace(rep, chr(31), ''))) // 2 AS INTEGER) AS n_tokens
-      FROM docrep$nMerges ORDER BY $idCol""")
     sb.toString
   }
+
+  /** DuckDB replay of `trainMerges` + [[fertility]]: the docrep chain
+    * feeds a per-`groupCol` rollup of token/word/char sums and the two
+    * exact-integer-division ratios.
+    */
+  def fertilityOracleSql(nMerges: Int, table: String = "documents",
+                         textCol: String = "text",
+                         idCol: String = "doc_id",
+                         groupCol: String = "lang"): String =
+    docrepOracleCtes(nMerges, table, textCol, idCol) + s""",
+      f AS (
+        SELECT d.$groupCol,
+               (len(r.rep) - len(replace(r.rep, chr(31), ''))) // 2 AS t,
+               len(string_split(d.$textCol, ' ')) AS w,
+               len(d.$textCol) AS c
+        FROM docrep$nMerges r JOIN $table d USING ($idCol))
+      SELECT $groupCol,
+             CAST(sum(t) AS BIGINT) AS tokens,
+             CAST(sum(w) AS BIGINT) AS words,
+             CAST(sum(c) AS BIGINT) AS chars,
+             round(CAST(sum(t) AS DOUBLE) / sum(w), 4) AS fertility,
+             round(CAST(sum(c) AS DOUBLE) / sum(t), 4) AS chars_per_token
+      FROM f GROUP BY $groupCol ORDER BY $groupCol"""
 }

@@ -1445,6 +1445,22 @@ class OpsSpec extends AnyFunSuite {
     assert(r25("a") < r3("a"))
   }
 
+  test("BpeOps.fertility: per-group tokens-per-word under a merge list") {
+    val df = Seq((1L, "aa bb", "g1"), (2L, "aa aa", "g2"))
+      .toDF("doc_id", "text", "lang")
+    val got = BpeOps.fertility(df, Seq(("a", "a"))).orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    // g1: "aa"→1 token, "bb"→2 tokens; 2 words, 5 chars → fertility 1.5
+    // g2: both words merge to 1 token each → fertility 1.0
+    assert(got.toSeq == Seq(
+      ("g1", 3L, 2L, 5L, 1.5, round4(5.0 / 3)),
+      ("g2", 2L, 2L, 5L, 1.0, 2.5)))
+  }
+
+  private def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("SampleOps.dsirWeights ranks target-like docs above raw-like docs") {
     // target domain speaks alpha/beta; the raw corpus is zeta/eta-heavy
     val corpus = Seq(
