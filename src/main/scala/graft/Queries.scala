@@ -3291,6 +3291,56 @@ object Queries {
       GROUP BY ROLLUP(source, lang), tt
       ORDER BY source NULLS FIRST, lang NULLS FIRST"""))
 
+  /** corpus_cluster_cards — cluster topic cards (SimOps.clusterCards):
+    * the embeddings k-means-clustered with the a04 trainer (16 cells,
+    * 2 Lloyd rounds), each cell reported as doc count + its 3 most
+    * distinctive terms by lift (cell term share / corpus term share)
+    * over the joined document text (doc_id and vec_id align in the
+    * fixtures) — the "what is in each cluster?" inspection step of
+    * embedding-driven curation. The oracle replays trainer,
+    * assignment, term statistics, the exact-integer-double lift, and
+    * the per-cell ranking through the shared unrolled-Lloyd fragments.
+    */
+  private val cr2 = Q(
+    "corpus_cluster_cards",
+    (s, d) =>
+      SimOps.clusterCards(emb(s, d), docs(s, d), "vec_id", "embedding",
+          "doc_id", "text", numCells = 16, iters = 2, topTerms = 3)
+        .orderBy(col("cell"), col("rnk")),
+    Some(s"""
+      WITH
+      pos AS (SELECT unnest(range(1, 65)) AS p),
+      e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+            WHERE embedding IS NOT NULL),
+      cb0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+               emb AS cvec
+        FROM (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT 16) s),
+      ${a04Round(0)},
+      ${a04Round(1)},
+      ${a04Score("sf_", "cb2")},
+      ${a04Argmax("assign", "vec_id, cell", "sf_", "", "r = 1")},
+      j AS (
+        SELECT a.cell, d.text FROM assign a
+        JOIN documents d ON d.doc_id = a.vec_id),
+      nd AS (SELECT cell, count(*)::BIGINT AS n_docs FROM j GROUP BY cell),
+      trm AS (SELECT cell, unnest(string_split(text, ' ')) AS term FROM j),
+      ctf AS (SELECT cell, term, count(*)::BIGINT AS ctf FROM trm GROUP BY 1, 2),
+      ctot AS (SELECT cell, count(*)::BIGINT AS ctot FROM trm GROUP BY 1),
+      gtf AS (SELECT term, count(*)::BIGINT AS gtf FROM trm GROUP BY 1),
+      gtot AS (SELECT count(*)::BIGINT AS gtot FROM trm),
+      sc AS (
+        SELECT c.cell, c.term,
+               (c.ctf::DOUBLE * gtot) / (ct.ctot::DOUBLE * g.gtf) AS lift
+        FROM ctf c JOIN gtf g USING (term) JOIN ctot ct USING (cell)
+        CROSS JOIN gtot)
+      SELECT cell, n_docs, term, round(lift, 6) AS lift, rnk FROM (
+        SELECT cell, term, lift,
+               CAST(row_number() OVER (PARTITION BY cell
+                 ORDER BY lift DESC, term) AS INTEGER) AS rnk
+        FROM sc) t JOIN nd USING (cell)
+      WHERE rnk <= 3 ORDER BY cell, rnk"""))
+
   // ---------------------------------------------------------- multimodal
 
   /** media_meta — binary media column + typed metadata; the
@@ -5277,7 +5327,7 @@ object Queries {
     q52, q53, q54, q55, q56, q57, q57b, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84,
     d01, d02, d02m, d02i, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sm10, pk1, dc1, dc2, dc3, dc4, vd1,
-    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, cr1, m01, m02, m03, mr1,
+    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, cr1, cr2, m01, m02, m03, mr1,
     p01, st01, st02, st03, st04, st05, st06)
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

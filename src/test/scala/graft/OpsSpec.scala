@@ -1445,6 +1445,29 @@ class OpsSpec extends AnyFunSuite {
     assert(r25("a") < r3("a"))
   }
 
+  test("SimOps.clusterCards surfaces each cluster's distinctive terms") {
+    // two well-separated 2-D clusters; ids 0/1 seed one centroid each
+    val e = Seq(
+      (0L, Array(1.0f, 0.01f)), (1L, Array(0.01f, 1.0f)),
+      (2L, Array(1.0f, 0.02f)), (3L, Array(0.02f, 1.0f)),
+      (4L, Array(1.0f, 0.03f)), (5L, Array(0.03f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val d = Seq(
+      (0L, "apple apple common"), (2L, "apple apple common"),
+      (4L, "apple apple common"),
+      (1L, "banana banana common"), (3L, "banana banana common"),
+      (5L, "banana banana common")).toDF("doc_id", "text")
+    val cards = SimOps.clusterCards(e, d, "vec_id", "embedding",
+        "doc_id", "text", numCells = 2, iters = 1, topTerms = 1)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getString(2), r.getDouble(3))).toMap
+    assert(cards.size == 2)
+    val byTerm = cards.values.map(v => v._2 -> v).toMap
+    // each cluster: 3 docs, its fruit as the top term, lift = (6/9)/(6/18) = 2
+    assert(byTerm.keySet == Set("apple", "banana"))
+    assert(byTerm.values.forall { case (n, _, lift) => n == 3L && lift == 2.0 })
+  }
+
   test("BpeOps.fertility: per-group tokens-per-word under a merge list") {
     val df = Seq((1L, "aa bb", "g1"), (2L, "aa aa", "g2"))
       .toDF("doc_id", "text", "lang")
