@@ -1557,6 +1557,33 @@ object Queries {
       FROM dtf JOIN lr USING (b)
       GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** sample_curriculum — curriculum ordering
+    * (SampleOps.curriculumOrder): every doc gets a global contiguous
+    * training position, short-doc stages first (stage =
+    * len(text) / 128 — the classic length curriculum),
+    * hash-shuffled within each stage — computed with (stage, hash-
+    * prefix)-partitioned windows plus a tiny bucket-offset frame, not
+    * a one-task global sort. The oracle IS the naive global
+    * row_number over (stage, md5, id) — parity proves the two-level
+    * decomposition exactly reproduces the single-window semantics.
+    */
+  private val sm11 = Q(
+    "sample_curriculum",
+    (s, d) => {
+      import s.implicits._
+      SampleOps.curriculumOrder(
+          docs(s, d).select($"doc_id", $"text"),
+          floor(length($"text") / 128), "doc_id")
+        .select($"doc_id", $"stage", $"pos")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(len(text) // 128 AS INTEGER) AS stage,
+             CAST(row_number() OVER (ORDER BY len(text) // 128,
+               md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos
+      FROM documents ORDER BY doc_id"""))
+
   /** q77 — key-skew report (LibOps.skewReport): the shuffle-planning
     * diagnostic — top keys by row count with share and skew ratio
     * (count ÷ mean-per-key), computed keys-sized after one partial-
@@ -5326,7 +5353,7 @@ object Queries {
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q57b, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84,
-    d01, d02, d02m, d02i, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sm10, pk1, dc1, dc2, dc3, dc4, vd1,
+    d01, d02, d02m, d02i, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sm10, sm11, pk1, dc1, dc2, dc3, dc4, vd1,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, cr1, cr2, m01, m02, m03, mr1,
     p01, st01, st02, st03, st04, st05, st06)
 

@@ -403,6 +403,47 @@ object SampleOps {
         "__g_stats", "__g_off", "__b_off")
   }
 
+  /** Curriculum ordering — a GLOBAL contiguous training position
+    * (1..N) for every row, ordered by (stage, id-hash): rows of stage
+    * 0 first (e.g. short/clean docs), deterministically shuffled
+    * within each stage by the hashKey convention — the dataloader
+    * order file of curriculum learning, computed WITHOUT a global
+    * sort. A naive `row_number() OVER (ORDER BY ...)` is one task; a
+    * per-stage window is one task per stage (billions of rows each at
+    * the design point). Here the rank window partitions by
+    * (stage, 8-bit hash prefix) — the prefix is a prefix of the SAME
+    * sort key, so (stage, prefix, hash, id) ≡ (stage, hash, id) — and
+    * global offsets come from the (stages × 256)-row bucket-count
+    * frame (the budgetSample two-level pattern: only the tiny stats
+    * frame sees an unpartitioned window, then a broadcast join and a
+    * row-local add).
+    *
+    * `stage` must be a deterministic integer expression (smaller =
+    * earlier). Output = input + (stage, pos).
+    */
+  def curriculumOrder(df: DataFrame, stage: Column, idCol: String): DataFrame = {
+    Seq("stage", "pos", "__hb", "__rk", "__off", "__cnt").foreach(c =>
+      require(!df.columns.contains(c),
+        s"curriculumOrder: input already has a $c column"))
+    val h = hashKey(col(idCol))
+    val hb = conv(substring(h, 1, 2), 16, 10).cast("int")
+    val staged = df.withColumn("stage", stage.cast("int"))
+      .withColumn("__hb", hb)
+    val w = Window.partitionBy(col("stage"), col("__hb"))
+      .orderBy(h.asc, col(idCol).asc)
+    val ranked = staged.withColumn("__rk", row_number().over(w).cast("long"))
+    val offsets = staged.groupBy(col("stage"), col("__hb"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off",
+        coalesce(sum(col("__cnt")).over(
+          Window.orderBy(col("stage"), col("__hb"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("stage"), col("__hb"), col("__off"))
+    ranked.join(broadcast(offsets), Seq("stage", "__hb"))
+      .withColumn("pos", col("__off") + col("__rk"))
+      .drop("__hb", "__rk", "__off")
+  }
+
   /** DSIR-style importance resampling weights (Xie et al. 2023, "Data
     * Selection via Importance Resampling"): score every corpus doc by
     * how much more likely its hashed n-gram features are under a small

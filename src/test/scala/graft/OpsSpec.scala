@@ -1484,6 +1484,23 @@ class OpsSpec extends AnyFunSuite {
   private def round4(x: Double): Double =
     BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("SampleOps.curriculumOrder: contiguous global permutation, stages in order") {
+    val df = (0L until 200L).map(i => (i, (i % 4).toInt)).toDF("id", "diff")
+    val got = SampleOps.curriculumOrder(df, col("diff"), "id")
+      .select("id", "stage", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // pos is a permutation of 1..N
+    assert(got.map(_._3).sorted.toSeq == (1L to 200L))
+    // every stage-s row precedes every stage-(s+1) row
+    val maxByStage = got.groupBy(_._2).view.mapValues(_.map(_._3).max).toMap
+    val minByStage = got.groupBy(_._2).view.mapValues(_.map(_._3).min).toMap
+    (0 to 2).foreach(s => assert(maxByStage(s) < minByStage(s + 1)))
+    // deterministic under repartitioning
+    val re = SampleOps.curriculumOrder(df.repartition(11), col("diff"), "id")
+      .select("id", "pos").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(re == got.map(t => t._1 -> t._3).toMap)
+  }
+
   test("SampleOps.dsirWeights ranks target-like docs above raw-like docs") {
     // target domain speaks alpha/beta; the raw corpus is zeta/eta-heavy
     val corpus = Seq(
