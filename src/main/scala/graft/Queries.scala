@@ -2208,6 +2208,41 @@ object Queries {
       GROUP BY 1, 2
       ORDER BY src_a, src_b"""))
 
+  /** dedup_novelty — crawl-batch novelty accounting
+    * (DedupOps.noveltyReport): sources src0..src19 treated as ordered
+    * ingest batches, each reported with its distinct-content and
+    * FIRST-SEEN-here digest counts plus novel tokens — the
+    * diminishing-returns curve that decides whether the next crawl is
+    * worth ingesting. Digest-keyed partial aggregates only (the
+    * 32-byte/doc incremental-dedup index shape); batch-sized rollups;
+    * pct_novel divides exact integers.
+    */
+  private val d15 = Q(
+    "dedup_novelty",
+    (s, d) => DedupOps.noveltyReport(docs(s, d), "text", "doc_id",
+        substring(col("source"), 4, 5).cast("int"))
+      .orderBy(col("batch")),
+    Some("""
+      WITH b AS (
+        SELECT CAST(substr(source, 4) AS INTEGER) AS batch,
+               md5(text) AS fp,
+               len(string_split(text, ' '))::BIGINT AS toks
+        FROM documents),
+      fs AS (SELECT fp, min(batch) AS first_batch, min(toks) AS toks
+             FROM b GROUP BY fp),
+      nv AS (SELECT first_batch AS batch, count(*)::BIGINT AS n_novel,
+                    CAST(sum(toks) AS BIGINT) AS novel_tokens
+             FROM fs GROUP BY 1),
+      pb AS (SELECT batch, count(*)::BIGINT AS n_docs,
+                    count(DISTINCT fp)::BIGINT AS n_distinct
+             FROM b GROUP BY 1)
+      SELECT p.batch, n_docs, n_distinct,
+             coalesce(n_novel, 0)::BIGINT AS n_novel,
+             coalesce(novel_tokens, 0)::BIGINT AS novel_tokens,
+             round(coalesce(n_novel, 0)::DOUBLE / n_distinct, 4) AS pct_novel
+      FROM pb p LEFT JOIN nv USING (batch)
+      ORDER BY batch"""))
+
   // ---------------------------------------------------------------- text
 
   private val t01 = Q(
@@ -5353,7 +5388,7 @@ object Queries {
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q57b, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84,
-    d01, d02, d02m, d02i, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sm10, sm11, pk1, dc1, dc2, dc3, dc4, vd1,
+    d01, d02, d02m, d02i, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sm10, sm11, pk1, dc1, dc2, dc3, dc4, vd1,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, cr1, cr2, m01, m02, m03, mr1,
     p01, st01, st02, st03, st04, st05, st06)
 

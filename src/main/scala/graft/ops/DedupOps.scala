@@ -572,6 +572,47 @@ object DedupOps {
       .groupBy(col("content_fp"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
+  /** Crawl-batch novelty accounting — the diminishing-returns report
+    * behind "is another crawl worth ingesting?": batches (crawl
+    * snapshots, sources, dumps) ordered by an integer `batchCol`, each
+    * reported with how much of its content is NOVEL — distinct text
+    * digests (and their tokens) never seen in any earlier batch.
+    * Within-batch duplicates count once (novelty is about distinct
+    * content); a digest's tokens are counted at its first batch only.
+    *
+    * Scale shape: everything is keyed on the 32-hex md5 content
+    * digest — one partial-aggregated (fp → min batch, tokens) pass,
+    * one (batch, fp) distinct pass, then batch-sized rollups joined
+    * batch-sized. No windows, no joins wider than the digest index
+    * (32 bytes/distinct doc — the incrementalDedup snapshot shape);
+    * at 100 TB this is two digest-keyed shuffles of fixed-width keys.
+    *
+    * Output per batch: n_docs, n_distinct (distinct digests appearing
+    * in the batch), n_novel (first seen here), novel_tokens, and
+    * pct_novel = n_novel / n_distinct (exact-integer division).
+    */
+  def noveltyReport(df: DataFrame, textCol: String, idCol: String,
+                    batchCol: Column): DataFrame = {
+    val base = df.select(batchCol.cast("int").as("batch"),
+      md5(col(textCol).cast("binary")).as("fp"),
+      size(split(col(textCol), " ")).cast("long").as("toks"))
+    // per distinct digest: first batch + its token count (identical
+    // text ⇒ identical toks, min() is just the deterministic pick)
+    val firstSeen = base.groupBy(col("fp"))
+      .agg(min(col("batch")).as("first_batch"), min(col("toks")).as("toks"))
+    val novel = firstSeen.groupBy(col("first_batch").as("batch"))
+      .agg(count(lit(1)).as("n_novel"), sum(col("toks")).as("novel_tokens"))
+    val perBatch = base.groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("fp")).as("n_distinct"))
+    perBatch.join(novel, Seq("batch"), "left")
+      .select(col("batch"), col("n_docs"), col("n_distinct"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        coalesce(col("novel_tokens"), lit(0L)).as("novel_tokens"),
+        round(coalesce(col("n_novel"), lit(0L)).cast("double") /
+          col("n_distinct"), 4).as("pct_novel"))
+  }
+
   // ------------------------------------------------------- chunk dedup
 
   /** Sub-document (chunk-level) exact dedup — the "paragraph dedup"

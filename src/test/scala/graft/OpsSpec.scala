@@ -1445,6 +1445,24 @@ class OpsSpec extends AnyFunSuite {
     assert(r25("a") < r3("a"))
   }
 
+  test("DedupOps.noveltyReport: first batch owns content, dups count once") {
+    val df = Seq(
+      (1L, "a b c", 0), (2L, "a b c", 0),  // batch 0: dup within batch
+      (3L, "d e", 0),
+      (4L, "a b c", 1),                    // batch 1: carry-over, not novel
+      (5L, "f g h i", 1),
+      (6L, "a b c", 2), (7L, "d e", 2)     // batch 2: nothing novel
+    ).toDF("doc_id", "text", "batch")
+    val got = DedupOps.noveltyReport(df, "text", "doc_id", col("batch"))
+      .orderBy("batch").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      (0, 3L, 2L, 2L, 5L, 1.0),   // "a b c"(3 toks) + "d e"(2) novel
+      (1, 2L, 2L, 1L, 4L, 0.5),   // only "f g h i" novel
+      (2, 2L, 2L, 0L, 0L, 0.0)))
+  }
+
   test("SimOps.clusterCards surfaces each cluster's distinctive terms") {
     // two well-separated 2-D clusters; ids 0/1 seed one centroid each
     val e = Seq(

@@ -27,12 +27,14 @@ class PlanAuditSpec extends AnyFunSuite {
       "decon_span_removal",
       "dedup_keep_best",
       "dedup_minhash", "dedup_minhash_incremental", "dedup_minhash_mirror",
+      "dedup_novelty",
       "dedup_semantic", "dedup_semantic_incremental",
       "dedup_simhash", "dedup_spans",
       "q26_running_sum", "q38_asof_join", "q42_window_analytics",
       "q51_funnel", "q52_rolling_median", "q66_pct_rank",
       "q77_skew_report", "q81_approx_winsorize", "q83_grouped_winsorize",
-      "q84_retention_cohorts", "sample_shards")
+      "q84_retention_cohorts",
+      "sample_curriculum", "sample_dsir", "sample_shards")
     val got = flagged.map(_._1).toSet
     val msg =
       s"""count()-eliminable set drifted.
