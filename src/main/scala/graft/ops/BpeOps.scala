@@ -244,7 +244,11 @@ object BpeOps {
   def fertility(df: DataFrame, merges: Seq[(String, String)],
                 groupCol: String = "lang",
                 textCol: String = "text"): DataFrame =
-    df.select(col(groupCol),
+    // the merge-chain regexps are CPU-heavy map work: fan a
+    // too-few-splits input out first (Par.fanOut no-ops at real split
+    // counts; measured ×10 warm 5.4 s → 3.5 s)
+    graft.ops.Par.fanOut(df.select(col(groupCol), col(textCol)))
+      .select(col(groupCol),
         tokenCountExpr(merges, textCol).as("__t"),
         size(split(col(textCol), " ")).as("__w"),
         length(col(textCol)).as("__c"))

@@ -480,6 +480,11 @@ object SampleOps {
     require(buckets > 0, s"dsirWeights: buckets=$buckets")
     require(alpha > 0, s"dsirWeights: alpha=$alpha")
     import graft.functions.TextFunctions.word_ngrams
+    // the two corpus passes are explode-heavy map work: fan a
+    // too-few-splits input out to full parallelism first (Par.fanOut
+    // is a no-op at real split counts — the dedup_spans lesson;
+    // measured here: ×10 warm 13.4 s → 4.7 s)
+    val corpusN = Par.fanOut(corpus.select(col(idCol), col(textCol)))
     def grams(df: DataFrame) = df.select(col(idCol),
       explode(concat(split(col(textCol), " "), word_ngrams(col(textCol), 2)))
         .as("gram"))
@@ -488,7 +493,7 @@ object SampleOps {
       .cast("long"), lit(buckets)).cast("int").as("b")
     val tHist = grams(target).select(b).groupBy("b")
       .agg(count(lit(1)).as("ct"))
-    val cHist = grams(corpus).select(b).groupBy("b")
+    val cHist = grams(corpusN).select(b).groupBy("b")
       .agg(count(lit(1)).as("cq"))
     // full join: a bucket seen on only one side still needs its
     // smoothed ratio; totals ride in as 1-row broadcasts
@@ -501,7 +506,7 @@ object SampleOps {
              (col("nt") + alpha * buckets)) -
          log((coalesce(col("cq"), lit(0L)) + alpha) /
              (col("nq") + alpha * buckets))).as("lr"))
-    val docTf = grams(corpus).select(col(idCol), b)
+    val docTf = grams(corpusN).select(col(idCol), b)
       .groupBy(col(idCol), col("b")).agg(count(lit(1)).as("tf"))
     docTf.join(broadcast(lr), "b")
       .groupBy(col(idCol))
