@@ -381,6 +381,73 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("dsirWeights equals a brute-force reference on random corpora") {
+    def md5hex(s: String) =
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    def grams(t: String): Seq[String] = {
+      val ws = t.split(" ", -1).toSeq
+      ws ++ ws.zip(ws.drop(1)).map { case (a, b) => s"$a $b" }
+    }
+    def bucket(g: String): Int =
+      (java.lang.Long.parseLong(md5hex(g).substring(0, 6), 16) % 256).toInt
+    def reference(corpus: Seq[(Long, String)],
+                  target: Seq[String]): Map[Long, (Int, Double)] = {
+      val tH = target.flatMap(grams).groupBy(bucket)
+        .view.mapValues(_.size.toLong).toMap
+      val cH = corpus.flatMap(d => grams(d._2)).groupBy(bucket)
+        .view.mapValues(_.size.toLong).toMap
+      val (nt, nq) = (tH.values.sum, cH.values.sum)
+      def lr(b: Int): Double =
+        math.log((tH.getOrElse(b, 0L) + 1.0) / (nt + 256.0)) -
+          math.log((cH.getOrElse(b, 0L) + 1.0) / (nq + 256.0))
+      corpus.map { case (id, t) =>
+        val gs = grams(t)
+        // the operator's DECIMAL(28,12) term quantization, then round-4
+        val s = gs.groupBy(bucket).toSeq.map { case (b, g) =>
+          BigDecimal(g.size.toDouble * lr(b))
+            .setScale(12, BigDecimal.RoundingMode.HALF_UP) }.sum
+        id -> ((gs.size,
+          BigDecimal(s.toDouble).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble))
+      }.toMap
+    }
+    val docGen = Gen.chooseNum(1, 10).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d", "e")).map(_.mkString(" ")))
+    val caseGen = Gen.zip(Gen.listOfN(8, docGen), Gen.listOfN(3, docGen))
+    samples(caseGen, 8).foreach { case (corpusTxt, targetTxt) =>
+      val corpus = corpusTxt.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val exp = reference(corpus, targetTxt)
+      val got = SampleOps.dsirWeights(
+          corpus.toDF("doc_id", "text"),
+          targetTxt.zipWithIndex.map { case (t, i) => (100L + i, t) }
+            .toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2))))
+        .toMap
+      assert(got.keySet == exp.keySet, s"doc set: $corpusTxt vs $targetTxt")
+      got.foreach { case (id, (n, w)) =>
+        assert(n == exp(id)._1, s"doc $id n_grams: $corpusTxt vs $targetTxt")
+        assert(w == exp(id)._2, s"doc $id logw: $corpusTxt vs $targetTxt")
+      }
+    }
+  }
+
+  test("curriculumOrder equals the naive single-window reference") {
+    def md5hex(s: String) =
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    val caseGen = Gen.listOfN(40, Gen.choose(0, 3))
+    samples(caseGen, 8).foreach { stages =>
+      val rows = stages.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val expected = rows
+        .sortBy { case (id, s) => (s, md5hex(id.toString), id) }
+        .zipWithIndex.map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+      val got = SampleOps.curriculumOrder(
+          rows.toDF("id", "diff"), col("diff"), "id")
+        .select("id", "pos").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"order mismatch for stages $stages")
+    }
+  }
+
   test("minhash signature similarity approximates exact jaccard on dup docs") {
     // two near-identical docs: signature agreement should be high
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
