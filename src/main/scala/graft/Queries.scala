@@ -1910,6 +1910,39 @@ object Queries {
       FROM j JOIN s USING (cohort_week)
       ORDER BY cohort_week, week_offset"""))
 
+  /** q85_pit_features — point-in-time-correct feature assembly
+    * (TimeOps.pointInTimeFeatures): every purchase event (the label)
+    * aggregates its user's events STRICTLY before the purchase within
+    * a trailing 72 h window — the feature-store join that builds
+    * training sets without label leakage. User-keyed co-partitioned
+    * equi-join with the time range as an in-join residual; DECIMAL
+    * sums; epoch-µs comparisons on both sides (the st03 precision
+    * convention — parquet carries ns, Spark µs).
+    */
+  private val q85 = Q(
+    "q85_pit_features",
+    (s, d) => {
+      import s.implicits._
+      val e = ev(s, d)
+      TimeOps.pointInTimeFeatures(
+          e.filter($"event_type" === "purchase"), e,
+          "user_id", "ts", "value", "event_id", windowHours = 72)
+        .orderBy($"label_id")
+    },
+    Some("""
+      WITH l AS (
+        SELECT event_id, user_id, epoch_us(ts) AS lu
+        FROM events WHERE event_type = 'purchase'),
+      f AS (SELECT user_id AS fu, epoch_us(ts) AS fts, value FROM events)
+      SELECT event_id AS label_id, user_id,
+             lu // 1000000 AS ts_s,
+             count(fts) AS n_prior,
+             coalesce(CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2)
+               AS DOUBLE), 0.0) AS sum_prior
+      FROM l LEFT JOIN f ON user_id = fu
+        AND fts < lu AND fts >= lu - 259200000000
+      GROUP BY 1, 2, 3 ORDER BY 1"""))
+
   /** validate_orders — declarative data-quality gate: four row-level
     * constraints over orders evaluated in ONE scan (a single
     * partial-aggregated pass; N constraints = one table read), reported
@@ -5387,7 +5420,7 @@ object Queries {
     q28, q29, q30, q31, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q57b, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
-    q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84,
+    q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
     d01, d02, d02m, d02i, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sm10, sm11, pk1, dc1, dc2, dc3, dc4, vd1,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, cr1, cr2, m01, m02, m03, mr1,
     p01, st01, st02, st03, st04, st05, st06)

@@ -81,4 +81,46 @@ object TimeOps {
       .withColumn("pct_retained",
         round(col("n_active").cast("double") / cohortN * 100.0, 4))
   }
+
+  /** Point-in-time-correct feature assembly — the feature-store join
+    * that builds a training set WITHOUT label leakage: each label row
+    * (user, label time) aggregates that user's events STRICTLY BEFORE
+    * the label time within a trailing `windowHours` window. The
+    * strict `<` is the whole point — an `<=` (or a naive per-user
+    * join with no time bound) trains on the label itself, the classic
+    * leakage bug this operator makes structurally impossible.
+    *
+    * Scale shape: an equi-join on the user key (both sides hash-
+    * partition on user — co-partitioned, sort-merge; with a
+    * user-bucketed layout, q57's shape, the shuffle disappears) with
+    * the time range as an in-join residual; the trailing window
+    * bounds matched rows per label. Never a cartesian, never a
+    * corpus-wide window. Sums run in DECIMAL so partial order cannot
+    * flip a rounding boundary (the q59 practice); label times emit as
+    * epoch-second longs (the §2.9 convention).
+    *
+    * Output: one row per label — (labelIdCol, userCol, ts_s, n_prior,
+    * sum_prior); labels with no prior events keep n_prior = 0,
+    * sum_prior = 0.0 (left join).
+    */
+  def pointInTimeFeatures(labels: DataFrame, events: DataFrame,
+                          userCol: String, tsCol: String, valueCol: String,
+                          labelIdCol: String, windowHours: Int): DataFrame = {
+    require(windowHours > 0, s"pointInTimeFeatures: windowHours=$windowHours")
+    val l = labels.select(col(labelIdCol).as("label_id"),
+      col(userCol).as("__u"), col(tsCol).as("__lts"))
+    val f = events.select(col(userCol).as("__fu"),
+      col(tsCol).as("__fts"), col(valueCol).as("__fv"))
+    val win = expr(s"INTERVAL $windowHours HOURS")
+    l.join(f, col("__u") === col("__fu") &&
+        col("__fts") < col("__lts") && col("__fts") >= col("__lts") - win,
+        "left")
+      .groupBy(col("label_id"), col("__u"), col("__lts"))
+      .agg(count(col("__fts")).as("n_prior"),
+        coalesce(round(sum(col("__fv").cast("decimal(18,6)")), 2)
+          .cast("double"), lit(0.0)).as("sum_prior"))
+      .select(col("label_id"), col("__u").as(userCol),
+        col("__lts").cast("long").as("ts_s"), col("n_prior"),
+        col("sum_prior"))
+  }
 }

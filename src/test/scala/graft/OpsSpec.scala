@@ -1445,6 +1445,31 @@ class OpsSpec extends AnyFunSuite {
     assert(r25("a") < r3("a"))
   }
 
+  test("TimeOps.pointInTimeFeatures: strict pre-label window, no leakage") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val label = Seq((100L, 1L, ts("2024-01-10 12:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val events = Seq(
+      (1L, 1L, ts("2024-01-10 12:00:00"), 5.0),  // AT label time: leakage, excluded
+      (2L, 1L, ts("2024-01-10 11:59:59"), 2.0),  // just before: in
+      (3L, 1L, ts("2024-01-08 12:00:00"), 3.0),  // inside 72h: in
+      (4L, 1L, ts("2024-01-07 11:00:00"), 7.0),  // outside 72h: out
+      (5L, 2L, ts("2024-01-10 11:00:00"), 9.0)   // other user: out
+    ).toDF("event_id", "user_id", "ts", "value")
+    val got = TimeOps.pointInTimeFeatures(label, events,
+        "user_id", "ts", "value", "event_id", windowHours = 72).collect()(0)
+    assert(got.getAs[Long]("n_prior") == 2)
+    assert(got.getAs[Double]("sum_prior") == 5.0)
+    // window lower bound is inclusive: exactly -72h counts
+    val got2 = TimeOps.pointInTimeFeatures(label,
+        Seq((6L, 1L, ts("2024-01-07 12:00:00"), 1.5))
+          .toDF("event_id", "user_id", "ts", "value"),
+        "user_id", "ts", "value", "event_id", windowHours = 72).collect()(0)
+    assert(got2.getAs[Long]("n_prior") == 1 &&
+      got2.getAs[Double]("sum_prior") == 1.5)
+  }
+
   test("DedupOps.noveltyReport: first batch owns content, dups count once") {
     val df = Seq(
       (1L, "a b c", 0), (2L, "a b c", 0),  // batch 0: dup within batch
