@@ -1943,6 +1943,55 @@ object Queries {
         AND fts < lu AND fts >= lu - 259200000000
       GROUP BY 1, 2, 3 ORDER BY 1"""))
 
+  /** q86_drift_psi — distribution-drift monitoring
+    * (LibOps.psiReport): the event value distribution of the first
+    * half of January vs the second, as a per-bin PSI report — the
+    * standard "has this feature moved?" gate between pipeline runs
+    * (Σ psi_contrib ≥ 0.1 ⇒ drifting, ≥ 0.25 ⇒ shifted). Two
+    * partial-aggregated histogram passes; everything after is
+    * nbins-sized broadcasts and row-local arithmetic.
+    */
+  private val q86 = Q(
+    "q86_drift_psi",
+    (s, d) => {
+      import s.implicits._
+      val e = ev(s, d)
+      LibOps.psiReport(
+          e.filter($"ts" < "2024-01-16 00:00:00"),
+          e.filter($"ts" >= "2024-01-16 00:00:00"),
+          "value", lo = 0.0, width = 25.0, nbins = 20)
+        .orderBy($"bin")
+    },
+    Some("""
+      WITH bins AS (SELECT CAST(unnest(range(20)) AS INTEGER) AS bin),
+      ha AS (
+        SELECT CAST(least(greatest(floor(value / 25.0), 0), 19) AS INTEGER)
+                 AS bin,
+               count(*)::BIGINT AS n_a
+        FROM events
+        WHERE value IS NOT NULL AND ts < TIMESTAMP '2024-01-16 00:00:00'
+        GROUP BY 1),
+      hb AS (
+        SELECT CAST(least(greatest(floor(value / 25.0), 0), 19) AS INTEGER)
+                 AS bin,
+               count(*)::BIGINT AS n_b
+        FROM events
+        WHERE value IS NOT NULL AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+        GROUP BY 1),
+      ta AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta FROM ha),
+      tb AS (SELECT CAST(sum(n_b) AS BIGINT) AS tb FROM hb)
+      SELECT bin,
+             CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
+             CAST(coalesce(n_b, 0) AS BIGINT) AS n_b,
+             round(((coalesce(n_a, 0) + 0.5) / (ta + 10.0)
+                    - (coalesce(n_b, 0) + 0.5) / (tb + 10.0))
+                   * ln(((coalesce(n_a, 0) + 0.5) / (ta + 10.0))
+                        / ((coalesce(n_b, 0) + 0.5) / (tb + 10.0))), 6)
+               AS psi_contrib
+      FROM bins LEFT JOIN ha USING (bin) LEFT JOIN hb USING (bin)
+      CROSS JOIN ta CROSS JOIN tb
+      ORDER BY bin"""))
+
   /** validate_orders — declarative data-quality gate: four row-level
     * constraints over orders evaluated in ONE scan (a single
     * partial-aggregated pass; N constraints = one table read), reported
@@ -5420,7 +5469,7 @@ object Queries {
     q28, q29, q30, q31, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q57b, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
-    q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
+    q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86,
     d01, d02, d02m, d02i, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sm10, sm11, pk1, dc1, dc2, dc3, dc4, vd1,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, cr1, cr2, m01, m02, m03, mr1,
     p01, st01, st02, st03, st04, st05, st06)

@@ -88,6 +88,55 @@ object LibOps {
            round(max(v), 4).as("bin_max"))
   }
 
+  /** Population-stability-index drift report — the standard production
+    * monitor for "has this feature's distribution moved?": two samples
+    * (e.g. last week's corpus vs this week's) bucketed into the same
+    * fixed-width histogram, each bin reporting its counts and its PSI
+    * contribution (p−q)·ln(p/q) over add-`alpha`-smoothed shares
+    * (smoothing keeps empty bins finite — the standard PSI practice).
+    * Σ psi_contrib is the PSI; the conventional alarm thresholds are
+    * 0.1 (drifting) / 0.25 (shifted).
+    *
+    * Scale shape: two partial-aggregated histogram passes (the
+    * `histogram` shape — row-local bin, counts-only shuffle), then
+    * everything is nbins-sized: spine join, 1-row totals broadcast,
+    * row-local arithmetic. Emits ALL nbins bins (a bin absent from
+    * both samples still contributes when the totals differ). Parity:
+    * shares divide exact integers (correctly rounded), the single ln
+    * per row is 1-ulp class absorbed by round-6 output.
+    */
+  def psiReport(a: DataFrame, b: DataFrame, value: String,
+                lo: Double, width: Double, nbins: Int,
+                alpha: Double = 0.5): DataFrame = {
+    require(width > 0 && nbins > 0, s"psiReport: width=$width nbins=$nbins")
+    require(alpha > 0, s"psiReport: alpha=$alpha (0 would make empty bins infinite)")
+    def hist(df: DataFrame, cName: String) = {
+      val v = col(value).cast("double")
+      val bin = least(greatest(floor((v - lo) / width), lit(0.0)),
+        lit(nbins - 1.0))
+      df.filter(v.isNotNull).groupBy(bin.cast("int").as("bin"))
+        .agg(count(lit(1)).as(cName))
+    }
+    val ha = hist(a, "__na")
+    val hb = hist(b, "__nb")
+    val ta = ha.agg(sum(col("__na")).as("__ta"))
+    val tb = hb.agg(sum(col("__nb")).as("__tb"))
+    val spine = a.sparkSession.range(nbins)
+      .select(col("id").cast("int").as("bin"))
+    val p = (coalesce(col("__na"), lit(0L)) + alpha) /
+      (col("__ta") + alpha * nbins)
+    val q = (coalesce(col("__nb"), lit(0L)) + alpha) /
+      (col("__tb") + alpha * nbins)
+    spine
+      .join(broadcast(ha), Seq("bin"), "left")
+      .join(broadcast(hb), Seq("bin"), "left")
+      .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+      .select(col("bin"),
+        coalesce(col("__na"), lit(0L)).as("n_a"),
+        coalesce(col("__nb"), lit(0L)).as("n_b"),
+        round((p - q) * log(p / q), 6).as("psi_contrib"))
+  }
+
   /** Equi-depth (quantile) binning — the profiling complement to the
     * fixed-width `histogram`: every bin holds ~N/nbins rows regardless
     * of the value distribution. The naive formulation (`ntile` over a

@@ -1445,6 +1445,23 @@ class OpsSpec extends AnyFunSuite {
     assert(r25("a") < r3("a"))
   }
 
+  test("LibOps.psiReport: zero on identical samples, positive on shift, finite on empty bins") {
+    val a = Seq(1.0, 1.0, 5.0, 9.0).toDF("v")
+    val same = LibOps.psiReport(a, a, "v", lo = 0.0, width = 2.0, nbins = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(same.length == 5) // full spine, empty bins included
+    assert(same.forall(_._4 == 0.0)) // p == q exactly per bin
+    // shifted distribution: total PSI strictly positive, every bin finite
+    val b = Seq(9.0, 9.0, 9.0, 1.0).toDF("v")
+    val drift = LibOps.psiReport(a, b, "v", lo = 0.0, width = 2.0, nbins = 5)
+      .collect().map(r => (r.getInt(0), r.getDouble(3))).toMap
+    assert(drift.values.forall(c => !c.isNaN && !c.isInfinite))
+    assert(drift.values.sum > 0.1, s"psi=${drift.values.sum}")
+    // bin 1 (values [2,4)) is empty in BOTH but totals match -> 0;
+    // smoothing keeps it defined
+    assert(drift(1) == 0.0)
+  }
+
   test("TimeOps.pointInTimeFeatures: strict pre-label window, no leakage") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)

@@ -33,7 +33,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "q26_running_sum", "q38_asof_join", "q42_window_analytics",
       "q51_funnel", "q52_rolling_median", "q66_pct_rank",
       "q77_skew_report", "q81_approx_winsorize", "q83_grouped_winsorize",
-      "q84_retention_cohorts", "q85_pit_features",
+      "q84_retention_cohorts", "q85_pit_features", "q86_drift_psi",
       "sample_curriculum", "sample_dsir", "sample_shards")
     val got = flagged.map(_._1).toSet
     val msg =
