@@ -1199,6 +1199,42 @@ object Queries {
              count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
       FROM c GROUP BY 1 ORDER BY 1"""))
 
+  /** pack_efficiency — the padding-waste data card
+    * (PackOps.packEfficiency): per 16-token document-length bucket,
+    * padded sequences under per-doc batching (each doc →
+    * ceil(tokens/64) sequences, last one padded) vs the packed
+    * lower bound, and the share of slots padding burns. Row-local
+    * `div`-ceil integer arithmetic, then one partial-aggregated
+    * buckets-cardinality pass — the report that justifies the pk1
+    * packer.
+    */
+  private val pk2 = Q(
+    "pack_efficiency",
+    (s, d) => {
+      val toks = docs(s, d).select(
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      PackOps.packEfficiency(toks, "n_tokens", maxLen = 64, bucketWidth = 16)
+        .orderBy(col("bucket"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+        FROM documents),
+      a AS (
+        SELECT CAST(t // 16 AS INTEGER) AS bucket,
+               count(*) AS n_docs,
+               CAST(sum(t) AS BIGINT) AS tokens,
+               CAST(sum((t + 63) // 64) AS BIGINT) AS n_seqs
+        FROM d GROUP BY 1)
+      SELECT bucket, n_docs, tokens, n_seqs,
+             n_seqs * 64 - tokens AS pad_slots,
+             round(CAST(n_seqs * 64 - tokens AS DOUBLE)
+                   / CAST(n_seqs * 64 AS DOUBLE), 4) AS pad_pct,
+             (tokens + 63) // 64 AS bins_packed,
+             round(1.0 - CAST((tokens + 63) // 64 AS DOUBLE)
+                         / CAST(n_seqs AS DOUBLE), 4) AS saved_pct
+      FROM a ORDER BY bucket"""))
+
   /** sample_stratified — reproducible per-language downsample (up to 20
     * docs per lang by md5-of-id order): the curation sampler that is
     * stable across runs, engines, and partitionings, unlike rand().
@@ -1992,6 +2028,129 @@ object Queries {
       CROSS JOIN ta CROSS JOIN tb
       ORDER BY bin"""))
 
+  /** q87_funnel — ordered funnel conversion (TimeOps.funnel):
+    * view → click → purchase with first-occurrence-after semantics
+    * and a 24 h attribution window (a user's step-k clock starts at
+    * their step-(k−1) reach time; the conversion must land within
+    * 24 h of it — the unbounded variant converts 100% on this
+    * fixture, the windowed one shows a real 150→60→25 funnel at
+    * sf0.01). One user-keyed min-aggregate per step, chained by
+    * co-partitioned user equi-joins; each step's event scan carries
+    * a pushed `event_type =` filter; the only unpartitioned window
+    * runs over |steps| = 3 rows. Timestamps compare as epoch-µs on
+    * both sides (the q85 convention).
+    */
+  private val q87 = Q(
+    "q87_funnel",
+    (s, d) => TimeOps.funnel(ev(s, d), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), withinHours = Some(24))
+      .orderBy(col("step_idx")),
+    Some("""
+      WITH s1 AS (
+        SELECT user_id, min(epoch_us(ts)) AS t FROM events
+        WHERE event_type = 'view' GROUP BY 1),
+      s2 AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
+        JOIN s1 ON e.user_id = s1.user_id AND epoch_us(e.ts) > s1.t
+          AND epoch_us(e.ts) <= s1.t + 86400000000
+        WHERE e.event_type = 'click' GROUP BY 1),
+      s3 AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
+        JOIN s2 ON e.user_id = s2.user_id AND epoch_us(e.ts) > s2.t
+          AND epoch_us(e.ts) <= s2.t + 86400000000
+        WHERE e.event_type = 'purchase' GROUP BY 1),
+      c AS (
+        SELECT 1 AS step_idx, 'view' AS step, count(*) AS n_users FROM s1
+        UNION ALL SELECT 2, 'click', count(*) FROM s2
+        UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+      SELECT step_idx, step, n_users,
+             round(CAST(n_users AS DOUBLE) /
+                   lag(n_users) OVER (ORDER BY step_idx), 4) AS pct_prev
+      FROM c ORDER BY step_idx"""))
+
+  /** q88_transitions — next-event transition matrix
+    * (TimeOps.transitionMatrix): P(next type | type) from each user's
+    * time-ordered stream. ONE user-partitioned lead window (partition
+    * = a user's own events), then a types²-bounded aggregate and a
+    * types-partitioned share window over that tiny frame; ties on the
+    * µs timestamp break by event_id so the successor is
+    * engine-deterministic.
+    */
+  private val q88 = Q(
+    "q88_transitions",
+    (s, d) => TimeOps.transitionMatrix(ev(s, d), "user_id", "ts",
+        "event_id", "event_type")
+      .orderBy(col("from_type"), col("to_type")),
+    Some("""
+      WITH nx AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS to_type
+        FROM events),
+      c AS (
+        SELECT from_type, to_type, count(*) AS n_trans FROM nx
+        WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      SELECT from_type, to_type, n_trans,
+             round(CAST(n_trans AS DOUBLE) /
+                   sum(n_trans) OVER (PARTITION BY from_type), 4)
+               AS pct_from
+      FROM c ORDER BY from_type, to_type"""))
+
+  /** q89_rate_anomaly — rolling z-score anomaly on hourly event rates
+    * (TimeOps.rateAnomaly): each (type, hour) cell scored against its
+    * own trailing 24 h on a DENSE hour spine (missing hours count 0,
+    * so the ROWS frame is real wall-clock lookback). One
+    * partial-aggregated (type, hour) count pass is the only
+    * corpus-sized stage; the windows run over spine rows (types ×
+    * 720 — a time-range constant). Mean/std derive from exact BIGINT
+    * window sums (order-free — a windowed DOUBLE sum's addition
+    * order differs between engines) with the identical float formula
+    * on both sides; zero-variance lookbacks yield NULL z ≡
+    * non-anomalous. Threshold margin measured at all three SFs: the
+    * nearest |z| to 3.0 is well outside float noise (FIXTURES.md
+    * practice, q64's convention).
+    */
+  private val q89 = Q(
+    "q89_rate_anomaly",
+    (s, d) => TimeOps.rateAnomaly(ev(s, d), "ts", "event_type",
+        "2024-01-01 00:00:00", nHours = 720, trailing = 24, zThresh = 3.0)
+      .orderBy(col("event_type"), col("h")),
+    Some("""
+      WITH c AS (
+        SELECT event_type,
+               CAST((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00'))
+                    // 3600000000 AS INTEGER) AS h,
+               count(*) AS cnt
+        FROM events
+        WHERE epoch_us(ts) >= epoch_us(TIMESTAMP '2024-01-01 00:00:00')
+          AND epoch_us(ts) < epoch_us(TIMESTAMP '2024-01-01 00:00:00')
+              + 720 * 3600000000
+        GROUP BY 1, 2),
+      ty AS (SELECT DISTINCT event_type FROM events),
+      spine AS (
+        SELECT event_type, CAST(unnest(range(720)) AS INTEGER) AS h FROM ty),
+      d AS (
+        SELECT s.event_type, s.h, CAST(coalesce(cnt, 0) AS BIGINT) AS cnt
+        FROM spine s LEFT JOIN c USING (event_type, h)),
+      w AS (
+        SELECT event_type, h, cnt,
+               CAST(sum(cnt) OVER wnd AS BIGINT) AS s1,
+               CAST(sum(cnt * cnt) OVER wnd AS BIGINT) AS s2
+        FROM d WINDOW wnd AS (PARTITION BY event_type ORDER BY h
+                              ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+      z AS (
+        SELECT event_type, h, cnt,
+               CASE WHEN 24 * s2 = s1 * s1 THEN NULL
+                    ELSE (CAST(cnt AS DOUBLE) - CAST(s1 AS DOUBLE) / 24.0)
+                         / sqrt((CAST(s2 AS DOUBLE)
+                                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                                   / 24.0) / 24.0)
+               END AS zv
+        FROM w WHERE h >= 24)
+      SELECT event_type, h, cnt, round(zv, 4) AS z,
+             coalesce(abs(zv) > 3.0, false) AS is_anomaly
+      FROM z ORDER BY event_type, h"""))
+
   /** validate_orders — declarative data-quality gate: four row-level
     * constraints over orders evaluated in ONE scan (a single
     * partial-aggregated pass; N constraints = one table read), reported
@@ -2324,6 +2483,81 @@ object Queries {
              round(coalesce(n_novel, 0)::DOUBLE / n_distinct, 4) AS pct_novel
       FROM pb p LEFT JOIN nv USING (batch)
       ORDER BY batch"""))
+
+  /** dedup_lsh_recall — the sampled recall/precision audit of the
+    * capped MinHash+LSH pipeline (DedupOps.lshRecallReport): on a
+    * deterministic md5 half-slice of the corpus, TRUE >= 0.8 Jaccard
+    * pairs computed exactly (unpruned inverted index — affordable on
+    * the slice, which is the whole point of sampling the audit) vs
+    * the mirror-family candidate set with maxBucket = 256 ACTIVE.
+    * The oracle replays the sample slice, the exact truth pairs, the
+    * full signature/banding/cap/candidate chain (the d02m fragments),
+    * and both ratios — so the number that justifies the production
+    * band configuration is itself hash-graded.
+    */
+  private val d16 = Q(
+    "dedup_lsh_recall",
+    (s, d) => DedupOps.lshRecallReport(docs(s, d), "text", "doc_id",
+      sampleFraction = 0.5),
+    Some("""
+      WITH sample AS (
+        SELECT doc_id, text FROM documents
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER
+              < 32768),
+      sets AS (
+        SELECT doc_id,
+               CASE WHEN len(w) >= 3
+                    THEN list_distinct(list_transform(range(1, len(w) - 1),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                    ELSE [text] END AS sh
+        FROM (SELECT doc_id, text, string_split(text, ' ') AS w
+              FROM sample) b),
+      posts AS (
+        SELECT doc_id, CAST(len(sh) AS BIGINT) AS sz, unnest(sh) AS s
+        FROM sets WHERE sh IS NOT NULL),
+      pr AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a,
+               b.sz AS sz_b, count(*) AS n_inter
+        FROM posts a JOIN posts b USING (s)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4),
+      truth AS (
+        SELECT id_a, id_b FROM pr
+        WHERE n_inter::DOUBLE / (sz_a + sz_b - n_inter) >= 0.8),
+      bases AS (
+        SELECT doc_id, CAST(md5_number_lower(s) % 2147483648 AS BIGINT) AS x
+        FROM (SELECT doc_id, unnest(sh) AS s FROM sets) p
+        WHERE s IS NOT NULL),
+      sig AS (
+        SELECT doc_id, t.i AS i,
+               min(((1 + (2654435761 * (t.i + 1)) % 2147483646) * x
+                    + (1013904223 * (t.i + 1)) % 2147483647) % 2147483647) AS v
+        FROM bases, range(32) t(i) GROUP BY 1, 2),
+      bands AS (
+        SELECT doc_id, i // 4 AS band_idx, list(v ORDER BY i) AS band_key
+        FROM sig GROUP BY doc_id, i // 4),
+      ok AS (
+        SELECT band_idx, band_key FROM bands
+        GROUP BY 1, 2 HAVING count(*) <= 256),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a, bands b, ok
+        WHERE a.band_idx = ok.band_idx AND a.band_key = ok.band_key
+          AND b.band_idx = ok.band_idx AND b.band_key = ok.band_key
+          AND a.doc_id < b.doc_id),
+      h AS (
+        SELECT t.id_a, t.id_b FROM truth t
+        JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b)
+      SELECT t.n AS n_true_pairs, c.n AS n_candidates, hh.n AS n_hits,
+             CASE WHEN t.n = 0 THEN NULL
+                  ELSE round(CAST(hh.n AS DOUBLE) / CAST(t.n AS DOUBLE), 4)
+             END AS recall,
+             CASE WHEN c.n = 0 THEN NULL
+                  ELSE round(CAST(hh.n AS DOUBLE) / CAST(c.n AS DOUBLE), 4)
+             END AS precision_at_tau
+      FROM (SELECT count(*) AS n FROM truth) t,
+           (SELECT count(*) AS n FROM cand) c,
+           (SELECT count(*) AS n FROM h) hh"""))
 
   // ---------------------------------------------------------------- text
 
@@ -2860,6 +3094,48 @@ object Queries {
       BpeOps.fertility(docs(s, d), merges).orderBy(col("lang"))
     },
     Some(BpeOps.fertilityOracleSql(3)))
+
+  /** text_trending_terms — token-level drift monitor
+    * (TextOps.trendingTerms): per ingest batch (the d15 source-order
+    * convention), top-5 terms by smoothed share-of-batch lift vs the
+    * previous batch. One (batch, word) count pass; previous-batch
+    * counts via a co-partitioned self-join of the counts table
+    * shifted by one batch; batch totals broadcast; WindowGroupLimit
+    * top-k (the q04 shape). Ranking compares unrounded IEEE doubles
+    * from the identical formula on both engines, ties to the smaller
+    * word.
+    */
+  private val t18 = Q(
+    "text_trending_terms",
+    (s, d) => TextOps.trendingTerms(docs(s, d), "text",
+        substring(col("source"), 4, 5).cast("int"), k = 5)
+      .orderBy(col("batch"), col("rank")),
+    Some("""
+      WITH w AS (
+        SELECT CAST(substr(source, 4) AS INTEGER) AS batch,
+               unnest(string_split(text, ' ')) AS word
+        FROM documents),
+      c AS (SELECT batch, word, count(*) AS cnt FROM w GROUP BY 1, 2),
+      t AS (SELECT batch, CAST(sum(cnt) AS BIGINT) AS total
+            FROM c GROUP BY 1),
+      l AS (
+        SELECT c.batch, c.word, c.cnt,
+               CAST(coalesce(p.cnt, 0) AS BIGINT) AS prev_cnt,
+               ((CAST(c.cnt AS DOUBLE) + 0.5)
+                  / (CAST(t.total AS DOUBLE) + 1.0)) /
+               ((CAST(coalesce(p.cnt, 0) AS DOUBLE) + 0.5)
+                  / (CAST(pt.total AS DOUBLE) + 1.0)) AS lift
+        FROM c
+        JOIN t USING (batch)
+        JOIN t pt ON pt.batch = c.batch - 1
+        LEFT JOIN c p ON p.batch = c.batch - 1 AND p.word = c.word),
+      r AS (
+        SELECT batch, word, cnt, prev_cnt, lift,
+               CAST(row_number() OVER (PARTITION BY batch
+                 ORDER BY lift DESC, word) AS INTEGER) AS rank
+        FROM l)
+      SELECT batch, rank, word, cnt, prev_cnt, round(lift, 4) AS lift
+      FROM r WHERE rank <= 5 ORDER BY batch, rank"""))
 
   // ---------------------------------------------------------- similarity
 
@@ -5469,9 +5745,9 @@ object Queries {
     q28, q29, q30, q31, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q57b, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
-    q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86,
-    d01, d02, d02m, d02i, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sm10, sm11, pk1, dc1, dc2, dc3, dc4, vd1,
-    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, cr1, cr2, m01, m02, m03, mr1,
+    q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
+    d01, d02, d02m, d02i, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sm10, sm11, pk1, pk2, dc1, dc2, dc3, dc4, vd1,
+    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, cr1, cr2, m01, m02, m03, mr1,
     p01, st01, st02, st03, st04, st05, st06)
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

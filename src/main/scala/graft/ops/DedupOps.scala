@@ -232,6 +232,62 @@ object DedupOps {
            round(avg(col("jaccard")), 4).as("avg_jaccard"))
   }
 
+  /** LSH recall/precision audit — the sampled quality gate every
+    * production near-dup pipeline needs: on a deterministic hash
+    * slice of the corpus, compute the TRUE >= `threshold` Jaccard
+    * pairs exactly (unpruned inverted index — any pair with positive
+    * Jaccard shares a shingle, so the index finds all of them) and
+    * compare the capped MinHash+LSH candidate set against them.
+    * Recall = truth pairs the LSH surfaced; precision = candidates
+    * that verify. At 100 TB the exact side is unaffordable on the
+    * full corpus — that is WHY this runs on a hash sample: the slice
+    * is corpus-representative, the audit cost is fraction²-bounded
+    * (both sides of the truth self-join shrink), and the number it
+    * produces is the evidence behind the production path's
+    * band/row/cap configuration.
+    *
+    * Runs on the ENGINE-PORTABLE mirror family with the `maxBucket`
+    * cap ACTIVE (the 100 TB-honest configuration, d02m's grading
+    * stance), so an oracle can replay signature, banding, cap,
+    * candidates, the exact truth pairs, and both ratios.
+    *
+    * Output: one row — (n_true_pairs, n_candidates, n_hits, recall,
+    * precision_at_tau); NULL ratio when its denominator is 0.
+    */
+  def lshRecallReport(df: DataFrame, textCol: String, idCol: String,
+                      shingleN: Int = 3, threshold: Double = 0.8,
+                      maxBucket: Int = 256,
+                      sampleFraction: Double = 0.25): DataFrame = {
+    val sample = SampleOps.hashSample(df, idCol, sampleFraction)
+    val sets = shingleStringSets(sample, textCol, idCol, shingleN)
+      .filter(col("sh").isNotNull)
+    val posts = sets.select(col(idCol),
+      size(col("sh")).cast("long").as("sz"), explode(col("sh")).as("s"))
+    val truth = posts.select(col("s"), col(idCol).as("id_a"), col("sz").as("sz_a"))
+      .join(posts.select(col("s"), col(idCol).as("id_b"), col("sz").as("sz_b")), "s")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .withColumn("jac", col("n_inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("n_inter")))
+      // threshold on the UNROUNDED jaccard (the nearDupReport rule)
+      .filter(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val sig = sample.select(col(idCol),
+      graft.functions.TextFunctions.minhash_sig_md5(
+        col(textCol), shingleN, NumHashes).as("minhash_sig"))
+    val cands = minhashCandidates(
+      minhashBands(sig, idCol, cols => array(cols: _*)), idCol, maxBucket)
+    val hits = truth.join(cands, Seq("id_a", "id_b"), "left_semi")
+    truth.agg(count(lit(1)).as("n_true_pairs"))
+      .crossJoin(cands.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      .withColumn("recall", round(try_divide(
+        col("n_hits").cast("double"), col("n_true_pairs").cast("double")), 4))
+      .withColumn("precision_at_tau", round(try_divide(
+        col("n_hits").cast("double"), col("n_candidates").cast("double")), 4))
+  }
+
   /** Distinct n-word shingle STRING sets per doc (the d02-oracle
     * semantics: short docs contribute {whole text}, NULL text a NULL
     * set) — the replayable verification basis of the mirror family.

@@ -47,4 +47,48 @@ object PackOps {
       .withColumn("bin", expr(s"(cum - cast(`$tokenCol` as bigint)) div ${budget}L"))
       .drop("bucket", "cum_in_bucket", "bucket_offset")
   }
+
+  /** Packing-efficiency report — the data card that justifies (or
+    * kills) sequence packing for a corpus: per document-length bucket,
+    * how many padded training sequences per-doc batching would emit
+    * (each doc split into ceil(tokens/maxLen) sequences, the last one
+    * padded) versus the packed lower bound (ceil(bucket tokens /
+    * maxLen) bins), and the padding share that packing reclaims.
+    * Skewed short-doc corpora show pad_pct near 1 — exactly the
+    * evidence that decides the dataloader design.
+    *
+    * Scale shape: everything before the final aggregate is row-local
+    * integer arithmetic (`div`-based ceils — exact at any magnitude,
+    * no float rounding anywhere), then ONE partial-aggregated pass
+    * over buckets-cardinality groups. Zero-token docs emit zero
+    * sequences and no padding.
+    *
+    * Output per bucket: (bucket, n_docs, tokens, n_seqs, pad_slots,
+    * pad_pct, bins_packed, saved_pct = 1 − bins_packed/n_seqs).
+    */
+  def packEfficiency(df: DataFrame, tokenCol: String, maxLen: Int,
+                     bucketWidth: Int): DataFrame = {
+    require(maxLen > 0 && bucketWidth > 0,
+      s"packEfficiency: maxLen=$maxLen bucketWidth=$bucketWidth must be positive")
+    val t = col(tokenCol).cast("long")
+    val perDoc = df
+      .select(expr(s"cast(`$tokenCol` as bigint) div ${bucketWidth}L")
+          .cast("int").as("bucket"),
+        t.as("__t"),
+        expr(s"(cast(`$tokenCol` as bigint) + ${maxLen - 1}L) div ${maxLen}L")
+          .as("__seqs"))
+    perDoc.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__t")).as("tokens"),
+        sum(col("__seqs")).as("n_seqs"))
+      .withColumn("pad_slots", col("n_seqs") * maxLen - col("tokens"))
+      .withColumn("pad_pct",
+        round(try_divide(col("pad_slots").cast("double"),
+          (col("n_seqs") * maxLen).cast("double")), 4))
+      .withColumn("bins_packed",
+        expr(s"(tokens + ${maxLen - 1}L) div ${maxLen}L"))
+      .withColumn("saved_pct",
+        round(lit(1.0) - try_divide(col("bins_packed").cast("double"),
+          col("n_seqs").cast("double")), 4))
+  }
 }

@@ -576,4 +576,56 @@ object TextOps {
         array_distinct(transform(idx, i => concat_ws(" ", slice(ws, i + 1, lit(n))))))
       .otherwise(array(text))
   }
+
+  /** Trending terms per ingest batch — the token-level drift monitor
+    * (complement of the numeric PSI gate): for each batch, the top-k
+    * terms by smoothed share-of-batch lift against the PREVIOUS
+    * batch. Lift = ((c+0.5)/(T+1)) / ((c_prev+0.5)/(T_prev+1)) with
+    * add-half smoothing, so terms newly appearing in a batch rank by
+    * how much mass they took, not by a division blowup. Batch 0 has
+    * no predecessor and is not reported.
+    *
+    * Scale shape: one (batch, word) partial-aggregated count pass —
+    * the only corpus-sized stage; the previous-batch counts arrive
+    * via a word-keyed equi-join of the counts table against itself
+    * shifted by one batch (both sides hash-partition on (batch,
+    * word) — co-partitioned, never a window over the vocabulary);
+    * batch totals are a batches-sized broadcast. The top-k is the
+    * q04 per-key window (WindowGroupLimit bounds map-side state to
+    * k per batch per task). Ranking compares unrounded IEEE doubles
+    * computed by the same formula on engine and oracle, ties to the
+    * lexicographically smaller word.
+    *
+    * Output: (batch, rank, word, cnt, prev_cnt, lift rounded to 4).
+    */
+  def trendingTerms(df: DataFrame, textCol: String, batchCol: Column,
+                    k: Int): DataFrame = {
+    require(k > 0, s"trendingTerms: k must be positive, got $k")
+    val counts = df
+      .select(batchCol.cast("int").as("batch"),
+        explode(words(col(textCol))).as("word"))
+      .groupBy(col("batch"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy(col("batch"))
+      .agg(sum(col("cnt")).as("total"))
+    val prevC = counts.select((col("batch") + 1).as("batch"), col("word"),
+      col("cnt").as("prev_cnt"))
+    val prevT = totals.select((col("batch") + 1).as("batch"),
+      col("total").as("prev_total"))
+    val lifted = counts
+      .join(broadcast(totals), "batch")
+      // inner on prev totals: batch 0 (no predecessor) drops here
+      .join(broadcast(prevT), "batch")
+      .join(prevC, Seq("batch", "word"), "left")
+      .withColumn("prev_cnt", coalesce(col("prev_cnt"), lit(0L)))
+      .withColumn("lift",
+        ((col("cnt").cast("double") + 0.5) /
+          (col("total").cast("double") + 1.0)) /
+        ((col("prev_cnt").cast("double") + 0.5) /
+          (col("prev_total").cast("double") + 1.0)))
+    LibOps.topKPerKey(lifted, Seq("batch"),
+        Seq(col("lift").desc, col("word").asc), k, rankCol = "rank")
+      .select(col("batch"), col("rank"), col("word"), col("cnt"),
+        col("prev_cnt"), round(col("lift"), 4).as("lift"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-time windowing (SURVEY.md §2.9). The reference has no
@@ -103,6 +104,161 @@ object TimeOps {
     * sum_prior); labels with no prior events keep n_prior = 0,
     * sum_prior = 0.0 (left join).
     */
+  /** Ordered funnel analysis — the classic conversion report: how many
+    * users reach step 1, then step 2 STRICTLY AFTER their first step-1
+    * event, then step 3 after that, and so on. "Reach" is
+    * first-occurrence semantics: a user's step-k time is the earliest
+    * event of that type after their step-(k−1) reach time, so a
+    * click that precedes every view does not convert.
+    *
+    * Scale shape: one user-keyed `min` aggregate per step, each
+    * equi-joined to the previous step's (user, reach-time) table —
+    * every frame after the first aggregate is users-cardinality and
+    * all of them hash-partition on the user key, so the chain
+    * co-partitions with no extra exchange. The event table is scanned
+    * once per step, but each scan carries a pushed `event_type =`
+    * filter and a 3-column projection — at 100 TB that is |steps|
+    * cheap pruned scans, the right trade against the alternative
+    * (one shuffle materializing every user's full sorted event array,
+    * which a power-law user distribution turns into stragglers).
+    * Timestamps compare as epoch-µs longs on both engine and oracle
+    * (the q85/st03 precision convention). The only unpartitioned
+    * window runs over |steps| rows. `withinHours` bounds each
+    * conversion: step k must land within that many hours AFTER the
+    * step-(k−1) reach (half-open above: > prev, <= prev + window) —
+    * the standard attribution window; None means unbounded.
+    *
+    * Output: one row per step — (step_idx, step, n_users, pct_prev =
+    * n_users / previous step's n_users, NULL for step 1).
+    */
+  def funnel(df: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String],
+             withinHours: Option[Int] = None): DataFrame = {
+    require(steps.nonEmpty, "funnel: steps must be non-empty")
+    require(steps.distinct.size == steps.size,
+      s"funnel: duplicate step in ${steps.mkString(",")}")
+    require(withinHours.forall(_ > 0),
+      s"funnel: withinHours must be positive, got $withinHours")
+    val e = df.select(col(userCol).as("__u"), col(typeCol).as("__t"),
+      unix_micros(col(tsCol)).as("__us"))
+    val first = e.filter(col("__t") === steps.head)
+      .groupBy(col("__u")).agg(min(col("__us")).as("__reach"))
+    val bound: Column => Column = prev => withinHours match {
+      case Some(hrs) => col("__us") > prev &&
+        col("__us") <= prev + lit(hrs.toLong * 3600L * 1000000L)
+      case None => col("__us") > prev
+    }
+    val reaches = steps.tail.scanLeft(first) { (prev, step) =>
+      e.filter(col("__t") === step)
+        .join(prev.select(col("__u"), col("__reach").as("__p")), "__u")
+        .filter(bound(col("__p")))
+        .groupBy(col("__u")).agg(min(col("__us")).as("__reach"))
+    }
+    val counts = reaches.zip(steps).zipWithIndex.map {
+      case ((r, name), i) =>
+        r.agg(count(lit(1)).as("n_users"))
+          .select(lit(i + 1).as("step_idx"), lit(name).as("step"),
+            col("n_users"))
+    }.reduce(_ unionByName _)
+    // |steps| rows: the unpartitioned lag window is bounded by the
+    // funnel definition, never by the data
+    counts.withColumn("pct_prev",
+      round(col("n_users").cast("double") /
+        lag(col("n_users"), 1).over(Window.orderBy(col("step_idx"))), 4))
+  }
+
+  /** Next-event transition matrix — P(next event type | event type)
+    * from each user's time-ordered event stream (the Markov-chain
+    * view of product analytics; also the sanity check behind
+    * "sessions end in errors more often after X").
+    *
+    * Scale shape: ONE user-partitioned window (`lead` over the
+    * per-user sort — partition size is a user's own event count,
+    * never the corpus), then a types²-bounded aggregate and a
+    * types-partitioned share window over that tiny frame. Ordering
+    * ties break on `tieCol` (the event id) so the successor of two
+    * same-µs events is deterministic in any engine.
+    *
+    * Output: (from_type, to_type, n_trans, pct_from) — pct_from is
+    * the row-normalized transition probability, rounded to 4.
+    */
+  def transitionMatrix(df: DataFrame, userCol: String, tsCol: String,
+                       tieCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val counts = df
+      .select(col(userCol), col(tsCol), col(tieCol), col(typeCol))
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    counts.withColumn("pct_from",
+      round(col("n_trans").cast("double") /
+        sum(col("n_trans")).over(Window.partitionBy(col("from_type"))), 4))
+  }
+
+  /** Rolling z-score anomaly detection on event rates — the
+    * monitoring gate between pipeline runs ("did the click rate
+    * spike?"), sibling of `LibOps.psiReport` (distribution drift) but
+    * over TIME: hourly event counts per type on a dense hour spine,
+    * each hour scored against the mean/std of its own trailing
+    * `trailing`-hour window.
+    *
+    * Scale shape: one partial-aggregated (type, hour) count pass over
+    * the events — the ONLY corpus-sized stage; the spine (types ×
+    * `nHours` rows, a time-range constant) joins to it and every
+    * window after is partitioned by type over spine rows. The spine
+    * is dense (missing hours count 0) so the ROWS frame really is
+    * trailing wall-clock hours. Mean/std derive from exact BIGINT
+    * window sums (Σcnt, Σcnt² — order-free, unlike a windowed DOUBLE
+    * sum whose addition order differs between engines), with the
+    * float formula applied identically on engine and oracle; exact
+    * up to per-hour counts of ~6×10⁸ (cnt²·trailing < 2⁶³), far
+    * above any real per-hour rate. A zero-variance lookback yields
+    * NULL z (try_divide), which reports non-anomalous.
+    *
+    * Output: one row per (event_type, h) with h >= trailing —
+    * (event_type, h, cnt, z rounded to 4, is_anomaly).
+    */
+  def rateAnomaly(df: DataFrame, tsCol: String, typeCol: String,
+                  startTs: String, nHours: Int, trailing: Int,
+                  zThresh: Double): DataFrame = {
+    require(nHours > 0 && trailing > 0 && trailing < nHours,
+      s"rateAnomaly: need 0 < trailing < nHours, got $trailing/$nHours")
+    val HourUs = 3600L * 1000000L
+    val startUs = unix_micros(to_timestamp(lit(startTs)))
+    val h = expr(s"(unix_micros(`$tsCol`) - unix_micros(to_timestamp('$startTs'))) div ${HourUs}L")
+    val counts = df
+      // bound on raw µs, NOT on h: `div` truncates toward zero, so a
+      // pre-start event inside the first hour would otherwise land in
+      // h = 0 (and floor-dividing engines would disagree on negatives)
+      .filter(unix_micros(col(tsCol)) >= startUs &&
+        unix_micros(col(tsCol)) < startUs + lit(nHours.toLong * HourUs))
+      .groupBy(col(typeCol).as("event_type"), h.cast("int").as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val spine = df.select(col(typeCol).as("event_type")).distinct()
+      .select(col("event_type"),
+        explode(sequence(lit(0), lit(nHours - 1))).as("h"))
+    val dense = spine.join(counts, Seq("event_type", "h"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(-trailing, -1)
+    val scored = dense
+      .withColumn("s1", sum(col("cnt")).over(w))
+      .withColumn("s2", sum(col("cnt") * col("cnt")).over(w))
+      .filter(col("h") >= trailing)
+    val n = lit(trailing.toDouble)
+    val m = col("s1").cast("double") / n
+    val varr = (col("s2").cast("double") -
+      col("s1").cast("double") * col("s1").cast("double") / n) / n
+    val z = try_divide(col("cnt").cast("double") - m, sqrt(varr))
+    scored
+      .withColumn("z", z)
+      .select(col("event_type"), col("h"), col("cnt"),
+        round(col("z"), 4).as("z"),
+        coalesce(abs(col("z")) > zThresh, lit(false)).as("is_anomaly"))
+  }
+
   def pointInTimeFeatures(labels: DataFrame, events: DataFrame,
                           userCol: String, tsCol: String, valueCol: String,
                           labelIdCol: String, windowHours: Int): DataFrame = {
