@@ -5374,29 +5374,23 @@ object Queries {
 
   /** q51 — conversion funnel (event-sequence analytics): users who
     * signed up, then clicked within 24h of first signup, then purchased
-    * within 24h of that first qualifying click. Each stage is a per-user
-    * min-aggregate plus a keyed equi-join on user_id — partial-agg
-    * shuffles and key joins only, no per-user event scans or window
-    * sorts, so the funnel holds its shape at any event volume.
+    * within 24h of that first qualifying click. Since round 6 this
+    * delegates to the generalized `TimeOps.funnel` (per-user
+    * min-aggregates chained by co-partitioned user equi-joins; q87
+    * grades the op's native schema on a different step chain) and
+    * keeps this query's original stage-label output contract.
     */
   private val q51 = Q(
     "q51_funnel",
     (s, d) => {
       import s.implicits._
-      val e = ev(s, d)
-      val day = expr("INTERVAL 24 HOURS")
-      val su = e.filter($"event_type" === "signup")
-        .groupBy($"user_id").agg(min($"ts").as("t_s"))
-      val cl = e.filter($"event_type" === "click").join(su, "user_id")
-        .filter($"ts" > $"t_s" && $"ts" <= $"t_s" + day)
-        .groupBy($"user_id").agg(min($"ts").as("t_c"))
-      val pu = e.filter($"event_type" === "purchase").join(cl, "user_id")
-        .filter($"ts" > $"t_c" && $"ts" <= $"t_c" + day)
-        .groupBy($"user_id").agg(min($"ts").as("t_p"))
-      Seq(("stage1_signup", su), ("stage2_click_24h", cl), ("stage3_purchase_24h", pu))
-        .map { case (n, df) =>
-          df.agg(count(lit(1)).as("n_users")).select(lit(n).as("stage"), $"n_users") }
-        .reduce(_.unionByName(_))
+      TimeOps.funnel(ev(s, d), "user_id", "ts", "event_type",
+          Seq("signup", "click", "purchase"), withinHours = Some(24))
+        .select(
+          when($"step_idx" === 1, "stage1_signup")
+            .when($"step_idx" === 2, "stage2_click_24h")
+            .otherwise("stage3_purchase_24h").as("stage"),
+          $"n_users")
         .orderBy($"stage")
     },
     Some("""

@@ -2284,4 +2284,128 @@ class OpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
     assert(re.toSeq == got.toSeq)
   }
+
+  test("TimeOps.funnel: ordered first-occurrence steps with attribution window") {
+    import java.sql.Timestamp
+    def ts(min: Int): Timestamp =
+      new Timestamp(Timestamp.valueOf("2024-01-01 00:00:00").getTime + min * 60000L)
+    val df = Seq(
+      // u1 converts every step inside the 60-min window
+      (1L, "view", ts(0)), (1L, "click", ts(10)), (1L, "purchase", ts(20)),
+      // u2 clicks BEFORE viewing — order matters, no step-2 conversion
+      (2L, "click", ts(0)), (2L, "view", ts(10)),
+      // u3 clicks 2 h after the first view — outside the window
+      (3L, "view", ts(0)), (3L, "click", ts(120)),
+      // u4 views only
+      (4L, "view", ts(0))).toDF("user_id", "event_type", "ts")
+    val got = TimeOps.funnel(df, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), withinHours = Some(1))
+      .orderBy("step_idx").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1, "view", 4L), (2, "click", 1L), (3, "purchase", 1L)))
+    // unbounded: u3's late click now converts
+    val open = TimeOps.funnel(df, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .orderBy("step_idx").collect().map(_.getLong(2))
+    assert(open.toSeq == Seq(4L, 2L, 1L))
+    // the step-k clock starts at the step-(k-1) REACH time, not at any
+    // later event: u1's purchase at +20min converts even though a
+    // same-type event at +90min would not
+    val pct = TimeOps.funnel(df, "user_id", "ts", "event_type",
+        Seq("view", "click"), withinHours = Some(1))
+      .orderBy("step_idx").collect().map(r => Option(r.get(3)))
+    assert(pct(0).isEmpty && pct(1).contains(0.25))
+  }
+
+  test("TimeOps.transitionMatrix: per-user lead with deterministic ties") {
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = Timestamp.valueOf("2024-01-01 00:01:00")
+    val df = Seq(
+      // u1: two events at the SAME µs — successor resolves by event_id
+      (1L, 1L, "a", t0), (1L, 2L, "b", t0), (1L, 3L, "a", t1),
+      // u2: a single event — no transition
+      (2L, 4L, "b", t0)).toDF("user_id", "event_id", "event_type", "ts")
+    val got = TimeOps.transitionMatrix(df, "user_id", "ts", "event_id", "event_type")
+      .orderBy("from_type", "to_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(("a", "b", 1L, 1.0), ("b", "a", 1L, 1.0)))
+  }
+
+  test("TimeOps.rateAnomaly: dense spine, exact rolling moments, NULL z on zero variance") {
+    import java.sql.Timestamp
+    def ts(hour: Int, n: Int): Seq[Timestamp] = (0 until n).map(i =>
+      new Timestamp(Timestamp.valueOf("2024-01-01 00:00:00").getTime
+        + hour * 3600000L + i * 1000L))
+    // type x: lookback 1,2,1,2 then a spike of 4 at h=4
+    val x = Seq(0 -> 1, 1 -> 2, 2 -> 1, 3 -> 2, 4 -> 4)
+      .flatMap { case (h, n) => ts(h, n).map(("x", _)) }
+    // type y: constant 1/hour -> zero variance -> NULL z, never anomalous
+    val y = (0 to 5).flatMap(h => ts(h, 1).map(("y", _)))
+    val df = (x ++ y).toDF("event_type", "ts")
+    val got = TimeOps.rateAnomaly(df, "ts", "event_type",
+        "2024-01-01 00:00:00", nHours = 8, trailing = 4, zThresh = 3.0)
+      .orderBy("event_type", "h").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]), r.getBoolean(4)))
+    // spine is dense: 2 types x 4 scored hours (h=4..7)
+    assert(got.length == 8)
+    // x@4: m = 6/4 = 1.5, var = (10 - 9) / 4 = 0.25 -> z = 2.5/0.5 = 5
+    val x4 = got.find(g => g._1 == "x" && g._2 == 4).get
+    assert(x4._3 == 4L && x4._4.contains(5.0) && x4._5)
+    // x@6: lookback 1,2,4,0 (h=5 empty hour counts 0 via the spine)
+    val x6 = got.find(g => g._1 == "x" && g._2 == 6).get
+    assert(x6._3 == 0L && !x6._5)
+    // y: constant lookback -> zero variance -> NULL z, not anomalous
+    val y4 = got.find(g => g._1 == "y" && g._2 == 4).get
+    assert(y4._4.isEmpty && !y4._5)
+  }
+
+  test("TextOps.trendingTerms: smoothed lift vs previous batch, top-k") {
+    val df = Seq(
+      (0, "a a b"),
+      (1, "a b b c")).toDF("batch", "text")
+    val got = TextOps.trendingTerms(df, "text", col("batch"), k = 2)
+      .orderBy("batch", "rank").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    // batch 0 has no predecessor and is absent; batch 1:
+    // lift(c) = (1.5/5)/(0.5/4) = 2.4 (new term), lift(b) = (2.5/5)/(1.5/4)
+    assert(got.toSeq == Seq(
+      (1, 1, "c", 1L, 0L, 2.4),
+      (1, 2, "b", 2L, 1L, 1.3333)))
+  }
+
+  test("PackOps.packEfficiency: exact integer padding arithmetic per bucket") {
+    val df = Seq(10L, 10L, 10L, 10L, 64L, 65L, 100L).toDF("n_tokens")
+    val got = PackOps.packEfficiency(df, "n_tokens", maxLen = 64, bucketWidth = 50)
+      .orderBy("bucket").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getLong(6), r.getDouble(7)))
+    assert(got.toSeq == Seq(
+      // 4 x 10-token docs: 4 padded seqs of 64 vs 1 packed bin
+      (0, 4L, 40L, 4L, 216L, 0.8438, 1L, 0.75),
+      // 64 + 65 tokens: 1 + 2 seqs (65 straddles), packed needs 3 too
+      (1, 2L, 129L, 3L, 63L, 0.3281, 3L, 0.0),
+      (2, 1L, 100L, 2L, 28L, 0.2188, 2L, 0.0)))
+  }
+
+  test("DedupOps.lshRecallReport: exact truth vs capped LSH candidates") {
+    val dup = (1 to 10).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, dup), (2L, dup),                       // an exact near-dup pair
+      (3L, (11 to 20).map(i => s"w$i").mkString(" ")),
+      (4L, (21 to 30).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = DedupOps.lshRecallReport(df, "text", "doc_id",
+      sampleFraction = 1.0).collect()(0)
+    assert(r.getAs[Long]("n_true_pairs") == 1L)
+    assert(r.getAs[Long]("n_hits") == 1L)
+    assert(r.getAs[Double]("recall") == 1.0)
+    assert(r.getAs[Double]("precision_at_tau") == 1.0)
+    // empty sample: zero counts, NULL ratios (try_divide), not a crash
+    val z = DedupOps.lshRecallReport(df, "text", "doc_id",
+      sampleFraction = 0.0).collect()(0)
+    assert(z.getAs[Long]("n_true_pairs") == 0L && z.isNullAt(3) && z.isNullAt(4))
+  }
 }

@@ -34,6 +34,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "q51_funnel", "q52_rolling_median", "q66_pct_rank",
       "q77_skew_report", "q81_approx_winsorize", "q83_grouped_winsorize",
       "q84_retention_cohorts", "q85_pit_features", "q86_drift_psi",
+      // round-6 seventh session: q87/q51 share the funnel op (final
+      // lag window over |steps| rows is unreferenced under count());
+      // q88's share window and q89's z columns likewise drop
+      "q87_funnel", "q88_transitions", "q89_rate_anomaly",
       "sample_curriculum", "sample_dsir", "sample_shards")
     val got = flagged.map(_._1).toSet
     val msg =
