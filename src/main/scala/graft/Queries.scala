@@ -2065,7 +2065,8 @@ object Queries {
         UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
       SELECT step_idx, step, n_users,
              round(CAST(n_users AS DOUBLE) /
-                   lag(n_users) OVER (ORDER BY step_idx), 4) AS pct_prev
+                   nullif(lag(n_users) OVER (ORDER BY step_idx), 0), 4)
+               AS pct_prev
       FROM c ORDER BY step_idx"""))
 
   /** q88_transitions — next-event transition matrix

@@ -161,10 +161,11 @@ object TimeOps {
             col("n_users"))
     }.reduce(_ unionByName _)
     // |steps| rows: the unpartitioned lag window is bounded by the
-    // funnel definition, never by the data
+    // funnel definition, never by the data. try_divide: an empty
+    // previous step yields NULL conversion, not an ANSI error.
     counts.withColumn("pct_prev",
-      round(col("n_users").cast("double") /
-        lag(col("n_users"), 1).over(Window.orderBy(col("step_idx"))), 4))
+      round(try_divide(col("n_users").cast("double"),
+        lag(col("n_users"), 1).over(Window.orderBy(col("step_idx")))), 4))
   }
 
   /** Next-event transition matrix — P(next event type | event type)

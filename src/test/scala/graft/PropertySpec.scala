@@ -448,6 +448,71 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("funnel equals a brute-force sequential reference on random streams") {
+    import java.sql.Timestamp
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val types = Vector("s0", "s1", "s2", "n0", "n1")
+    val steps = Seq("s0", "s1", "s2")
+    val winH = 10
+    val winUs = winH.toLong * 3600L * 1000000L
+    val evGen = Gen.listOfN(60,
+      Gen.zip(Gen.choose(0, 3), Gen.choose(0, 4), Gen.choose(0, 5000)))
+    samples(evGen, 8).filter(_.nonEmpty).foreach { raw =>
+      val rows = raw.map { case (u, t, m) =>
+        (u.toLong, types(t), new Timestamp(base + m * 60000L)) }
+      // brute force: per user, sequential first-reach under the window
+      val byUser = rows.groupBy(_._1).view.mapValues(evs =>
+        evs.map(e => (e._2, e._3.getTime * 1000L)))
+      val reached: Seq[Set[Long]] = steps.indices.map { k =>
+        byUser.filter { case (_, evs) =>
+          steps.take(k + 1).foldLeft(Option(Long.MinValue)) {
+            case (None, _) => None
+            case (Some(prev), st) =>
+              val cands = evs.filter(e => e._1 == st && e._2 > prev &&
+                (prev == Long.MinValue || e._2 <= prev + winUs))
+              if (cands.isEmpty) None else Some(cands.map(_._2).min)
+          }.isDefined
+        }.keySet.toSet
+      }
+      val got = TimeOps.funnel(rows.toDF("user_id", "event_type", "ts"),
+          "user_id", "ts", "event_type", steps, withinHours = Some(winH))
+        .orderBy("step_idx").collect().map(_.getAs[Long]("n_users"))
+      assert(got.toSeq == reached.map(_.size.toLong),
+        s"funnel mismatch: got ${got.toSeq} vs ${reached.map(_.size)}")
+    }
+  }
+
+  test("transitionMatrix equals a brute-force pair-count reference") {
+    import java.sql.Timestamp
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val types = Vector("a", "b", "c")
+    val evGen = Gen.listOfN(40,
+      Gen.zip(Gen.choose(0, 2), Gen.choose(0, 2), Gen.choose(0, 8)))
+    samples(evGen, 8).filter(_.nonEmpty).foreach { raw =>
+      val rows = raw.zipWithIndex.map { case ((u, t, m), i) =>
+        (u.toLong, i.toLong, types(t), new Timestamp(base + m * 60000L)) }
+      // brute force: per user sort by (ts, event_id), successive pairs
+      val pairs = rows.groupBy(_._1).toSeq.flatMap { case (_, evs) =>
+        val sorted = evs.sortBy(e => (e._4.getTime, e._2)).map(_._3)
+        sorted.zip(sorted.drop(1))
+      }
+      val expCnt = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val fromTot = pairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      def r4(x: Double): Double =
+        BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val got = TimeOps.transitionMatrix(
+          rows.toDF("user_id", "event_id", "event_type", "ts"),
+          "user_id", "ts", "event_id", "event_type")
+        .collect().map(r => ((r.getString(0), r.getString(1)),
+          (r.getLong(2), r.getDouble(3)))).toMap
+      assert(got.keySet == expCnt.keySet)
+      got.foreach { case (k, (n, pct)) =>
+        assert(n == expCnt(k), s"count mismatch at $k")
+        assert(pct == r4(n.toDouble / fromTot(k._1)), s"pct mismatch at $k")
+      }
+    }
+  }
+
   test("minhash signature similarity approximates exact jaccard on dup docs") {
     // two near-identical docs: signature agreement should be high
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
