@@ -2123,11 +2123,12 @@ object Queries {
                     // 3600000000 AS INTEGER) AS h,
                count(*) AS cnt
         FROM events
-        WHERE epoch_us(ts) >= epoch_us(TIMESTAMP '2024-01-01 00:00:00')
+        WHERE event_type IS NOT NULL
+          AND epoch_us(ts) >= epoch_us(TIMESTAMP '2024-01-01 00:00:00')
           AND epoch_us(ts) < epoch_us(TIMESTAMP '2024-01-01 00:00:00')
               + 720 * 3600000000
         GROUP BY 1, 2),
-      ty AS (SELECT DISTINCT event_type FROM events),
+      ty AS (SELECT DISTINCT event_type FROM c),
       spine AS (
         SELECT event_type, CAST(unnest(range(720)) AS INTEGER) AS h FROM ty),
       d AS (
@@ -3115,7 +3116,8 @@ object Queries {
       WITH w AS (
         SELECT CAST(substr(source, 4) AS INTEGER) AS batch,
                unnest(string_split(text, ' ')) AS word
-        FROM documents),
+        FROM documents
+        WHERE CAST(substr(source, 4) AS INTEGER) IS NOT NULL),
       c AS (SELECT batch, word, count(*) AS cnt FROM w GROUP BY 1, 2),
       t AS (SELECT batch, CAST(sum(cnt) AS BIGINT) AS total
             FROM c GROUP BY 1),

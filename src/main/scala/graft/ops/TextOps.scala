@@ -602,8 +602,18 @@ object TextOps {
                     k: Int): DataFrame = {
     require(k > 0, s"trendingTerms: k must be positive, got $k")
     val counts = df
-      .select(batchCol.cast("int").as("batch"),
-        explode(words(col(textCol))).as("word"))
+      .select(batchCol.cast("int").as("batch"), col(textCol).as("__text"))
+      // NULL batches drop, then `batch` is made structurally
+      // NON-NULLABLE (the coalesce never fires post-filter): the
+      // current and previous-batch join branches otherwise infer
+      // DIFFERENT null filters from their keys (isnotnull(batch) vs
+      // isnotnull(batch + 1) — not syntactically dedupable), which
+      // breaks exchange reuse and runs the corpus explode+count pass
+      // twice (plan-verified); with nothing to infer, the aggregate
+      // exchange plans ONCE and all three consumers reuse it
+      .filter(col("batch").isNotNull)
+      .select(coalesce(col("batch"), lit(0)).as("batch"),
+        explode(words(col("__text"))).as("word"))
       .groupBy(col("batch"), col("word"))
       .agg(count(lit(1)).as("cnt"))
     val totals = counts.groupBy(col("batch"))

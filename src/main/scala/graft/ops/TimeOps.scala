@@ -233,15 +233,35 @@ object TimeOps {
       // bound on raw µs, NOT on h: `div` truncates toward zero, so a
       // pre-start event inside the first hour would otherwise land in
       // h = 0 (and floor-dividing engines would disagree on negatives)
-      .filter(unix_micros(col(tsCol)) >= startUs &&
+      // explicit NULL-type filter: the dense left join below infers
+      // isnotnull on its build side's key but not on the spine's
+      // planting of this same aggregate — without the shared explicit
+      // filter the two subtrees differ and the count pass plans twice
+      // (the trendingTerms lesson)
+      .filter(col(typeCol).isNotNull &&
+        unix_micros(col(tsCol)) >= startUs &&
         unix_micros(col(tsCol)) < startUs + lit(nHours.toLong * HourUs))
       .groupBy(col(typeCol).as("event_type"), h.cast("int").as("h"))
       .agg(count(lit(1)).as("cnt"))
-    val spine = df.select(col(typeCol).as("event_type")).distinct()
+    // dense spine WITHOUT a second corpus scan: the sparse (type,
+    // hour) counts roll up to one nHours-bounded map per type (event
+    // types are domain-bounded; a distinct-types spine + left join
+    // would re-scan the corpus — Catalyst collapses Distinct-over-
+    // Aggregate straight onto the scan, plan-verified), and the dense
+    // hour axis explodes from a transform over that map: missing
+    // hours emit 0. A type with zero in-range events has no rate to
+    // monitor and is absent, matching the oracle's spine-from-counts.
+    val perType = counts.groupBy(col("event_type"))
+      .agg(map_from_arrays(collect_list(col("h")),
+        collect_list(col("cnt"))).as("__m"))
+    val dense = perType
       .select(col("event_type"),
-        explode(sequence(lit(0), lit(nHours - 1))).as("h"))
-    val dense = spine.join(counts, Seq("event_type", "h"), "left")
-      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+        posexplode(transform(sequence(lit(0), lit(nHours - 1)),
+          i => coalesce(element_at(col("__m"), i), lit(0L)))))
+      .select(col("event_type"), col("pos").cast("int").as("h"),
+        col("col").as("cnt"))
+    // the window reuses the per-type hash partitioning the map rollup
+    // just established — no further exchange
     val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
       .rowsBetween(-trailing, -1)
     val scored = dense
