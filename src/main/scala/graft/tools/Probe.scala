@@ -1,10 +1,10 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
-// scratch runner (round-6 continuation): robustOutliers pin-free
-// two-window prototype vs the production checkpoint+broadcast
-// formulation — output diff and warm timings on the graded fixture
+// scratch runner (round-6 seventh session): lshRecallReport under the
+// PRODUCTION audit config — constant absolute sample size as the
+// corpus grows (fraction ∝ 1/N), vs the graded fixed fraction whose
+// truth-pair cost is quadratic in the scaled fixture's replica count.
+// Usage: runMain graft.Probe <sfDir> <fraction> [reps]
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -12,41 +12,28 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // naive TIMESTAMP(MICROS) must read as session-tz TIMESTAMP (not
-      // NTZ) so event-time ops and epoch casts keep rounds-1-5 semantics
-      // and scan-level pushdown (Tables normalizes as a fallback)
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = "/root/testdata/sf0.1"
-    val ev = graft.io.Tables.events(spark, d)
-    def windowVariant(): org.apache.spark.sql.DataFrame = {
-      val v = col("value").cast("double")
-      val w = Window.partitionBy(col("event_type"))
-      ev.withColumn("__med", percentile(v, lit(0.5)).over(w))
-        .withColumn("__mad", percentile(abs(v - col("__med")), lit(0.5)).over(w))
-        .withColumn("rz", try_divide(v - col("__med"), col("__mad")))
-        .filter(abs(col("rz")) > lit(3.0))
-        .drop("__med", "__mad")
-    }
-    def prod(): org.apache.spark.sql.DataFrame =
-      graft.ops.LibOps.robustOutliers(ev, Seq("event_type"), "value", 3.0)
-    def exec(df: org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime()
+    val d = args(0)
+    val fraction = args(1).toDouble
+    val reps = if (args.length > 2) args(2).toInt else 2
+    def exec(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+    val times = (0 until reps).map { _ =>
+      val docs = graft.io.Tables.documents(spark, d)
+      val t0 = System.nanoTime()
+      exec(graft.ops.DedupOps.lshRecallReport(docs, "text", "doc_id",
+        sampleFraction = fraction))
       val s = (System.nanoTime() - t0) / 1e9
-      Hygiene.clearAll(spark, blocking = true, gc = true)
+      Hygiene.clearAll(spark)
       s
     }
-    // output diff (rz rounded 6 both sides to dodge try_divide ulp)
-    val a = prod().select(col("event_id"), round(col("rz"), 6).as("rz"))
-    val b = windowVariant().select(col("event_id"), round(col("rz"), 6).as("rz"))
-    val diff = a.exceptAll(b).count() + b.exceptAll(a).count()
-    println(s"PROBE diff=$diff")
-    Hygiene.clearAll(spark, blocking = true, gc = true)
-    val pc = exec(prod()); val pw = exec(prod())
-    val wc = exec(windowVariant()); val ww = exec(windowVariant())
-    println(f"PROBE prod cold=$pc%.2f warm=$pw%.2f | window cold=$wc%.2f warm=$ww%.2f")
+    val row = graft.ops.DedupOps.lshRecallReport(
+      graft.io.Tables.documents(spark, d), "text", "doc_id",
+      sampleFraction = fraction).collect()(0)
+    println(s"""{"sf":"$d","fraction":$fraction,"times":[${times.mkString(",")}],""" +
+      s""""n_true":${row.getLong(0)},"n_cand":${row.getLong(1)},"n_hits":${row.getLong(2)}}""")
     spark.stop()
   }
 }
