@@ -2153,6 +2153,56 @@ object Queries {
              coalesce(abs(zv) > 3.0, false) AS is_anomaly
       FROM z ORDER BY event_type, h"""))
 
+  /** q90_conversion_lag — time-to-convert distribution
+    * (TimeOps.funnelReaches): for users converting under q87's exact
+    * funnel semantics (view → click → purchase, 24 h attribution),
+    * the per-step conversion-lag percentiles — the latency companion
+    * to q87's volume report. Same user-keyed chain; lags are exact
+    * µs integer differences; `percentile` is exact interpolated (the
+    * q24/q67-established engine≡oracle parity) over a per-step group.
+    */
+  private val q90 = Q(
+    "q90_conversion_lag",
+    (s, d) => {
+      import s.implicits._
+      val r = TimeOps.funnelReaches(ev(s, d), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"),
+        withinHours = Some(24))
+      r.select(lit("step2_click").as("step"), ($"t2" - $"t1").as("lag_us"))
+        .filter($"lag_us".isNotNull)
+        .unionByName(r.select(lit("step3_purchase").as("step"),
+          ($"t3" - $"t2").as("lag_us")).filter($"lag_us".isNotNull))
+        .groupBy($"step")
+        .agg(count(lit(1)).as("n_users"),
+          percentile($"lag_us", lit(0.5)).as("p50_lag_us"),
+          percentile($"lag_us", lit(0.9)).as("p90_lag_us"))
+        .orderBy($"step")
+    },
+    Some("""
+      WITH s1 AS (
+        SELECT user_id, min(epoch_us(ts)) AS t FROM events
+        WHERE event_type = 'view' GROUP BY 1),
+      s2 AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
+        JOIN s1 ON e.user_id = s1.user_id AND epoch_us(e.ts) > s1.t
+          AND epoch_us(e.ts) <= s1.t + 86400000000
+        WHERE e.event_type = 'click' GROUP BY 1),
+      s3 AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
+        JOIN s2 ON e.user_id = s2.user_id AND epoch_us(e.ts) > s2.t
+          AND epoch_us(e.ts) <= s2.t + 86400000000
+        WHERE e.event_type = 'purchase' GROUP BY 1),
+      l AS (
+        SELECT 'step2_click' AS step, s2.t - s1.t AS lag_us
+        FROM s2 JOIN s1 USING (user_id)
+        UNION ALL
+        SELECT 'step3_purchase', s3.t - s2.t
+        FROM s3 JOIN s2 USING (user_id))
+      SELECT step, count(*) AS n_users,
+             quantile_cont(lag_us, 0.5) AS p50_lag_us,
+             quantile_cont(lag_us, 0.9) AS p90_lag_us
+      FROM l GROUP BY 1 ORDER BY 1"""))
+
   /** validate_orders — declarative data-quality gate: four row-level
     * constraints over orders evaluated in ONE scan (a single
     * partial-aggregated pass; N constraints = one table read), reported
@@ -3676,6 +3726,46 @@ object Queries {
           WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id) s
         WHERE sim >= 0.15 AND sim < 0.35) t
       WHERE rnk <= 5 ORDER BY qid, rnk"""))
+
+  /** ann_knn_accuracy — leave-one-out 1-NN label accuracy
+    * (SimOps.knnLabelAccuracy): the standard probe eval of the
+    * embedding space, per label, on a deterministic md5 quarter-slice
+    * of query vectors (the hashSample convention) — evaluated
+    * in-engine and graded. Exact brute scan (corpus never shuffles,
+    * sampled queries broadcast, WindowGroupLimit rank-1); the a01
+    * margin contract covers the vote: a flip needs the top-2
+    * neighbors to differ in label AND sit within an ulp of cosine.
+    */
+  private val a11 = Q(
+    "ann_knn_accuracy",
+    (s, d) => SimOps.knnLabelAccuracy(emb(s, d), "vec_id", "embedding",
+        "label", sampleFraction = 0.25)
+      .orderBy(col("label")),
+    Some("""
+      WITH q AS (
+        SELECT vec_id, embedding, label FROM embeddings
+        WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::INTEGER
+              < 16384),
+      nn AS (
+        SELECT qid, nid FROM (
+          SELECT q.vec_id AS qid, c.vec_id AS nid,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                                   c.embedding::DOUBLE[])
+                     DESC, c.vec_id) AS rnk
+          FROM q CROSS JOIN embeddings c
+          WHERE c.vec_id <> q.vec_id) t
+        WHERE rnk = 1),
+      j AS (
+        SELECT ql.label AS label,
+               CASE WHEN ql.label = cl.label THEN 1 ELSE 0 END AS ok
+        FROM nn
+        JOIN embeddings ql ON nn.qid = ql.vec_id
+        JOIN embeddings cl ON nn.nid = cl.vec_id)
+      SELECT label, count(*) AS n_queries,
+             CAST(sum(ok) AS BIGINT) AS n_correct,
+             round(CAST(sum(ok) AS DOUBLE) / count(*), 4) AS accuracy
+      FROM j GROUP BY 1 ORDER BY 1"""))
 
   /** corpus_report — the data card: per source×lang token/char/doc
     * counts with rollup subtotals and each row's share of corpus
@@ -5742,9 +5832,9 @@ object Queries {
     q28, q29, q30, q31, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q57b, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
-    q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
+    q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     d01, d02, d02m, d02i, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sm10, sm11, pk1, pk2, dc1, dc2, dc3, dc4, vd1,
-    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, cr1, cr2, m01, m02, m03, mr1,
+    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, a11, cr1, cr2, m01, m02, m03, mr1,
     p01, st01, st02, st03, st04, st05, st06)
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

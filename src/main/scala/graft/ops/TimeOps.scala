@@ -134,6 +134,40 @@ object TimeOps {
   def funnel(df: DataFrame, userCol: String, tsCol: String,
              typeCol: String, steps: Seq[String],
              withinHours: Option[Int] = None): DataFrame = {
+    val wide = funnelReaches(df, userCol, tsCol, typeCol, steps, withinHours)
+    // ONE 1-row aggregate over the wide reach frame (count(t_k) =
+    // users who reached step k; left joins kept every step-1 user),
+    // stacked to per-step rows by a bounded inline array
+    val aggd = wide.agg(
+      count(col("t1")).as("c1"),
+      steps.indices.tail.map(i => count(col(s"t${i + 1}")).as(s"c${i + 1}")): _*)
+    val counts = aggd.select(explode(array(steps.indices.map(i =>
+        struct(lit(i + 1).as("step_idx"), lit(steps(i)).as("step"),
+          col(s"c${i + 1}").as("n_users"))): _*)).as("s"))
+      .select(col("s.step_idx"), col("s.step"), col("s.n_users"))
+    // |steps| rows: the unpartitioned lag window is bounded by the
+    // funnel definition, never by the data. try_divide: an empty
+    // previous step yields NULL conversion, not an ANSI error.
+    counts.withColumn("pct_prev",
+      round(try_divide(col("n_users").cast("double"),
+        lag(col("n_users"), 1).over(Window.orderBy(col("step_idx")))), 4))
+  }
+
+  /** Per-user funnel reach times — the row-level basis of [[funnel]]
+    * (same step semantics): one row per user who reached step 1, with
+    * `t1..tk` epoch-µs reach times (NULL once the user drops out).
+    * The conversion-latency substrate: lags between consecutive
+    * reach columns are exactly the time-to-convert distribution.
+    *
+    * Scale shape: per-step user-keyed min aggregates chained by
+    * co-partitioned user equi-joins (the [[funnel]] shape), then the
+    * wide frame assembles via |steps|−1 more user-keyed left joins —
+    * every post-scan frame is users-cardinality and shares the user
+    * hash partitioning, so the chain adds no data-sized exchanges.
+    */
+  def funnelReaches(df: DataFrame, userCol: String, tsCol: String,
+                    typeCol: String, steps: Seq[String],
+                    withinHours: Option[Int] = None): DataFrame = {
     require(steps.nonEmpty, "funnel: steps must be non-empty")
     require(steps.distinct.size == steps.size,
       s"funnel: duplicate step in ${steps.mkString(",")}")
@@ -154,18 +188,10 @@ object TimeOps {
         .filter(bound(col("__p")))
         .groupBy(col("__u")).agg(min(col("__us")).as("__reach"))
     }
-    val counts = reaches.zip(steps).zipWithIndex.map {
-      case ((r, name), i) =>
-        r.agg(count(lit(1)).as("n_users"))
-          .select(lit(i + 1).as("step_idx"), lit(name).as("step"),
-            col("n_users"))
-    }.reduce(_ unionByName _)
-    // |steps| rows: the unpartitioned lag window is bounded by the
-    // funnel definition, never by the data. try_divide: an empty
-    // previous step yields NULL conversion, not an ANSI error.
-    counts.withColumn("pct_prev",
-      round(try_divide(col("n_users").cast("double"),
-        lag(col("n_users"), 1).over(Window.orderBy(col("step_idx")))), 4))
+    val named = reaches.zipWithIndex.map { case (r, i) =>
+      r.select(col("__u"), col("__reach").as(s"t${i + 1}")) }
+    named.reduce((a, b) => a.join(b, Seq("__u"), "left"))
+      .withColumnRenamed("__u", userCol)
   }
 
   /** Next-event transition matrix — P(next event type | event type)

@@ -2317,6 +2317,47 @@ class OpsSpec extends AnyFunSuite {
     assert(pct(0).isEmpty && pct(1).contains(0.25))
   }
 
+  test("TimeOps.funnelReaches: per-user wide reach times with NULL dropout") {
+    import java.sql.Timestamp
+    def ts(min: Int): Timestamp =
+      new Timestamp(Timestamp.valueOf("2024-01-01 00:00:00").getTime + min * 60000L)
+    def us(min: Int): Long = ts(min).getTime * 1000L
+    val df = Seq(
+      (1L, "view", ts(0)), (1L, "click", ts(10)), (1L, "purchase", ts(20)),
+      (2L, "view", ts(5)), (2L, "click", ts(120))) // outside 1 h window
+      .toDF("user_id", "event_type", "ts")
+    val got = TimeOps.funnelReaches(df, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), withinHours = Some(1))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)), Option(r.get(3))))
+    assert(got.toSeq == Seq(
+      (1L, Some(us(0)), Some(us(10)), Some(us(20))),
+      (2L, Some(us(5)), None, None)))
+  }
+
+  test("SimOps.knnLabelAccuracy: separable clusters score 1.0 per label") {
+    val a = Array.fill(4)(0.0f)
+    def v(base: Int, jitter: Float): Array[Float] = {
+      val x = a.clone(); x(base) = 1.0f; x((base + 1) % 4) = jitter; x
+    }
+    // two well-separated clusters, 3 points each, labels follow clusters
+    val df = Seq(
+      (1L, v(0, 0.1f), 7), (2L, v(0, 0.2f), 7), (3L, v(0, 0.3f), 7),
+      (4L, v(2, 0.1f), 9), (5L, v(2, 0.2f), 9), (6L, v(2, 0.3f), 9))
+      .toDF("vec_id", "embedding", "label")
+    val got = SimOps.knnLabelAccuracy(df, "vec_id", "embedding", "label",
+        sampleFraction = 1.0)
+      .orderBy("label").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((7, 3L, 3L, 1.0), (9, 3L, 3L, 1.0)))
+    // the IVF-pool scale path votes identically on separable clusters
+    val ivf = SimOps.knnLabelAccuracy(df, "vec_id", "embedding", "label",
+        sampleFraction = 1.0, ivfCells = Some(2))
+      .orderBy("label").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(ivf.toSeq == got.toSeq)
+  }
+
   test("TimeOps.transitionMatrix: per-user lead with deterministic ties") {
     import java.sql.Timestamp
     val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
