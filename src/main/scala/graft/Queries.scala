@@ -2048,7 +2048,7 @@ object Queries {
     Some("""
       WITH s1 AS (
         SELECT user_id, min(epoch_us(ts)) AS t FROM events
-        WHERE event_type = 'view' GROUP BY 1),
+        WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY 1),
       s2 AS (
         SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
         JOIN s1 ON e.user_id = s1.user_id AND epoch_us(e.ts) > s1.t
@@ -2181,7 +2181,7 @@ object Queries {
     Some("""
       WITH s1 AS (
         SELECT user_id, min(epoch_us(ts)) AS t FROM events
-        WHERE event_type = 'view' GROUP BY 1),
+        WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY 1),
       s2 AS (
         SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
         JOIN s1 ON e.user_id = s1.user_id AND epoch_us(e.ts) > s1.t
@@ -5491,7 +5491,7 @@ object Queries {
         SELECT user_id, event_type, epoch_us(ts) AS tu FROM events),
       s AS (
         SELECT user_id, min(tu) AS t_s FROM ev
-        WHERE event_type = 'signup' GROUP BY 1),
+        WHERE event_type = 'signup' AND user_id IS NOT NULL GROUP BY 1),
       c AS (
         SELECT e.user_id, min(e.tu) AS t_c
         FROM ev e JOIN s USING (user_id)

@@ -173,8 +173,15 @@ object TimeOps {
       s"funnel: duplicate step in ${steps.mkString(",")}")
     require(withinHours.forall(_ > 0),
       s"funnel: withinHours must be positive, got $withinHours")
-    val e = df.select(col(userCol).as("__u"), col(typeCol).as("__t"),
-      unix_micros(col(tsCol)).as("__us"))
+    // NULL users cannot funnel (every later step inner-joins on the
+    // user key); filtering them HERE also unifies the step-1 subtree
+    // across its two plantings — the wide frame's root and the
+    // step-2 chain otherwise infer different isnotnull(user) filters
+    // and the step-1 scan+aggregate plans twice (the trendingTerms
+    // inference lesson, plan-verified)
+    val e = df.filter(col(userCol).isNotNull)
+      .select(col(userCol).as("__u"), col(typeCol).as("__t"),
+        unix_micros(col(tsCol)).as("__us"))
     val first = e.filter(col("__t") === steps.head)
       .groupBy(col("__u")).agg(min(col("__us")).as("__reach"))
     val bound: Column => Column = prev => withinHours match {
