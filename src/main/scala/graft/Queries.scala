@@ -2203,6 +2203,56 @@ object Queries {
              quantile_cont(lag_us, 0.9) AS p90_lag_us
       FROM l GROUP BY 1 ORDER BY 1"""))
 
+  /** q91_ks_drift — per-source two-sample KS drift gate
+    * (LibOps.ksReport): each source's doc-length CDF against the rest
+    * of the corpus, with the 5%-level critical value and verdict —
+    * the binning-free distributional sibling of q86's PSI. One
+    * (source, n_chars) count pass; the grid, CDFs, D, and crit are
+    * exact-integer-fed float formulas written identically in both
+    * engines, so the verdict is bit-equal without threshold margins.
+    */
+  private val q91 = Q(
+    "q91_ks_drift",
+    (s, d) => LibOps.ksReport(docs(s, d), "source", "n_chars")
+      .orderBy(col("source")),
+    Some("""
+      WITH c AS (
+        SELECT source AS g, n_chars AS x, count(*) AS c
+        FROM documents
+        WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        GROUP BY 1, 2),
+      grid AS (
+        SELECT g, x
+        FROM (SELECT DISTINCT g FROM c), (SELECT DISTINCT x FROM c)),
+      cum AS (
+        SELECT grid.g, grid.x,
+               CAST(sum(coalesce(c.c, 0)) OVER
+                 (PARTITION BY grid.g ORDER BY grid.x) AS BIGINT) AS cg
+        FROM grid LEFT JOIN c ON grid.g = c.g AND grid.x = c.x),
+      ng AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+      ccum AS (
+        SELECT x, CAST(sum(cx) OVER (ORDER BY x) AS BIGINT) AS cc
+        FROM (SELECT x, CAST(sum(c) AS BIGINT) AS cx FROM c GROUP BY 1) t),
+      nn AS (SELECT CAST(sum(c) AS BIGINT) AS nt FROM c),
+      d AS (
+        SELECT cum.g, ng.n, nn.nt,
+               max(CASE WHEN nn.nt - ng.n = 0 THEN NULL
+                        ELSE abs(CAST(cg AS DOUBLE) / ng.n
+                                 - CAST(cc - cg AS DOUBLE) / (nn.nt - ng.n))
+                   END) AS ds
+        FROM cum JOIN ccum USING (x) JOIN ng USING (g) CROSS JOIN nn
+        GROUP BY 1, 2, 3),
+      e AS (
+        SELECT g, n, ds,
+               CASE WHEN nt - n = 0 THEN NULL
+                    ELSE 1.358 * sqrt(CAST(nt AS DOUBLE)
+                           / (CAST(n AS DOUBLE) * CAST(nt - n AS DOUBLE)))
+               END AS cr
+        FROM d)
+      SELECT g AS source, n, round(ds, 6) AS d_stat, round(cr, 6) AS crit,
+             coalesce(ds > cr, false) AS drifted
+      FROM e ORDER BY source"""))
+
   /** validate_orders — declarative data-quality gate: four row-level
     * constraints over orders evaluated in ONE scan (a single
     * partial-aggregated pass; N constraints = one table read), reported
@@ -5832,7 +5882,7 @@ object Queries {
     q28, q29, q30, q31, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q57b, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
-    q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
+    q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91,
     d01, d02, d02m, d02i, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sm10, sm11, pk1, pk2, dc1, dc2, dc3, dc4, vd1,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, a11, cr1, cr2, m01, m02, m03, mr1,
     p01, st01, st02, st03, st04, st05, st06)

@@ -137,6 +137,67 @@ object LibOps {
         round((p - q) * log(p / q), 6).as("psi_contrib"))
   }
 
+  /** Per-group two-sample Kolmogorov–Smirnov drift report — the
+    * DISTRIBUTIONAL complement of [[psiReport]]: for each group
+    * (source, shard, vendor), the KS statistic between the group's
+    * empirical CDF of `valueCol` and the CDF of the REST of the
+    * corpus, with the α-level critical value and a drift verdict —
+    * the "does this source's length/score distribution differ?" gate
+    * that needs no binning choice.
+    *
+    * Scale shape: ONE (group, value) partial-aggregated count pass
+    * is the only corpus-sized stage; everything after runs on the
+    * groups × distinct-values grid (both aggregate outputs — use a
+    * bounded-cardinality value such as a length, score bucket, or
+    * rounded metric; for continuous doubles pre-bucket first). The
+    * grid's per-group CDF is a group-partitioned window; the corpus
+    * CDF the one support-sized unpartitioned window (the equidepth
+    * convention). Parity: CDFs and the critical value derive from
+    * exact BIGINT counts through float formulas written identically
+    * in both engines, so D, crit, and the verdict are bit-equal —
+    * the verdict needs no threshold margin. A group covering the
+    * whole corpus has no "rest": NULL D/crit, drifted false.
+    *
+    * Output per group: (groupCol, n, d_stat, crit, drifted) with
+    * d_stat/crit rounded to 6 (verdict on unrounded).
+    */
+  def ksReport(df: DataFrame, groupCol: String, valueCol: String,
+               cAlpha: Double = 1.358): DataFrame = {
+    val c = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"), col(valueCol).as("__x"))
+      .agg(count(lit(1)).as("__c"))
+    val grid = c.select(col("__g")).distinct()
+      .crossJoin(c.select(col("__x")).distinct())
+    val cum = grid.join(c, Seq("__g", "__x"), "left")
+      .withColumn("__c", coalesce(col("__c"), lit(0L)))
+      .withColumn("__cg", sum(col("__c")).over(
+        Window.partitionBy(col("__g")).orderBy(col("__x"))))
+    val ng = c.groupBy(col("__g")).agg(sum(col("__c")).as("__n"))
+    val ccum = c.groupBy(col("__x")).agg(sum(col("__c")).as("__cx"))
+      .withColumn("__cc", sum(col("__cx")).over(Window.orderBy(col("__x"))))
+      .select(col("__x"), col("__cc"))
+    val nTot = c.agg(sum(col("__c")).as("__nt"))
+    val rest = col("__nt") - col("__n")
+    val d = cum
+      .join(broadcast(ccum), "__x")
+      .join(broadcast(ng), "__g")
+      .crossJoin(broadcast(nTot))
+      .withColumn("__diff",
+        when(rest === 0L, lit(null).cast("double"))
+          .otherwise(abs(col("__cg").cast("double") / col("__n") -
+            (col("__cc") - col("__cg")).cast("double") / rest)))
+      .groupBy(col("__g"), col("__n"), col("__nt"))
+      .agg(max(col("__diff")).as("__d"))
+    d.withColumn("__crit",
+        when(rest === 0L, lit(null).cast("double"))
+          .otherwise(lit(cAlpha) * sqrt(col("__nt").cast("double") /
+            (col("__n").cast("double") * rest.cast("double")))))
+      .select(col("__g").as(groupCol), col("__n").as("n"),
+        round(col("__d"), 6).as("d_stat"),
+        round(col("__crit"), 6).as("crit"),
+        coalesce(col("__d") > col("__crit"), lit(false)).as("drifted"))
+  }
+
   /** Equi-depth (quantile) binning — the profiling complement to the
     * fixed-width `histogram`: every bin holds ~N/nbins rows regardless
     * of the value distribution. The naive formulation (`ntile` over a

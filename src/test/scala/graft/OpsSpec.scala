@@ -2358,6 +2358,23 @@ class OpsSpec extends AnyFunSuite {
     assert(ivf.toSeq == got.toSeq)
   }
 
+  test("LibOps.ksReport: exact two-sample KS vs rest-of-corpus") {
+    val df = Seq(("a", 1), ("a", 2), ("b", 2), ("b", 3), ("b", 3)).toDF("g", "v")
+    val got = LibOps.ksReport(df, "g", "v").orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4)))
+    // D(a vs b) = max(|.5-0|, |1-1/3|, |1-1|) = 2/3; crit = 1.358*sqrt(5/6)
+    assert(got.map(_._1).toSeq == Seq("a", "b"))
+    assert(got(0)._2 == 2L && got(1)._2 == 3L)
+    assert(got.forall(_._3 == 0.666667))
+    assert(got.forall(_._4 == 1.239679))
+    assert(got.forall(!_._5))
+    // a group covering the whole corpus has no rest: NULL stats, not drifted
+    val solo = LibOps.ksReport(Seq(("a", 1), ("a", 2)).toDF("g", "v"), "g", "v")
+      .collect()(0)
+    assert(solo.isNullAt(2) && solo.isNullAt(3) && !solo.getBoolean(4))
+  }
+
   test("TimeOps.transitionMatrix: per-user lead with deterministic ties") {
     import java.sql.Timestamp
     val t0 = Timestamp.valueOf("2024-01-01 00:00:00")

@@ -36,8 +36,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "q84_retention_cohorts", "q85_pit_features", "q86_drift_psi",
       // round-6 seventh session: q87/q51 share the funnel op (final
       // lag window over |steps| rows is unreferenced under count());
-      // q88's share window and q89's z columns likewise drop
-      "q87_funnel", "q88_transitions", "q89_rate_anomaly",
+      // q88's share window, q89's z columns, and q91's crit/verdict
+      // projection likewise drop
+      "q87_funnel", "q88_transitions", "q89_rate_anomaly", "q91_ks_drift",
       "sample_curriculum", "sample_dsir", "sample_shards")
     val got = flagged.map(_._1).toSet
     val msg =
