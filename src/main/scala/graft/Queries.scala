@@ -2253,6 +2253,89 @@ object Queries {
              coalesce(ds > cr, false) AS drifted
       FROM e ORDER BY source"""))
 
+  /** q92_attribution — multi-touch attribution with linear time decay
+    * (TimeOps.attributionWeights): every purchase distributes credit
+    * over that user's views/clicks in the trailing 24 h, weight ∝
+    * (window − Δt) normalized per conversion — exact BIGINT
+    * numerators over an exact BIGINT sum, so each weight is ONE
+    * IEEE division, bit-equal in any engine. User-keyed
+    * co-partitioned join; one conversion-partitioned window.
+    */
+  private val q92 = Q(
+    "q92_attribution",
+    (s, d) => TimeOps.attributionWeights(ev(s, d), "user_id", "ts",
+        "event_id", "event_type", convType = "purchase",
+        touchTypes = Seq("view", "click"), windowHours = 24)
+      .withColumn("weight", round(col("weight"), 6))
+      .orderBy(col("conv_id"), col("touch_id")),
+    Some("""
+      WITH c AS (
+        SELECT user_id, event_id AS conv_id, epoch_us(ts) AS cts
+        FROM events
+        WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+      t AS (
+        SELECT user_id, event_id AS touch_id, event_type AS touch_type,
+               epoch_us(ts) AS tts
+        FROM events
+        WHERE event_type IN ('view', 'click') AND user_id IS NOT NULL),
+      j AS (
+        SELECT conv_id, touch_id, touch_type, cts - tts AS lag_us,
+               86400000000 - (cts - tts) AS raw
+        FROM c JOIN t USING (user_id)
+        WHERE tts < cts AND tts >= cts - 86400000000)
+      SELECT conv_id, touch_id, touch_type, lag_us,
+             round(CAST(raw AS DOUBLE) /
+                   CAST(nullif(sum(raw) OVER (PARTITION BY conv_id), 0)
+                        AS DOUBLE), 6) AS weight
+      FROM j ORDER BY conv_id, touch_id"""))
+
+  /** text_pmi_bigrams — collocation mining by PMI
+    * (TextOps.pmiBigrams): top-20 adjacent bigrams with count >= 5 by
+    * pointwise mutual information. Ranking compares the unlogged
+    * lift (bit-equal IEEE arithmetic over exact counts; ln only in
+    * the round-6 reported column — the psi convention); the global
+    * top-k plans as TakeOrderedAndProject (the q77 shape).
+    */
+  private val t19 = Q(
+    "text_pmi_bigrams",
+    (s, d) => TextOps.pmiBigrams(docs(s, d), "text", minCount = 5L, k = 20)
+      .orderBy(col("rnk")),
+    Some("""
+      WITH ws AS (
+        SELECT string_split(text, ' ') AS w FROM documents
+        WHERE len(string_split(text, ' ')) >= 2),
+      uni AS (
+        SELECT word, count(*) AS c1
+        FROM (SELECT unnest(w) AS word FROM ws) GROUP BY 1),
+      tn AS (SELECT CAST(sum(len(w)) AS BIGINT) AS tn FROM ws),
+      bg AS (
+        SELECT bg, count(*) AS c12 FROM (
+          SELECT w[i] || ' ' || w[i+1] AS bg
+          FROM ws, unnest(range(1, len(w))) AS t(i))
+        GROUP BY 1),
+      tm AS (SELECT CAST(sum(len(w) - 1) AS BIGINT) AS tm FROM ws),
+      f AS (
+        SELECT bg AS bigram, c12,
+               string_split(bg, ' ')[1] AS w1,
+               string_split(bg, ' ')[2] AS w2
+        FROM bg WHERE c12 >= 5),
+      j AS (
+        SELECT bigram, c12, u1.c1 AS c1, u2.c1 AS c2,
+               (CAST(c12 AS DOUBLE) / tm) /
+               ((CAST(u1.c1 AS DOUBLE) / tn) * (CAST(u2.c1 AS DOUBLE) / tn))
+                 AS lift
+        FROM f
+        JOIN uni u1 ON f.w1 = u1.word
+        JOIN uni u2 ON f.w2 = u2.word
+        CROSS JOIN tm CROSS JOIN tn),
+      r AS (
+        SELECT CAST(row_number() OVER (ORDER BY lift DESC, bigram)
+                 AS INTEGER) AS rnk,
+               bigram, c12, c1, c2, round(ln(lift), 6) AS pmi
+        FROM j)
+      SELECT rnk, bigram, c12, c1, c2, pmi
+      FROM r WHERE rnk <= 20 ORDER BY rnk"""))
+
   /** validate_orders — declarative data-quality gate: four row-level
     * constraints over orders evaluated in ONE scan (a single
     * partial-aggregated pass; N constraints = one table read), reported
@@ -5882,9 +5965,9 @@ object Queries {
     q28, q29, q30, q31, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q57b, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
-    q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91,
+    q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92,
     d01, d02, d02m, d02i, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sm10, sm11, pk1, pk2, dc1, dc2, dc3, dc4, vd1,
-    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, a11, cr1, cr2, m01, m02, m03, mr1,
+    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, a11, cr1, cr2, m01, m02, m03, mr1,
     p01, st01, st02, st03, st04, st05, st06)
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

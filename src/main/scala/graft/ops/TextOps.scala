@@ -577,6 +577,64 @@ object TextOps {
       .otherwise(array(text))
   }
 
+  /** Collocation mining by pointwise mutual information — the classic
+    * "which word pairs belong together?" report: adjacent bigrams
+    * with count >= `minCount`, scored by PMI = ln(p(w1w2) /
+    * (p(w1)p(w2))) and reported top-`k`. The ranking compares the
+    * UNLOGGED lift ratio (IEEE divisions/products of exact counts —
+    * bit-equal in any engine; ln is monotone, so the order is
+    * identical, and the 1-ulp-class ln only touches the reported
+    * value, absorbed by round-6 — the psi convention).
+    *
+    * Scale shape: one unigram and one bigram count pass (both
+    * partial-aggregated); the unigram table joins the minCount-
+    * filtered bigrams word-keyed TWICE (w1, w2 — the same aggregate
+    * subtree, exchange-reusable); totals are 1-row broadcasts; the
+    * global top-k is `orderBy(...).limit(k)` — TakeOrderedAndProject
+    * (per-partition top-k then merge, the q77 shape), never a
+    * vocabulary-sized unpartitioned window; the rank column derives
+    * from a window over the <= k surviving rows. Docs shorter than 2
+    * words carry no bigram and are excluded from all statistics
+    * (matching the oracle's range() construction).
+    *
+    * Output: (rnk, bigram, c12, c1, c2, pmi).
+    */
+  def pmiBigrams(df: DataFrame, textCol: String, minCount: Long,
+                 k: Int): DataFrame = {
+    require(minCount >= 1 && k > 0,
+      s"pmiBigrams: minCount=$minCount k=$k must be positive")
+    val base = df.filter(size(words(col(textCol))) >= 2)
+    val uni = base.select(explode(words(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c1"))
+    val bigAll = base.select(explode(
+        graft.functions.TextFunctions.word_ngrams(col(textCol), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
+    // totals from ONE explode-free narrow scan: Σ len(w) tokens and
+    // Σ (len(w) − 1) adjacent bigrams — summing the aggregated counts
+    // instead would replant the whole explode+count subtree for a
+    // number the row lengths already carry (plan-verified: the tm
+    // branch did not reuse the bigram aggregate's exchange)
+    val totals = base.agg(
+      sum(size(words(col(textCol)))).as("__tn"),
+      sum(size(words(col(textCol))) - 1).as("__tm"))
+    val j = bigAll.filter(col("c12") >= minCount)
+      .withColumn("__w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("__w2", split(col("bigram"), " ").getItem(1))
+      .join(uni.select(col("word").as("__w1"), col("c1")), "__w1")
+      .join(uni.select(col("word").as("__w2"), col("c1").as("c2")), "__w2")
+      .crossJoin(broadcast(totals))
+      .withColumn("__lift",
+        (col("c12").cast("double") / col("__tm")) /
+        ((col("c1").cast("double") / col("__tn")) *
+         (col("c2").cast("double") / col("__tn"))))
+    j.orderBy(col("__lift").desc, col("bigram")).limit(k)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("__lift").desc, col("bigram"))).cast("int"))
+      .select(col("rnk"), col("bigram"), col("c12"), col("c1"), col("c2"),
+        round(log(col("__lift")), 6).as("pmi"))
+  }
+
   /** Trending terms per ingest batch — the token-level drift monitor
     * (complement of the numeric PSI gate): for each batch, the top-k
     * terms by smoothed share-of-batch lift against the PREVIOUS

@@ -83,6 +83,56 @@ object TimeOps {
         round(col("n_active").cast("double") / cohortN * 100.0, 4))
   }
 
+  /** Multi-touch attribution with linear time decay — the events
+    * sibling of last-touch attribution: each conversion distributes
+    * credit over the user's qualifying touchpoints (touch strictly
+    * before the conversion, within the attribution window), weighted
+    * by recency. The decay is LINEAR in µs — `raw = window − Δt`, an
+    * exact BIGINT — so per-conversion normalization divides exact
+    * integers and the weights are bit-equal in any engine (an
+    * exponential decay would rank identically but sum in
+    * engine-dependent float order). Weights sum to 1 per conversion
+    * (touch exactly at the window edge carries raw = 0; a conversion
+    * whose every touch sits on the edge yields NULL weights via
+    * try_divide).
+    *
+    * Scale shape: one user-keyed equi-join (conversions × touches,
+    * both sides hash-partition on the user — co-partitioned; the
+    * trailing window bounds matches per conversion) and ONE
+    * conversion-partitioned window for the normalizing sum
+    * (partition = one conversion's touches, window-bounded). The
+    * q85 epoch-µs comparison convention.
+    *
+    * Output per (conversion, touchpoint): (conv_id, touch_id,
+    * touch_type, lag_us, weight).
+    */
+  def attributionWeights(df: DataFrame, userCol: String, tsCol: String,
+                         idCol: String, typeCol: String, convType: String,
+                         touchTypes: Seq[String],
+                         windowHours: Int): DataFrame = {
+    require(windowHours > 0,
+      s"attributionWeights: windowHours=$windowHours")
+    require(touchTypes.nonEmpty && !touchTypes.contains(convType),
+      s"attributionWeights: touchTypes must be non-empty and exclude $convType")
+    val winUs = windowHours.toLong * 3600L * 1000000L
+    val conv = df.filter(col(typeCol) === convType && col(userCol).isNotNull)
+      .select(col(userCol).as("__u"), col(idCol).as("conv_id"),
+        unix_micros(col(tsCol)).as("__cts"))
+    val touch = df
+      .filter(col(typeCol).isin(touchTypes: _*) && col(userCol).isNotNull)
+      .select(col(userCol).as("__u"), col(idCol).as("touch_id"),
+        col(typeCol).as("touch_type"), unix_micros(col(tsCol)).as("__tts"))
+    conv.join(touch, Seq("__u"))
+      .filter(col("__tts") < col("__cts") &&
+        col("__tts") >= col("__cts") - winUs)
+      .withColumn("__raw", lit(winUs) - (col("__cts") - col("__tts")))
+      .withColumn("weight", try_divide(col("__raw").cast("double"),
+        sum(col("__raw")).over(Window.partitionBy(col("conv_id")))
+          .cast("double")))
+      .select(col("conv_id"), col("touch_id"), col("touch_type"),
+        (col("__cts") - col("__tts")).as("lag_us"), col("weight"))
+  }
+
   /** Point-in-time-correct feature assembly — the feature-store join
     * that builds a training set WITHOUT label leakage: each label row
     * (user, label time) aggregates that user's events STRICTLY BEFORE

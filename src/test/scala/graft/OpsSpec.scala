@@ -2358,6 +2358,44 @@ class OpsSpec extends AnyFunSuite {
     assert(ivf.toSeq == got.toSeq)
   }
 
+  test("TimeOps.attributionWeights: linear decay, exact normalization") {
+    import java.sql.Timestamp
+    def ts(min: Int): Timestamp =
+      new Timestamp(Timestamp.valueOf("2024-01-01 12:00:00").getTime + min * 60000L)
+    val df = Seq(
+      (1L, 10L, "view", ts(-90)),      // raw = 60min - 90min -> outside 1h window
+      (1L, 11L, "view", ts(-30)),      // raw = 30min
+      (1L, 12L, "click", ts(-10)),     // raw = 50min
+      (1L, 13L, "purchase", ts(0)),
+      (1L, 14L, "click", ts(5)),       // after conversion -> excluded
+      (2L, 20L, "purchase", ts(0)))    // no touches -> no rows
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val got = TimeOps.attributionWeights(df, "user_id", "ts", "event_id",
+        "event_type", "purchase", Seq("view", "click"), windowHours = 1)
+      .orderBy("touch_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (13L, 11L, "view", 30L * 60000000L, 0.375),   // 30/(30+50)
+      (13L, 12L, "click", 10L * 60000000L, 0.625))) // 50/(30+50)
+  }
+
+  test("TextOps.pmiBigrams: exact counts, lift ranking, short docs excluded") {
+    val df = Seq(
+      (1L, "a b a b"), (2L, "a b c"), (3L, "c c"), (4L, "x"))
+      .toDF("doc_id", "text")
+    // docs >= 2 words: 1,2,3. unigrams: a=3 b=3 c=3 (c from d2 + 2 from d3), tn=9
+    // bigrams: "a b"x3 ("a b a b" has a-b, b-a, a-b; "a b c": a-b, b-c),
+    //   "b a"x1, "b c"x1, "c c"x1 -> tm=6
+    val got = TextOps.pmiBigrams(df, "text", minCount = 2L, k = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    // only "a b" passes minCount=2: lift = (3/6)/((3/9)*(3/9)) = 4.5
+    assert(got.toSeq == Seq((1, "a b", 3L, 3L, 3L,
+      BigDecimal(math.log(4.5)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)))
+  }
+
   test("LibOps.ksReport: exact two-sample KS vs rest-of-corpus") {
     val df = Seq(("a", 1), ("a", 2), ("b", 2), ("b", 3), ("b", 3)).toDF("g", "v")
     val got = LibOps.ksReport(df, "g", "v").orderBy("g").collect()
