@@ -2336,6 +2336,33 @@ object Queries {
       SELECT rnk, bigram, c12, c1, c2, pmi
       FROM r WHERE rnk <= 20 ORDER BY rnk"""))
 
+  /** q93_rolling_active — DAU/WAU engagement
+    * (TimeOps.rollingActiveUsers): per activity day, distinct daily
+    * actives, distinct trailing-7-day actives, and the stickiness
+    * ratio. Sliding distinct cannot sum from daily counts, so each
+    * (user, day) presence row expands to the 7 report days it covers
+    * — one user-keyed distinct pass, a bounded ×7 fan-out, two
+    * days-sized aggregates, no windows.
+    */
+  private val q93 = Q(
+    "q93_rolling_active",
+    (s, d) => TimeOps.rollingActiveUsers(ev(s, d), "user_id", "ts",
+        windowDays = 7)
+      .orderBy(col("day")),
+    Some("""
+      WITH p AS (
+        SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+        FROM events WHERE user_id IS NOT NULL),
+      dau AS (SELECT day, count(*) AS dau FROM p GROUP BY 1),
+      cov AS (
+        SELECT DISTINCT u, day + CAST(i AS INTEGER) AS day
+        FROM p, unnest(range(7)) AS t(i)),
+      wau AS (SELECT day, count(*) AS wau FROM cov GROUP BY 1)
+      SELECT d.day, dau, wau,
+             round(CAST(dau AS DOUBLE) / wau, 4) AS stickiness
+      FROM dau d JOIN wau USING (day)
+      ORDER BY day"""))
+
   /** validate_orders — declarative data-quality gate: four row-level
     * constraints over orders evaluated in ONE scan (a single
     * partial-aggregated pass; N constraints = one table read), reported
@@ -2819,29 +2846,23 @@ object Queries {
                    / len(string_split(text, ' ')), 4) AS stopword_ratio
       FROM documents ORDER BY doc_id"""))
 
-  /** text_langid — stopword-profile language ID heuristic. The fold's
-    * strictly-greater update means the FIRST profile (de,en,es,fr,zh
-    * order) at the max wins; no hits → "und". The oracle mirrors that
-    * as a CASE cascade over greatest().
+  /** Shared langId prediction replay — generated from
+    * TextOps.LangProfiles so profile lists can't drift; one
+    * definition serves text_langid and the confusion-matrix eval.
+    * The fold's strictly-greater update means the FIRST profile
+    * (de,en,es,fr,zh order) at the max wins; no hits → "und".
     */
-  private val t03 = Q(
-    "text_langid",
-    (s, d) => TextOps.langId(docs(s, d))
-      .select(col("doc_id"), col("lang"), col("predicted_lang"))
-      .orderBy(col("doc_id")),
-    Some {
-      // generated from TextOps.LangProfiles so profile lists can't drift
-      val scoreCols = TextOps.LangProfiles.map { case (lang, stops) =>
-        s"""len(list_filter(string_split(text, ' '),
-           |            w -> w IN (${stops.map(w => s"'$w'").mkString(", ")}))) AS s_$lang"""
-          .stripMargin
-      }.mkString(",\n          ")
-      val gr = s"greatest(${TextOps.LangProfiles.map(p => s"s_${p._1}").mkString(", ")})"
-      val cascade = TextOps.LangProfiles.init.map { case (lang, _) =>
-        s"WHEN s_$lang = $gr THEN '$lang'"
-      }.mkString("\n             ")
-      s"""
-      WITH s AS (
+  private val langidPredSql: String = {
+    val scoreCols = TextOps.LangProfiles.map { case (lang, stops) =>
+      s"""len(list_filter(string_split(text, ' '),
+         |            w -> w IN (${stops.map(w => s"'$w'").mkString(", ")}))) AS s_$lang"""
+        .stripMargin
+    }.mkString(",\n          ")
+    val gr = s"greatest(${TextOps.LangProfiles.map(p => s"s_${p._1}").mkString(", ")})"
+    val cascade = TextOps.LangProfiles.init.map { case (lang, _) =>
+      s"WHEN s_$lang = $gr THEN '$lang'"
+    }.mkString("\n             ")
+    s"""WITH s AS (
         SELECT doc_id, lang,
           $scoreCols
         FROM documents)
@@ -2849,8 +2870,37 @@ object Queries {
         CASE WHEN $gr IS NULL OR $gr = 0 THEN 'und'
              $cascade
              ELSE '${TextOps.LangProfiles.last._1}' END AS predicted_lang
-      FROM s ORDER BY doc_id"""
-    })
+      FROM s"""
+  }
+
+  /** text_langid — stopword-profile language ID heuristic (oracle:
+    * the shared langidPredSql cascade replay).
+    */
+  private val t03 = Q(
+    "text_langid",
+    (s, d) => TextOps.langId(docs(s, d))
+      .select(col("doc_id"), col("lang"), col("predicted_lang"))
+      .orderBy(col("doc_id")),
+    Some(s"$langidPredSql ORDER BY doc_id"))
+
+  /** text_langid_confusion — the langId classifier graded AS A
+    * CLASSIFIER (TextOps.langIdConfusion): confusion matrix against
+    * the trusted lang column with per-actual-language shares — the
+    * diagonal is per-language recall, off-diagonals say which
+    * languages confuse. One row-local corpus pass, langs²-bounded
+    * aggregate, langs-partitioned share window over that tiny frame.
+    */
+  private val t20 = Q(
+    "text_langid_confusion",
+    (s, d) => TextOps.langIdConfusion(docs(s, d))
+      .orderBy(col("actual_lang"), col("predicted_lang")),
+    Some(s"""
+      WITH p AS ($langidPredSql)
+      SELECT lang AS actual_lang, predicted_lang, count(*) AS n,
+             round(CAST(count(*) AS DOUBLE) /
+                   sum(count(*)) OVER (PARTITION BY lang), 4)
+               AS pct_of_actual
+      FROM p GROUP BY 1, 2 ORDER BY 1, 2"""))
 
   private val t04 = Q(
     "text_fingerprint",
@@ -5965,9 +6015,9 @@ object Queries {
     q28, q29, q30, q31, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q57b, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
-    q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92,
+    q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93,
     d01, d02, d02m, d02i, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sm10, sm11, pk1, pk2, dc1, dc2, dc3, dc4, vd1,
-    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, a11, cr1, cr2, m01, m02, m03, mr1,
+    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, a11, cr1, cr2, m01, m02, m03, mr1,
     p01, st01, st02, st03, st04, st05, st06)
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

@@ -83,6 +83,38 @@ object TimeOps {
         round(col("n_active").cast("double") / cohortN * 100.0, 4))
   }
 
+  /** Rolling active users — the DAU/WAU engagement report: per
+    * activity day, the distinct users active that day (DAU), the
+    * distinct users active in the trailing `windowDays` (WAU), and
+    * the stickiness ratio DAU/WAU. Distinct-over-a-sliding-window
+    * cannot be summed from daily counts (the same user spans days),
+    * so each (user, day) presence row EXPANDS to the `windowDays`
+    * report days it covers — a bounded ×windowDays fan-out of the
+    * users×days presence table — and distinct-counts per report day.
+    *
+    * Scale shape: one (user, day) distinct pass over the events (the
+    * only corpus-sized stage, user-keyed), then the expansion and two
+    * days-sized aggregates; no windows at all. Report days are the
+    * days with >= 1 event (inner join on DAU days).
+    */
+  def rollingActiveUsers(df: DataFrame, userCol: String, tsCol: String,
+                         windowDays: Int): DataFrame = {
+    require(windowDays > 0, s"rollingActiveUsers: windowDays=$windowDays")
+    val presence = df.filter(col(userCol).isNotNull)
+      .select(col(userCol).as("__u"), to_date(col(tsCol)).as("__day"))
+      .distinct()
+    val dau = presence.groupBy(col("__day").as("day"))
+      .agg(count(lit(1)).as("dau"))
+    val wau = presence.select(col("__u"),
+        explode(sequence(col("__day"),
+          date_add(col("__day"), windowDays - 1))).as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .withColumn("stickiness",
+        round(col("dau").cast("double") / col("wau"), 4))
+  }
+
   /** Multi-touch attribution with linear time decay — the events
     * sibling of last-touch attribution: each conversion distributes
     * credit over the user's qualifying touchpoints (touch strictly

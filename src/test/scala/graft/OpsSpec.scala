@@ -2396,6 +2396,40 @@ class OpsSpec extends AnyFunSuite {
         .toDouble)))
   }
 
+  test("TimeOps.rollingActiveUsers: sliding distinct via bounded fan-out") {
+    import java.sql.Timestamp
+    def ts(day: Int): Timestamp = Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")
+    val df = Seq(
+      (1L, ts(1)), (1L, ts(1)),  // same-day dup collapses
+      (2L, ts(1)), (2L, ts(2)),
+      (1L, ts(3))).toDF("user_id", "ts")
+    val got = TimeOps.rollingActiveUsers(df, "user_id", "ts", windowDays = 2)
+      .orderBy("day").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // d1: dau {1,2}, wau(trailing 2d) {1,2}; d2: dau {2}, wau {1,2};
+    // d3: dau {1}, wau {1,2} (u2 active d2 counts for d3)
+    assert(got.toSeq == Seq(
+      ("2024-01-01", 2L, 2L, 1.0),
+      ("2024-01-02", 1L, 2L, 0.5),
+      ("2024-01-03", 1L, 2L, 0.5)))
+  }
+
+  test("TextOps.langIdConfusion: confusion matrix with per-actual shares") {
+    val df = Seq(
+      (1L, "the and of", "en"),     // -> en (diagonal)
+      (2L, "the and of", "fr"),     // -> en (off-diagonal)
+      (3L, "le la les", "fr"),      // -> fr
+      (4L, "xyz qqq", "en"))        // -> und
+      .toDF("doc_id", "text", "lang")
+    val got = TextOps.langIdConfusion(df)
+      .orderBy("actual_lang", "predicted_lang").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      ("en", "en", 1L, 0.5), ("en", "und", 1L, 0.5),
+      ("fr", "en", 1L, 0.5), ("fr", "fr", 1L, 0.5)))
+  }
+
   test("LibOps.ksReport: exact two-sample KS vs rest-of-corpus") {
     val df = Seq(("a", 1), ("a", 2), ("b", 2), ("b", 3), ("b", 3)).toDF("g", "v")
     val got = LibOps.ksReport(df, "g", "v").orderBy("g").collect()

@@ -39,7 +39,8 @@ class PlanAuditSpec extends AnyFunSuite {
       // q88's share window, q89's z columns, and q91's crit/verdict
       // projection likewise drop
       "q87_funnel", "q88_transitions", "q89_rate_anomaly", "q91_ks_drift",
-      "q92_attribution", "text_pmi_bigrams",
+      "q92_attribution", "text_pmi_bigrams", "q93_rolling_active",
+      "text_langid_confusion",
       "sample_curriculum", "sample_dsir", "sample_shards")
     val got = flagged.map(_._1).toSet
     val msg =
