@@ -165,27 +165,6 @@ object TimeOps {
         (col("__cts") - col("__tts")).as("lag_us"), col("weight"))
   }
 
-  /** Point-in-time-correct feature assembly — the feature-store join
-    * that builds a training set WITHOUT label leakage: each label row
-    * (user, label time) aggregates that user's events STRICTLY BEFORE
-    * the label time within a trailing `windowHours` window. The
-    * strict `<` is the whole point — an `<=` (or a naive per-user
-    * join with no time bound) trains on the label itself, the classic
-    * leakage bug this operator makes structurally impossible.
-    *
-    * Scale shape: an equi-join on the user key (both sides hash-
-    * partition on user — co-partitioned, sort-merge; with a
-    * user-bucketed layout, q57's shape, the shuffle disappears) with
-    * the time range as an in-join residual; the trailing window
-    * bounds matched rows per label. Never a cartesian, never a
-    * corpus-wide window. Sums run in DECIMAL so partial order cannot
-    * flip a rounding boundary (the q59 practice); label times emit as
-    * epoch-second longs (the §2.9 convention).
-    *
-    * Output: one row per label — (labelIdCol, userCol, ts_s, n_prior,
-    * sum_prior); labels with no prior events keep n_prior = 0,
-    * sum_prior = 0.0 (left join).
-    */
   /** Ordered funnel analysis — the classic conversion report: how many
     * users reach step 1, then step 2 STRICTLY AFTER their first step-1
     * event, then step 3 after that, and so on. "Reach" is
@@ -395,6 +374,27 @@ object TimeOps {
         coalesce(abs(col("z")) > zThresh, lit(false)).as("is_anomaly"))
   }
 
+  /** Point-in-time-correct feature assembly — the feature-store join
+    * that builds a training set WITHOUT label leakage: each label row
+    * (user, label time) aggregates that user's events STRICTLY BEFORE
+    * the label time within a trailing `windowHours` window. The
+    * strict `<` is the whole point — an `<=` (or a naive per-user
+    * join with no time bound) trains on the label itself, the classic
+    * leakage bug this operator makes structurally impossible.
+    *
+    * Scale shape: an equi-join on the user key (both sides hash-
+    * partition on user — co-partitioned, sort-merge; with a
+    * user-bucketed layout, q57's shape, the shuffle disappears) with
+    * the time range as an in-join residual; the trailing window
+    * bounds matched rows per label. Never a cartesian, never a
+    * corpus-wide window. Sums run in DECIMAL so partial order cannot
+    * flip a rounding boundary (the q59 practice); label times emit as
+    * epoch-second longs (the §2.9 convention).
+    *
+    * Output: one row per label — (labelIdCol, userCol, ts_s, n_prior,
+    * sum_prior); labels with no prior events keep n_prior = 0,
+    * sum_prior = 0.0 (left join).
+    */
   def pointInTimeFeatures(labels: DataFrame, events: DataFrame,
                           userCol: String, tsCol: String, valueCol: String,
                           labelIdCol: String, windowHours: Int): DataFrame = {
