@@ -1747,6 +1747,64 @@ class OpsSpec extends AnyFunSuite {
     graft.io.FsOps.rm(spark, dir)
   }
 
+  test("session-7 plan contracts: single-scan shapes survive") {
+    // the round-6 seventh-session plan fixes, pinned: nullability-
+    // inference asymmetries on self-referenced aggregates break
+    // ReusedExchange and silently double corpus passes. Each op below
+    // earned an explicit filter / coalesce / reformulation to plan
+    // its corpus scan the MINIMAL number of times — a regression
+    // re-introduces an extra FileScan and fails here. Inline parquet
+    // fixtures (temp dir), not the generated testdata.
+    import java.sql.Timestamp
+    val dir = "/tmp/graft_test_s7plans"
+    def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+      // AQE reuses exchanges at RUNTIME: finalize the plan by
+      // executing, then read the final section only
+      df.collect()
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    }
+    def scans(df: org.apache.spark.sql.DataFrame): Int =
+      finalPlan(df).linesIterator.count(_.contains("FileScan parquet"))
+    (1 to 40).map(i => (i.toLong, s"w$i w${i % 7} w${i % 5} end",
+        s"src${i % 3}", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    (1 to 60).map(i => (i.toLong, (i % 5).toLong,
+        Seq("view", "click", "purchase", "error")(i % 4),
+        new Timestamp(Timestamp.valueOf("2024-01-01 00:00:00").getTime
+          + i * 3600000L)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    // funnel: exactly one pushed-filter scan per step
+    assert(scans(TimeOps.funnel(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"), Some(24))) == 3)
+    // rate anomaly: ONE corpus scan (map-rollup spine, no distinct-
+    // types rescan)
+    assert(scans(TimeOps.rateAnomaly(ev, "ts", "event_type",
+      "2024-01-01 00:00:00", nHours = 72, trailing = 6,
+      zThresh = 3.0)) == 1)
+    // trending terms: ONE explode+count pass reused by all three
+    // consumers
+    assert(scans(TextOps.trendingTerms(docs, "text",
+      expr("cast(substring(source, 4, 5) as int)"), k = 3)) == 1)
+    // PMI: bigram + unigram explodes + the explode-free totals scan,
+    // and exactly TWO Generate explodes (a tm-from-aggregate
+    // formulation replants the bigram explode as a third)
+    val pmi = TextOps.pmiBigrams(docs, "text", minCount = 1L, k = 3)
+    val pmiPlan = finalPlan(pmi)
+    assert(pmiPlan.linesIterator.count(_.contains("FileScan parquet")) == 3)
+    assert(pmiPlan.linesIterator.count(_.contains("Generate explode")) == 2)
+    // langId: the split is hoisted — ONE split( in the whole plan
+    // (inlined into the five profile filters it would appear 5x)
+    val lid = TextOps.langId(docs)
+    assert(lid.queryExecution.optimizedPlan.toString
+      .linesIterator.count(_.contains("split(")) == 1,
+      lid.queryExecution.optimizedPlan.toString.take(2000))
+    graft.io.FsOps.rm(spark, dir)
+  }
+
   test("TimeOps.retentionCohorts builds the weekly retention matrix") {
     import java.sql.Timestamp
     def ts(day: Int): Timestamp = Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")

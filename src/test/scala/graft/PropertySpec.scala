@@ -513,6 +513,67 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("rateAnomaly equals an exact-integer rolling-moments reference") {
+    import java.sql.Timestamp
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val nHours = 12; val trailing = 3
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val evGen = Gen.listOfN(50, Gen.zip(Gen.choose(0, 1), Gen.choose(0, nHours - 1)))
+    samples(evGen, 8).filter(_.nonEmpty).foreach { raw =>
+      val rows = raw.map { case (t, h) =>
+        (Seq("x", "y")(t), new Timestamp(base + h * 3600000L)) }
+      val got = TimeOps.rateAnomaly(rows.toDF("event_type", "ts"),
+          "ts", "event_type", "2024-01-01 00:00:00", nHours, trailing, 2.0)
+        .collect().map(r => ((r.getString(0), r.getInt(1)),
+          (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]),
+           r.getBoolean(4)))).toMap
+      // brute: dense per-type counts, exact integer moments
+      val types = rows.map(_._1).distinct
+      val exp = for (t <- types; h <- trailing until nHours) yield {
+        def cnt(hh: Int): Long =
+          rows.count(e => e._1 == t && (e._2.getTime - base) / 3600000L == hh)
+        val look = (h - trailing until h).map(cnt)
+        val (s1, s2) = (look.sum, look.map(c => c * c).sum)
+        val c = cnt(h)
+        val z = if (trailing * s2 == s1 * s1) None
+          else {
+            val m = s1.toDouble / trailing
+            Some((c - m) / math.sqrt((s2.toDouble - s1.toDouble * s1 / trailing) / trailing))
+          }
+        ((t, h), (c, z.map(r4), z.exists(v => math.abs(v) > 2.0)))
+      }
+      assert(got == exp.toMap, s"rateAnomaly mismatch")
+    }
+  }
+
+  test("ksReport equals an exact brute-force KS reference") {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val gen = Gen.listOfN(40, Gen.zip(Gen.choose(0, 2), Gen.choose(0, 9)))
+    samples(gen, 8).filter(_.map(_._1).distinct.size >= 2).foreach { raw =>
+      val rows = raw.map { case (g, v) => (s"g$g", v) }
+      val got = LibOps.ksReport(rows.toDF("g", "v"), "g", "v")
+        .collect().map(r => (r.getString(0),
+          (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4))))
+        .toMap
+      val support = rows.map(_._2).distinct.sorted
+      val nTot = rows.size.toLong
+      val exp = rows.groupBy(_._1).map { case (g, mine) =>
+        val n = mine.size.toLong
+        val rest = nTot - n
+        val d = support.map { x =>
+          val cg = mine.count(_._2 <= x).toLong
+          val cr = rows.count(e => e._1 != g && e._2 <= x).toLong
+          math.abs(cg.toDouble / n - cr.toDouble / rest)
+        }.max
+        val crit = 1.358 * math.sqrt(nTot.toDouble / (n.toDouble * rest.toDouble))
+        (g, (n, r6(d), r6(crit), d > crit))
+      }
+      assert(got == exp, s"ksReport mismatch: $got vs $exp")
+    }
+  }
+
   test("minhash signature similarity approximates exact jaccard on dup docs") {
     // two near-identical docs: signature agreement should be high
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
