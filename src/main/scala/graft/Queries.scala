@@ -3950,6 +3950,67 @@ object Queries {
              round(CAST(sum(ok) AS DOUBLE) / count(*), 4) AS accuracy
       FROM j GROUP BY 1 ORDER BY 1"""))
 
+  /** ann_knn_accuracy_ivf — the probe eval's SCALE PATH graded
+    * end-to-end (SimOps.knnLabelAccuracy with the IVF candidate
+    * pool): same md5 quarter-slice of queries, rank-1 vote drawn
+    * from the a03 IVF index (default first-16 codebook, nprobe = 2)
+    * instead of the brute scan. The oracle replays codebook,
+    * assignment, probe, rank-1 (a03's fragments), the self
+    * exclusion, and the label rollup — so the "at scale use the
+    * pool" claim is itself hash-graded, not just probe-measured
+    * (near-flat ×10/×30, BASELINE.md).
+    */
+  private val a12 = Q(
+    "ann_knn_accuracy_ivf",
+    (s, d) => SimOps.knnLabelAccuracy(emb(s, d), "vec_id", "embedding",
+        "label", sampleFraction = 0.25, ivfCells = Some(16))
+      .orderBy(col("label")),
+    Some("""
+      WITH cb AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+               embedding::DOUBLE[] AS cvec,
+               1.0 / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                 AS cinv
+        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16) s),
+      scored AS (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS emb, cb.cell,
+               list_dot_product(e.embedding::DOUBLE[], cb.cvec) * cb.cinv AS score
+        FROM embeddings e CROSS JOIN cb),
+      assign AS (
+        SELECT vec_id AS nid, emb AS c_emb, cell FROM (
+          SELECT vec_id, emb, cell,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY score DESC, cell DESC) AS r
+          FROM scored) t WHERE r = 1),
+      probe AS (
+        SELECT vec_id AS qid, emb AS q_emb, cell FROM (
+          SELECT vec_id, emb, cell,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY score DESC, cell DESC) AS r
+          FROM scored
+          WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::INTEGER
+                < 16384) t
+        WHERE r <= 2),
+      nn AS (
+        SELECT qid, nid FROM (
+          SELECT q.qid, c.nid,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY list_cosine_similarity(q.q_emb, c.c_emb) DESC,
+                            c.nid) AS rnk
+          FROM probe q JOIN assign c USING (cell)
+          WHERE q.qid <> c.nid) t
+        WHERE rnk = 1),
+      j AS (
+        SELECT ql.label AS label,
+               CASE WHEN ql.label = cl.label THEN 1 ELSE 0 END AS ok
+        FROM nn
+        JOIN embeddings ql ON nn.qid = ql.vec_id
+        JOIN embeddings cl ON nn.nid = cl.vec_id)
+      SELECT label, count(*) AS n_queries,
+             CAST(sum(ok) AS BIGINT) AS n_correct,
+             round(CAST(sum(ok) AS DOUBLE) / count(*), 4) AS accuracy
+      FROM j GROUP BY 1 ORDER BY 1"""))
+
   /** corpus_report — the data card: per source×lang token/char/doc
     * counts with rollup subtotals and each row's share of corpus
     * tokens — the summary table every released training corpus ships.
@@ -6017,7 +6078,7 @@ object Queries {
     q52, q53, q54, q55, q56, q57, q57b, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93,
     d01, d02, d02m, d02i, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sm10, sm11, pk1, pk2, dc1, dc2, dc3, dc4, vd1,
-    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, a11, cr1, cr2, m01, m02, m03, mr1,
+    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, a11, a12, cr1, cr2, m01, m02, m03, mr1,
     p01, st01, st02, st03, st04, st05, st06)
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
