@@ -574,6 +574,68 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("attributionWeights equals an exact-rational brute-force reference") {
+    import java.sql.Timestamp
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val winUs = 4L * 3600L * 1000000L
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val evGen = Gen.listOfN(40,
+      Gen.zip(Gen.choose(0, 2), Gen.choose(0, 2), Gen.choose(0, 600)))
+    val types = Vector("view", "click", "purchase")
+    samples(evGen, 8).filter(_.nonEmpty).foreach { raw =>
+      val rows = raw.zipWithIndex.map { case ((u, t, m), i) =>
+        (u.toLong, i.toLong, types(t), new Timestamp(base + m * 60000L)) }
+      val got = TimeOps.attributionWeights(
+          rows.toDF("user_id", "event_id", "event_type", "ts"),
+          "user_id", "ts", "event_id", "event_type", "purchase",
+          Seq("view", "click"), windowHours = 4)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)),
+          (r.getString(2), r.getLong(3),
+           Option(r.get(4)).map(v => r6(v.asInstanceOf[Double]))))).toMap
+      // brute: per (conversion, touch) pair with exact BIGINT raws
+      val exp = (for {
+        c <- rows if c._3 == "purchase"
+        ts = (t: (Long, Long, String, Timestamp)) => t._4.getTime * 1000L
+        touches = rows.filter(t => t._3 != "purchase" && t._1 == c._1 &&
+          ts(t) < ts(c) && ts(t) >= ts(c) - winUs)
+        tot = touches.map(t => winUs - (ts(c) - ts(t))).sum
+        t <- touches
+      } yield {
+        val raw = winUs - (ts(c) - ts(t))
+        ((c._2, t._2), (t._3, ts(c) - ts(t),
+          if (tot == 0) None else Some(r6(raw.toDouble / tot.toDouble))))
+      }).toMap
+      assert(got == exp, s"attribution mismatch")
+    }
+  }
+
+  test("rollingActiveUsers equals a brute-force sliding-distinct reference") {
+    import java.sql.Timestamp
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val w = 3
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val evGen = Gen.listOfN(40, Gen.zip(Gen.choose(0, 3), Gen.choose(0, 9)))
+    samples(evGen, 8).filter(_.nonEmpty).foreach { raw =>
+      val rows = raw.map { case (u, d) =>
+        (u.toLong, new Timestamp(base + d * 86400000L + 3600000L)) }
+      val got = TimeOps.rollingActiveUsers(rows.toDF("user_id", "ts"),
+          "user_id", "ts", windowDays = w)
+        .collect().map(r => (r.getDate(0).toString,
+          (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      val byDay = raw.map { case (u, d) => (u, d) }.distinct
+      val exp = byDay.map(_._2).distinct.map { d =>
+        val dau = byDay.count(_._2 == d).toLong
+        val wau = byDay.filter(e => e._2 <= d && e._2 > d - w)
+          .map(_._1).distinct.size.toLong
+        val day = new java.sql.Date(base + d * 86400000L).toString
+        (day, (dau, wau, r4(dau.toDouble / wau)))
+      }.toMap
+      assert(got == exp, s"rollingActive mismatch: $got vs $exp")
+    }
+  }
+
   test("minhash signature similarity approximates exact jaccard on dup docs") {
     // two near-identical docs: signature agreement should be high
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
