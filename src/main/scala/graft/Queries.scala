@@ -519,21 +519,17 @@ object Queries {
     * dup_jaccard is NULL for non-dups: their best candidate may be a
     * sub-threshold pair LSH legitimately missed.
     */
-  private val d02 = Q(
-    "dedup_minhash",
-    // maxBucket UNBOUNDED in the graded instance: band hashes are
-    // xxhash64 (not SQL-derivable), so unlike d03's segment cap the
-    // band cap cannot be mirrored in the oracle — grading the capped
-    // path would leave parity one mass-duplicated fixture regen from
-    // divergence. The guard's code path (the window count) still
-    // executes; the cap's dropping behavior is pinned by OpsSpec's
-    // 600-identical-doc fixture instead.
-    (s, d) => DedupOps.minhashNearDup(docs(s, d), "text", "doc_id",
-        maxBucket = Int.MaxValue)
-      .select(col("doc_id"), col("is_dup"),
-        when(col("is_dup"), col("max_jaccard")).as("dup_jaccard"))
-      .orderBy(col("doc_id")),
-    Some("""
+  /** The doc-level MinHash oracle: ground truth as the UNPRUNED exact
+    * 3-gram Jaccard over all shared-shingle pairs (see d02's doc).
+    * Shared by `dedup_minhash` (capped production default — identical
+    * output on fixtures with no >256 bucket) and
+    * `dedup_minhash_uncapped` (the audit instance whose parity is
+    * regen-proof by construction: no bucket is ever dropped).
+    * Defined BEFORE d02: a Scala object initializes vals in
+    * declaration order, so a forward reference here would capture
+    * null into d02's Some(...).
+    */
+  private val minhashDocLevelOracle = """
       WITH sets AS (
         SELECT doc_id,
                CASE WHEN len(w) >= 3
@@ -559,7 +555,50 @@ object Queries {
         GROUP BY doc_id)
       SELECT d.doc_id, dup.doc_id IS NOT NULL AS is_dup, dup.dup_jaccard
       FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
-      ORDER BY d.doc_id"""))
+      ORDER BY d.doc_id"""
+
+  private val d02 = Q(
+    "dedup_minhash",
+    // maxBucket=256 ACTIVE — the graded instance IS the production
+    // default (round-7 verdict task 3: the config users copy must be
+    // the graded one; the uncapped shape is quadratic in copies —
+    // BASELINE.md measures 140 s at ×100 where the cap holds 20 s at
+    // ×300). The xxhash64 band hashes are not SQL-derivable, so this
+    // doc-level oracle cannot replay the drop itself; parity holds
+    // because (a) on the graded fixtures NO band bucket exceeds 256
+    // (capped ≡ uncapped output, asserted in OpsSpec at sf0.001/0.01)
+    // so the measured-total-recall + Jaccard-gap argument carries
+    // over unchanged, and (b) the cap's dropping behavior is
+    // structurally hash-graded by dedup_minhash_mirror (every
+    // intermediate replayed, cap active) and pinned by OpsSpec's
+    // 600-identical-doc fixture. A fixture regen that mass-duplicates
+    // past 256 flips (a): the mirror still grades, and
+    // dedup_minhash_uncapped below is the audit instance that keeps
+    // truth-vs-capped visible.
+    (s, d) => DedupOps.minhashNearDup(docs(s, d), "text", "doc_id")
+      .select(col("doc_id"), col("is_dup"),
+        when(col("is_dup"), col("max_jaccard")).as("dup_jaccard"))
+      .orderBy(col("doc_id")),
+    Some(minhashDocLevelOracle))
+
+  /** dedup_minhash_uncapped — the AUDIT instance (round-7 verdict
+    * task 3 companion): identical pipeline to dedup_minhash but with
+    * the bucket cap disabled, so NO candidate bucket is ever dropped
+    * and doc-level parity against the exact-Jaccard oracle is
+    * regen-proof — if a fixture regen mass-duplicates a bucket past
+    * 256, THIS query keeps grading truth while the capped production
+    * instance is allowed to (visibly) diverge from it. Not a bench
+    * headline: its uncapped shape is quadratic in copies by design
+    * (that is what it audits).
+    */
+  private val d02u = Q(
+    "dedup_minhash_uncapped",
+    (s, d) => DedupOps.minhashNearDup(docs(s, d), "text", "doc_id",
+        maxBucket = Int.MaxValue)
+      .select(col("doc_id"), col("is_dup"),
+        when(col("is_dup"), col("max_jaccard")).as("dup_jaccard"))
+      .orderBy(col("doc_id")),
+    Some(minhashDocLevelOracle))
 
   /** dedup_minhash_mirror — MinHash+LSH on the engine-portable
     * md5-derived family (MinHashSigMd5), graded as a FULL STRUCTURAL
@@ -1169,6 +1208,71 @@ object Queries {
              coalesce(a.dup_tokens, 0) AS dup_tokens,
              round(coalesce(a.dup_tokens, 0)::DOUBLE / len(w), 6) AS dup_frac
       FROM tok t LEFT JOIN agg a USING (doc_id)
+      ORDER BY t.doc_id"""))
+
+  /** dedup_spans_incremental — ingest-vs-corpus span dedup (round-7
+    * verdict task 6): the docs with doc_id ≥ 250 arrive as a batch and
+    * probe the snapshot's spanIndex (doc_id < 250 — the ~24-byte/
+    * distinct-n-gram digest index, NOT corpus text). A batch window is
+    * duplicated iff snapshot occ + batch occ ≥ 2, which is exactly
+    * batch spanDedup over the union restricted to batch docs (additive
+    * counting; property-tested in OpsSpec). Oracle mirrors the full
+    * chain: windows over ALL docs, union-wide hot filter, dup/output
+    * restricted to the batch — same 0-based starts, same
+    * gaps-and-islands merge, same casts and rounding as d10.
+    */
+  private val d10i = Q(
+    "dedup_spans_incremental",
+    (s, d) => {
+      val all = docs(s, d)
+      val snapshot = DedupOps.spanIndex(
+        all.filter(col("doc_id") < 250), "text", "doc_id", n = 10)
+      DedupOps.spanDedupIncremental(all.filter(col("doc_id") >= 250),
+          snapshot, "text", "doc_id", n = 10)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      starts AS (
+        SELECT doc_id, w, unnest(range(0, greatest(len(w) - 9, 0))) AS pos
+        FROM tok),
+      win AS (
+        SELECT doc_id, pos,
+               md5(array_to_string(w[pos + 1 : pos + 10], ' ')) AS fp
+        FROM starts),
+      hot AS (
+        SELECT fp FROM win GROUP BY fp HAVING count(*) >= 2),
+      dup AS (
+        SELECT win.doc_id, win.pos FROM win JOIN hot USING (fp)
+        WHERE win.doc_id >= 250),
+      brk AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                         <= 10
+                    THEN 0 ELSE 1 END AS brk
+        FROM dup),
+      grp AS (
+        SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS g
+        FROM brk),
+      sp AS (
+        SELECT doc_id, g, min(pos) AS s, max(pos) AS e0, count(*) AS nw
+        FROM grp GROUP BY 1, 2),
+      agg AS (
+        SELECT doc_id,
+               CAST(count(*) AS INTEGER) AS n_spans,
+               CAST(sum(nw) AS BIGINT) AS n_dup_ngrams,
+               CAST(sum(e0 + 10 - s) AS BIGINT) AS dup_tokens
+        FROM sp GROUP BY 1)
+      SELECT t.doc_id,
+             coalesce(a.n_spans, 0) AS n_spans,
+             coalesce(a.n_dup_ngrams, 0) AS n_dup_ngrams,
+             coalesce(a.dup_tokens, 0) AS dup_tokens,
+             round(coalesce(a.dup_tokens, 0)::DOUBLE / len(w), 6) AS dup_frac
+      FROM tok t LEFT JOIN agg a USING (doc_id)
+      WHERE t.doc_id >= 250
       ORDER BY t.doc_id"""))
 
   /** pack_sequences — token-budget packing (PackOps.packBudget): docs
@@ -2075,7 +2179,9 @@ object Queries {
     * = a user's own events), then a types²-bounded aggregate and a
     * types-partitioned share window over that tiny frame; ties on the
     * µs timestamp break by event_id so the successor is
-    * engine-deterministic.
+    * engine-deterministic. NULL users are dropped on BOTH sides
+    * (anonymous events have no stream to transition within — and
+    * would otherwise form one corpus-sized window partition).
     */
   private val q88 = Q(
     "q88_transitions",
@@ -2087,7 +2193,7 @@ object Queries {
         SELECT event_type AS from_type,
                lead(event_type) OVER (PARTITION BY user_id
                  ORDER BY ts, event_id) AS to_type
-        FROM events),
+        FROM events WHERE user_id IS NOT NULL),
       c AS (
         SELECT from_type, to_type, count(*) AS n_trans FROM nx
         WHERE to_type IS NOT NULL GROUP BY 1, 2)
@@ -3940,13 +4046,16 @@ object Queries {
           WHERE c.vec_id <> q.vec_id) t
         WHERE rnk = 1),
       j AS (
-        SELECT ql.label AS label,
-               CASE WHEN ql.label = cl.label THEN 1 ELSE 0 END AS ok
-        FROM nn
-        JOIN embeddings ql ON nn.qid = ql.vec_id
-        JOIN embeddings cl ON nn.nid = cl.vec_id)
+        SELECT q.label AS label,
+               CASE WHEN nn.nid IS NOT NULL AND q.label = cl.label
+                    THEN 1 ELSE 0 END AS ok,
+               CASE WHEN nn.nid IS NULL THEN 1 ELSE 0 END AS unres
+        FROM q
+        LEFT JOIN nn ON q.vec_id = nn.qid
+        LEFT JOIN embeddings cl ON nn.nid = cl.vec_id)
       SELECT label, count(*) AS n_queries,
              CAST(sum(ok) AS BIGINT) AS n_correct,
+             CAST(sum(unres) AS BIGINT) AS n_unresolved,
              round(CAST(sum(ok) AS DOUBLE) / count(*), 4) AS accuracy
       FROM j GROUP BY 1 ORDER BY 1"""))
 
@@ -4000,14 +4109,21 @@ object Queries {
           FROM probe q JOIN assign c USING (cell)
           WHERE q.qid <> c.nid) t
         WHERE rnk = 1),
+      qs AS (
+        SELECT vec_id AS qid, label FROM embeddings
+        WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::INTEGER
+              < 16384),
       j AS (
-        SELECT ql.label AS label,
-               CASE WHEN ql.label = cl.label THEN 1 ELSE 0 END AS ok
-        FROM nn
-        JOIN embeddings ql ON nn.qid = ql.vec_id
-        JOIN embeddings cl ON nn.nid = cl.vec_id)
+        SELECT qs.label AS label,
+               CASE WHEN nn.nid IS NOT NULL AND qs.label = cl.label
+                    THEN 1 ELSE 0 END AS ok,
+               CASE WHEN nn.nid IS NULL THEN 1 ELSE 0 END AS unres
+        FROM qs
+        LEFT JOIN nn ON qs.qid = nn.qid
+        LEFT JOIN embeddings cl ON nn.nid = cl.vec_id)
       SELECT label, count(*) AS n_queries,
              CAST(sum(ok) AS BIGINT) AS n_correct,
+             CAST(sum(unres) AS BIGINT) AS n_unresolved,
              round(CAST(sum(ok) AS DOUBLE) / count(*), 4) AS accuracy
       FROM j GROUP BY 1 ORDER BY 1"""))
 
@@ -5448,7 +5564,12 @@ object Queries {
     "q67_robust_outliers",
     (s, d) => {
       import s.implicits._
-      LibOps.robustOutliers(ev(s, d), Seq("event_type"), "value", 3.75)
+      // pin = true: the Bench/Verify harness runs Hygiene.clearAll, so
+      // the graded instance keeps the fast no-recompute plan; the
+      // library DEFAULT is pin = false (safe for embedders — round-7
+      // verdict task 4)
+      LibOps.robustOutliers(ev(s, d), Seq("event_type"), "value", 3.75,
+          pin = true)
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n_outliers"),
              round(max(abs($"rz")), 4).as("max_abs_rz"))
@@ -6077,7 +6198,7 @@ object Queries {
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q57b, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93,
-    d01, d02, d02m, d02i, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sm10, sm11, pk1, pk2, dc1, dc2, dc3, dc4, vd1,
+    d01, d02, d02u, d02m, d02i, d03, d04, d05, d06, d07, d08, d09, d10, d10i, d11, d12, d13, d14, d15, d16, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sm10, sm11, pk1, pk2, dc1, dc2, dc3, dc4, vd1,
     t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, a11, a12, cr1, cr2, m01, m02, m03, mr1,
     p01, st01, st02, st03, st04, st05, st06)
 

@@ -762,49 +762,66 @@ object DedupOps {
     */
   def spanDedup(df: DataFrame, textCol: String, idCol: String,
                 n: Int = 10, minOcc: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(n > 0, s"spanDedup: n must be > 0, got $n")
     require(minOcc >= 2, s"spanDedup: minOcc must be >= 2, got $minOcc")
-    val ws = split(col(textCol), " ")
-    // one (pos, digest) row per window start; docs with < n words are
-    // filtered here (sequence() would otherwise step BACKWARD for a
-    // negative end) and rejoin as all-zero rows at the end.
-    //
-    // Evaluation shape (measured, sf0.1): the window transform is a
-    // higher-order function, which Spark evaluates INTERPRETED — so
-    // everything inside the lambda runs per WINDOW, not per row.
-    // Three consequences drive the formulation below:
-    //  - `__ws` is materialized as its own projection (kept by
-    //    CollapseProject because a non-cheap expr referenced more than
-    //    once is never inlined) so split(text) runs once per DOC; a
-    //    split inlined into the lambda re-tokenizes the doc per
-    //    window — O(len²)/doc.
-    //  - the md5 moves OUT of the lambda into a codegen'd projection
-    //    after the explode; the lambda keeps only slice+concat (the
-    //    unavoidable window-content materialization).
-    //  - the digest is the BINARY md5 (unhex): same 128 bits, half
-    //    the shuffle width of the 32-char hex (fp is internal — the
-    //    oracle sees only per-doc span stats).
-    // Par.fanOut spreads the explode across the session's cores when
-    // the input has fewer splits than that (a 1-file local input
-    // otherwise runs the whole map side on one task); at scale it is
-    // a no-op.
-    val wins = Par.fanOut(
-        df.select(col(idCol), ws.as("__ws")).filter(size(col("__ws")) >= n))
-      .select(col(idCol), posexplode(
-        transform(sequence(lit(0), size(col("__ws")) - n),
-          i => concat_ws(" ", slice(col("__ws"), i + 1, lit(n))))))
-      .select(col(idCol), col("pos"),
-        unhex(md5(col("col").cast("binary"))).as("fp"))
+    val wins = spanWindows(df, textCol, idCol, n)
     val hot = wins.groupBy(col("fp"))
       .agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= minOcc)
       .select("fp")
     val dup = wins.join(hot, "fp").select(col(idCol), col("pos"))
-    // gaps-and-islands over window starts: [p, p+n-1] intervals merge
-    // while the next start is within n of the previous (overlapping or
-    // token-contiguous); lag=NULL on the first row falls to the
-    // otherwise-branch and opens the first span
+    spanReport(df, dup, textCol, idCol, n)
+  }
+
+  /** One (id, pos, digest) row per sliding-window start — the shared
+    * head of [[spanDedup]] / [[spanIndex]] / [[spanDedupIncremental]].
+    * Docs with < n words are filtered here (sequence() would otherwise
+    * step BACKWARD for a negative end); [[spanReport]] rejoins them as
+    * all-zero rows.
+    *
+    * Evaluation shape (measured, sf0.1): the window transform is a
+    * higher-order function, which Spark evaluates INTERPRETED — so
+    * everything inside the lambda runs per WINDOW, not per row.
+    * Three consequences drive the formulation:
+    *  - `__ws` is materialized as its own projection (kept by
+    *    CollapseProject because a non-cheap expr referenced more than
+    *    once is never inlined) so split(text) runs once per DOC; a
+    *    split inlined into the lambda re-tokenizes the doc per
+    *    window — O(len²)/doc.
+    *  - the md5 moves OUT of the lambda into a codegen'd projection
+    *    after the explode; the lambda keeps only slice+concat (the
+    *    unavoidable window-content materialization).
+    *  - the digest is the BINARY md5 (unhex): same 128 bits, half
+    *    the shuffle width of the 32-char hex (fp is internal — the
+    *    oracle sees only per-doc span stats).
+    * Par.fanOut spreads the explode across the session's cores when
+    * the input has fewer splits than that (a 1-file local input
+    * otherwise runs the whole map side on one task); at scale it is
+    * a no-op.
+    */
+  private def spanWindows(df: DataFrame, textCol: String, idCol: String,
+                          n: Int): DataFrame =
+    Par.fanOut(
+        df.select(col(idCol), split(col(textCol), " ").as("__ws"))
+          .filter(size(col("__ws")) >= n))
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), size(col("__ws")) - n),
+          i => concat_ws(" ", slice(col("__ws"), i + 1, lit(n))))))
+      .select(col(idCol), col("pos"),
+        unhex(md5(col("col").cast("binary"))).as("fp"))
+
+  /** Shared tail of the span-dedup reports: merge a doc's duplicated
+    * window positions into maximal token spans (gaps-and-islands over
+    * window starts: [p, p+n-1] intervals merge while the next start is
+    * within n of the previous — overlapping or token-contiguous;
+    * lag=NULL on the first row falls to the otherwise-branch and opens
+    * the first span), roll up per doc, and keep ALL input docs total
+    * via a left join. The window partition is one document's
+    * duplicated positions — bounded by doc length, never corpus size.
+    */
+  private def spanReport(df: DataFrame, dup: DataFrame, textCol: String,
+                         idCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val spans = dup
       .withColumn("brk",
@@ -820,7 +837,7 @@ object DedupOps {
         sum(col("nw")).as("n_dup_ngrams"),
         // span covers [s, e0+n-1] → e0 + n - s tokens
         sum(col("e0") + lit(n) - col("s")).as("dup_tokens"))
-    df.select(col(idCol), size(ws).as("__nt"))
+    df.select(col(idCol), size(split(col(textCol), " ")).as("__nt"))
       .join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_spans"), lit(0)).as("n_spans"),
@@ -828,5 +845,57 @@ object DedupOps {
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
         round(coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("__nt"), 6)
           .as("dup_frac"))
+  }
+
+  /** The stored span-dedup INDEX of a corpus snapshot: one row per
+    * distinct window digest with its corpus-wide occurrence count —
+    * (fp BINARY(16), occ BIGINT), ~24 bytes per distinct n-gram. The
+    * span analogue of [[incrementalDedup]]'s 32-byte/doc digest index:
+    * built once at snapshot time (one explode + one partial-aggregated
+    * digest count), then every ingest batch probes it without ever
+    * rescanning corpus text.
+    */
+  def spanIndex(df: DataFrame, textCol: String, idCol: String,
+                n: Int = 10): DataFrame =
+    spanWindows(df, textCol, idCol, n)
+      .groupBy(col("fp")).agg(count(lit(1)).as("occ"))
+
+  /** Incremental span dedup of a new ingest batch against a corpus
+    * snapshot's [[spanIndex]] — the ingest-vs-corpus symmetry the
+    * exact / MinHash / semantic dedup families already have (round-7
+    * verdict task 6). A batch window position is duplicated iff its
+    * digest's UNION occurrence count — snapshot `occ` plus the
+    * batch's own count — reaches `minOcc`. Occurrence counting is
+    * additive, so the output is EXACTLY batch [[spanDedup]] over
+    * (corpus ∪ batch) restricted to batch docs (property-tested in
+    * OpsSpec), without touching corpus text: the corpus side is the
+    * digest index, probed by one fp-keyed equi-join. Catches both
+    * batch-vs-corpus duplication and fresh within-batch duplication
+    * (a never-indexed window occurring twice in the batch).
+    *
+    * Scale shape: the batch explode runs over the BATCH only; the
+    * index join is a fixed-width digest equi-join (the index side
+    * partial-aggregates map-side if rebuilt inline, or arrives
+    * pre-aggregated from storage); the span merge windows are bounded
+    * by document length. Nothing rescans the corpus, so steady-state
+    * ingest cost is O(batch) + one index probe — the same contract as
+    * [[incrementalDedup]] / [[minhashNearDupIncremental]].
+    *
+    * Output: [[spanDedup]]'s schema over the batch docs only.
+    */
+  def spanDedupIncremental(newDocs: DataFrame, snapshotIndex: DataFrame,
+                           textCol: String, idCol: String,
+                           n: Int = 10, minOcc: Int = 2): DataFrame = {
+    require(n > 0, s"spanDedupIncremental: n must be > 0, got $n")
+    require(minOcc >= 2,
+      s"spanDedupIncremental: minOcc must be >= 2, got $minOcc")
+    val wins = spanWindows(newDocs, textCol, idCol, n)
+    val hot = wins.groupBy(col("fp"))
+      .agg(count(lit(1)).as("__bocc"))
+      .join(snapshotIndex.select(col("fp"), col("occ")), Seq("fp"), "left")
+      .filter(coalesce(col("occ"), lit(0L)) + col("__bocc") >= minOcc)
+      .select("fp")
+    val dup = wins.join(hot, "fp").select(col(idCol), col("pos"))
+    spanReport(newDocs, dup, textCol, idCol, n)
   }
 }

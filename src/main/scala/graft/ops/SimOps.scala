@@ -88,7 +88,15 @@ object SimOps {
     * cosines within an ulp — weaker than a01's graded rank
     * contract, which already holds with ten orders of margin.
     *
-    * Output per label: (label, n_queries, n_correct, accuracy).
+    * Output per label: (label, n_queries, n_correct, n_unresolved,
+    * accuracy). `n_queries` counts EVERY sampled query — the sample
+    * is left-joined into the rollup, so a query whose candidate pool
+    * surfaces no non-self neighbor (possible on the ivfCells path
+    * when its probed cells are otherwise empty) still lands in the
+    * denominator, counted as incorrect and disclosed in
+    * `n_unresolved` (always 0 on the brute path with ≥ 2 vectors).
+    * Without the left join the brute and IVF variants would silently
+    * divide by different denominators.
     */
   def knnLabelAccuracy(df: DataFrame, idCol: String, embCol: String,
                        labelCol: String, sampleFraction: Double,
@@ -104,11 +112,14 @@ object SimOps {
       case None => bruteForceTopK(queries, df, idCol, embCol, k = 1)
     }
     val labels = df.select(col(idCol), col(labelCol))
-    nn.join(labels.select(col(idCol).as("qid"), col(labelCol).as("__ql")), "qid")
-      .join(labels.select(col(idCol).as("nid"), col(labelCol).as("__nl")), "nid")
+    queries.select(col(idCol).as("qid"), col(labelCol).as("__ql"))
+      .join(nn.select(col("qid"), col("nid")), Seq("qid"), "left")
+      .join(labels.select(col(idCol).as("nid"), col(labelCol).as("__nl")),
+        Seq("nid"), "left")
       .groupBy(col("__ql").as("label"))
       .agg(count(lit(1)).as("n_queries"),
-        sum(when(col("__ql") === col("__nl"), 1L).otherwise(0L)).as("n_correct"))
+        sum(when(col("__ql") === col("__nl"), 1L).otherwise(0L)).as("n_correct"),
+        sum(when(col("nid").isNull, 1L).otherwise(0L)).as("n_unresolved"))
       .withColumn("accuracy",
         round(col("n_correct").cast("double") / col("n_queries"), 4))
   }

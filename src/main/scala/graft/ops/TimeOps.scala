@@ -272,7 +272,13 @@ object TimeOps {
     * never the corpus), then a types²-bounded aggregate and a
     * types-partitioned share window over that tiny frame. Ordering
     * ties break on `tieCol` (the event id) so the successor of two
-    * same-µs events is deterministic in any engine.
+    * same-µs events is deterministic in any engine. NULL users are
+    * dropped up front (matching funnelReaches/rollingActiveUsers/
+    * attributionWeights): "the successor of an anonymous event" has
+    * no Markov meaning, and without the filter all NULL-user rows
+    * would form ONE window partition — fabricated transitions AND a
+    * potentially corpus-sized partition that breaks the scale shape
+    * above.
     *
     * Output: (from_type, to_type, n_trans, pct_from) — pct_from is
     * the row-normalized transition probability, rounded to 4.
@@ -283,6 +289,7 @@ object TimeOps {
       .orderBy(col(tsCol).asc, col(tieCol).asc)
     val counts = df
       .select(col(userCol), col(tsCol), col(tieCol), col(typeCol))
+      .filter(col(userCol).isNotNull)
       .withColumn("__next", lead(col(typeCol), 1).over(w))
       .filter(col("__next").isNotNull)
       .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
@@ -309,8 +316,14 @@ object TimeOps {
     * sum whose addition order differs between engines), with the
     * float formula applied identically on engine and oracle; exact
     * up to per-hour counts of ~6×10⁸ (cnt²·trailing < 2⁶³), far
-    * above any real per-hour rate. A zero-variance lookback yields
-    * NULL z (try_divide), which reports non-anomalous.
+    * above any real per-hour rate; `s1·s1` needs Σcnt < ~3×10⁹ (its
+    * square < 2⁶³), the binding bound. A zero-variance lookback is
+    * detected by the EXACT integer identity trailing·s2 = s1² — not
+    * by the float `varr` reaching 0.0, which for per-hour means above
+    * ~4×10⁶ (s1² > 2⁵³) can cancel to a small negative, turning
+    * sqrt into NaN and `NaN > thresh` into TRUE in Spark — and yields
+    * NULL z, which reports non-anomalous; the residual float varr is
+    * clamped at 0 as a second belt.
     *
     * Output: one row per (event_type, h) with h >= trailing —
     * (event_type, h, cnt, z rounded to 4, is_anomaly).
@@ -366,7 +379,12 @@ object TimeOps {
     val m = col("s1").cast("double") / n
     val varr = (col("s2").cast("double") -
       col("s1").cast("double") * col("s1").cast("double") / n) / n
-    val z = try_divide(col("cnt").cast("double") - m, sqrt(varr))
+    // exact integer zero-variance gate (the oracle's predicate):
+    // trailing·Σcnt² = (Σcnt)² ⟺ all trailing counts equal
+    val zeroVar = lit(trailing.toLong) * col("s2") === col("s1") * col("s1")
+    val z = when(zeroVar, lit(null).cast("double"))
+      .otherwise(try_divide(col("cnt").cast("double") - m,
+        sqrt(greatest(varr, lit(0.0)))))
     scored
       .withColumn("z", z)
       .select(col("event_type"), col("h"), col("cnt"),
