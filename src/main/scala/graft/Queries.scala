@@ -23,6188 +23,22 @@ final case class Q(
 
 object Queries {
 
-  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
-  private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
-  private def cust(s: SparkSession, d: String) = Tables.customer(s, d)
-  private def nat(s: SparkSession, d: String) = Tables.nation(s, d)
-  private def reg(s: SparkSession, d: String) = Tables.region(s, d)
-  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
-  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
-  private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
-
-  // ------------------------------------------------------------ core aggs
-
-  /** q01 — pricing summary (TPC-H Q1 shape; SURVEY.md §2.5 A1/A4 + §2.3).
-    * One shuffle carrying only (flag,status) partial aggregates; filter
-    * and 7-column projection push into the parquet scan.
-    */
-  private val q01 = Q(
-    "q01_pricing_summary",
-    (s, d) => {
-      import s.implicits._
-      li(s, d)
-        .filter($"l_shipdate" <= lit("1998-09-01"))
-        .groupBy($"l_returnflag", $"l_linestatus")
-        .agg(
-          round(sum($"l_quantity"), 2).as("sum_qty"),
-          round(sum($"l_extendedprice"), 2).as("sum_base_price"),
-          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
-          round(avg($"l_quantity"), 4).as("avg_qty"),
-          round(avg($"l_discount"), 4).as("avg_disc"),
-          count(lit(1)).as("count_order"))
-        .orderBy($"l_returnflag", $"l_linestatus")
-    },
-    Some("""
-      SELECT l_returnflag, l_linestatus,
-             round(sum(l_quantity), 2)                            AS sum_qty,
-             round(sum(l_extendedprice), 2)                       AS sum_base_price,
-             round(sum(l_extendedprice * (1.0 - l_discount)), 2)  AS sum_disc_price,
-             round(avg(l_quantity), 4)                            AS avg_qty,
-             round(avg(l_discount), 4)                            AS avg_disc,
-             count(*)                                             AS count_order
-      FROM lineitem
-      WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
-      GROUP BY l_returnflag, l_linestatus
-      ORDER BY l_returnflag, l_linestatus"""))
-
-  /** q02 — wordcount, the reference's canonical example (C1+C3+C2;
-    * `examples/wordcount.py`). Partial counts map-side = the combiner.
-    */
-  private val q02 = Q(
-    "q02_wordcount",
-    (s, d) => TextOps.wordCount(docs(s, d)).orderBy(col("word")),
-    Some("""
-      SELECT word, count(*) AS cnt
-      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
-      GROUP BY word ORDER BY word"""))
-
-  /** q03 — J1 tagged join chain: fact orders against broadcast dims
-    * (dumbo's "primary fits in memory" = broadcast-hash join).
-    */
-  private val q03 = Q(
-    "q03_join_nation_revenue",
-    (s, d) => {
-      import s.implicits._
-      ord(s, d)
-        .join(cust(s, d), $"o_custkey" === $"c_custkey")
-        .join(broadcast(nat(s, d)), $"c_nationkey" === $"n_nationkey")
-        .join(broadcast(reg(s, d)), $"n_regionkey" === $"r_regionkey")
-        .groupBy($"r_name", $"n_name")
-        .agg(round(sum($"o_totalprice"), 2).as("total_price"),
-             count(lit(1)).as("order_cnt"))
-        .orderBy($"r_name", $"n_name")
-    },
-    Some("""
-      SELECT r_name, n_name,
-             round(sum(o_totalprice), 2) AS total_price,
-             count(*)                    AS order_cnt
-      FROM orders
-      JOIN customer ON o_custkey = c_custkey
-      JOIN nation   ON c_nationkey = n_nationkey
-      JOIN region   ON n_regionkey = r_regionkey
-      GROUP BY r_name, n_name
-      ORDER BY r_name, n_name"""))
-
-  /** q04 — T1/T2 per-key top-k (nlargestreducer): top-3 orders per
-    * customer; window partial-sorts per partition, no global sort.
-    */
-  private val q04 = Q(
-    "q04_topk_per_group",
-    (s, d) => {
-      import s.implicits._
-      LibOps.topKPerKey(ord(s, d), Seq("o_custkey"),
-          Seq($"o_totalprice".desc, $"o_orderkey".asc), 3, rankCol = "rnk")
-        .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rnk")
-        .orderBy($"o_custkey", $"rnk")
-    },
-    Some("""
-      SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
-        SELECT o_custkey, o_orderkey, o_totalprice,
-               CAST(row_number() OVER (PARTITION BY o_custkey
-                 ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rnk
-        FROM orders) t
-      WHERE rnk <= 3 ORDER BY o_custkey, rnk"""))
-
-  /** q05 — A3/A4 statsreducer: per-key (n, mean, std, min, max). */
-  private val q05 = Q(
-    "q05_stats_per_key",
-    (s, d) => {
-      import s.implicits._
-      LibOps.statsByKey(li(s, d), Seq("l_returnflag"), "l_quantity")
-        .select($"l_returnflag", $"n", round($"mean", 4).as("mean"),
-                round($"std", 4).as("std"), $"min_v", $"max_v")
-        .orderBy($"l_returnflag")
-    },
-    Some("""
-      SELECT l_returnflag, count(*) AS n,
-             round(avg(l_quantity), 4)        AS mean,
-             round(stddev_pop(l_quantity), 4) AS std,
-             min(l_quantity) AS min_v, max(l_quantity) AS max_v
-      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
-
-  /** q06 — A2 sumsreducer: element-wise sums of several columns. */
-  private val q06 = Q(
-    "q06_sums_multi",
-    (s, d) => {
-      import s.implicits._
-      LibOps.sumsByKey(li(s, d), Seq("l_returnflag", "l_linestatus"),
-          Seq("l_quantity", "l_extendedprice", "l_discount"))
-        .select($"l_returnflag", $"l_linestatus",
-          round($"sum_l_quantity", 2).as("sum_l_quantity"),
-          round($"sum_l_extendedprice", 2).as("sum_l_extendedprice"),
-          round($"sum_l_discount", 2).as("sum_l_discount"))
-        .orderBy($"l_returnflag", $"l_linestatus")
-    },
-    Some("""
-      SELECT l_returnflag, l_linestatus,
-             round(sum(l_quantity), 2)      AS sum_l_quantity,
-             round(sum(l_extendedprice), 2) AS sum_l_extendedprice,
-             round(sum(l_discount), 2)      AS sum_l_discount
-      FROM lineitem GROUP BY l_returnflag, l_linestatus
-      ORDER BY l_returnflag, l_linestatus"""))
-
-  /** q07 — A5 count-distinct (two MR passes in dumbo, one aggregate
-    * here; HLL variant exposed as LibOps.approxCountDistinctByKey).
-    */
-  private val q07 = Q(
-    "q07_count_distinct",
-    (s, d) => LibOps.countDistinctByKey(ev(s, d), Seq("event_type"), "user_id")
-      .orderBy(col("event_type")),
-    Some("""
-      SELECT event_type, count(DISTINCT user_id) AS n_distinct
-      FROM events GROUP BY event_type ORDER BY event_type"""))
-
-  /** q08 — J3 secondary sort: first 5 events per user in ts order. */
-  private val q08 = Q(
-    "q08_secondary_sort",
-    (s, d) => {
-      import s.implicits._
-      LibOps.topKPerKey(ev(s, d), Seq("user_id"),
-          Seq($"ts".asc, $"event_id".asc), 5, rankCol = "rn")
-        .select($"user_id", $"rn", $"event_id", $"event_type")
-        .orderBy($"user_id", $"rn")
-    },
-    Some("""
-      SELECT user_id, rn, event_id, event_type FROM (
-        SELECT user_id, event_id, event_type,
-               CAST(row_number() OVER (PARTITION BY user_id
-                 ORDER BY ts, event_id) AS INTEGER) AS rn
-        FROM events) t
-      WHERE rn <= 5 ORDER BY user_id, rn"""))
-
-  /** q09 — T4/T5 global sort + limit (dumbo: 1-reducer total order +
-    * `dumbo cat | head`; Spark range-partitions the sort).
-    */
-  private val q09 = Q(
-    "q09_global_sort_limit",
-    (s, d) => {
-      import s.implicits._
-      ord(s, d).orderBy($"o_totalprice".desc, $"o_orderkey".asc)
-        .limit(100)
-        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
-    },
-    Some("""
-      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-      ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""))
-
-  /** q10 — S6/J2 multi-input union with per-source dispatch. */
-  private val q10 = Q(
-    "q10_union_multi_input",
-    (s, d) => {
-      val src = docs(s, d)
-      JoinOps.multiSourceDispatch(Seq(
-          (src, (df: DataFrame) => df.filter(col("source") === "src0")),
-          (src, (df: DataFrame) => df.filter(col("source") === "src1"))))
-        .groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
-        .orderBy(col("lang"))
-    },
-    Some("""
-      SELECT lang, count(*) AS cnt FROM (
-        SELECT * FROM documents WHERE source = 'src0'
-        UNION ALL
-        SELECT * FROM documents WHERE source = 'src1') t
-      GROUP BY lang ORDER BY lang"""))
-
-  /** q11/q12 — set ops (§2.7; capability superset, dumbo has union only). */
-  private val q11 = Q(
-    "q11_intersect",
-    (s, d) => {
-      import s.implicits._
-      val o = ord(s, d)
-      o.filter($"o_orderstatus" === "F").select($"o_custkey".as("custkey"))
-        .intersect(o.filter($"o_orderstatus" === "O").select($"o_custkey".as("custkey")))
-        .orderBy($"custkey")
-    },
-    Some("""
-      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
-      INTERSECT
-      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
-      ORDER BY custkey"""))
-
-  private val q12 = Q(
-    "q12_except",
-    (s, d) => {
-      import s.implicits._
-      val o = ord(s, d)
-      o.filter($"o_orderstatus" === "F").select($"o_custkey".as("custkey"))
-        .except(o.filter($"o_orderstatus" === "P").select($"o_custkey".as("custkey")))
-        .orderBy($"custkey")
-    },
-    Some("""
-      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
-      EXCEPT
-      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'
-      ORDER BY custkey"""))
-
-  /** q54 — UNION with distinct semantics (§2.7 completes the set-op
-    * family next to q10's UNION ALL, q11 INTERSECT, q12 EXCEPT).
-    */
-  private val q54 = Q(
-    "q54_union_distinct",
-    (s, d) => {
-      import s.implicits._
-      val o = ord(s, d)
-      o.filter($"o_orderstatus" === "F").select($"o_custkey".as("custkey"))
-        .union(o.filter($"o_orderstatus" === "P").select($"o_custkey".as("custkey")))
-        .distinct()
-        .orderBy($"custkey")
-    },
-    Some("""
-      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
-      UNION
-      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'
-      ORDER BY custkey"""))
-
-  /** q13 — rollup (§2.5 superset): subtotals per region/nation. */
-  private val q13 = Q(
-    "q13_rollup",
-    (s, d) => {
-      import s.implicits._
-      cust(s, d)
-        .join(broadcast(nat(s, d)), $"c_nationkey" === $"n_nationkey")
-        .join(broadcast(reg(s, d)), $"n_regionkey" === $"r_regionkey")
-        .rollup($"r_name", $"n_name")
-        .agg(count(lit(1)).as("n_cust"), round(sum($"c_acctbal"), 2).as("sum_bal"))
-        .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
-    },
-    Some("""
-      SELECT r_name, n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
-      FROM customer
-      JOIN nation ON c_nationkey = n_nationkey
-      JOIN region ON n_regionkey = r_regionkey
-      GROUP BY ROLLUP(r_name, n_name)
-      ORDER BY r_name NULLS FIRST, n_name NULLS FIRST"""))
-
-  // ------------------------------------------------------- time windows
-
-  /** q14 — tumbling 1h windows (batch event-time; §2.9). */
-  private val q14 = Q(
-    "q14_window_tumbling",
-    (s, d) => {
-      import s.implicits._
-      TimeOps.tumbling(ev(s, d), "ts", "1 hour", Seq("event_type"),
-          Seq(count(lit(1)).as("cnt"), round(sum($"value"), 2).as("sum_value")))
-        .select($"window_start", $"event_type", $"cnt", $"sum_value")
-        .orderBy($"window_start", $"event_type")
-    },
-    Some("""
-      SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
-             event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
-      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
-
-  /** q15 — sliding 1h/15min windows; each event lands in exactly 4. */
-  private val q15 = Q(
-    "q15_window_sliding",
-    (s, d) => {
-      import s.implicits._
-      TimeOps.sliding(ev(s, d), "ts", "1 hour", "15 minutes", Seq.empty,
-          Seq(count(lit(1)).as("cnt")))
-        .select($"window_start", $"cnt")
-        .orderBy($"window_start")
-    },
-    Some("""
-      SELECT ws AS window_start, count(*) AS cnt FROM (
-        SELECT CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) - 900 * i.i AS ws
-        FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) i) t
-      GROUP BY ws ORDER BY ws"""))
-
-  /** Gaps-and-islands sessionization oracle, shared by q16 and
-    * streaming_sessions_parity — ONE definition of the session
-    * semantics (gap >= threshold starts a new session, half-open like
-    * Spark's session_window; epoch-second floors), so the batch and
-    * streaming graded paths can never drift apart.
-    */
-  private def sessionOracleSql(extraAggCols: String): String = s"""
-      WITH x AS (
-        SELECT user_id, ts, value,
-               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                         >= INTERVAL 30 MINUTE
-                    THEN 1 ELSE 0 END AS new_s
-        FROM events),
-      y AS (
-        SELECT user_id, ts, value,
-               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                 ROWS UNBOUNDED PRECEDING) AS sid
-        FROM x)
-      SELECT user_id,
-             CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
-             count(*) AS n_events$extraAggCols
-      FROM y GROUP BY user_id, sid
-      ORDER BY user_id, session_start, n_events"""
-
-  /** q16 — session windows, 30min gap, per user (§2.9). Oracle is the
-    * classic gaps-and-islands rewrite; Spark's session is half-open so
-    * a gap of exactly the threshold starts a new session (>=).
-    */
-  private val q16 = Q(
-    "q16_session_window",
-    (s, d) => {
-      import s.implicits._
-      TimeOps.session(ev(s, d), "ts", "30 minutes", Seq("user_id"),
-          Seq(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value")))
-        .select($"user_id", $"session_start", $"n_events", $"sum_value")
-        .orderBy($"user_id", $"session_start", $"n_events")
-    },
-    Some(sessionOracleSql(", round(sum(value), 2) AS sum_value")))
-
-  // ------------------------------------------------------ scalar surface
-
-  /** q17 — json extraction (§2.8; events.props payload). */
-  private val q17 = Q(
-    "q17_json_extract",
-    (s, d) => {
-      import s.implicits._
-      ev(s, d)
-        // try_cast mirrors the oracle's TRY_CAST: a non-numeric payload
-        // yields NULL instead of an ANSI-mode cast error
-        .withColumn("k", expr("try_cast(get_json_object(props, '$.k') AS int)"))
-        .groupBy($"event_type")
-        .agg(sum($"k").as("sum_k"), count(lit(1)).as("cnt"))
-        .orderBy($"event_type")
-    },
-    Some("""
-      SELECT event_type,
-             CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
-             count(*) AS cnt
-      FROM events GROUP BY event_type ORDER BY event_type"""))
-
-  /** q18 — date functions (§2.8): per-month order aggregates. */
-  private val q18 = Q(
-    "q18_date_agg",
-    (s, d) => {
-      import s.implicits._
-      ord(s, d)
-        .groupBy(year($"o_orderdate").as("o_year"), month($"o_orderdate").as("o_month"))
-        .agg(count(lit(1)).as("cnt"), round(sum($"o_totalprice"), 2).as("sum_price"))
-        .orderBy($"o_year", $"o_month")
-    },
-    Some("""
-      SELECT CAST(year(o_orderdate) AS INTEGER)  AS o_year,
-             CAST(month(o_orderdate) AS INTEGER) AS o_month,
-             count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price
-      FROM orders GROUP BY 1, 2 ORDER BY 1, 2"""))
-
-  /** q19/q20 — semi/anti joins (§2.4 superset; EXISTS / NOT EXISTS). */
-  private val q19 = Q(
-    "q19_join_semi",
-    (s, d) => {
-      import s.implicits._
-      cust(s, d)
-        .join(ord(s, d).filter($"o_orderpriority" === "1-URGENT"),
-          $"c_custkey" === $"o_custkey", "left_semi")
-        .select($"c_custkey", $"c_name")
-        .orderBy($"c_custkey")
-    },
-    Some("""
-      SELECT c_custkey, c_name FROM customer c
-      WHERE EXISTS (SELECT 1 FROM orders o
-                    WHERE o.o_custkey = c.c_custkey
-                      AND o.o_orderpriority = '1-URGENT')
-      ORDER BY c_custkey"""))
-
-  private val q20 = Q(
-    "q20_join_anti",
-    (s, d) => {
-      import s.implicits._
-      cust(s, d)
-        .join(ord(s, d).filter($"o_orderpriority" === "1-URGENT"),
-          $"c_custkey" === $"o_custkey", "left_anti")
-        .select($"c_custkey", $"c_name")
-        .orderBy($"c_custkey")
-    },
-    Some("""
-      SELECT c_custkey, c_name FROM customer c
-      WHERE NOT EXISTS (SELECT 1 FROM orders o
-                        WHERE o.o_custkey = c.c_custkey
-                          AND o.o_orderpriority = '1-URGENT')
-      ORDER BY c_custkey"""))
-
-  /** q21 — 3-way fact join (TPC-H Q3 shape): revenue by market segment. */
-  private val q21 = Q(
-    "q21_revenue_by_segment",
-    (s, d) => {
-      import s.implicits._
-      li(s, d)
-        .join(ord(s, d), $"l_orderkey" === $"o_orderkey")
-        .join(cust(s, d), $"o_custkey" === $"c_custkey")
-        .groupBy($"c_mktsegment")
-        .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
-             count(lit(1)).as("n_lines"))
-        .orderBy($"c_mktsegment")
-    },
-    Some("""
-      SELECT c_mktsegment,
-             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
-             count(*) AS n_lines
-      FROM lineitem
-      JOIN orders   ON l_orderkey = o_orderkey
-      JOIN customer ON o_custkey = c_custkey
-      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
-
-  /** q22 — C4/A5 itertwice: frequency-of-frequencies, two chained
-    * passes fused into one plan (no inter-pass materialization).
-    */
-  private val q22 = Q(
-    "q22_count_of_counts",
-    (s, d) => TextOps.countOfCounts(docs(s, d)).orderBy(col("cnt")),
-    Some("""
-      SELECT cnt, count(*) AS n_words FROM (
-        SELECT word, count(*) AS cnt FROM (
-          SELECT unnest(string_split(text, ' ')) AS word FROM documents) a
-        GROUP BY word) b
-      GROUP BY cnt ORDER BY cnt"""))
-
-  /** q23 — C9 path tagging (`-addpath`): rows keyed by input file. */
-  private val q23 = Q(
-    "q23_path_tagging",
-    (s, d) => JoinOps.withInputPath(docs(s, d))
-      .groupBy(regexp_extract(col("input_path"), "[^/]+$", 0).as("file_name"))
-      .agg(count(lit(1)).as("cnt"))
-      .orderBy(col("file_name")),
-    Some("""
-      SELECT 'documents.parquet' AS file_name, count(*) AS cnt FROM documents"""))
-
-  // --------------------------------------------------------------- dedup
-
-  /** dedup_exact — exact dedup on a content digest (one aggregate). */
-  private val d01 = Q(
-    "dedup_exact",
-    (s, d) => DedupOps.exactDedup(docs(s, d), "text", "doc_id")
-      .orderBy(col("doc_id")),
-    Some("""
-      SELECT md5(text) AS content_fp, min(doc_id) AS doc_id, count(*) AS n_copies
-      FROM documents GROUP BY md5(text) ORDER BY doc_id"""))
-
-  /** dedup_minhash — MinHash(32)+LSH(8x4) near-dup with exact Jaccard
-    * verification of candidates. Graded projection (round 4, was
-    * rows-only): (doc_id, is_dup, dup_jaccard) — the VERIFIED outputs,
-    * which are SQL-checkable even though the xxhash64 signatures are
-    * not. The oracle computes ground truth as the UNPRUNED exact
-    * 3-gram Jaccard over all shared-shingle pairs — unlike d04 it
-    * applies NO maxDF stop-shingle pruning, because the engine's
-    * verification (array_intersect over full shingle sets) is
-    * unpruned too; a pruned oracle would understate the Jaccard of a
-    * pair sharing a hot shingle and silently diverge (review-pass
-    * finding, round 4). Affordable because the fixture's max shingle
-    * document frequency is 25 (sf0.1; 9/7 at smaller sfs) — the
-    * inverted-index join stays tiny. The parity claim is doc-level:
-    * is_dup ≡ "has an exact-Jaccard >= 0.8 partner". That holds
-    * because LSH recall over the TRUE >= 0.8 pairs is MEASURED TOTAL
-    * on this fixture at every sf (tools/Probe, round 4: 28/25/256
-    * ground-truth pairs, 0 missed — the fixed seeded family makes
-    * this deterministic), and the corpus' pair-Jaccard distribution
-    * has a structural gap (nothing in (0.14, 0.8) at any sf) so a dup
-    * doc's best candidate is always a verified >= 0.8 pair.
-    * dup_jaccard is NULL for non-dups: their best candidate may be a
-    * sub-threshold pair LSH legitimately missed.
-    */
-  /** The doc-level MinHash oracle: ground truth as the UNPRUNED exact
-    * 3-gram Jaccard over all shared-shingle pairs (see d02's doc).
-    * Shared by `dedup_minhash` (capped production default — identical
-    * output on fixtures with no >256 bucket) and
-    * `dedup_minhash_uncapped` (the audit instance whose parity is
-    * regen-proof by construction: no bucket is ever dropped).
-    * Defined BEFORE d02: a Scala object initializes vals in
-    * declaration order, so a forward reference here would capture
-    * null into d02's Some(...).
-    */
-  private val minhashDocLevelOracle = """
-      WITH sets AS (
-        SELECT doc_id,
-               CASE WHEN len(w) >= 3
-                    THEN list_distinct(list_transform(range(1, len(w) - 1),
-                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
-                    ELSE [text] END AS sh
-        FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents) b),
-      posts AS (
-        SELECT doc_id, CAST(len(sh) AS BIGINT) AS sz, unnest(sh) AS s FROM sets),
-      pr AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
-               count(*) AS n_inter
-        FROM posts a JOIN posts b USING (s)
-        WHERE a.doc_id < b.doc_id
-        GROUP BY 1, 2, 3, 4),
-      j AS (
-        SELECT id_a, id_b, n_inter::DOUBLE / (sz_a + sz_b - n_inter) AS jac
-        FROM pr WHERE n_inter::DOUBLE / (sz_a + sz_b - n_inter) >= 0.8),
-      dup AS (
-        SELECT doc_id, round(max(jac), 4) AS dup_jaccard FROM (
-          SELECT id_a AS doc_id, jac FROM j
-          UNION ALL SELECT id_b AS doc_id, jac FROM j) t
-        GROUP BY doc_id)
-      SELECT d.doc_id, dup.doc_id IS NOT NULL AS is_dup, dup.dup_jaccard
-      FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
-      ORDER BY d.doc_id"""
-
-  private val d02 = Q(
-    "dedup_minhash",
-    // maxBucket=256 ACTIVE — the graded instance IS the production
-    // default (round-7 verdict task 3: the config users copy must be
-    // the graded one; the uncapped shape is quadratic in copies —
-    // BASELINE.md measures 140 s at ×100 where the cap holds 20 s at
-    // ×300). The xxhash64 band hashes are not SQL-derivable, so this
-    // doc-level oracle cannot replay the drop itself; parity holds
-    // because (a) on the graded fixtures NO band bucket exceeds 256
-    // (capped ≡ uncapped output, asserted in OpsSpec at sf0.001/0.01)
-    // so the measured-total-recall + Jaccard-gap argument carries
-    // over unchanged, and (b) the cap's dropping behavior is
-    // structurally hash-graded by dedup_minhash_mirror (every
-    // intermediate replayed, cap active) and pinned by OpsSpec's
-    // 600-identical-doc fixture. A fixture regen that mass-duplicates
-    // past 256 flips (a): the mirror still grades, and
-    // dedup_minhash_uncapped below is the audit instance that keeps
-    // truth-vs-capped visible.
-    (s, d) => DedupOps.minhashNearDup(docs(s, d), "text", "doc_id")
-      .select(col("doc_id"), col("is_dup"),
-        when(col("is_dup"), col("max_jaccard")).as("dup_jaccard"))
-      .orderBy(col("doc_id")),
-    Some(minhashDocLevelOracle))
-
-  /** dedup_minhash_uncapped — the AUDIT instance (round-7 verdict
-    * task 3 companion): identical pipeline to dedup_minhash but with
-    * the bucket cap disabled, so NO candidate bucket is ever dropped
-    * and doc-level parity against the exact-Jaccard oracle is
-    * regen-proof — if a fixture regen mass-duplicates a bucket past
-    * 256, THIS query keeps grading truth while the capped production
-    * instance is allowed to (visibly) diverge from it. Not a bench
-    * headline: its uncapped shape is quadratic in copies by design
-    * (that is what it audits).
-    */
-  private val d02u = Q(
-    "dedup_minhash_uncapped",
-    (s, d) => DedupOps.minhashNearDup(docs(s, d), "text", "doc_id",
-        maxBucket = Int.MaxValue)
-      .select(col("doc_id"), col("is_dup"),
-        when(col("is_dup"), col("max_jaccard")).as("dup_jaccard"))
-      .orderBy(col("doc_id")),
-    Some(minhashDocLevelOracle))
-
-  /** dedup_minhash_mirror — MinHash+LSH on the engine-portable
-    * md5-derived family (MinHashSigMd5), graded as a FULL STRUCTURAL
-    * MIRROR with the maxBucket=256 cap ACTIVE. Closes round-6 queue
-    * item (4): d02's xxhash64 band hashes made the bucket cap
-    * un-mirrorable, so its graded instance runs uncapped and its
-    * parity claim is doc-level (measured-total recall + the corpus'
-    * Jaccard gap). Here every intermediate is replayed by the oracle —
-    * 31-bit universal-hash signature values over md5_number_lower
-    * bases, raw-4-tuple band buckets, the over-cap drop, the distinct
-    * candidate pair set, exact-Jaccard verification over shingle
-    * string sets, and the per-doc aggregate — so parity is structural:
-    * a fixture regen that creates a >256-doc bucket changes both
-    * sides identically. d02 stays graded as the fast-family
-    * production path.
-    */
-  private val d02m = Q(
-    "dedup_minhash_mirror",
-    (s, d) => DedupOps.minhashNearDupMirror(docs(s, d), "text", "doc_id")
-      .orderBy(col("doc_id")),
-    Some("""
-      WITH sets AS (
-        SELECT doc_id,
-               CASE WHEN len(w) >= 3
-                    THEN list_distinct(list_transform(range(1, len(w) - 1),
-                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
-                    ELSE [text] END AS sh
-        FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents) b),
-      bases AS (
-        -- s IS NOT NULL mirrors the engine's null-signature filter: a
-        -- NULL-text doc signs NULL there and never reaches banding;
-        -- without this a NULL-list band key would JOIN in DuckDB
-        -- (list equality matches NULL elements) and pair NULL docs
-        SELECT doc_id, CAST(md5_number_lower(s) % 2147483648 AS BIGINT) AS x
-        FROM (SELECT doc_id, unnest(sh) AS s FROM sets) p
-        WHERE s IS NOT NULL),
-      sig AS (
-        SELECT doc_id, t.i AS i,
-               min(((1 + (2654435761 * (t.i + 1)) % 2147483646) * x
-                    + (1013904223 * (t.i + 1)) % 2147483647) % 2147483647) AS v
-        FROM bases, range(32) t(i) GROUP BY 1, 2),
-      bands AS (
-        SELECT doc_id, i // 4 AS band_idx, list(v ORDER BY i) AS band_key
-        FROM sig GROUP BY doc_id, i // 4),
-      ok AS (
-        SELECT band_idx, band_key FROM bands
-        GROUP BY 1, 2 HAVING count(*) <= 256),
-      cand AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a, bands b, ok
-        WHERE a.band_idx = ok.band_idx AND a.band_key = ok.band_key
-          AND b.band_idx = ok.band_idx AND b.band_key = ok.band_key
-          AND a.doc_id < b.doc_id),
-      jac AS (
-        SELECT c.id_a, c.id_b,
-               CASE WHEN len(list_distinct(sa.sh || sb.sh)) > 0
-                    THEN len(list_intersect(sa.sh, sb.sh))::DOUBLE
-                         / len(list_distinct(sa.sh || sb.sh))
-                    ELSE 0.0 END AS jaccard
-        FROM cand c
-        JOIN sets sa ON sa.doc_id = c.id_a
-        JOIN sets sb ON sb.doc_id = c.id_b),
-      per AS (
-        SELECT doc_id, count(*) AS n_candidates, max(jaccard) AS mj
-        FROM (SELECT id_a AS doc_id, jaccard FROM jac
-              UNION ALL SELECT id_b AS doc_id, jaccard FROM jac) t
-        GROUP BY doc_id)
-      SELECT d.doc_id,
-             coalesce(per.n_candidates, 0) AS n_candidates,
-             round(coalesce(per.mj, 0), 4) AS max_jaccard,
-             coalesce(per.mj, 0) >= 0.8 AS is_dup
-      FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
-      ORDER BY d.doc_id"""))
-
-  /** dedup_minhash_incremental — near-dup scoring of an incoming
-    * batch (doc_id % 10 == 0) against the existing corpus (the rest)
-    * WITHOUT re-pairing the corpus: candidates are incoming×corpus
-    * only, the crawl-ingest shape. Runs on the mirror family (an
-    * incremental index persists signatures, which is exactly when a
-    * private hash family becomes a trap), so the oracle replays the
-    * whole pipeline: signatures for both sides, the corpus-side
-    * maxBucket=256 drop, the probe join, verification, per-batch-doc
-    * aggregate. The near-dup analogue of dedup_incremental's exact
-    * path.
-    */
-  private val d02i = Q(
-    "dedup_minhash_incremental",
-    (s, d) => {
-      val all = docs(s, d)
-      DedupOps.minhashNearDupIncremental(
-        all.filter(col("doc_id") % 10 =!= 0),
-        all.filter(col("doc_id") % 10 === 0),
-        "text", "doc_id")
-        .orderBy(col("doc_id"))
-    },
-    Some("""
-      WITH sets AS (
-        SELECT doc_id,
-               CASE WHEN len(w) >= 3
-                    THEN list_distinct(list_transform(range(1, len(w) - 1),
-                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
-                    ELSE [text] END AS sh
-        FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents) b),
-      bases AS (
-        SELECT doc_id, CAST(md5_number_lower(s) % 2147483648 AS BIGINT) AS x
-        FROM (SELECT doc_id, unnest(sh) AS s FROM sets) p
-        WHERE s IS NOT NULL),
-      sig AS (
-        SELECT doc_id, t.i AS i,
-               min(((1 + (2654435761 * (t.i + 1)) % 2147483646) * x
-                    + (1013904223 * (t.i + 1)) % 2147483647) % 2147483647) AS v
-        FROM bases, range(32) t(i) GROUP BY 1, 2),
-      bands AS (
-        SELECT doc_id, i // 4 AS band_idx, list(v ORDER BY i) AS band_key
-        FROM sig GROUP BY doc_id, i // 4),
-      oldb AS (SELECT * FROM bands WHERE doc_id % 10 <> 0),
-      newb AS (SELECT * FROM bands WHERE doc_id % 10 = 0),
-      ok AS (
-        SELECT band_idx, band_key FROM oldb
-        GROUP BY 1, 2 HAVING count(*) <= 256),
-      cand AS (
-        SELECT DISTINCT n.doc_id AS id_new, o.doc_id AS id_old
-        FROM newb n, oldb o, ok
-        WHERE n.band_idx = ok.band_idx AND n.band_key = ok.band_key
-          AND o.band_idx = ok.band_idx AND o.band_key = ok.band_key),
-      jac AS (
-        SELECT c.id_new, c.id_old,
-               CASE WHEN len(list_distinct(sa.sh || sb.sh)) > 0
-                    THEN len(list_intersect(sa.sh, sb.sh))::DOUBLE
-                         / len(list_distinct(sa.sh || sb.sh))
-                    ELSE 0.0 END AS jaccard
-        FROM cand c
-        JOIN sets sa ON sa.doc_id = c.id_new
-        JOIN sets sb ON sb.doc_id = c.id_old),
-      per AS (
-        SELECT id_new AS doc_id, count(*) AS n_candidates,
-               max(jaccard) AS mj
-        FROM jac GROUP BY id_new)
-      SELECT d.doc_id,
-             coalesce(per.n_candidates, 0) AS n_candidates,
-             round(coalesce(per.mj, 0), 4) AS max_jaccard,
-             coalesce(per.mj, 0) >= 0.8 AS is_dup
-      FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
-      LEFT JOIN per ON d.doc_id = per.doc_id
-      ORDER BY d.doc_id"""))
-
-  /** dedup_simhash — 64-bit SimHash + 16-bit-segment blocking. FULL
-    * mirror oracle (round 4, was rows-only): the per-word hash is the
-    * low 64 bits of MD5 — bit-for-bit DuckDB's `md5_number_lower` —
-    * so the oracle replays the entire operator exactly: word hashes,
-    * the 64 vote sums, the >= 0 tie rule, AND the engine's own
-    * candidate structure — 4x16-bit segment blocking WITH the
-    * maxBucket=256 over-cap bucket drop (review-pass hardening: an
-    * all-pairs oracle would silently diverge the day a fixture grows a
-    * >256-doc segment bucket; mirroring the cap makes parity
-    * structural, not measured). DuckDB's `>>` on BIGINT is arithmetic
-    * like Spark's shiftright, so `(simhash >> s*16) & 65535` extracts
-    * identical segments from the signed signatures. Signatures
-    * reassemble as signed BIGINT (bit 63 = -2^63) to match Spark's
-    * LongType without UBIGINT/HUGEINT schema drift.
-    */
-  private val d03 = Q(
-    "dedup_simhash",
-    (s, d) => DedupOps.simhashNearDup(docs(s, d), "text", "doc_id")
-      .orderBy(col("doc_id")),
-    Some("""
-      WITH words AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-      hs AS (
-        SELECT doc_id, md5_number_lower(w) AS h FROM words),
-      votes AS (
-        SELECT doc_id, t.b AS b,
-               sum(CASE WHEN (h >> t.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
-        FROM hs, range(64) t(b) GROUP BY 1, 2),
-      sh AS (
-        SELECT doc_id,
-               CAST(sum(CASE WHEN v < 0 THEN 0
-                             WHEN b = 63 THEN -9223372036854775808
-                             ELSE (CAST(1 AS BIGINT) << b) END) AS BIGINT)
-                 AS simhash
-        FROM votes GROUP BY doc_id),
-      segs AS (
-        SELECT doc_id, simhash, t.s AS seg_idx,
-               (simhash >> (t.s * 16)) & 65535 AS seg_val
-        FROM sh, range(4) t(s)),
-      keepseg AS (
-        SELECT seg_idx, seg_val FROM segs
-        GROUP BY 1, 2 HAVING count(*) <= 256),
-      pairs AS (
-        SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
-               a.simhash AS sh_a, b2.simhash AS sh_b
-        FROM segs a
-        JOIN keepseg USING (seg_idx, seg_val)
-        JOIN segs b2 USING (seg_idx, seg_val)
-        WHERE a.doc_id < b2.doc_id
-          AND bit_count(xor(a.simhash, b2.simhash)) <= 3),
-      near AS (
-        SELECT doc_id, count(*) AS n_near FROM (
-          SELECT id_a AS doc_id FROM pairs
-          UNION ALL SELECT id_b AS doc_id FROM pairs) t
-        GROUP BY doc_id)
-      SELECT s.doc_id, s.simhash, COALESCE(near.n_near, 0) AS n_near
-      FROM sh s LEFT JOIN near ON s.doc_id = near.doc_id
-      ORDER BY s.doc_id"""))
-
-  /** dedup_ngram_jaccard — exact shingle Jaccard via inverted-index
-    * join, top-50 most similar pairs. Oracled: Jaccard over 64-bit
-    * shingle hashes equals Jaccard over the raw shingle strings
-    * (injective modulo 64-bit collisions), so DuckDB mirrors it with
-    * raw 3-gram shingles, the same maxDF=100 stop-shingle bound, and
-    * the same short-doc whole-text shingle.
-    */
-  private val d04 = Q(
-    "dedup_ngram_jaccard",
-    (s, d) => DedupOps.ngramJaccardPairs(docs(s, d), "text", "doc_id")
-      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
-      .limit(50)
-      .select(col("id_a"), col("id_b"), col("n_inter"), col("jaccard")),
-    Some("""
-      WITH sets AS (
-        SELECT doc_id,
-               CASE WHEN len(w) >= 3
-                    THEN list_distinct(list_transform(range(1, len(w) - 1),
-                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
-                    ELSE [text] END AS sh
-        FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents) b),
-      posts AS (
-        SELECT doc_id, CAST(len(sh) AS BIGINT) AS sz, unnest(sh) AS s FROM sets),
-      keep AS (
-        SELECT s FROM posts GROUP BY s HAVING count(*) <= 100),
-      pr AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
-               count(*) AS n_inter
-        FROM posts a JOIN keep USING (s) JOIN posts b USING (s)
-        WHERE a.doc_id < b.doc_id
-        GROUP BY 1, 2, 3, 4)
-      SELECT id_a, id_b, n_inter,
-             round(n_inter::DOUBLE / (sz_a + sz_b - n_inter), 4) AS jaccard
-      FROM pr
-      ORDER BY jaccard DESC, id_a, id_b
-      LIMIT 50"""))
-
-  /** dedup_embedding — embedding-cosine near-dup over the whole corpus:
-    * each vector's best in-bucket neighbor (sign-LSH, k=1), flagged
-    * when cosine clears the near-dup threshold. The all-vs-all version
-    * of the ANN machinery — bucket-joined via a co-partitioned shuffle
-    * (never broadcast: the query side IS the corpus), never a cross
-    * product. Deterministic hash family → full DuckDB mirror oracle.
-    */
-  private val d05 = Q(
-    "dedup_embedding",
-    (s, d) => {
-      import s.implicits._
-      val e = emb(s, d)
-      val top1 = SimOps.lshTopK(e, e, "vec_id", "embedding", 1)
-        .select($"qid".as("vec_id"), $"nid".as("nn_id"), $"sim")
-      // total over the corpus: vectors alone in their bucket keep a
-      // null neighbor instead of vanishing (can't tell "not a dup"
-      // from "not evaluated" otherwise)
-      e.select($"vec_id")
-        .join(top1, Seq("vec_id"), "left")
-        .select($"vec_id", $"nn_id", $"sim",
-          coalesce($"sim" >= 0.95, lit(false)).as("is_dup"))
-        .orderBy($"vec_id")
-    },
-    Some(s"""
-      WITH b AS (
-        SELECT vec_id, embedding::DOUBLE[] AS emb,
-          ${lshBucketSql("embedding::DOUBLE[]", 64)} AS bucket
-        FROM embeddings),
-      top1 AS (
-        SELECT qid, nid, sim FROM (
-          SELECT q.vec_id AS qid, c.vec_id AS nid,
-                 round(list_cosine_similarity(q.emb, c.emb), 4) AS sim,
-                 row_number() OVER (PARTITION BY q.vec_id
-                   ORDER BY list_cosine_similarity(q.emb, c.emb) DESC, c.vec_id) AS rnk
-          FROM b q JOIN b c USING (bucket)
-          WHERE c.vec_id <> q.vec_id) t
-        WHERE rnk = 1)
-      SELECT e.vec_id, t.nid AS nn_id, t.sim,
-             coalesce(t.sim >= 0.95, false) AS is_dup
-      FROM embeddings e LEFT JOIN top1 t ON e.vec_id = t.qid
-      ORDER BY e.vec_id"""))
-
-  /** dedup_semantic — SemDeDup cluster-then-prune over embeddings
-    * (SimOps.semanticDedup): trained k-means cells (the a04 trainer,
-    * replayed by the oracle through the same unrolled-Lloyd's SQL
-    * fragments), centroid cosine per vector, then inside each
-    * size-capped cell a vector is a duplicate when a ≥ tau neighbor
-    * ranks better under the keep-farthest-from-centroid rule. tau is
-    * 0.40 because the synthetic embeddings top out near 0.51 pairwise
-    * cosine — the paper's 0.95 would grade an all-false column.
-    */
-  private val d11 = Q(
-    "dedup_semantic",
-    (s, d) => {
-      import s.implicits._
-      SimOps.semanticDedup(emb(s, d), "vec_id", "embedding",
-          numCells = 16, iters = 2, tau = 0.40, maxCell = 512)
-        .orderBy($"vec_id")
-    },
-    Some(s"""
-      WITH
-      pos AS (SELECT unnest(range(1, 65)) AS p),
-      e0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-      -- the trainer/assignment view excludes NULL embeddings, exactly
-      -- as semanticDedup's where(isNotNull) does: a NULL vector must
-      -- get NULL cell/csim (not argmax-by-NULL-score) and must not
-      -- count toward a cell's maxCell size
-      e AS (SELECT * FROM e0 WHERE emb IS NOT NULL),
-      cb0 AS (
-        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
-               emb AS cvec
-        FROM (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT 16) s),
-      ${a04Round(0)},
-      ${a04Round(1)},
-      ${a04Score("sf_", "cb2")},
-      ${a04Argmax("assign", "vec_id, emb, cell", "sf_", "", "r = 1")},
-      csim AS (
-        SELECT a.vec_id, a.emb, a.cell,
-               round(list_cosine_similarity(a.emb, cb.cvec), 4) AS csim
-        FROM assign a JOIN cb2 cb USING (cell)),
-      sizes AS (SELECT cell, count(*) AS n FROM csim GROUP BY cell),
-      elig AS (
-        SELECT c.* FROM csim c JOIN sizes s USING (cell) WHERE s.n <= 512),
-      dup AS (
-        SELECT DISTINCT a.vec_id
-        FROM elig a JOIN elig b USING (cell)
-        WHERE b.vec_id <> a.vec_id
-          AND (b.csim < a.csim OR (b.csim = a.csim AND b.vec_id < a.vec_id))
-          AND round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.40)
-      SELECT e0.vec_id, c.cell, c.csim,
-             d.vec_id IS NOT NULL AS is_dup
-      FROM e0 LEFT JOIN csim c USING (vec_id) LEFT JOIN dup d USING (vec_id)
-      ORDER BY e0.vec_id"""))
-
-  /** dedup_semantic_incremental — the ingest shape of semantic dedup
-    * (SimOps.semanticDedupIncremental): a batch (every 10th vec_id)
-    * scored against the established corpus only, in cells trained on
-    * the corpus — the corpus never re-pairs with itself, per-ingest
-    * cost bounded by the batch. Any in-cell corpus neighbor ≥ tau
-    * makes the incoming vector a duplicate (the batch defers to the
-    * established set); the oracle replays trainer, both assignments,
-    * the corpus-side cap, and the best-match row_number.
-    */
-  private val d13 = Q(
-    "dedup_semantic_incremental",
-    (s, d) => {
-      import s.implicits._
-      val e = emb(s, d)
-      SimOps.semanticDedupIncremental(
-          e.filter($"vec_id" % 10 =!= 0), e.filter($"vec_id" % 10 === 0),
-          "vec_id", "embedding",
-          numCells = 16, iters = 2, tau = 0.40, maxCell = 512)
-        .orderBy($"vec_id")
-    },
-    Some(s"""
-      WITH
-      pos AS (SELECT unnest(range(1, 65)) AS p),
-      e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
-            WHERE vec_id % 10 <> 0 AND embedding IS NOT NULL),
-      inc AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
-              WHERE vec_id % 10 = 0 AND embedding IS NOT NULL),
-      cb0 AS (
-        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
-               emb AS cvec
-        FROM (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT 16) s),
-      ${a04Round(0)},
-      ${a04Round(1)},
-      ${a04Score("sf_", "cb2")},
-      ${a04Argmax("assign", "vec_id AS nn_id, emb AS c_emb, cell", "sf_", "", "r = 1")},
-      ${a04Score("si_", "cb2", "inc")},
-      ${a04Argmax("qassign", "vec_id, emb, cell", "si_", "", "r = 1")},
-      q AS (
-        SELECT a.vec_id, a.emb, a.cell,
-               round(list_cosine_similarity(a.emb, cb.cvec), 4) AS csim
-        FROM qassign a JOIN cb2 cb USING (cell)),
-      ok AS (
-        SELECT cell FROM (SELECT cell, count(*) AS n FROM assign GROUP BY cell)
-        WHERE n <= 512),
-      best AS (
-        SELECT vec_id, nn_id, sim FROM (
-          SELECT q.vec_id, c.nn_id,
-                 round(list_cosine_similarity(q.emb, c.c_emb), 4) AS sim,
-                 row_number() OVER (PARTITION BY q.vec_id
-                   ORDER BY round(list_cosine_similarity(q.emb, c.c_emb), 4) DESC,
-                            c.nn_id ASC) AS r
-          FROM q JOIN assign c USING (cell) JOIN ok USING (cell)) x
-        WHERE r = 1)
-      SELECT i.vec_id, q.cell, q.csim, b.nn_id, b.sim,
-             coalesce(b.sim >= 0.40, false) AS is_dup
-      FROM (SELECT vec_id FROM embeddings WHERE vec_id % 10 = 0) i
-      LEFT JOIN q USING (vec_id) LEFT JOIN best b USING (vec_id)
-      ORDER BY i.vec_id"""))
-
-  /** dedup_clusters — transitive closure over near-dup pairs (the step
-    * after pair generation in production dedup): min-label propagation
-    * to connected components; cluster id = component minimum, so
-    * keeping `doc_id == cluster_id` dedups the corpus. Oracled with a
-    * DuckDB recursive CTE over the same exact-Jaccard edges.
-    */
-  /** Shared cluster CTE chain (d06 + dedup_keep_best): exact-Jaccard
-    * near-dup edges and their transitive closure; defined once so the
-    * two graded paths cannot drift. Ends with the `reach` relation —
-    * append `cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM
-    * reach GROUP BY a)`-style selections.
-    */
-  private def clusterCtesSql: String = """
-      WITH RECURSIVE sets AS (
-        SELECT doc_id,
-               CASE WHEN len(w) >= 3
-                    THEN list_distinct(list_transform(range(1, len(w) - 1),
-                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
-                    ELSE [text] END AS sh
-        FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents) b),
-      posts AS (
-        SELECT doc_id, CAST(len(sh) AS BIGINT) AS sz, unnest(sh) AS s FROM sets),
-      keep AS (
-        SELECT s FROM posts GROUP BY s HAVING count(*) <= 100),
-      pr AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
-               count(*) AS n_inter
-        FROM posts a JOIN keep USING (s) JOIN posts b USING (s)
-        WHERE a.doc_id < b.doc_id
-        GROUP BY 1, 2, 3, 4),
-      dup AS (
-        SELECT id_a, id_b FROM pr
-        WHERE n_inter::DOUBLE / (sz_a + sz_b - n_inter) >= 0.8),
-      edges AS (
-        SELECT id_a AS a, id_b AS b FROM dup
-        UNION ALL SELECT id_b, id_a FROM dup),
-      reach(a, b) AS (
-        SELECT doc_id, doc_id FROM documents
-        UNION
-        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)"""
-
-  private val d06 = Q(
-    "dedup_clusters",
-    (s, d) => DedupOps.dedupClusters(docs(s, d), "text", "doc_id")
-      .orderBy(col("doc_id")),
-    Some(s"""$clusterCtesSql
-      SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
-      ORDER BY doc_id"""))
-
-  /** dedup_keep_best — canonical-document selection: one kept doc per
-    * near-dup cluster (most whitespace tokens, ties to the lowest id)
-    * with the member count — the curation step dedup exists to serve.
-    * Oracle = the shared recursive-CTE clusters + the same integer
-    * keep rule (no float ties by construction).
-    */
-  private val d07 = Q(
-    "dedup_keep_best",
-    (s, d) => DedupOps.keepBest(docs(s, d), "text", "doc_id")
-      .orderBy(col("cluster_id")),
-    Some(s"""$clusterCtesSql,
-      cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
-      tok AS (SELECT doc_id,
-                     CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
-              FROM documents)
-      SELECT cluster_id, doc_id AS kept_doc_id, n_tokens, n_members FROM (
-        SELECT c.cluster_id, c.doc_id, t.n_tokens,
-               CAST(count(*) OVER (PARTITION BY c.cluster_id) AS INTEGER) AS n_members,
-               row_number() OVER (PARTITION BY c.cluster_id
-                 ORDER BY t.n_tokens DESC, c.doc_id ASC) AS rn
-        FROM cl c JOIN tok t USING (doc_id)) x
-      WHERE rn = 1 ORDER BY cluster_id"""))
-
-  /** dedup_cluster_split — leakage-safe folds at NEAR-DUP-CLUSTER
-    * granularity: the composition groupedSplit's contract names as its
-    * reason to exist ("domain, url host, dedup-cluster id"). A per-row
-    * or per-source split still leaks when two near-identical documents
-    * arrive from different sources; hashing the dedup cluster id makes
-    * train/test contamination by near-duplicates structurally
-    * impossible. Pipeline: dedupClusters (graded at d06) → row-local
-    * md5 CASE on cluster_id — the split adds zero shuffles on top of
-    * clustering. Graded per-doc: split is a pure function of
-    * cluster_id, so the output itself witnesses co-assignment.
-    */
-  private val d12 = Q(
-    "dedup_cluster_split",
-    (s, d) => {
-      import s.implicits._
-      SampleOps.groupedSplit(
-          DedupOps.dedupClusters(docs(s, d), "text", "doc_id"),
-          "cluster_id", Seq("train" -> 80, "valid" -> 90))
-        .orderBy($"doc_id")
-    },
-    Some(s"""$clusterCtesSql,
-      cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
-      b AS (
-        SELECT doc_id, cluster_id,
-               ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4))::INTEGER
-                 % 100 AS bk
-        FROM cl)
-      SELECT doc_id, cluster_id,
-             CASE WHEN bk < 80 THEN 'train'
-                  WHEN bk < 90 THEN 'valid'
-                  ELSE 'test' END AS split
-      FROM b ORDER BY doc_id"""))
-
-  /** dedup_chunks — sub-document (paragraph-idiom) exact dedup: 8-word
-    * chunks, global first occurrence wins (lowest (doc, position)),
-    * docs reassembled from surviving chunks. Ownership is a
-    * partial-aggregated min() on the chunk digest — not a window —
-    * plus one digest-keyed equi-join; see DedupOps.chunkDedup.
-    */
-  private val d08 = Q(
-    "dedup_chunks",
-    (s, d) => DedupOps.chunkDedup(docs(s, d), "text", "doc_id", chunkWords = 8)
-      .orderBy(col("doc_id")),
-    Some("""
-      WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      tok AS (SELECT doc_id, unnest(w) AS word,
-                     unnest(range(1, len(w) + 1)) AS ord FROM w),
-      chunks AS (
-        SELECT doc_id, CAST((ord - 1) // 8 AS INTEGER) AS chunk_idx,
-               string_agg(word, ' ' ORDER BY ord) AS chunk
-        FROM tok GROUP BY 1, 2),
-      fst AS (
-        SELECT chunk, min(doc_id * 1048576 + chunk_idx) AS keep_pos
-        FROM chunks GROUP BY chunk)
-      SELECT c.doc_id,
-             CAST(count(*) AS INTEGER) AS n_chunks,
-             CAST(count(*) FILTER (WHERE doc_id * 1048576 + chunk_idx = keep_pos)
-               AS INTEGER) AS n_kept,
-             coalesce(string_agg(chunk, ' ' ORDER BY chunk_idx)
-               FILTER (WHERE doc_id * 1048576 + chunk_idx = keep_pos), '') AS clean_text
-      FROM chunks c JOIN fst USING (chunk)
-      GROUP BY c.doc_id ORDER BY c.doc_id"""))
-
-  /** dedup_incremental — continuous-ingest dedup: the docs with
-    * doc_id ≥ 250 arrive as a new batch and are deduped against the
-    * digest index of the already-ingested snapshot (doc_id < 250) via
-    * a left-anti join, then within-batch (min id wins). The snapshot
-    * side is the 32-byte/doc digest INDEX, not the corpus — what makes
-    * ingest-time dedup cheap at 100 TB.
-    */
-  private val d09 = Q(
-    "dedup_incremental",
-    (s, d) => {
-      val all = docs(s, d)
-      val snapshot = all.filter(col("doc_id") < 250)
-        .select(md5(col("text").cast("binary")).as("content_fp"))
-      DedupOps.incrementalDedup(all.filter(col("doc_id") >= 250), snapshot,
-          "text", "doc_id")
-        .orderBy(col("doc_id"))
-    },
-    Some("""
-      WITH snap AS (
-        SELECT DISTINCT md5(text) AS content_fp FROM documents WHERE doc_id < 250),
-      batch AS (
-        SELECT md5(text) AS content_fp, doc_id FROM documents WHERE doc_id >= 250)
-      SELECT content_fp, min(doc_id) AS doc_id, count(*) AS n_copies
-      FROM batch
-      WHERE content_fp NOT IN (SELECT content_fp FROM snap)
-      GROUP BY content_fp ORDER BY doc_id"""))
-
-  /** dedup_spans — exact duplicated-substring spans (Lee et al. 2022
-    * modality): sliding word 10-grams fingerprinted with md5, windows
-    * occurring ≥2× corpus-wide merged into maximal per-doc spans.
-    * Oracle mirrors the full chain — same 0-based window starts, same
-    * md5 digests, same gaps-and-islands merge (lag-NULL opens a span
-    * in both engines), same integer-width casts, double-division
-    * coverage rounded to 6 on both sides.
-    */
-  private val d10 = Q(
-    "dedup_spans",
-    (s, d) => DedupOps.spanDedup(docs(s, d), "text", "doc_id", n = 10)
-      .orderBy(col("doc_id")),
-    Some("""
-      WITH tok AS (
-        SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      starts AS (
-        SELECT doc_id, w, unnest(range(0, greatest(len(w) - 9, 0))) AS pos
-        FROM tok),
-      win AS (
-        SELECT doc_id, pos,
-               md5(array_to_string(w[pos + 1 : pos + 10], ' ')) AS fp
-        FROM starts),
-      hot AS (
-        SELECT fp FROM win GROUP BY fp HAVING count(*) >= 2),
-      dup AS (
-        SELECT win.doc_id, win.pos FROM win JOIN hot USING (fp)),
-      brk AS (
-        SELECT doc_id, pos,
-               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-                         <= 10
-                    THEN 0 ELSE 1 END AS brk
-        FROM dup),
-      grp AS (
-        SELECT doc_id, pos,
-               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
-                 ROWS UNBOUNDED PRECEDING) AS g
-        FROM brk),
-      sp AS (
-        SELECT doc_id, g, min(pos) AS s, max(pos) AS e0, count(*) AS nw
-        FROM grp GROUP BY 1, 2),
-      agg AS (
-        SELECT doc_id,
-               CAST(count(*) AS INTEGER) AS n_spans,
-               CAST(sum(nw) AS BIGINT) AS n_dup_ngrams,
-               CAST(sum(e0 + 10 - s) AS BIGINT) AS dup_tokens
-        FROM sp GROUP BY 1)
-      SELECT t.doc_id,
-             coalesce(a.n_spans, 0) AS n_spans,
-             coalesce(a.n_dup_ngrams, 0) AS n_dup_ngrams,
-             coalesce(a.dup_tokens, 0) AS dup_tokens,
-             round(coalesce(a.dup_tokens, 0)::DOUBLE / len(w), 6) AS dup_frac
-      FROM tok t LEFT JOIN agg a USING (doc_id)
-      ORDER BY t.doc_id"""))
-
-  /** dedup_spans_incremental — ingest-vs-corpus span dedup (round-7
-    * verdict task 6): the docs with doc_id ≥ 250 arrive as a batch and
-    * probe the snapshot's spanIndex (doc_id < 250 — the ~24-byte/
-    * distinct-n-gram digest index, NOT corpus text). A batch window is
-    * duplicated iff snapshot occ + batch occ ≥ 2, which is exactly
-    * batch spanDedup over the union restricted to batch docs (additive
-    * counting; property-tested in OpsSpec). Oracle mirrors the full
-    * chain: windows over ALL docs, union-wide hot filter, dup/output
-    * restricted to the batch — same 0-based starts, same
-    * gaps-and-islands merge, same casts and rounding as d10.
-    */
-  private val d10i = Q(
-    "dedup_spans_incremental",
-    (s, d) => {
-      val all = docs(s, d)
-      val snapshot = DedupOps.spanIndex(
-        all.filter(col("doc_id") < 250), "text", "doc_id", n = 10)
-      DedupOps.spanDedupIncremental(all.filter(col("doc_id") >= 250),
-          snapshot, "text", "doc_id", n = 10)
-        .orderBy(col("doc_id"))
-    },
-    Some("""
-      WITH tok AS (
-        SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      starts AS (
-        SELECT doc_id, w, unnest(range(0, greatest(len(w) - 9, 0))) AS pos
-        FROM tok),
-      win AS (
-        SELECT doc_id, pos,
-               md5(array_to_string(w[pos + 1 : pos + 10], ' ')) AS fp
-        FROM starts),
-      hot AS (
-        SELECT fp FROM win GROUP BY fp HAVING count(*) >= 2),
-      dup AS (
-        SELECT win.doc_id, win.pos FROM win JOIN hot USING (fp)
-        WHERE win.doc_id >= 250),
-      brk AS (
-        SELECT doc_id, pos,
-               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-                         <= 10
-                    THEN 0 ELSE 1 END AS brk
-        FROM dup),
-      grp AS (
-        SELECT doc_id, pos,
-               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
-                 ROWS UNBOUNDED PRECEDING) AS g
-        FROM brk),
-      sp AS (
-        SELECT doc_id, g, min(pos) AS s, max(pos) AS e0, count(*) AS nw
-        FROM grp GROUP BY 1, 2),
-      agg AS (
-        SELECT doc_id,
-               CAST(count(*) AS INTEGER) AS n_spans,
-               CAST(sum(nw) AS BIGINT) AS n_dup_ngrams,
-               CAST(sum(e0 + 10 - s) AS BIGINT) AS dup_tokens
-        FROM sp GROUP BY 1)
-      SELECT t.doc_id,
-             coalesce(a.n_spans, 0) AS n_spans,
-             coalesce(a.n_dup_ngrams, 0) AS n_dup_ngrams,
-             coalesce(a.dup_tokens, 0) AS dup_tokens,
-             round(coalesce(a.dup_tokens, 0)::DOUBLE / len(w), 6) AS dup_frac
-      FROM tok t LEFT JOIN agg a USING (doc_id)
-      WHERE t.doc_id >= 250
-      ORDER BY t.doc_id"""))
-
-  /** pack_sequences — token-budget packing (PackOps.packBudget): docs
-    * in id order are chunked into bins of 4096 whitespace tokens via a
-    * distributed two-level prefix sum (NOT a single-partition global
-    * window). Pure integer arithmetic → exact oracle: DuckDB computes
-    * the same bins with one plain window cumsum.
-    */
-  private val pk1 = Q(
-    "pack_sequences",
-    (s, d) => {
-      val toks = docs(s, d).select(col("doc_id"),
-        size(split(col("text"), " ")).cast("int").as("n_tokens"))
-      PackOps.packBudget(toks, "doc_id", "n_tokens", budget = 4096L)
-        .groupBy(col("bin"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).cast("long").as("sum_tokens"))
-        .orderBy(col("bin"))
-    },
-    Some("""
-      WITH t AS (
-        SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
-        FROM documents),
-      c AS (
-        SELECT doc_id, n_tokens,
-               sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
-        FROM t)
-      SELECT CAST((cum - n_tokens) // 4096 AS BIGINT) AS bin,
-             count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
-      FROM c GROUP BY 1 ORDER BY 1"""))
-
-  /** pack_efficiency — the padding-waste data card
-    * (PackOps.packEfficiency): per 16-token document-length bucket,
-    * padded sequences under per-doc batching (each doc →
-    * ceil(tokens/64) sequences, last one padded) vs the packed
-    * lower bound, and the share of slots padding burns. Row-local
-    * `div`-ceil integer arithmetic, then one partial-aggregated
-    * buckets-cardinality pass — the report that justifies the pk1
-    * packer.
-    */
-  private val pk2 = Q(
-    "pack_efficiency",
-    (s, d) => {
-      val toks = docs(s, d).select(
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      PackOps.packEfficiency(toks, "n_tokens", maxLen = 64, bucketWidth = 16)
-        .orderBy(col("bucket"))
-    },
-    Some("""
-      WITH d AS (
-        SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS t
-        FROM documents),
-      a AS (
-        SELECT CAST(t // 16 AS INTEGER) AS bucket,
-               count(*) AS n_docs,
-               CAST(sum(t) AS BIGINT) AS tokens,
-               CAST(sum((t + 63) // 64) AS BIGINT) AS n_seqs
-        FROM d GROUP BY 1)
-      SELECT bucket, n_docs, tokens, n_seqs,
-             n_seqs * 64 - tokens AS pad_slots,
-             round(CAST(n_seqs * 64 - tokens AS DOUBLE)
-                   / CAST(n_seqs * 64 AS DOUBLE), 4) AS pad_pct,
-             (tokens + 63) // 64 AS bins_packed,
-             round(1.0 - CAST((tokens + 63) // 64 AS DOUBLE)
-                         / CAST(n_seqs AS DOUBLE), 4) AS saved_pct
-      FROM a ORDER BY bucket"""))
-
-  /** sample_stratified — reproducible per-language downsample (up to 20
-    * docs per lang by md5-of-id order): the curation sampler that is
-    * stable across runs, engines, and partitionings, unlike rand().
-    */
-  private val sm1 = Q(
-    "sample_stratified",
-    (s, d) => SampleOps.stratifiedSample(docs(s, d), "lang", "doc_id", 20)
-      .select(col("lang"), col("doc_id"), col("rk"))
-      .orderBy(col("lang"), col("rk")),
-    Some("""
-      SELECT lang, doc_id, rk FROM (
-        SELECT lang, doc_id,
-               CAST(row_number() OVER (PARTITION BY lang
-                 ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS INTEGER) AS rk
-        FROM documents) t
-      WHERE rk <= 20 ORDER BY lang, rk"""))
-
-  /** sample_mixture — domain-mixture rebalancing: per-language keep
-    * rates applied as a deterministic hash threshold (upsample en,
-    * downsample zh). Row-local WHERE — no shuffle, no window; the
-    * same doc survives under any partitioning or engine. The oracle
-    * CASE is generated from the same rate map so they cannot drift.
-    */
-  private val MixtureRates: Seq[(String, Double)] =
-    Seq("de" -> 0.5, "en" -> 0.9, "es" -> 0.25, "fr" -> 0.5, "zh" -> 0.1)
-
-  private val sm2 = Q(
-    "sample_mixture",
-    (s, d) => SampleOps.mixtureSample(docs(s, d), "lang", "doc_id",
-        MixtureRates.toMap)
-      .select(col("lang"), col("doc_id"))
-      .orderBy(col("lang"), col("doc_id")),
-    Some {
-      val cases = MixtureRates.map { case (l, r) =>
-        s"WHEN '$l' THEN $r * 65536.0"
-      }.mkString("\n               ")
-      s"""
-      SELECT lang, doc_id FROM (
-        SELECT lang, doc_id,
-               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER AS bk
-        FROM documents) b
-      WHERE bk < CASE lang
-               $cases
-               ELSE 0.0 END
-      ORDER BY lang, doc_id"""
-    })
-
-  /** sample_epochs — epoch-replicated mixing (SampleOps.epochMixture):
-    * the UP-sampling half of data mixing — repeat small high-quality
-    * sources for multiple epochs (src0 ×2.5) while down-weighting
-    * others (src1 ×0.25), emitting explicit (doc, copy_idx) pairs.
-    * Integer-only engine arithmetic (driver-computed floor/threshold
-    * literals, hash compare, sequence generate), so the oracle replays
-    * copies and indices exactly; the CASE literals are generated from
-    * the same epoch map so the two sides cannot drift.
-    */
-  private val EpochMap: Seq[(String, Double)] =
-    Seq("src0" -> 2.5, "src1" -> 0.25)
-
-  private val sm7 = Q(
-    "sample_epochs",
-    (s, d) => SampleOps.epochMixture(docs(s, d), "source", "doc_id",
-        EpochMap.toMap)
-      .select(col("doc_id"), col("source"), col("copy_idx"))
-      .orderBy(col("doc_id"), col("copy_idx")),
-    Some {
-      // SampleOps.epochFull/epochThr: the ONE definition of the
-      // integer decomposition — oracle literals cannot drift from the
-      // engine's arithmetic
-      val fullCases = EpochMap.map { case (g, e) =>
-        s"WHEN '$g' THEN ${SampleOps.epochFull(e)}"
-      }.mkString(" ")
-      val thrCases = EpochMap.map { case (g, e) =>
-        s"WHEN '$g' THEN ${SampleOps.epochThr(e)}"
-      }.mkString(" ")
-      s"""
-      WITH b AS (
-        SELECT doc_id, source,
-               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER AS bk,
-               CASE source $fullCases ELSE ${SampleOps.epochFull(1.0)} END AS fc,
-               CASE source $thrCases ELSE ${SampleOps.epochThr(1.0)} END AS th
-        FROM documents),
-      c AS (
-        SELECT doc_id, source,
-               fc + CASE WHEN bk < th THEN 1 ELSE 0 END AS n
-        FROM b)
-      SELECT doc_id, source, CAST(unnest(range(0, n)) AS INTEGER) AS copy_idx
-      FROM c WHERE n > 0 ORDER BY doc_id, copy_idx"""
-    })
-
-  /** sample_shards — deterministic shuffle + shard assignment: every
-    * doc gets a stable (shard, pos) from its id hash — the reproducible
-    * global permutation a training dataloader reads. Shard membership
-    * is row-local; the within-shard position is one shuffle partitioned
-    * BY shard, the same distribution a shard-writer would reuse.
-    */
-  private val sm3 = Q(
-    "sample_shards",
-    (s, d) => SampleOps.shardAssignment(docs(s, d), "doc_id", 8)
-      .select(col("doc_id"), col("shard"), col("pos"))
-      .orderBy(col("shard"), col("pos")),
-    Some("""
-      SELECT doc_id, shard, CAST(row_number() OVER (PARTITION BY shard
-               ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS INTEGER) AS pos
-      FROM (
-        SELECT doc_id,
-               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
-                 AS INTEGER) AS shard
-        FROM documents) t
-      ORDER BY shard, pos"""))
-
-  /** sample_budget — token-budget sampling (SampleOps.budgetSample):
-    * keep the highest-quality documents whose running token total fits
-    * an 8k budget — the "best N tokens of this source" data-mixing
-    * primitive. The engine runs the two-level score-bucketed prefix
-    * sum (no global sort, no single-partition window); the oracle IS
-    * the naive global formulation (one window over everything —
-    * DuckDB's single node doesn't care), so the parity claim is
-    * exactly "the distributed prefix sum equals the global running
-    * sum". Integer token arithmetic and an (score, id) total order
-    * make the kept set engine-exact; the boundary-straddling doc is
-    * dropped (cum <= budget) on both sides.
-    */
-  private val sm4 = Q(
-    "sample_budget",
-    (s, d) => {
-      import s.implicits._
-      SampleOps.budgetSample(
-        docs(s, d).withColumn("n_tokens", size(split($"text", " "))),
-        "n_chars", "n_tokens", "doc_id", budget = 8000L)
-        .select($"doc_id", $"n_tokens", $"cum_tokens")
-        .orderBy($"doc_id")
-    },
-    Some("""
-      WITH t AS (
-        SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
-               n_chars
-        FROM documents),
-      c AS (
-        SELECT doc_id, n_tokens,
-               CAST(sum(n_tokens) OVER (ORDER BY n_chars DESC, doc_id)
-                 AS BIGINT) AS cum_tokens
-        FROM t)
-      SELECT doc_id, n_tokens, cum_tokens FROM c
-      WHERE cum_tokens <= 8000 ORDER BY doc_id"""))
-
-  /** sample_budget_grouped — per-source token budgets
-    * (SampleOps.groupedBudgetSample): the per-domain quota of a mixing
-    * recipe — best 400 tokens of EVERY source, greedy by n_chars. Same
-    * parity claim as sample_budget (distributed two-level prefix sum ≡
-    * the naive per-group running window DuckDB runs), with the group
-    * score ranges riding a keys-sized broadcast instead of driver
-    * literals.
-    */
-  private val sm8 = Q(
-    "sample_budget_grouped",
-    (s, d) => {
-      import s.implicits._
-      SampleOps.groupedBudgetSample(
-        docs(s, d).withColumn("n_tokens", size(split($"text", " "))),
-        "source", "n_chars", "n_tokens", "doc_id", budget = 400L)
-        .select($"source", $"doc_id", $"n_tokens", $"cum_tokens")
-        .orderBy($"doc_id")
-    },
-    Some("""
-      WITH t AS (
-        SELECT source, doc_id,
-               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
-               n_chars
-        FROM documents),
-      c AS (
-        SELECT source, doc_id, n_tokens,
-               CAST(sum(n_tokens) OVER (PARTITION BY source
-                 ORDER BY n_chars DESC, doc_id) AS BIGINT) AS cum_tokens
-        FROM t)
-      SELECT source, doc_id, n_tokens, cum_tokens FROM c
-      WHERE cum_tokens <= 400 ORDER BY doc_id"""))
-
-  /** sample_cluster_balance — cluster-balanced subsampling
-    * (SimOps.clusterBalance): cap every learned embedding cluster at
-    * 16 rows (trained 16-cell k-means → md5-ranked top-16 per cell),
-    * flattening the cluster distribution the way the MetaCLIP
-    * per-entry cap balances image-text corpora — head clusters are
-    * bounded, tail clusters survive whole. A composition of two
-    * graded primitives (the a04 trainer + the sample_stratified cap),
-    * so the oracle replays the whole thing: unrolled Lloyd's,
-    * argmax assignment, per-cell sizes, md5-order rank, cap filter.
-    * Output ≤ numCells×cap rows regardless of corpus size.
-    */
-  private val sm9 = Q(
-    "sample_cluster_balance",
-    (s, d) => {
-      import s.implicits._
-      SimOps.clusterBalance(emb(s, d), "vec_id", "embedding",
-          numCells = 16, iters = 2, cap = 16)
-        .orderBy($"vec_id")
-    },
-    Some(s"""
-      WITH
-      pos AS (SELECT unnest(range(1, 65)) AS p),
-      e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
-            WHERE embedding IS NOT NULL),
-      cb0 AS (
-        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
-               emb AS cvec
-        FROM (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT 16) s),
-      ${a04Round(0)},
-      ${a04Round(1)},
-      ${a04Score("sf_", "cb2")},
-      ${a04Argmax("assign", "vec_id, cell", "sf_", "", "r = 1")},
-      sizes AS (SELECT cell, count(*) AS n FROM assign GROUP BY cell),
-      ranked AS (
-        SELECT vec_id, cell,
-               CAST(row_number() OVER (PARTITION BY cell
-                 ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC)
-                 AS INTEGER) AS rk
-        FROM assign)
-      SELECT r.vec_id, r.cell, s.n, r.rk
-      FROM ranked r JOIN sizes s USING (cell)
-      WHERE r.rk <= 16
-      ORDER BY r.vec_id"""))
-
-  /** sample_temperature — temperature-flattened language mixing
-    * (SampleOps.temperatureSample, alpha = 0.5, target 250 docs): the
-    * multilingual corpus-balancing practice — rates DERIVED from the
-    * observed per-lang counts (∝ √n), upsampling low-resource langs
-    * (fr: 64 docs → rate ~0.61) relative to the head (en: 218 →
-    * ~0.33 at sf0.01) while the kept total tracks the target. The
-    * corpus never shuffles: per-lang counts (5 rows), a 1-row weight
-    * total, a broadcast rates join, a row-local md5 threshold. Parity
-    * is engine-exact by construction: sqrt is IEEE-correctly-rounded
-    * everywhere, the weight total sums in DECIMAL (partial order
-    * can't flip an ulp), and every remaining op is a correctly-
-    * rounded IEEE primitive in the same tree order the oracle writes.
-    */
-  private val sm5 = Q(
-    "sample_temperature",
-    (s, d) => {
-      import s.implicits._
-      SampleOps.temperatureSample(docs(s, d), "lang", "doc_id", 0.5, 250L)
-        .groupBy($"lang")
-        .agg(count(lit(1)).as("n_kept"),
-             round(min($"mix_rate"), 6).as("rate"))
-        .orderBy($"lang")
-    },
-    Some("""
-      WITH c AS (
-        SELECT lang, count(*) AS n FROM documents GROUP BY 1),
-      t AS (
-        SELECT CAST(sum(CAST(sqrt(CAST(n AS DOUBLE)) AS DECIMAL(38,18)))
-                    AS DOUBLE) AS tw
-        FROM c),
-      r AS (
-        SELECT lang,
-               least(1.0, sqrt(CAST(n AS DOUBLE)) / tw * 250.0
-                            / CAST(n AS DOUBLE)) AS rate
-        FROM c, t)
-      SELECT d.lang, count(*) AS n_kept, round(min(rate), 6) AS rate
-      FROM documents d JOIN r USING (lang)
-      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER
-              < rate * 65536.0
-      GROUP BY d.lang ORDER BY d.lang"""))
-
-  /** sample_temperature_a03 — the NON-dyadic temperature knob graded
-    * (SampleOps.temperatureSample, alpha = 0.3, target 250): the first
-    * knob a real user turns (alpha 0.3/0.7) routes through `pow`,
-    * which is 1-ulp class, not correctly rounded — so the operator
-    * DEFINES pow-path rates at 1e-9 precision (round(rate, 9) in both
-    * engines), absorbing the cross-engine ulp noise. That documented
-    * precision is the graded contract here: DuckDB replays pow, the
-    * DECIMAL weight total, the rounding, and the md5 threshold; a
-    * kept-set flip would need an unrounded rate within an ulp of a
-    * 0.5e-9 rounding boundary (the operator's documented residual).
-    * Alpha 0.3 flattens harder than √n: fr's rate rises and en's
-    * falls relative to sample_temperature on the same corpus.
-    */
-  private val sm6 = Q(
-    "sample_temperature_a03",
-    (s, d) => {
-      import s.implicits._
-      SampleOps.temperatureSample(docs(s, d), "lang", "doc_id", 0.3, 250L)
-        .groupBy($"lang")
-        .agg(count(lit(1)).as("n_kept"),
-             round(min($"mix_rate"), 6).as("rate"))
-        .orderBy($"lang")
-    },
-    Some("""
-      WITH c AS (
-        SELECT lang, count(*) AS n FROM documents GROUP BY 1),
-      t AS (
-        SELECT CAST(sum(CAST(pow(CAST(n AS DOUBLE), 0.3)
-                             AS DECIMAL(38,18))) AS DOUBLE) AS tw
-        FROM c),
-      r AS (
-        SELECT lang,
-               round(least(1.0, pow(CAST(n AS DOUBLE), 0.3) / tw * 250.0
-                                  / CAST(n AS DOUBLE)), 9) AS rate
-        FROM c, t)
-      SELECT d.lang, count(*) AS n_kept, round(min(rate), 6) AS rate
-      FROM documents d JOIN r USING (lang)
-      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER
-              < rate * 65536.0
-      GROUP BY d.lang ORDER BY d.lang"""))
-
-  /** sample_dsir — DSIR importance resampling (SampleOps.dsirWeights):
-    * every doc scored by the log-likelihood ratio of its hashed
-    * unigram+bigram features under a TARGET domain (lang = 'en' here —
-    * "select docs that look like the English reference") vs the raw
-    * corpus — the published data-selection recipe at pre-training
-    * scale (hashed features make the model B = 256 buckets, a
-    * broadcast, regardless of corpus size). The oracle replays the
-    * md5 feature hash, both smoothed histograms, the ln-ratio table,
-    * and the DECIMAL(28,12)-quantized per-doc sums; keep derives from
-    * the ROUNDED weight on both sides, so the flag is structurally
-    * parity-safe given the hash-graded logw.
-    */
-  private val sm10 = Q(
-    "sample_dsir",
-    (s, d) => {
-      import s.implicits._
-      val ds = docs(s, d)
-      SampleOps.dsirWeights(ds, ds.filter($"lang" === "en"))
-        .orderBy($"doc_id")
-    },
-    Some("""
-      WITH w AS (
-        SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
-      g AS (
-        SELECT doc_id, lang,
-               unnest(w || list_transform(range(1, len(w)),
-                 i -> w[i] || ' ' || w[i+1])) AS gram
-        FROM w),
-      gb AS (
-        SELECT doc_id, lang,
-               CAST(('0x' || substr(md5(gram), 1, 6))::BIGINT % 256
-                 AS INTEGER) AS b
-        FROM g),
-      th AS (SELECT b, count(*)::BIGINT AS ct FROM gb
-             WHERE lang = 'en' GROUP BY b),
-      ch AS (SELECT b, count(*)::BIGINT AS cq FROM gb GROUP BY b),
-      tt AS (SELECT CAST(sum(ct) AS BIGINT) AS nt FROM th),
-      tc AS (SELECT CAST(sum(cq) AS BIGINT) AS nq FROM ch),
-      lr AS (
-        SELECT coalesce(th.b, ch.b) AS b,
-               ln((coalesce(ct, 0) + 1.0) / (nt + 256.0))
-             - ln((coalesce(cq, 0) + 1.0) / (nq + 256.0)) AS lr
-        FROM th FULL JOIN ch ON th.b = ch.b CROSS JOIN tt CROSS JOIN tc),
-      dtf AS (
-        SELECT doc_id, b, count(*)::BIGINT AS tf FROM gb GROUP BY doc_id, b)
-      SELECT doc_id,
-             CAST(sum(tf) AS INTEGER) AS n_grams,
-             round(CAST(sum(CAST(tf * lr AS DECIMAL(28,12))) AS DOUBLE), 4)
-               AS logw,
-             round(CAST(sum(CAST(tf * lr AS DECIMAL(28,12))) AS DOUBLE), 4)
-               > 0 AS keep
-      FROM dtf JOIN lr USING (b)
-      GROUP BY doc_id ORDER BY doc_id"""))
-
-  /** sample_curriculum — curriculum ordering
-    * (SampleOps.curriculumOrder): every doc gets a global contiguous
-    * training position, short-doc stages first (stage =
-    * len(text) / 128 — the classic length curriculum),
-    * hash-shuffled within each stage — computed with (stage, hash-
-    * prefix)-partitioned windows plus a tiny bucket-offset frame, not
-    * a one-task global sort. The oracle IS the naive global
-    * row_number over (stage, md5, id) — parity proves the two-level
-    * decomposition exactly reproduces the single-window semantics.
-    */
-  private val sm11 = Q(
-    "sample_curriculum",
-    (s, d) => {
-      import s.implicits._
-      SampleOps.curriculumOrder(
-          docs(s, d).select($"doc_id", $"text"),
-          floor(length($"text") / 128), "doc_id")
-        .select($"doc_id", $"stage", $"pos")
-        .orderBy($"doc_id")
-    },
-    Some("""
-      SELECT doc_id,
-             CAST(len(text) // 128 AS INTEGER) AS stage,
-             CAST(row_number() OVER (ORDER BY len(text) // 128,
-               md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos
-      FROM documents ORDER BY doc_id"""))
-
-  /** q77 — key-skew report (LibOps.skewReport): the shuffle-planning
-    * diagnostic — top keys by row count with share and skew ratio
-    * (count ÷ mean-per-key), computed keys-sized after one partial-
-    * aggregated count. The number that decides whether a join key
-    * needs q60's salting before it hits a 1000-executor shuffle.
-    */
-  private val q77 = Q(
-    "q77_skew_report",
-    (s, d) => LibOps.skewReport(ev(s, d), Seq("event_type"), topK = 5)
-      .orderBy(col("rank")),
-    Some("""
-      WITH c AS (SELECT event_type, count(*) AS cnt FROM events GROUP BY 1),
-      t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS nkeys FROM c)
-      SELECT CAST(row_number() OVER (ORDER BY cnt DESC, event_type)
-               AS INTEGER) AS rank,
-             event_type, cnt,
-             round(CAST(cnt AS DOUBLE) / total * 100.0, 4) AS pct_rows,
-             round(CAST(cnt AS DOUBLE) * nkeys / total, 4) AS skew_ratio
-      FROM c CROSS JOIN t
-      QUALIFY rank <= 5
-      ORDER BY rank"""))
-
-  /** q80 — partition-aware compaction (Layout.compactPartitioned):
-    * documents written partitioned by lang, fragmented into ~12 files
-    * per partition, compacted back toward the byte budget WITHIN each
-    * `lang=` directory — the layout-preserving sibling of q72 (plain
-    * compact would flatten the partitioning and throw away pruning).
-    * Compaction is content-neutral by contract, so the oracle is the
-    * plain aggregate over the original table; the read-back filter
-    * exercises partition pruning over the compacted layout, and
-    * OpsSpec separately proves per-directory file collapse, the
-    * preserved null sentinel, and token-exact round-tripping.
-    */
-  private val q80 = Q(
-    "q80_compact_partitioned",
-    (s, d) => {
-      import s.implicits._
-      import graft.io.Layout
-      val frag = tmpDir(s, "q80_frag")
-      val compacted = tmpDir(s, "q80_compacted")
-      docs(s, d).repartition(12)
-        .write.mode("overwrite").partitionBy("lang").parquet(frag)
-      Layout.compactPartitioned(s, frag, compacted, Seq("lang"),
-        targetBytes = 8L * 1024 * 1024)
-      s.read.parquet(compacted)
-        .filter($"lang" =!= "zz") // partition predicate over the new layout
-        .groupBy($"lang")
-        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
-        .orderBy($"lang")
-    },
-    Some("""
-      SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
-      FROM documents WHERE lang <> 'zz' GROUP BY lang ORDER BY lang"""))
-
-  /** q79 — quantile winsorization (LibOps.winsorize): events.value
-    * clipped at its global [p05, p95], summarized per event type —
-    * rows never shuffle; the corpus reduces to a 2-value cut row that
-    * broadcasts back. Oracle mirrors with quantile_cont (the
-    * q24/q67-established exact-percentile parity); the clipped sum
-    * runs in DECIMAL (cast, not round — cast operates on the exact
-    * binary value in both engines) so partial order can't flip it.
-    * The sf0.1 p05 cut lands exactly ON a repeated data value (19
-    * rows) — safe because both engines compute the SAME cut double and
-    * `v < lo` is false for v == lo on both sides.
-    */
-  private val q79 = Q(
-    "q79_winsorize",
-    (s, d) => {
-      import s.implicits._
-      LibOps.winsorize(ev(s, d), "value")
-        .groupBy($"event_type")
-        .agg(count(lit(1)).as("n"),
-          sum(when($"was_clipped", 1L).otherwise(0L)).as("n_clipped"),
-          sum($"clipped".cast("decimal(18,6)")).cast("double")
-            .as("sum_clipped"))
-        .orderBy($"event_type")
-    },
-    Some("""
-      WITH c AS (
-        SELECT quantile_cont(value, 0.05) AS lo,
-               quantile_cont(value, 0.95) AS hi
-        FROM events)
-      SELECT event_type, count(*) AS n,
-             CAST(count(*) FILTER (value < lo OR value > hi) AS BIGINT)
-               AS n_clipped,
-             CAST(sum(CASE WHEN value IS NOT NULL
-                           THEN CAST(least(greatest(value, lo), hi)
-                                     AS DECIMAL(18,6)) END)
-                  AS DOUBLE) AS sum_clipped
-      FROM events CROSS JOIN c
-      GROUP BY event_type ORDER BY event_type"""))
-
-  /** q81 — approx-percentile winsorization at SCALE
-    * (LibOps.winsorizeApprox): the q79 clamp with histogram-bucket
-    * boundaries instead of the exact-percentile buffer — the variant
-    * q67/q79's docstrings promise for near-continuous 100 TB columns,
-    * where exact `percentile` buffers every value per group (measured
-    * 18.9 s on the round-3 q67 fixture) and sketch-based
-    * `approx_percentile` is engine-specific and ungradeable. The
-    * histogram quantile is pure deterministic arithmetic, so DuckDB
-    * replays it BIT-FOR-BIT: the oracle mirrors the bucketing
-    * (floor/least), the cumulative, the `ceil(p·n)` rank target, and
-    * the upper-edge cut — a full-strength hash grade of an
-    * approximate operator. Cut error ≤ one bucket width
-    * ((max−min)/4096 ≈ 0.12 here; ApproxSpec measures the actual
-    * margin vs the exact percentile). Decimal-cast clipped sum and
-    * integer clip counts per event type, the q79 output convention.
-    */
-  private val q81 = Q(
-    "q81_approx_winsorize",
-    (s, d) => {
-      import s.implicits._
-      LibOps.winsorizeApprox(ev(s, d), "value", 0.05, 0.95, 4096)
-        .groupBy($"event_type")
-        .agg(count(lit(1)).as("n"),
-          sum(when($"value" < $"lo", 1L).otherwise(0L)).as("n_lo"),
-          sum(when($"value" > $"hi", 1L).otherwise(0L)).as("n_hi"),
-          round(min($"lo"), 6).as("cut_lo"),
-          round(min($"hi"), 6).as("cut_hi"),
-          sum($"clipped".cast("decimal(18,6)")).cast("double")
-            .as("sum_clipped"))
-        .orderBy($"event_type")
-    },
-    Some("""
-      WITH s AS (
-        SELECT min(value) AS vlo, max(value) AS vhi, count(value) AS total
-        FROM events),
-      h AS (
-        SELECT CASE WHEN vhi = vlo THEN 0
-                    ELSE least(CAST(floor((value - vlo) /
-                                          ((vhi - vlo) / 4096.0))
-                               AS INTEGER), 4095) END AS bkt,
-               count(*) AS cnt
-        FROM events, s WHERE value IS NOT NULL GROUP BY 1),
-      c AS (
-        SELECT bkt, sum(cnt) OVER (ORDER BY bkt) AS cum FROM h),
-      cut AS (
-        SELECT vlo + ((vhi - vlo) / 4096.0) *
-                 (min(CASE WHEN cum >= ceil(0.05 * total) THEN bkt END) + 1)
-                 AS lo,
-               vlo + ((vhi - vlo) / 4096.0) *
-                 (min(CASE WHEN cum >= ceil(0.95 * total) THEN bkt END) + 1)
-                 AS hi
-        FROM c, s GROUP BY vlo, vhi, total)
-      SELECT event_type, count(*) AS n,
-             CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_lo,
-             CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_hi,
-             round(min(lo), 6) AS cut_lo,
-             round(min(hi), 6) AS cut_hi,
-             CAST(sum(CASE WHEN value IS NOT NULL
-                           THEN CAST(least(greatest(value, lo), hi)
-                                     AS DECIMAL(18,6)) END)
-                  AS DOUBLE) AS sum_clipped
-      FROM events CROSS JOIN cut
-      GROUP BY event_type ORDER BY event_type"""))
-
-  /** q82 — deterministic KMV distinct-count sketch (LibOps.kmvDistinct,
-    * k=64): the gradeable distinct sketch (it retired q32's rows-only
-    * HLL in round 6) — per event type,
-    * distinct users estimated from the 64 smallest md5-derived hashes
-    * ((k−1)/h_(k)), with the EXACT count and the measured error
-    * percentage in the same graded row (the q81 practice: the margin
-    * is part of the contract, not prose). At sf0.001 every group has
-    * < k distinct users, so the grade covers the exact-fallback branch
-    * there and the estimator branch at sf0.01/0.1. DuckDB replays
-    * hash, normalization, rank, and estimator bit-for-bit.
-    */
-  private val q82 = Q(
-    "q82_kmv_distinct",
-    (s, d) => {
-      import s.implicits._
-      val exact = ev(s, d).groupBy($"event_type")
-        .agg(countDistinct($"user_id").as("n_exact"))
-      LibOps.kmvDistinct(ev(s, d), Seq("event_type"), "user_id", 64)
-        .join(exact, "event_type")
-        .select($"event_type", $"n_exact",
-          round($"n_distinct_est", 4).as("n_kmv"),
-          round(abs($"n_distinct_est" - $"n_exact".cast("double"))
-            / $"n_exact".cast("double") * 100.0, 2).as("err_pct"))
-        .orderBy($"event_type")
-    },
-    Some("""
-      WITH dv AS (
-        SELECT DISTINCT event_type, user_id FROM events
-        WHERE user_id IS NOT NULL),
-      h AS (
-        SELECT event_type, user_id,
-               (CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
-                     ::BIGINT AS DOUBLE) + 1.0) / 1152921504606846976.0
-                 AS hv
-        FROM dv),
-      r AS (
-        SELECT event_type, hv,
-               row_number() OVER (PARTITION BY event_type
-                                  ORDER BY hv, user_id) AS rk
-        FROM h),
-      est AS (
-        SELECT event_type,
-               CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
-                    ELSE 63.0 / max(CASE WHEN rk = 64 THEN hv END) END
-                 AS n_est
-        FROM r WHERE rk <= 64 GROUP BY 1),
-      ex AS (
-        SELECT event_type, count(DISTINCT user_id) AS n_exact
-        FROM events GROUP BY 1)
-      SELECT event_type, n_exact, round(n_est, 4) AS n_kmv,
-             round(abs(n_est - CAST(n_exact AS DOUBLE))
-                   / CAST(n_exact AS DOUBLE) * 100.0, 2) AS err_pct
-      FROM est JOIN ex USING (event_type)
-      ORDER BY event_type"""))
-
-  /** q83 — PER-GROUP approx-percentile winsorization
-    * (LibOps.approxQuantileCutsBy): the q81 histogram boundaries
-    * computed per event type — the per-domain robust gate a corpus
-    * actually runs ("clip each source at ITS OWN p05/p95"), at scale:
-    * no per-group exact-percentile buffers, no unpartitioned window
-    * (the cumulative is PARTITIONED BY the key, ≤4096 rows per
-    * partition), stats ride the histogram rows. Each group's own
-    * min/max span its buckets, so the cut error is ≤ its own
-    * range/4096. The oracle replays the grouped bucketing, per-key
-    * cumulative, rank targets, and upper-edge cuts bit-for-bit — the
-    * q81 grade, multiplied across groups.
-    */
-  private val q83 = Q(
-    "q83_grouped_winsorize",
-    (s, d) => {
-      import s.implicits._
-      val cuts = LibOps.approxQuantileCutsBy(
-          ev(s, d), Seq("event_type"), "value", Seq(0.05, 0.95), 4096)
-        .select($"event_type", $"cut_0".as("lo"), $"cut_1".as("hi"))
-      ev(s, d).join(broadcast(cuts), "event_type")
-        .groupBy($"event_type")
-        .agg(count(lit(1)).as("n"),
-          sum(when($"value" < $"lo", 1L).otherwise(0L)).as("n_lo"),
-          sum(when($"value" > $"hi", 1L).otherwise(0L)).as("n_hi"),
-          round(min($"lo"), 6).as("cut_lo"),
-          round(min($"hi"), 6).as("cut_hi"),
-          sum(when($"value".isNotNull,
-            least(greatest($"value", $"lo"), $"hi").cast("decimal(18,6)")))
-            .cast("double").as("sum_clipped"))
-        .orderBy($"event_type")
-    },
-    Some("""
-      WITH s AS (
-        SELECT event_type, min(value) AS vlo, max(value) AS vhi,
-               count(value) AS total
-        FROM events GROUP BY 1),
-      h AS (
-        SELECT e.event_type,
-               CASE WHEN vhi = vlo THEN 0
-                    ELSE least(CAST(floor((value - vlo)
-                                          / ((vhi - vlo) / 4096.0))
-                               AS INTEGER), 4095) END AS bkt,
-               count(*) AS cnt,
-               min(vlo) AS vlo, min(vhi) AS vhi, min(total) AS total
-        FROM events e JOIN s USING (event_type)
-        WHERE value IS NOT NULL GROUP BY 1, 2),
-      c AS (
-        SELECT *, sum(cnt) OVER (PARTITION BY event_type ORDER BY bkt)
-                 AS cum
-        FROM h),
-      cut AS (
-        SELECT event_type,
-               min(vlo) + ((min(vhi) - min(vlo)) / 4096.0) *
-                 (min(CASE WHEN cum >= ceil(0.05 * total) THEN bkt END) + 1)
-                 AS lo,
-               min(vlo) + ((min(vhi) - min(vlo)) / 4096.0) *
-                 (min(CASE WHEN cum >= ceil(0.95 * total) THEN bkt END) + 1)
-                 AS hi
-        FROM c GROUP BY event_type)
-      SELECT e.event_type, count(*) AS n,
-             CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_lo,
-             CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_hi,
-             round(min(lo), 6) AS cut_lo,
-             round(min(hi), 6) AS cut_hi,
-             CAST(sum(CASE WHEN value IS NOT NULL
-                           THEN CAST(least(greatest(value, lo), hi)
-                                     AS DECIMAL(18,6)) END)
-                  AS DOUBLE) AS sum_clipped
-      FROM events e JOIN cut USING (event_type)
-      GROUP BY e.event_type ORDER BY e.event_type"""))
-
-  /** q84 — weekly cohort retention (TimeOps.retentionCohorts): the
-    * classic activity matrix — users cohorted by the ISO week of
-    * their first event, one row per (cohort, week offset) with the
-    * active count and retention vs the cohort's own week-0 size. Two
-    * user-keyed reductions (per-user min + (user, week) distinct)
-    * co-partition on the user shuffle; everything downstream is
-    * weeks²-sized. Offsets are exact integer day-diffs of
-    * week-truncated dates / 7 — no float until the final rounded
-    * percentage, which both engines derive from the same integers.
-    */
-  private val q84 = Q(
-    "q84_retention_cohorts",
-    (s, d) => {
-      import s.implicits._
-      TimeOps.retentionCohorts(ev(s, d), "user_id", "ts")
-        .orderBy($"cohort_week", $"week_offset")
-    },
-    Some("""
-      WITH f AS (
-        SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE)
-                 AS cohort_week
-        FROM events GROUP BY 1),
-      a AS (
-        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE)
-                 AS activity_week
-        FROM events),
-      j AS (
-        SELECT cohort_week,
-               CAST(date_diff('day', cohort_week, activity_week) // 7
-                    AS INTEGER) AS week_offset,
-               count(*) AS n_active
-        FROM a JOIN f USING (user_id) GROUP BY 1, 2),
-      s AS (
-        SELECT cohort_week, n_active AS cn FROM j WHERE week_offset = 0)
-      SELECT j.cohort_week, week_offset, n_active,
-             round(CAST(n_active AS DOUBLE) / cn * 100.0, 4)
-               AS pct_retained
-      FROM j JOIN s USING (cohort_week)
-      ORDER BY cohort_week, week_offset"""))
-
-  /** q85_pit_features — point-in-time-correct feature assembly
-    * (TimeOps.pointInTimeFeatures): every purchase event (the label)
-    * aggregates its user's events STRICTLY before the purchase within
-    * a trailing 72 h window — the feature-store join that builds
-    * training sets without label leakage. User-keyed co-partitioned
-    * equi-join with the time range as an in-join residual; DECIMAL
-    * sums; epoch-µs comparisons on both sides (the st03 precision
-    * convention — parquet carries ns, Spark µs).
-    */
-  private val q85 = Q(
-    "q85_pit_features",
-    (s, d) => {
-      import s.implicits._
-      val e = ev(s, d)
-      TimeOps.pointInTimeFeatures(
-          e.filter($"event_type" === "purchase"), e,
-          "user_id", "ts", "value", "event_id", windowHours = 72)
-        .orderBy($"label_id")
-    },
-    Some("""
-      WITH l AS (
-        SELECT event_id, user_id, epoch_us(ts) AS lu
-        FROM events WHERE event_type = 'purchase'),
-      f AS (SELECT user_id AS fu, epoch_us(ts) AS fts, value FROM events)
-      SELECT event_id AS label_id, user_id,
-             lu // 1000000 AS ts_s,
-             count(fts) AS n_prior,
-             coalesce(CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2)
-               AS DOUBLE), 0.0) AS sum_prior
-      FROM l LEFT JOIN f ON user_id = fu
-        AND fts < lu AND fts >= lu - 259200000000
-      GROUP BY 1, 2, 3 ORDER BY 1"""))
-
-  /** q86_drift_psi — distribution-drift monitoring
-    * (LibOps.psiReport): the event value distribution of the first
-    * half of January vs the second, as a per-bin PSI report — the
-    * standard "has this feature moved?" gate between pipeline runs
-    * (Σ psi_contrib ≥ 0.1 ⇒ drifting, ≥ 0.25 ⇒ shifted). Two
-    * partial-aggregated histogram passes; everything after is
-    * nbins-sized broadcasts and row-local arithmetic.
-    */
-  private val q86 = Q(
-    "q86_drift_psi",
-    (s, d) => {
-      import s.implicits._
-      val e = ev(s, d)
-      LibOps.psiReport(
-          e.filter($"ts" < "2024-01-16 00:00:00"),
-          e.filter($"ts" >= "2024-01-16 00:00:00"),
-          "value", lo = 0.0, width = 25.0, nbins = 20)
-        .orderBy($"bin")
-    },
-    Some("""
-      WITH bins AS (SELECT CAST(unnest(range(20)) AS INTEGER) AS bin),
-      ha AS (
-        SELECT CAST(least(greatest(floor(value / 25.0), 0), 19) AS INTEGER)
-                 AS bin,
-               count(*)::BIGINT AS n_a
-        FROM events
-        WHERE value IS NOT NULL AND ts < TIMESTAMP '2024-01-16 00:00:00'
-        GROUP BY 1),
-      hb AS (
-        SELECT CAST(least(greatest(floor(value / 25.0), 0), 19) AS INTEGER)
-                 AS bin,
-               count(*)::BIGINT AS n_b
-        FROM events
-        WHERE value IS NOT NULL AND ts >= TIMESTAMP '2024-01-16 00:00:00'
-        GROUP BY 1),
-      ta AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta FROM ha),
-      tb AS (SELECT CAST(sum(n_b) AS BIGINT) AS tb FROM hb)
-      SELECT bin,
-             CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
-             CAST(coalesce(n_b, 0) AS BIGINT) AS n_b,
-             round(((coalesce(n_a, 0) + 0.5) / (ta + 10.0)
-                    - (coalesce(n_b, 0) + 0.5) / (tb + 10.0))
-                   * ln(((coalesce(n_a, 0) + 0.5) / (ta + 10.0))
-                        / ((coalesce(n_b, 0) + 0.5) / (tb + 10.0))), 6)
-               AS psi_contrib
-      FROM bins LEFT JOIN ha USING (bin) LEFT JOIN hb USING (bin)
-      CROSS JOIN ta CROSS JOIN tb
-      ORDER BY bin"""))
-
-  /** q87_funnel — ordered funnel conversion (TimeOps.funnel):
-    * view → click → purchase with first-occurrence-after semantics
-    * and a 24 h attribution window (a user's step-k clock starts at
-    * their step-(k−1) reach time; the conversion must land within
-    * 24 h of it — the unbounded variant converts 100% on this
-    * fixture, the windowed one shows a real 150→60→25 funnel at
-    * sf0.01). One user-keyed min-aggregate per step, chained by
-    * co-partitioned user equi-joins; each step's event scan carries
-    * a pushed `event_type =` filter; the only unpartitioned window
-    * runs over |steps| = 3 rows. Timestamps compare as epoch-µs on
-    * both sides (the q85 convention).
-    */
-  private val q87 = Q(
-    "q87_funnel",
-    (s, d) => TimeOps.funnel(ev(s, d), "user_id", "ts", "event_type",
-        Seq("view", "click", "purchase"), withinHours = Some(24))
-      .orderBy(col("step_idx")),
-    Some("""
-      WITH s1 AS (
-        SELECT user_id, min(epoch_us(ts)) AS t FROM events
-        WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY 1),
-      s2 AS (
-        SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
-        JOIN s1 ON e.user_id = s1.user_id AND epoch_us(e.ts) > s1.t
-          AND epoch_us(e.ts) <= s1.t + 86400000000
-        WHERE e.event_type = 'click' GROUP BY 1),
-      s3 AS (
-        SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
-        JOIN s2 ON e.user_id = s2.user_id AND epoch_us(e.ts) > s2.t
-          AND epoch_us(e.ts) <= s2.t + 86400000000
-        WHERE e.event_type = 'purchase' GROUP BY 1),
-      c AS (
-        SELECT 1 AS step_idx, 'view' AS step, count(*) AS n_users FROM s1
-        UNION ALL SELECT 2, 'click', count(*) FROM s2
-        UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
-      SELECT step_idx, step, n_users,
-             round(CAST(n_users AS DOUBLE) /
-                   nullif(lag(n_users) OVER (ORDER BY step_idx), 0), 4)
-               AS pct_prev
-      FROM c ORDER BY step_idx"""))
-
-  /** q88_transitions — next-event transition matrix
-    * (TimeOps.transitionMatrix): P(next type | type) from each user's
-    * time-ordered stream. ONE user-partitioned lead window (partition
-    * = a user's own events), then a types²-bounded aggregate and a
-    * types-partitioned share window over that tiny frame; ties on the
-    * µs timestamp break by event_id so the successor is
-    * engine-deterministic. NULL users are dropped on BOTH sides
-    * (anonymous events have no stream to transition within — and
-    * would otherwise form one corpus-sized window partition).
-    */
-  private val q88 = Q(
-    "q88_transitions",
-    (s, d) => TimeOps.transitionMatrix(ev(s, d), "user_id", "ts",
-        "event_id", "event_type")
-      .orderBy(col("from_type"), col("to_type")),
-    Some("""
-      WITH nx AS (
-        SELECT event_type AS from_type,
-               lead(event_type) OVER (PARTITION BY user_id
-                 ORDER BY ts, event_id) AS to_type
-        FROM events WHERE user_id IS NOT NULL),
-      c AS (
-        SELECT from_type, to_type, count(*) AS n_trans FROM nx
-        WHERE to_type IS NOT NULL GROUP BY 1, 2)
-      SELECT from_type, to_type, n_trans,
-             round(CAST(n_trans AS DOUBLE) /
-                   sum(n_trans) OVER (PARTITION BY from_type), 4)
-               AS pct_from
-      FROM c ORDER BY from_type, to_type"""))
-
-  /** q89_rate_anomaly — rolling z-score anomaly on hourly event rates
-    * (TimeOps.rateAnomaly): each (type, hour) cell scored against its
-    * own trailing 24 h on a DENSE hour spine (missing hours count 0,
-    * so the ROWS frame is real wall-clock lookback). One
-    * partial-aggregated (type, hour) count pass is the only
-    * corpus-sized stage; the windows run over spine rows (types ×
-    * 720 — a time-range constant). Mean/std derive from exact BIGINT
-    * window sums (order-free — a windowed DOUBLE sum's addition
-    * order differs between engines) with the identical float formula
-    * on both sides; zero-variance lookbacks yield NULL z ≡
-    * non-anomalous. Threshold margin measured at all three SFs: the
-    * nearest |z| to 3.0 is well outside float noise (FIXTURES.md
-    * practice, q64's convention).
-    */
-  private val q89 = Q(
-    "q89_rate_anomaly",
-    (s, d) => TimeOps.rateAnomaly(ev(s, d), "ts", "event_type",
-        "2024-01-01 00:00:00", nHours = 720, trailing = 24, zThresh = 3.0)
-      .orderBy(col("event_type"), col("h")),
-    Some("""
-      WITH c AS (
-        SELECT event_type,
-               CAST((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00'))
-                    // 3600000000 AS INTEGER) AS h,
-               count(*) AS cnt
-        FROM events
-        WHERE event_type IS NOT NULL
-          AND epoch_us(ts) >= epoch_us(TIMESTAMP '2024-01-01 00:00:00')
-          AND epoch_us(ts) < epoch_us(TIMESTAMP '2024-01-01 00:00:00')
-              + 720 * 3600000000
-        GROUP BY 1, 2),
-      ty AS (SELECT DISTINCT event_type FROM c),
-      spine AS (
-        SELECT event_type, CAST(unnest(range(720)) AS INTEGER) AS h FROM ty),
-      d AS (
-        SELECT s.event_type, s.h, CAST(coalesce(cnt, 0) AS BIGINT) AS cnt
-        FROM spine s LEFT JOIN c USING (event_type, h)),
-      w AS (
-        SELECT event_type, h, cnt,
-               CAST(sum(cnt) OVER wnd AS BIGINT) AS s1,
-               CAST(sum(cnt * cnt) OVER wnd AS BIGINT) AS s2
-        FROM d WINDOW wnd AS (PARTITION BY event_type ORDER BY h
-                              ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
-      z AS (
-        SELECT event_type, h, cnt,
-               CASE WHEN 24 * s2 = s1 * s1 THEN NULL
-                    ELSE (CAST(cnt AS DOUBLE) - CAST(s1 AS DOUBLE) / 24.0)
-                         / sqrt((CAST(s2 AS DOUBLE)
-                                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
-                                   / 24.0) / 24.0)
-               END AS zv
-        FROM w WHERE h >= 24)
-      SELECT event_type, h, cnt, round(zv, 4) AS z,
-             coalesce(abs(zv) > 3.0, false) AS is_anomaly
-      FROM z ORDER BY event_type, h"""))
-
-  /** q90_conversion_lag — time-to-convert distribution
-    * (TimeOps.funnelReaches): for users converting under q87's exact
-    * funnel semantics (view → click → purchase, 24 h attribution),
-    * the per-step conversion-lag percentiles — the latency companion
-    * to q87's volume report. Same user-keyed chain; lags are exact
-    * µs integer differences; `percentile` is exact interpolated (the
-    * q24/q67-established engine≡oracle parity) over a per-step group.
-    */
-  private val q90 = Q(
-    "q90_conversion_lag",
-    (s, d) => {
-      import s.implicits._
-      val r = TimeOps.funnelReaches(ev(s, d), "user_id", "ts",
-        "event_type", Seq("view", "click", "purchase"),
-        withinHours = Some(24))
-      r.select(lit("step2_click").as("step"), ($"t2" - $"t1").as("lag_us"))
-        .filter($"lag_us".isNotNull)
-        .unionByName(r.select(lit("step3_purchase").as("step"),
-          ($"t3" - $"t2").as("lag_us")).filter($"lag_us".isNotNull))
-        .groupBy($"step")
-        .agg(count(lit(1)).as("n_users"),
-          percentile($"lag_us", lit(0.5)).as("p50_lag_us"),
-          percentile($"lag_us", lit(0.9)).as("p90_lag_us"))
-        .orderBy($"step")
-    },
-    Some("""
-      WITH s1 AS (
-        SELECT user_id, min(epoch_us(ts)) AS t FROM events
-        WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY 1),
-      s2 AS (
-        SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
-        JOIN s1 ON e.user_id = s1.user_id AND epoch_us(e.ts) > s1.t
-          AND epoch_us(e.ts) <= s1.t + 86400000000
-        WHERE e.event_type = 'click' GROUP BY 1),
-      s3 AS (
-        SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
-        JOIN s2 ON e.user_id = s2.user_id AND epoch_us(e.ts) > s2.t
-          AND epoch_us(e.ts) <= s2.t + 86400000000
-        WHERE e.event_type = 'purchase' GROUP BY 1),
-      l AS (
-        SELECT 'step2_click' AS step, s2.t - s1.t AS lag_us
-        FROM s2 JOIN s1 USING (user_id)
-        UNION ALL
-        SELECT 'step3_purchase', s3.t - s2.t
-        FROM s3 JOIN s2 USING (user_id))
-      SELECT step, count(*) AS n_users,
-             quantile_cont(lag_us, 0.5) AS p50_lag_us,
-             quantile_cont(lag_us, 0.9) AS p90_lag_us
-      FROM l GROUP BY 1 ORDER BY 1"""))
-
-  /** q91_ks_drift — per-source two-sample KS drift gate
-    * (LibOps.ksReport): each source's doc-length CDF against the rest
-    * of the corpus, with the 5%-level critical value and verdict —
-    * the binning-free distributional sibling of q86's PSI. One
-    * (source, n_chars) count pass; the grid, CDFs, D, and crit are
-    * exact-integer-fed float formulas written identically in both
-    * engines, so the verdict is bit-equal without threshold margins.
-    */
-  private val q91 = Q(
-    "q91_ks_drift",
-    (s, d) => LibOps.ksReport(docs(s, d), "source", "n_chars")
-      .orderBy(col("source")),
-    Some("""
-      WITH c AS (
-        SELECT source AS g, n_chars AS x, count(*) AS c
-        FROM documents
-        WHERE source IS NOT NULL AND n_chars IS NOT NULL
-        GROUP BY 1, 2),
-      grid AS (
-        SELECT g, x
-        FROM (SELECT DISTINCT g FROM c), (SELECT DISTINCT x FROM c)),
-      cum AS (
-        SELECT grid.g, grid.x,
-               CAST(sum(coalesce(c.c, 0)) OVER
-                 (PARTITION BY grid.g ORDER BY grid.x) AS BIGINT) AS cg
-        FROM grid LEFT JOIN c ON grid.g = c.g AND grid.x = c.x),
-      ng AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
-      ccum AS (
-        SELECT x, CAST(sum(cx) OVER (ORDER BY x) AS BIGINT) AS cc
-        FROM (SELECT x, CAST(sum(c) AS BIGINT) AS cx FROM c GROUP BY 1) t),
-      nn AS (SELECT CAST(sum(c) AS BIGINT) AS nt FROM c),
-      d AS (
-        SELECT cum.g, ng.n, nn.nt,
-               max(CASE WHEN nn.nt - ng.n = 0 THEN NULL
-                        ELSE abs(CAST(cg AS DOUBLE) / ng.n
-                                 - CAST(cc - cg AS DOUBLE) / (nn.nt - ng.n))
-                   END) AS ds
-        FROM cum JOIN ccum USING (x) JOIN ng USING (g) CROSS JOIN nn
-        GROUP BY 1, 2, 3),
-      e AS (
-        SELECT g, n, ds,
-               CASE WHEN nt - n = 0 THEN NULL
-                    ELSE 1.358 * sqrt(CAST(nt AS DOUBLE)
-                           / (CAST(n AS DOUBLE) * CAST(nt - n AS DOUBLE)))
-               END AS cr
-        FROM d)
-      SELECT g AS source, n, round(ds, 6) AS d_stat, round(cr, 6) AS crit,
-             coalesce(ds > cr, false) AS drifted
-      FROM e ORDER BY source"""))
-
-  /** q92_attribution — multi-touch attribution with linear time decay
-    * (TimeOps.attributionWeights): every purchase distributes credit
-    * over that user's views/clicks in the trailing 24 h, weight ∝
-    * (window − Δt) normalized per conversion — exact BIGINT
-    * numerators over an exact BIGINT sum, so each weight is ONE
-    * IEEE division, bit-equal in any engine. User-keyed
-    * co-partitioned join; one conversion-partitioned window.
-    */
-  private val q92 = Q(
-    "q92_attribution",
-    (s, d) => TimeOps.attributionWeights(ev(s, d), "user_id", "ts",
-        "event_id", "event_type", convType = "purchase",
-        touchTypes = Seq("view", "click"), windowHours = 24)
-      .withColumn("weight", round(col("weight"), 6))
-      .orderBy(col("conv_id"), col("touch_id")),
-    Some("""
-      WITH c AS (
-        SELECT user_id, event_id AS conv_id, epoch_us(ts) AS cts
-        FROM events
-        WHERE event_type = 'purchase' AND user_id IS NOT NULL),
-      t AS (
-        SELECT user_id, event_id AS touch_id, event_type AS touch_type,
-               epoch_us(ts) AS tts
-        FROM events
-        WHERE event_type IN ('view', 'click') AND user_id IS NOT NULL),
-      j AS (
-        SELECT conv_id, touch_id, touch_type, cts - tts AS lag_us,
-               86400000000 - (cts - tts) AS raw
-        FROM c JOIN t USING (user_id)
-        WHERE tts < cts AND tts >= cts - 86400000000)
-      SELECT conv_id, touch_id, touch_type, lag_us,
-             round(CAST(raw AS DOUBLE) /
-                   CAST(nullif(sum(raw) OVER (PARTITION BY conv_id), 0)
-                        AS DOUBLE), 6) AS weight
-      FROM j ORDER BY conv_id, touch_id"""))
-
-  /** text_pmi_bigrams — collocation mining by PMI
-    * (TextOps.pmiBigrams): top-20 adjacent bigrams with count >= 5 by
-    * pointwise mutual information. Ranking compares the unlogged
-    * lift (bit-equal IEEE arithmetic over exact counts; ln only in
-    * the round-6 reported column — the psi convention); the global
-    * top-k plans as TakeOrderedAndProject (the q77 shape).
-    */
-  private val t19 = Q(
-    "text_pmi_bigrams",
-    (s, d) => TextOps.pmiBigrams(docs(s, d), "text", minCount = 5L, k = 20)
-      .orderBy(col("rnk")),
-    Some("""
-      WITH ws AS (
-        SELECT string_split(text, ' ') AS w FROM documents
-        WHERE len(string_split(text, ' ')) >= 2),
-      uni AS (
-        SELECT word, count(*) AS c1
-        FROM (SELECT unnest(w) AS word FROM ws) GROUP BY 1),
-      tn AS (SELECT CAST(sum(len(w)) AS BIGINT) AS tn FROM ws),
-      bg AS (
-        SELECT bg, count(*) AS c12 FROM (
-          SELECT w[i] || ' ' || w[i+1] AS bg
-          FROM ws, unnest(range(1, len(w))) AS t(i))
-        GROUP BY 1),
-      tm AS (SELECT CAST(sum(len(w) - 1) AS BIGINT) AS tm FROM ws),
-      f AS (
-        SELECT bg AS bigram, c12,
-               string_split(bg, ' ')[1] AS w1,
-               string_split(bg, ' ')[2] AS w2
-        FROM bg WHERE c12 >= 5),
-      j AS (
-        SELECT bigram, c12, u1.c1 AS c1, u2.c1 AS c2,
-               (CAST(c12 AS DOUBLE) / tm) /
-               ((CAST(u1.c1 AS DOUBLE) / tn) * (CAST(u2.c1 AS DOUBLE) / tn))
-                 AS lift
-        FROM f
-        JOIN uni u1 ON f.w1 = u1.word
-        JOIN uni u2 ON f.w2 = u2.word
-        CROSS JOIN tm CROSS JOIN tn),
-      r AS (
-        SELECT CAST(row_number() OVER (ORDER BY lift DESC, bigram)
-                 AS INTEGER) AS rnk,
-               bigram, c12, c1, c2, round(ln(lift), 6) AS pmi
-        FROM j)
-      SELECT rnk, bigram, c12, c1, c2, pmi
-      FROM r WHERE rnk <= 20 ORDER BY rnk"""))
-
-  /** q93_rolling_active — DAU/WAU engagement
-    * (TimeOps.rollingActiveUsers): per activity day, distinct daily
-    * actives, distinct trailing-7-day actives, and the stickiness
-    * ratio. Sliding distinct cannot sum from daily counts, so each
-    * (user, day) presence row expands to the 7 report days it covers
-    * — one user-keyed distinct pass, a bounded ×7 fan-out, two
-    * days-sized aggregates, no windows.
-    */
-  private val q93 = Q(
-    "q93_rolling_active",
-    (s, d) => TimeOps.rollingActiveUsers(ev(s, d), "user_id", "ts",
-        windowDays = 7)
-      .orderBy(col("day")),
-    Some("""
-      WITH p AS (
-        SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
-        FROM events WHERE user_id IS NOT NULL),
-      dau AS (SELECT day, count(*) AS dau FROM p GROUP BY 1),
-      cov AS (
-        SELECT DISTINCT u, day + CAST(i AS INTEGER) AS day
-        FROM p, unnest(range(7)) AS t(i)),
-      wau AS (SELECT day, count(*) AS wau FROM cov GROUP BY 1)
-      SELECT d.day, dau, wau,
-             round(CAST(dau AS DOUBLE) / wau, 4) AS stickiness
-      FROM dau d JOIN wau USING (day)
-      ORDER BY day"""))
-
-  /** validate_orders — declarative data-quality gate: four row-level
-    * constraints over orders evaluated in ONE scan (a single
-    * partial-aggregated pass; N constraints = one table read), reported
-    * per constraint. The non-null/positive/domain/range mix mirrors
-    * what a pipeline checks between stages.
-    */
-  private val vd1 = Q(
-    "validate_orders",
-    (s, d) => {
-      import s.implicits._
-      ValidateOps.checkConstraints(ord(s, d), Seq(
-        "custkey_not_null" -> $"o_custkey".isNotNull,
-        "totalprice_positive" -> ($"o_totalprice" > 0.0),
-        "status_in_domain" -> $"o_orderstatus".isin("F", "O", "P"),
-        "orderdate_in_range" ->
-          $"o_orderdate".between("1992-01-01", "1998-12-31")))
-        .orderBy($"check_name")
-    },
-    Some("""
-      WITH v AS (
-        SELECT count(*) AS n_rows,
-          CAST(sum(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS v1,
-          CAST(sum(CASE WHEN o_totalprice > 0.0 THEN 0 ELSE 1 END) AS BIGINT) AS v2,
-          CAST(sum(CASE WHEN o_orderstatus IN ('F', 'O', 'P') THEN 0 ELSE 1 END) AS BIGINT) AS v3,
-          CAST(sum(CASE WHEN o_orderdate BETWEEN '1992-01-01' AND '1998-12-31'
-                   THEN 0 ELSE 1 END) AS BIGINT) AS v4
-        FROM orders)
-      SELECT * FROM (
-        SELECT 'custkey_not_null' AS check_name, n_rows, v1 AS n_violations, v1 = 0 AS ok FROM v
-        UNION ALL SELECT 'orderdate_in_range', n_rows, v4, v4 = 0 FROM v
-        UNION ALL SELECT 'status_in_domain', n_rows, v3, v3 = 0 FROM v
-        UNION ALL SELECT 'totalprice_positive', n_rows, v2, v2 = 0 FROM v) t
-      ORDER BY check_name"""))
-
-  /** decon_ngram_overlap — benchmark decontamination: each train doc's
-    * (source != src0) distinct word 3-grams probed against the
-    * broadcast distinct 3-gram set of the benchmark slice (src0).
-    * Map-side join — the corpus never shuffles; at 100 TB this is one
-    * scan of the training data. Docs shorter than 3 words have no
-    * 3-grams and are trivially clean.
-    */
-  private val dc1 = Q(
-    "decon_ngram_overlap",
-    (s, d) => {
-      import s.implicits._
-      val corpus = docs(s, d)
-      DeconOps.decontaminate(
-          corpus.filter($"source" =!= "src0"),
-          corpus.filter($"source" === "src0"))
-        .orderBy($"doc_id")
-    },
-    Some("""
-      WITH tr AS (
-        SELECT doc_id, string_split(text, ' ') AS w FROM documents
-        WHERE source <> 'src0'),
-      tg AS (
-        SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),
-                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS gram
-        FROM tr WHERE len(w) >= 3),
-      bg AS (
-        SELECT DISTINCT unnest(list_transform(range(1, len(w) - 1),
-                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
-        FROM (SELECT string_split(text, ' ') AS w FROM documents
-              WHERE source = 'src0') b
-        WHERE len(w) >= 3),
-      hits AS (
-        SELECT tg.doc_id, count(*) AS n_grams, count(bg.gram) AS n_shared
-        FROM tg LEFT JOIN bg ON tg.gram = bg.gram
-        GROUP BY tg.doc_id)
-      SELECT t.doc_id,
-             CAST(coalesce(h.n_grams, 0) AS INTEGER) AS n_grams,
-             CAST(coalesce(h.n_shared, 0) AS INTEGER) AS n_shared,
-             coalesce(h.n_shared, 0) >= 1 AS contaminated
-      FROM (SELECT doc_id FROM documents WHERE source <> 'src0') t
-      LEFT JOIN hits h ON t.doc_id = h.doc_id
-      ORDER BY t.doc_id"""))
-
-  /** decon_bloom — the same decontamination answer via the
-    * Bloom-accelerated path (DeconOps.bloomDecontaminate): corpus
-    * grams probe a ~1.2 byte/gram Bloom filter of the benchmark grams
-    * map-side, and only bloom survivors reach the exact verify join.
-    * This is the shape that holds when the held-out gram set outgrows
-    * broadcast (~1e8 grams ⇒ multi-GB exact set vs ~150 MB bloom).
-    * Bloom filters have no false negatives and the verify join kills
-    * false positives, so the result — and the oracle — is IDENTICAL to
-    * decon_ngram_overlap's exact SQL.
-    */
-  private val dc2 = Q(
-    "decon_bloom",
-    (s, d) => {
-      import s.implicits._
-      val corpus = docs(s, d)
-      DeconOps.bloomDecontaminate(
-          corpus.filter($"source" =!= "src0"),
-          corpus.filter($"source" === "src0"))
-        .orderBy($"doc_id")
-    },
-    Some("""
-      WITH tr AS (
-        SELECT doc_id, string_split(text, ' ') AS w FROM documents
-        WHERE source <> 'src0'),
-      tg AS (
-        SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),
-                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS gram
-        FROM tr WHERE len(w) >= 3),
-      bg AS (
-        SELECT DISTINCT unnest(list_transform(range(1, len(w) - 1),
-                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
-        FROM (SELECT string_split(text, ' ') AS w FROM documents
-              WHERE source = 'src0') b
-        WHERE len(w) >= 3),
-      hits AS (
-        SELECT tg.doc_id, count(bg.gram) AS n_shared
-        FROM tg JOIN bg ON tg.gram = bg.gram
-        GROUP BY tg.doc_id)
-      SELECT t.doc_id,
-             CAST(t.n_grams AS INTEGER) AS n_grams,
-             CAST(coalesce(h.n_shared, 0) AS INTEGER) AS n_shared,
-             coalesce(h.n_shared, 0) >= 1 AS contaminated
-      FROM (SELECT doc_id,
-                   CASE WHEN len(string_split(text, ' ')) >= 3
-                        THEN len(list_distinct(list_transform(
-                               range(1, len(string_split(text, ' ')) - 1),
-                               i -> string_split(text, ' ')[i] || ' ' ||
-                                    string_split(text, ' ')[i+1] || ' ' ||
-                                    string_split(text, ' ')[i+2])))
-                        ELSE 0 END AS n_grams
-            FROM documents WHERE source <> 'src0') t
-      LEFT JOIN hits h ON t.doc_id = h.doc_id
-      ORDER BY t.doc_id"""))
-
-  /** decon_semantic — embedding-space contamination scan
-    * (DeconOps.semanticDecontaminate): train vectors (label ≠ 0)
-    * checked against the benchmark set (label 0) for cosine ≥ tau
-    * within shared sign-LSH buckets — the paraphrase-robust third
-    * member of the decon family. Benchmark broadcast (small by
-    * contract), train never shuffles; the per-doc verdict is a
-    * partial-aggregated max over (sim, −bench_id), mirrored by the
-    * oracle's row_number over the same rounded sim. tau = 0.25: the
-    * synthetic cross-label sims top out near 0.32, so the paper-range
-    * thresholds would grade an all-false column.
-    */
-  private val dc3 = Q(
-    "decon_semantic",
-    (s, d) => {
-      import s.implicits._
-      val e = emb(s, d)
-      DeconOps.semanticDecontaminate(
-          e.filter($"label" =!= 0), e.filter($"label" === 0),
-          "vec_id", "embedding", tau = 0.25)
-        .orderBy($"vec_id")
-    },
-    Some(s"""
-      WITH b AS (
-        SELECT vec_id AS bench_id, embedding::DOUBLE[] AS emb,
-          ${lshBucketSql("embedding::DOUBLE[]", 64)} AS bucket
-        FROM embeddings WHERE label = 0 AND embedding IS NOT NULL),
-      t AS (
-        -- NULL embeddings stay out of the candidate join (the engine's
-        -- isNotNull guard): under lshBucketSql a NULL vector would
-        -- otherwise land in bucket 0, not bucket NULL
-        SELECT vec_id, embedding::DOUBLE[] AS emb,
-          ${lshBucketSql("embedding::DOUBLE[]", 64)} AS bucket
-        FROM embeddings WHERE label <> 0 AND embedding IS NOT NULL),
-      top AS (
-        SELECT vec_id, bench_id, sim FROM (
-          SELECT t.vec_id, b.bench_id,
-                 round(list_cosine_similarity(t.emb, b.emb), 4) AS sim,
-                 row_number() OVER (PARTITION BY t.vec_id
-                   ORDER BY round(list_cosine_similarity(t.emb, b.emb), 4) DESC,
-                            b.bench_id ASC) AS r
-          FROM t JOIN b USING (bucket)) x
-        WHERE r = 1)
-      SELECT e.vec_id, p.bench_id, p.sim,
-             coalesce(p.sim >= 0.25, false) AS contaminated
-      FROM (SELECT vec_id FROM embeddings WHERE label <> 0) e
-      LEFT JOIN top p USING (vec_id)
-      ORDER BY e.vec_id"""))
-
-  /** decon_span_removal — decon_ngram_overlap FLAGS, this one
-    * REWRITES (DeconOps.spanRemoval): tokens covered by any train
-    * 3-gram window found verbatim in the benchmark (src0) are
-    * dropped and the survivors rejoin in order — the surgical
-    * alternative to discarding whole contaminated docs. The rebuild
-    * is a row-local indexed lambda filter against each doc's (tiny)
-    * removed-position set; the oracle replays windows, hits, covered
-    * positions, and the comprehension-based rebuild byte-for-byte.
-    */
-  private val dc4 = Q(
-    "decon_span_removal",
-    (s, d) => {
-      import s.implicits._
-      val corpus = docs(s, d)
-      DeconOps.spanRemoval(
-          corpus.filter($"source" =!= "src0"),
-          corpus.filter($"source" === "src0"))
-        .orderBy($"doc_id")
-    },
-    Some("""
-      WITH tr AS (
-        SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
-        WHERE source <> 'src0'),
-      bg AS (
-        SELECT DISTINCT unnest(list_transform(range(1, len(w) - 1),
-                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
-        FROM (SELECT string_split(text, ' ') AS w FROM documents
-              WHERE source = 'src0') b
-        WHERE len(w) >= 3),
-      wins AS (
-        SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
-        FROM tr WHERE len(w) >= 3),
-      hits AS (
-        -- DuckDB window index i is 1-based (tokens i..i+2); the
-        -- engine's positions are 0-based starts, so covered 0-based
-        -- token positions are i-1 .. i+1
-        SELECT DISTINCT wins.doc_id, unnest([i - 1, i, i + 1]) AS p
-        FROM wins JOIN bg ON (w[i] || ' ' || w[i+1] || ' ' || w[i+2]) = bg.gram),
-      rm AS (
-        SELECT doc_id, count(*) AS nrm, list(p) AS ps
-        FROM hits GROUP BY doc_id)
-      SELECT t.doc_id,
-             CAST(coalesce(len(w), 0) AS INTEGER) AS n_tokens,
-             CAST(coalesce(rm.nrm, 0) AS INTEGER) AS n_removed,
-             CASE WHEN t.text IS NULL THEN NULL
-                  -- coalesce: array_to_string([]) is NULL in DuckDB,
-                  -- but a FULLY-scrubbed doc is an empty string (the
-                  -- engine's concat_ws semantics); NULL stays reserved
-                  -- for NULL input
-                  ELSE coalesce(array_to_string(
-                    [w[j + 1] for j in range(0, coalesce(len(w), 0))
-                     if ps IS NULL OR NOT list_contains(ps, j)], ' '), '')
-             END AS clean_text
-      FROM tr t LEFT JOIN rm ON t.doc_id = rm.doc_id
-      ORDER BY t.doc_id"""))
-
-  /** dedup_source_overlap — the cross-source near-dup overlap matrix
-    * (DedupOps.crossSourceOverlap): verified mirror-family pairs at
-    * jaccard >= 0.8 rolled up per unordered source pair — "how much
-    * does source A duplicate source B", the report that decides which
-    * ingest feeds are redundant. Rides the d02m-graded LSH pipeline
-    * (capped buckets, raw band tuples), so the oracle reuses that
-    * replay verbatim and adds only the source joins and the
-    * least/greatest pair fold. avg() rounds to 4 (the q05 stats
-    * convention).
-    */
-  private val d14 = Q(
-    "dedup_source_overlap",
-    (s, d) => DedupOps.crossSourceOverlap(docs(s, d), "text", "doc_id", "source")
-      .orderBy(col("src_a"), col("src_b")),
-    Some("""
-      WITH sets AS (
-        SELECT doc_id,
-               CASE WHEN len(w) >= 3
-                    THEN list_distinct(list_transform(range(1, len(w) - 1),
-                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
-                    ELSE [text] END AS sh
-        FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents) b),
-      bases AS (
-        SELECT doc_id, CAST(md5_number_lower(s) % 2147483648 AS BIGINT) AS x
-        FROM (SELECT doc_id, unnest(sh) AS s FROM sets) p
-        WHERE s IS NOT NULL),
-      sig AS (
-        SELECT doc_id, t.i AS i,
-               min(((1 + (2654435761 * (t.i + 1)) % 2147483646) * x
-                    + (1013904223 * (t.i + 1)) % 2147483647) % 2147483647) AS v
-        FROM bases, range(32) t(i) GROUP BY 1, 2),
-      bands AS (
-        SELECT doc_id, i // 4 AS band_idx, list(v ORDER BY i) AS band_key
-        FROM sig GROUP BY doc_id, i // 4),
-      ok AS (
-        SELECT band_idx, band_key FROM bands
-        GROUP BY 1, 2 HAVING count(*) <= 256),
-      cand AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a, bands b, ok
-        WHERE a.band_idx = ok.band_idx AND a.band_key = ok.band_key
-          AND b.band_idx = ok.band_idx AND b.band_key = ok.band_key
-          AND a.doc_id < b.doc_id),
-      jac AS (
-        SELECT c.id_a, c.id_b,
-               CASE WHEN len(list_distinct(sa.sh || sb.sh)) > 0
-                    THEN len(list_intersect(sa.sh, sb.sh))::DOUBLE
-                         / len(list_distinct(sa.sh || sb.sh))
-                    ELSE 0.0 END AS jaccard
-        FROM cand c
-        JOIN sets sa ON sa.doc_id = c.id_a
-        JOIN sets sb ON sb.doc_id = c.id_b)
-      SELECT least(da.source, db.source) AS src_a,
-             greatest(da.source, db.source) AS src_b,
-             count(*) AS n_pairs,
-             round(avg(jaccard), 4) AS avg_jaccard
-      FROM jac
-      JOIN documents da ON da.doc_id = jac.id_a
-      JOIN documents db ON db.doc_id = jac.id_b
-      WHERE jaccard >= 0.8
-      GROUP BY 1, 2
-      ORDER BY src_a, src_b"""))
-
-  /** dedup_novelty — crawl-batch novelty accounting
-    * (DedupOps.noveltyReport): sources src0..src19 treated as ordered
-    * ingest batches, each reported with its distinct-content and
-    * FIRST-SEEN-here digest counts plus novel tokens — the
-    * diminishing-returns curve that decides whether the next crawl is
-    * worth ingesting. Digest-keyed partial aggregates only (the
-    * 32-byte/doc incremental-dedup index shape); batch-sized rollups;
-    * pct_novel divides exact integers.
-    */
-  private val d15 = Q(
-    "dedup_novelty",
-    (s, d) => DedupOps.noveltyReport(docs(s, d), "text", "doc_id",
-        substring(col("source"), 4, 5).cast("int"))
-      .orderBy(col("batch")),
-    Some("""
-      WITH b AS (
-        SELECT CAST(substr(source, 4) AS INTEGER) AS batch,
-               md5(text) AS fp,
-               len(string_split(text, ' '))::BIGINT AS toks
-        FROM documents),
-      fs AS (SELECT fp, min(batch) AS first_batch, min(toks) AS toks
-             FROM b GROUP BY fp),
-      nv AS (SELECT first_batch AS batch, count(*)::BIGINT AS n_novel,
-                    CAST(sum(toks) AS BIGINT) AS novel_tokens
-             FROM fs GROUP BY 1),
-      pb AS (SELECT batch, count(*)::BIGINT AS n_docs,
-                    count(DISTINCT fp)::BIGINT AS n_distinct
-             FROM b GROUP BY 1)
-      SELECT p.batch, n_docs, n_distinct,
-             coalesce(n_novel, 0)::BIGINT AS n_novel,
-             coalesce(novel_tokens, 0)::BIGINT AS novel_tokens,
-             round(coalesce(n_novel, 0)::DOUBLE / n_distinct, 4) AS pct_novel
-      FROM pb p LEFT JOIN nv USING (batch)
-      ORDER BY batch"""))
-
-  /** dedup_lsh_recall — the sampled recall/precision audit of the
-    * capped MinHash+LSH pipeline (DedupOps.lshRecallReport): on a
-    * deterministic md5 half-slice of the corpus, TRUE >= 0.8 Jaccard
-    * pairs computed exactly (unpruned inverted index — affordable on
-    * the slice, which is the whole point of sampling the audit) vs
-    * the mirror-family candidate set with maxBucket = 256 ACTIVE.
-    * The oracle replays the sample slice, the exact truth pairs, the
-    * full signature/banding/cap/candidate chain (the d02m fragments),
-    * and both ratios — so the number that justifies the production
-    * band configuration is itself hash-graded.
-    */
-  private val d16 = Q(
-    "dedup_lsh_recall",
-    (s, d) => DedupOps.lshRecallReport(docs(s, d), "text", "doc_id",
-      sampleFraction = 0.5),
-    Some("""
-      WITH sample AS (
-        SELECT doc_id, text FROM documents
-        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER
-              < 32768),
-      sets AS (
-        SELECT doc_id,
-               CASE WHEN len(w) >= 3
-                    THEN list_distinct(list_transform(range(1, len(w) - 1),
-                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
-                    ELSE [text] END AS sh
-        FROM (SELECT doc_id, text, string_split(text, ' ') AS w
-              FROM sample) b),
-      posts AS (
-        SELECT doc_id, CAST(len(sh) AS BIGINT) AS sz, unnest(sh) AS s
-        FROM sets WHERE sh IS NOT NULL),
-      pr AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a,
-               b.sz AS sz_b, count(*) AS n_inter
-        FROM posts a JOIN posts b USING (s)
-        WHERE a.doc_id < b.doc_id
-        GROUP BY 1, 2, 3, 4),
-      truth AS (
-        SELECT id_a, id_b FROM pr
-        WHERE n_inter::DOUBLE / (sz_a + sz_b - n_inter) >= 0.8),
-      bases AS (
-        SELECT doc_id, CAST(md5_number_lower(s) % 2147483648 AS BIGINT) AS x
-        FROM (SELECT doc_id, unnest(sh) AS s FROM sets) p
-        WHERE s IS NOT NULL),
-      sig AS (
-        SELECT doc_id, t.i AS i,
-               min(((1 + (2654435761 * (t.i + 1)) % 2147483646) * x
-                    + (1013904223 * (t.i + 1)) % 2147483647) % 2147483647) AS v
-        FROM bases, range(32) t(i) GROUP BY 1, 2),
-      bands AS (
-        SELECT doc_id, i // 4 AS band_idx, list(v ORDER BY i) AS band_key
-        FROM sig GROUP BY doc_id, i // 4),
-      ok AS (
-        SELECT band_idx, band_key FROM bands
-        GROUP BY 1, 2 HAVING count(*) <= 256),
-      cand AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a, bands b, ok
-        WHERE a.band_idx = ok.band_idx AND a.band_key = ok.band_key
-          AND b.band_idx = ok.band_idx AND b.band_key = ok.band_key
-          AND a.doc_id < b.doc_id),
-      h AS (
-        SELECT t.id_a, t.id_b FROM truth t
-        JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b)
-      SELECT t.n AS n_true_pairs, c.n AS n_candidates, hh.n AS n_hits,
-             CASE WHEN t.n = 0 THEN NULL
-                  ELSE round(CAST(hh.n AS DOUBLE) / CAST(t.n AS DOUBLE), 4)
-             END AS recall,
-             CASE WHEN c.n = 0 THEN NULL
-                  ELSE round(CAST(hh.n AS DOUBLE) / CAST(c.n AS DOUBLE), 4)
-             END AS precision_at_tau
-      FROM (SELECT count(*) AS n FROM truth) t,
-           (SELECT count(*) AS n FROM cand) c,
-           (SELECT count(*) AS n FROM h) hh"""))
-
-  // ---------------------------------------------------------------- text
-
-  private val t01 = Q(
-    "text_tokencount",
-    (s, d) => TextOps.tokenCounts(docs(s, d))
-      .select(col("doc_id"), col("n_ws_tokens"), col("n_re_tokens"))
-      .orderBy(col("doc_id")),
-    Some("""
-      SELECT doc_id,
-             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
-             CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INTEGER) AS n_re_tokens
-      FROM documents ORDER BY doc_id"""))
-
-  /** text_quality_model — linear quality classifier inference
-    * (TextOps.qualityModel): fixed-point micro-ratio features, integer
-    * weighted sum, margin decision. Bit-exact in any engine (pure
-    * BIGINT arithmetic, floor division, no sigmoid), so score AND
-    * decision are hash-graded. Weights: bias calibrated so the corpus
-    * splits near 50/50 and the decision column carries information.
-    */
-  /** Shared quality-model SQL fragments (text_quality_model +
-    * streaming_quality_parity — the clusterCtesSql idiom): feature
-    * CTEs and the integer score expression defined once so the batch
-    * and streaming oracles cannot drift.
-    */
-  private def qualityModelCtes: String = """
-      WITH f AS (
-        SELECT doc_id,
-               len(string_split(lower(text), ' ')) AS n_tok,
-               length(text) AS n_char,
-               len(list_filter(string_split(lower(text), ' '),
-                 w -> w IN ('the','a','of','and','to','in','is','it'))) AS n_stop,
-               len(list_distinct(string_split(lower(text), ' '))) AS n_dist,
-               length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
-               length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
-        FROM documents),
-      m AS (
-        SELECT doc_id,
-               (1000000 * n_stop) // greatest(n_tok, 1) AS stop_m,
-               (1000000 * (n_tok - n_dist)) // greatest(n_tok, 1) AS dup_m,
-               (1000000 * n_punct) // greatest(n_char, 1) AS punct_m,
-               (1000000 * n_digit) // greatest(n_char, 1) AS digit_m,
-               least(n_tok, 64) AS len_c
-        FROM f)"""
-
-  private def qualityScoreSql: String =
-    "540000 + 4*stop_m - 3*dup_m - 2*punct_m - 3*digit_m + 15625*len_c"
-
-  private val t16 = Q(
-    "text_quality_model",
-    (s, d) => TextOps.qualityModel(docs(s, d))
-      .select(col("doc_id"), col("stop_m"), col("dup_m"), col("punct_m"),
-        col("digit_m"), col("score"), col("keep"))
-      .orderBy(col("doc_id")),
-    Some(s"""$qualityModelCtes
-      SELECT doc_id, stop_m, dup_m, punct_m, digit_m,
-             $qualityScoreSql AS score,
-             coalesce($qualityScoreSql > 0, false) AS keep
-      FROM m ORDER BY doc_id"""))
-
-  private val t02 = Q(
-    "text_quality",
-    (s, d) => TextOps.qualityScore(docs(s, d))
-      .select(col("doc_id"), col("n_tokens"), col("avg_token_len"), col("stopword_ratio"))
-      .orderBy(col("doc_id")),
-    Some("""
-      SELECT doc_id,
-             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
-             round((length(text) - len(string_split(text, ' ')) + 1)::DOUBLE
-                   / len(string_split(text, ' ')), 4) AS avg_token_len,
-             round(len(list_filter(string_split(text, ' '),
-                     w -> w IN ('the','a','of','and','to','in','is','it')))::DOUBLE
-                   / len(string_split(text, ' ')), 4) AS stopword_ratio
-      FROM documents ORDER BY doc_id"""))
-
-  /** Shared langId prediction replay — generated from
-    * TextOps.LangProfiles so profile lists can't drift; one
-    * definition serves text_langid and the confusion-matrix eval.
-    * The fold's strictly-greater update means the FIRST profile
-    * (de,en,es,fr,zh order) at the max wins; no hits → "und".
-    */
-  private val langidPredSql: String = {
-    val scoreCols = TextOps.LangProfiles.map { case (lang, stops) =>
-      s"""len(list_filter(string_split(text, ' '),
-         |            w -> w IN (${stops.map(w => s"'$w'").mkString(", ")}))) AS s_$lang"""
-        .stripMargin
-    }.mkString(",\n          ")
-    val gr = s"greatest(${TextOps.LangProfiles.map(p => s"s_${p._1}").mkString(", ")})"
-    val cascade = TextOps.LangProfiles.init.map { case (lang, _) =>
-      s"WHEN s_$lang = $gr THEN '$lang'"
-    }.mkString("\n             ")
-    s"""WITH s AS (
-        SELECT doc_id, lang,
-          $scoreCols
-        FROM documents)
-      SELECT doc_id, lang,
-        CASE WHEN $gr IS NULL OR $gr = 0 THEN 'und'
-             $cascade
-             ELSE '${TextOps.LangProfiles.last._1}' END AS predicted_lang
-      FROM s"""
-  }
-
-  /** text_langid — stopword-profile language ID heuristic (oracle:
-    * the shared langidPredSql cascade replay).
-    */
-  private val t03 = Q(
-    "text_langid",
-    (s, d) => TextOps.langId(docs(s, d))
-      .select(col("doc_id"), col("lang"), col("predicted_lang"))
-      .orderBy(col("doc_id")),
-    Some(s"$langidPredSql ORDER BY doc_id"))
-
-  /** text_langid_confusion — the langId classifier graded AS A
-    * CLASSIFIER (TextOps.langIdConfusion): confusion matrix against
-    * the trusted lang column with per-actual-language shares — the
-    * diagonal is per-language recall, off-diagonals say which
-    * languages confuse. One row-local corpus pass, langs²-bounded
-    * aggregate, langs-partitioned share window over that tiny frame.
-    */
-  private val t20 = Q(
-    "text_langid_confusion",
-    (s, d) => TextOps.langIdConfusion(docs(s, d))
-      .orderBy(col("actual_lang"), col("predicted_lang")),
-    Some(s"""
-      WITH p AS ($langidPredSql)
-      SELECT lang AS actual_lang, predicted_lang, count(*) AS n,
-             round(CAST(count(*) AS DOUBLE) /
-                   sum(count(*)) OVER (PARTITION BY lang), 4)
-               AS pct_of_actual
-      FROM p GROUP BY 1, 2 ORDER BY 1, 2"""))
-
-  private val t04 = Q(
-    "text_fingerprint",
-    (s, d) => TextOps.fingerprint(docs(s, d))
-      .select(col("doc_id"), col("fp"))
-      .orderBy(col("doc_id")),
-    Some("""
-      SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id"""))
-
-  /** text_repetition — Gopher-style repetition filters: most-frequent-
-    * word mass + duplicate word/bigram fractions. The dup fractions
-    * are row-local array arithmetic; only the top-word count shuffles
-    * (partial-aggregated (doc,word) pass, the TF-IDF-style irreducible
-    * cost).
-    */
-  private val t05 = Q(
-    "text_repetition",
-    (s, d) => TextOps.repetitionStats(docs(s, d))
-      .orderBy(col("doc_id")),
-    Some("""
-      WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      r AS (
-        SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tokens,
-               len(list_distinct(w)) AS ndw,
-               len(w) - 1 AS nb,
-               len(list_distinct(list_transform(range(1, len(w)),
-                 i -> w[i] || ' ' || w[i+1]))) AS ndb
-        FROM w),
-      top AS (
-        SELECT doc_id, max(c) AS max_c FROM (
-          SELECT doc_id, word, count(*) AS c
-          FROM (SELECT doc_id, unnest(w) AS word FROM w) u
-          GROUP BY doc_id, word) g
-        GROUP BY doc_id)
-      SELECT r.doc_id, n_tokens,
-             round(max_c::DOUBLE / n_tokens, 4) AS top_word_frac,
-             round(1.0 - ndw::DOUBLE / n_tokens, 4) AS dup_word_frac,
-             CASE WHEN nb <= 0 THEN 0.0
-                  ELSE round(1.0 - ndb::DOUBLE / nb, 4) END AS dup_bigram_frac
-      FROM r JOIN top USING (doc_id)
-      ORDER BY doc_id"""))
-
-  /** text_unigram_lm — unigram-LM cross-entropy quality proxy (the
-    * CCNet-style perplexity filter stand-in): corpus word
-    * probabilities p(w) = c(w)/N, per-doc mean -ln p(token). One
-    * (doc, word) tf pass, a vocab re-aggregate, a keyed join of
-    * partials, and a broadcast 1-row N — see TextOps.unigramNll.
-    */
-  private val t06 = Q(
-    "text_unigram_lm",
-    (s, d) => TextOps.unigramNll(docs(s, d))
-      .orderBy(col("doc_id")),
-    Some("""
-      WITH tok AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
-      tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2),
-      wc AS (SELECT word, sum(tf) AS cw FROM tf GROUP BY 1),
-      n AS (SELECT sum(cw) AS n FROM wc)
-      SELECT doc_id, CAST(sum(tf) AS INTEGER) AS n_tokens,
-             round(sum(tf * -ln(cw::DOUBLE / n)) / sum(tf), 4) AS xent
-      FROM tf JOIN wc USING (word) CROSS JOIN n
-      GROUP BY doc_id ORDER BY doc_id"""))
-
-  /** text_bigram_lm — interpolated bigram-LM cross-entropy
-    * (TextOps.bigramNll, λ = 0.75): the word-ORDER-aware quality rung
-    * above text_unigram_lm — p(w|prev) = λ·c(prev w)/c(prev) +
-    * (1−λ)·c(w)/N, per-doc mean −ln p over bigram positions. The LM
-    * tables are data joined by key (never a corpus-sized broadcast),
-    * and the per-doc sum runs over DECIMAL(28,12)-cast terms so
-    * aggregation order cannot move an ulp; the oracle replays the
-    * counts, the interpolation tree, the decimal quantization, and
-    * the round-4 output. Docs with < 2 tokens have no bigram
-    * positions and are absent on both sides.
-    */
-  private val t15 = Q(
-    "text_bigram_lm",
-    (s, d) => TextOps.bigramNll(docs(s, d))
-      .orderBy(col("doc_id")),
-    Some("""
-      WITH splits AS (
-        SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      bg AS (
-        SELECT doc_id,
-               unnest(list_transform(range(1, len(w)),
-                 i -> w[i] || ' ' || w[i + 1])) AS bg
-        FROM splits),
-      tf AS (SELECT doc_id, bg, count(*) AS tf FROM bg GROUP BY 1, 2),
-      cbg AS (SELECT bg, count(*) AS cbg FROM bg GROUP BY 1),
-      tok AS (SELECT unnest(w) AS word FROM splits),
-      cw AS (SELECT word, count(*) AS cw FROM tok GROUP BY 1),
-      n AS (SELECT count(*) AS n FROM tok),
-      scored AS (
-        SELECT doc_id, tf,
-               0.75 * (CAST(cbg AS DOUBLE) / CAST(cp.cw AS DOUBLE)) +
-               0.25 * (CAST(cc.cw AS DOUBLE) / CAST(n AS DOUBLE)) AS p
-        FROM tf
-        JOIN cbg USING (bg)
-        JOIN cw cp ON cp.word = string_split(bg, ' ')[1]
-        JOIN cw cc ON cc.word = string_split(bg, ' ')[2]
-        CROSS JOIN n)
-      SELECT doc_id, CAST(sum(tf) AS INTEGER) AS n_bigrams,
-             round(CAST(sum(CAST(CAST(tf AS DOUBLE) * -ln(p)
-                                 AS DECIMAL(28,12))) AS DOUBLE)
-                   / CAST(sum(tf) AS DOUBLE), 4) AS xent
-      FROM scored GROUP BY doc_id ORDER BY doc_id"""))
-
-  /** text_redact — PII-style regex masking over customer names with
-    * the default rule set (email, IPv4, ≥6-digit ID runs). Staged
-    * counting: each rule counts matches in the value AFTER earlier
-    * rules ran, so nothing is double-counted. Row-local codegen'd
-    * regexps, no shuffle; the oracle's CTE chain is generated from
-    * the same TextOps.RedactRules list so rules can't drift.
-    */
-  private val t07 = Q(
-    "text_redact",
-    (s, d) => TextOps.redact(cust(s, d), "c_name", TextOps.RedactRules)
-      .select(col("c_custkey"), col("c_name_redacted"), col("n_redacted"))
-      .orderBy(col("c_custkey")),
-    Some {
-      val rules = TextOps.RedactRules
-      val ctes = rules.zipWithIndex.map { case ((pat, rep), i) =>
-        s"""s${i + 1} AS (SELECT c_custkey,
-           |        regexp_replace(v$i, '$pat', '$rep', 'g') AS v${i + 1},
-           |        m$i + len(regexp_extract_all(v$i, '$pat')) AS m${i + 1}
-           |      FROM s$i)""".stripMargin
-      }.mkString(",\n      ")
-      val k = rules.size
-      s"""
-      WITH s0 AS (SELECT c_custkey, c_name AS v0, 0 AS m0 FROM customer),
-      $ctes
-      SELECT c_custkey, v$k AS c_name_redacted,
-             CAST(m$k AS INTEGER) AS n_redacted
-      FROM s$k ORDER BY c_custkey"""
-    })
-
-  /** text_normalize — canonical normalization before hashing/dedup:
-    * lowercase, punctuation to spaces, whitespace collapsed, plus the
-    * md5 of the normalized form (the exact-dedup key). Run over
-    * customer names, which actually carry case and punctuation.
-    * Row-local projection, no shuffle.
-    */
-  private val t08 = Q(
-    "text_normalize",
-    (s, d) => TextOps.normalize(cust(s, d), "c_name")
-      .select(col("c_custkey"), col("c_name_norm"), col("norm_fp"))
-      .orderBy(col("c_custkey")),
-    Some("""
-      SELECT c_custkey,
-             trim(regexp_replace(regexp_replace(lower(c_name),
-               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS c_name_norm,
-             md5(trim(regexp_replace(regexp_replace(lower(c_name),
-               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_fp
-      FROM customer ORDER BY c_custkey"""))
-
-  /** text_bm25 — BM25 retrieval ranking of documents for a 3-term
-    * query (TextOps.bm25, k1=1.2 b=0.75, Robertson idf). Docs without
-    * any query term are dropped row-locally before the explode, so the
-    * (doc, term) stream is matching-docs × |query| — never the corpus
-    * vocabulary. Both engines order by the ROUNDED score with a doc_id
-    * tiebreak, so a 1-ulp disagreement in the double sum cannot flip
-    * the emitted ranking.
-    */
-  private val t09 = Q(
-    "text_bm25",
-    (s, d) => TextOps.bm25(docs(s, d), Seq("table", "scan", "merge"), topN = 50),
-    Some("""
-      WITH dd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      stats AS (
-        SELECT count(*) AS n_docs, sum(len(w))::DOUBLE / count(*) AS avgdl
-        FROM dd),
-      m AS (SELECT doc_id, len(w)::DOUBLE AS dl, unnest(w) AS term FROM dd),
-      tf AS (
-        SELECT doc_id, term, any_value(dl) AS dl, count(*)::DOUBLE AS tf
-        FROM m WHERE term IN ('table', 'scan', 'merge')
-        GROUP BY doc_id, term),
-      dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term)
-      SELECT doc_id, CAST(count(*) AS INTEGER) AS n_terms,
-             round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
-                       * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))),
-                   4) AS score
-      FROM tf JOIN dfreq USING (term) CROSS JOIN stats
-      GROUP BY doc_id
-      ORDER BY score DESC, doc_id LIMIT 50"""))
-
-  /** text_bpe_merges — distributed BPE tokenizer training
-    * (BpeOps.trainMerges): the corpus collapses to its word-type
-    * vocabulary once, then each of the 3 merge rounds is a vocab-sized
-    * pair-count aggregate + a 1-row argmax collect (the trainCentroids
-    * driver-loop pattern). Counts are exact integers and ties break
-    * lexicographically, so the oracle — a generated 3-stage unrolled
-    * CTE replay — matches byte-for-byte.
-    */
-  private val t10 = Q(
-    "text_bpe_merges",
-    (s, d) => BpeOps.trainMerges(docs(s, d), 3).orderBy(col("step")),
-    Some(BpeOps.mergesOracleSql(3)))
-
-  /** text_bpe_merges256 — BPE training at a REALISTIC merge count
-    * (the round-4 verdict's gate: the 3-merge instance never exercised
-    * the in-memory fast path at depth). The synthetic corpus has only
-    * 31 word types (merges exhaust at 89), so the trainer runs over
-    * word-BIGRAM units ("a~b", 916 types, ~8.2k merges available) —
-    * same operator, richer symbol space, 256 REAL rounds at every SF.
-    * Word types ≪ corpus, so a production 32k-merge run is the same
-    * shape: ONE corpus-sized vocab pass, then driver-local rounds
-    * costing O(vocab symbols) each, zero further cluster jobs. The
-    * oracle is the generated 256-stage unrolled CTE replay
-    * (`mergesOracleSql(256)`, MATERIALIZED stages): every round's
-    * exact pair counts, UTF-8 argmax tiebreak, and literal
-    * leftmost-non-overlapping replace — 256 consecutive argmaxes
-    * hash-matching DuckDB byte-for-byte is as strong as a tokenizer-
-    * training grade gets.
-    */
-  /** text_chunk_windows — overlapping token-window chunking
-    * (TextOps.chunkDocs, window 32 / stride 24): the context-window
-    * prep step of a retrieval/training pipeline — each doc explodes
-    * row-locally (sequence → transform → posexplode, codegen'd, no
-    * shuffle) into provenance-carrying chunks; output rows ≈
-    * corpus_tokens/stride, the linear cost chunking must have. Graded
-    * on the first 50 docs: chunk index, token count, and the md5 of
-    * every chunk's text — the oracle replays the start arithmetic
-    * (range) and 1-based list slice byte-for-byte.
-    */
-  private val t14 = Q(
-    "text_chunk_windows",
-    (s, d) => {
-      import s.implicits._
-      TextOps.chunkDocs(docs(s, d).filter($"doc_id" < 50),
-          "text", "doc_id", windowTokens = 32, strideTokens = 24)
-        .select($"doc_id", $"doc_tokens", $"chunk_idx", $"chunk_tokens",
-          md5($"chunk_text".cast("binary")).as("chunk_md5"))
-        .orderBy($"doc_id", $"chunk_idx")
-    },
-    Some("""
-      WITH d AS (
-        SELECT doc_id, string_split(text, ' ') AS ws
-        FROM documents WHERE doc_id < 50),
-      c AS (
-        SELECT doc_id, CAST(len(ws) AS INTEGER) AS doc_tokens,
-               CAST(t.i // 24 AS INTEGER) AS chunk_idx,
-               array_to_string(ws[t.i+1 : t.i+32], ' ') AS chunk_text
-        FROM d, unnest(range(0,
-               ((greatest(len(ws) - 32, 0) + 23) // 24) * 24 + 1,
-               24)) AS t(i))
-      SELECT doc_id, doc_tokens, chunk_idx,
-             CAST(len(string_split(chunk_text, ' ')) AS INTEGER)
-               AS chunk_tokens,
-             md5(chunk_text) AS chunk_md5
-      FROM c ORDER BY doc_id, chunk_idx"""))
-
-  private val t13 = Q(
-    "text_bpe_merges256",
-    (s, d) => {
-      import s.implicits._
-      val bigramText = array_join(
-        transform(graft.functions.TextFunctions.word_ngrams($"text", 2),
-          x => regexp_replace(x, " ", "~")),
-        " ")
-      BpeOps.trainMerges(docs(s, d).select(bigramText.as("text")), 256)
-        .orderBy(col("step"))
-    },
-    Some(BpeOps.mergesOracleSql(256, "documents",
-      "array_to_string(list_transform(range(1, len(string_split(text, ' '))), " +
-        "j -> string_split(text, ' ')[j] || '~' || string_split(text, ' ')[j+1]), ' ')")))
-
-  /** text_filter_cascade — single-scan curation cascade with
-    * per-stage drop attribution (TextOps.filterCascade): three ordered
-    * quality gates over documents; each row's first failing stage
-    * claims it row-locally, so the whole report is ONE
-    * partial-aggregated pass (never N scans). The oracle replays the
-    * same first-fail CASE.
-    */
-  private val t12 = Q(
-    "text_filter_cascade",
-    (s, d) => {
-      import s.implicits._
-      TextOps.filterCascade(docs(s, d), Seq(
-        "min_chars" -> ($"n_chars" >= 50),
-        "lang_latin" -> $"lang".isin("en", "de", "es", "fr"),
-        "min_tokens" -> (size(split($"text", " ")) >= 20)))
-        .orderBy($"stage")
-    },
-    Some("""
-      WITH f AS (
-        SELECT CASE
-          WHEN NOT coalesce(n_chars >= 50, false) THEN 0
-          WHEN NOT coalesce(lang IN ('en', 'de', 'es', 'fr'), false) THEN 1
-          WHEN NOT coalesce(len(string_split(text, ' ')) >= 20, false) THEN 2
-          ELSE -1 END AS ff
-        FROM documents),
-      a AS (
-        SELECT count(*) AS total,
-               CAST(sum(CASE WHEN ff = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d0,
-               CAST(sum(CASE WHEN ff = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
-               CAST(sum(CASE WHEN ff = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d2
-        FROM f)
-      SELECT 1 AS stage, 'min_chars' AS stage_name, total AS n_in, d0 AS n_dropped FROM a
-      UNION ALL SELECT 2, 'lang_latin', total - d0, d1 FROM a
-      UNION ALL SELECT 3, 'min_tokens', total - d0 - d1, d2 FROM a
-      ORDER BY stage"""))
-
-  /** q73 — schema-evolution read (Tables.readEvolved): the corpus
-    * split into a v1 batch written WITHOUT the source column and a v2
-    * batch with it, read back through mergeSchema into one stable wide
-    * schema (v1 rows carry NULL source). A plain parquet read takes a
-    * random footer's schema and silently drops the evolved column —
-    * the ingest bug this op exists to prevent. Oracle rebuilds the
-    * same union with an explicit NULL.
-    */
-  private val q73 = Q(
-    "q73_schema_evolution",
-    (s, d) => {
-      import s.implicits._
-      val all = docs(s, d)
-      val v1 = tmpDir(s, "q73_v1")
-      val v2 = tmpDir(s, "q73_v2")
-      all.filter($"doc_id" % 2 === 0)
-        .select($"doc_id", $"text", $"lang", $"n_chars")
-        .write.mode("overwrite").parquet(v1)
-      all.filter($"doc_id" % 2 =!= 0)
-        .select($"doc_id", $"text", $"lang", $"n_chars", $"source")
-        .write.mode("overwrite").parquet(v2)
-      Tables.readEvolved(s, Seq(v1, v2))
-        .groupBy($"lang")
-        .agg(count(lit(1)).as("n_docs"),
-             count($"source").as("n_with_source"),
-             countDistinct($"source").as("n_sources"))
-        .orderBy($"lang")
-    },
-    Some("""
-      WITH v AS (
-        SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS source
-        FROM documents WHERE doc_id % 2 = 0
-        UNION ALL
-        SELECT doc_id, lang, source FROM documents WHERE doc_id % 2 <> 0)
-      SELECT lang, count(*) AS n_docs,
-             count(source) AS n_with_source,
-             CAST(count(DISTINCT source) AS BIGINT) AS n_sources
-      FROM v GROUP BY lang ORDER BY lang"""))
-
-  /** pipeline_curation — the capstone composition: the full curation
-    * pass a training-data pipeline runs, as ONE declarative plan —
-    * canonical normalization (TextOps.normalize) → exact dedup on the
-    * canonical fingerprint (lowest id survives) → quality gates
-    * (cascadeSurvivors, predicates pushed) → quality-weighted sampling
-    * (weightedSample) → per-language token accounting. The normalized
-    * projection (doc_id, lang, n_chars, text_norm, norm_fp) is STAGED
-    * ONCE (eager localCheckpoint), so the dedup winner-set aggregate
-    * and the main branch share a single corpus scan — round 3's plan
-    * honestly documented a second pruned scan here; this is the
-    * production fix it promised (the incrementalDedup digest-index
-    * idiom). Row-local gates still fuse into one Filter over the
-    * staged rows. Shuffles: the winner-set aggregate and the final
-    * 4-group aggregate. The oracle replays every stage as one CTE
-    * chain.
-    */
-  private val p01 = Q(
-    "pipeline_curation",
-    (s, d) => {
-      import s.implicits._
-      val normed = TextOps.normalize(docs(s, d), "text")
-        .select($"doc_id", $"lang", $"n_chars", $"text_norm", $"norm_fp")
-        .localCheckpoint(true)
-      // exact dedup on the canonical fingerprint: lowest doc_id wins
-      val keep = normed.groupBy($"norm_fp").agg(min($"doc_id").as("doc_id"))
-      val deduped = normed.join(keep, Seq("norm_fp", "doc_id"))
-      val gated = TextOps.cascadeSurvivors(deduped, Seq(
-        "min_chars" -> ($"n_chars" >= 50),
-        "lang_latin" -> $"lang".isin("en", "de", "es", "fr"),
-        "min_tokens" -> (size(split($"text_norm", " ")) >= 20)))
-      SampleOps.weightedSample(gated, "doc_id",
-          least($"n_chars".cast("double") / 2000.0, lit(1.0)))
-        .groupBy($"lang")
-        .agg(count(lit(1)).as("n_docs"),
-             sum(size(split($"text_norm", " "))).as("sum_tokens"))
-        .orderBy($"lang")
-    },
-    Some("""
-      WITH n AS (
-        SELECT doc_id, lang, n_chars,
-               trim(regexp_replace(regexp_replace(lower(text),
-                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
-        FROM documents),
-      f AS (SELECT *, md5(norm) AS fp FROM n),
-      dd AS (SELECT * FROM f
-             QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
-      g AS (SELECT * FROM dd
-            WHERE n_chars >= 50 AND lang IN ('en', 'de', 'es', 'fr')
-              AND len(string_split(norm, ' ')) >= 20),
-      w AS (SELECT * FROM g
-            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER AS DOUBLE) <
-                  least(greatest(least(CAST(n_chars AS DOUBLE) / 2000.0, 1.0), 0.0), 1.0) * 65536.0)
-      SELECT lang, count(*) AS n_docs,
-             CAST(sum(len(string_split(norm, ' '))) AS BIGINT) AS sum_tokens
-      FROM w GROUP BY lang ORDER BY lang"""))
-
-  /** text_bpe_tokenize — tokenizer application: the 3 trained merges
-    * run over every document as a row-local literal-replace chain
-    * (codegen'd projection, linear in corpus bytes — the shape
-    * tokenization must have at 100 TB), emitting per-doc post-merge
-    * token counts. Oracle = the trainer replay feeding per-doc replace
-    * stages through scalar subqueries.
-    */
-  private val t11 = Q(
-    "text_bpe_tokenize",
-    (s, d) => {
-      val merges = BpeOps.trainMerges(docs(s, d), 3).collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
-      BpeOps.applyMerges(docs(s, d), merges).orderBy(col("doc_id"))
-    },
-    Some(BpeOps.tokenizeOracleSql(3)))
-
-  /** text_fertility — tokenizer fertility report (BpeOps.fertility):
-    * per-language tokens-per-word and chars-per-token under the same
-    * 3-merge trained tokenizer t11 grades — the diagnostic that tells
-    * a multilingual vocab which languages it under-serves (high
-    * fertility = words fragment into many tokens). One row-local
-    * projection into one partial-aggregated rollup; the oracle replays
-    * trainer, per-doc merges, and the exact-integer-division ratios.
-    */
-  private val t17 = Q(
-    "text_fertility",
-    (s, d) => {
-      val merges = BpeOps.trainMerges(docs(s, d), 3).collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
-      BpeOps.fertility(docs(s, d), merges).orderBy(col("lang"))
-    },
-    Some(BpeOps.fertilityOracleSql(3)))
-
-  /** text_trending_terms — token-level drift monitor
-    * (TextOps.trendingTerms): per ingest batch (the d15 source-order
-    * convention), top-5 terms by smoothed share-of-batch lift vs the
-    * previous batch. One (batch, word) count pass; previous-batch
-    * counts via a co-partitioned self-join of the counts table
-    * shifted by one batch; batch totals broadcast; WindowGroupLimit
-    * top-k (the q04 shape). Ranking compares unrounded IEEE doubles
-    * from the identical formula on both engines, ties to the smaller
-    * word.
-    */
-  private val t18 = Q(
-    "text_trending_terms",
-    (s, d) => TextOps.trendingTerms(docs(s, d), "text",
-        substring(col("source"), 4, 5).cast("int"), k = 5)
-      .orderBy(col("batch"), col("rank")),
-    Some("""
-      WITH w AS (
-        SELECT CAST(substr(source, 4) AS INTEGER) AS batch,
-               unnest(string_split(text, ' ')) AS word
-        FROM documents
-        WHERE CAST(substr(source, 4) AS INTEGER) IS NOT NULL),
-      c AS (SELECT batch, word, count(*) AS cnt FROM w GROUP BY 1, 2),
-      t AS (SELECT batch, CAST(sum(cnt) AS BIGINT) AS total
-            FROM c GROUP BY 1),
-      l AS (
-        SELECT c.batch, c.word, c.cnt,
-               CAST(coalesce(p.cnt, 0) AS BIGINT) AS prev_cnt,
-               ((CAST(c.cnt AS DOUBLE) + 0.5)
-                  / (CAST(t.total AS DOUBLE) + 1.0)) /
-               ((CAST(coalesce(p.cnt, 0) AS DOUBLE) + 0.5)
-                  / (CAST(pt.total AS DOUBLE) + 1.0)) AS lift
-        FROM c
-        JOIN t USING (batch)
-        JOIN t pt ON pt.batch = c.batch - 1
-        LEFT JOIN c p ON p.batch = c.batch - 1 AND p.word = c.word),
-      r AS (
-        SELECT batch, word, cnt, prev_cnt, lift,
-               CAST(row_number() OVER (PARTITION BY batch
-                 ORDER BY lift DESC, word) AS INTEGER) AS rank
-        FROM l)
-      SELECT batch, rank, word, cnt, prev_cnt, round(lift, 4) AS lift
-      FROM r WHERE rank <= 5 ORDER BY batch, rank"""))
-
-  // ---------------------------------------------------------- similarity
-
-  /** DuckDB mirror of SimOps' sign-LSH bucket: the SAME seeded plane
-    * matrix inlined as literals (Double.toString round-trips exactly),
-    * bit p set when dot(emb, plane_p) >= 0.
-    *
-    * Precision contract: DuckDB's `list_dot_product` is NOT the same
-    * fold as the engine's sequential loop (measured: ~half of all
-    * plane dots differ at 1 ulp on sf0.1), so engine≡oracle holds
-    * because the DATA carries margin, not bit-for-bit arithmetic. A
-    * sign flip needs a dot within ~1 ulp of 0 and a rank flip needs
-    * two in-bucket cosines within ~1 ulp; measured sf0.1 minima are
-    * |dot| ≥ 3.6e-5 and nonzero sim gap ≥ 1.1e-6 — ten orders of
-    * magnitude of headroom. Regenerated testdata should re-check those
-    * margins before trusting a hash mismatch here.
-    */
-  private def lshBucketSql(embExpr: String, dim: Int): String =
-    SimOps.planesFor(dim).zipWithIndex.map { case (p, i) =>
-      s"(CASE WHEN list_dot_product($embExpr, [${p.mkString(", ")}]::DOUBLE[]) >= 0 THEN ${1 << i} ELSE 0 END)"
-    }.mkString("\n          + ")
-
-  /** ann_cosine_topk — exact brute-force cosine top-5 for 10 query
-    * vectors; double-precision on both sides for oracle parity.
-    */
-  private val a01 = Q(
-    "ann_cosine_topk",
-    (s, d) => {
-      import s.implicits._
-      val e = emb(s, d)
-      SimOps.bruteForceTopK(e.filter($"vec_id" < 10), e, "vec_id", "embedding", 5)
-        .orderBy($"qid", $"rnk")
-    },
-    Some("""
-      SELECT qid, nid, sim, rnk FROM (
-        SELECT q.vec_id AS qid, c.vec_id AS nid,
-               round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS sim,
-               CAST(row_number() OVER (PARTITION BY q.vec_id
-                 ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
-                          c.vec_id) AS INTEGER) AS rnk
-        FROM embeddings q CROSS JOIN embeddings c
-        WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id) t
-      WHERE rnk <= 5 ORDER BY qid, rnk"""))
-
-  /** ann_lsh_topk — sign-LSH bucketed variant (the 100 TB scale path).
-    * The hash family is fixed-seed deterministic, so the oracle is a
-    * full DuckDB mirror (same planes, same bucketing, same re-rank) —
-    * hash-compared, not merely recall-checked.
-    */
-  private val a02 = Q(
-    "ann_lsh_topk",
-    (s, d) => {
-      import s.implicits._
-      val e = emb(s, d)
-      SimOps.lshTopK(e.filter($"vec_id" < 10), e, "vec_id", "embedding", 5)
-        .orderBy($"qid", $"rnk")
-    },
-    Some(s"""
-      WITH b AS (
-        SELECT vec_id, embedding::DOUBLE[] AS emb,
-          ${lshBucketSql("embedding::DOUBLE[]", 64)} AS bucket
-        FROM embeddings)
-      SELECT qid, nid, sim, rnk FROM (
-        SELECT q.vec_id AS qid, c.vec_id AS nid,
-               round(list_cosine_similarity(q.emb, c.emb), 4) AS sim,
-               CAST(row_number() OVER (PARTITION BY q.vec_id
-                 ORDER BY list_cosine_similarity(q.emb, c.emb) DESC, c.vec_id) AS INTEGER) AS rnk
-        FROM b q JOIN b c USING (bucket)
-        WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id) t
-      WHERE rnk <= 5 ORDER BY qid, rnk"""))
-
-  /** ann_ivf_topk — IVF-flat probe variant. The codebook is
-    * deterministic (the 16 lowest-id corpus vectors) and assignment /
-    * probing are pure double arithmetic, so the oracle mirrors the
-    * whole index: build codebook, assign argmax cell (ties to the
-    * higher cell, like CellArgmax), probe the 2 best cells, exact
-    * re-rank inside them.
-    */
-  private val a03 = Q(
-    "ann_ivf_topk",
-    (s, d) => {
-      import s.implicits._
-      val e = emb(s, d)
-      SimOps.ivfTopK(e.filter($"vec_id" < 10), e, "vec_id", "embedding", 5)
-        .orderBy($"qid", $"rnk")
-    },
-    Some("""
-      WITH cb AS (
-        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
-               embedding::DOUBLE[] AS cvec,
-               1.0 / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cinv
-        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16) s),
-      scored AS (
-        SELECT e.vec_id, e.embedding::DOUBLE[] AS emb, cb.cell,
-               list_dot_product(e.embedding::DOUBLE[], cb.cvec) * cb.cinv AS score
-        FROM embeddings e CROSS JOIN cb),
-      assign AS (
-        SELECT vec_id AS nid, emb AS c_emb, cell FROM (
-          SELECT vec_id, emb, cell,
-                 row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS r
-          FROM scored) t WHERE r = 1),
-      probe AS (
-        SELECT vec_id AS qid, emb AS q_emb, cell FROM (
-          SELECT vec_id, emb, cell,
-                 row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS r
-          FROM scored WHERE vec_id < 10) t WHERE r <= 2)
-      SELECT qid, nid, sim, rnk FROM (
-        SELECT q.qid, c.nid,
-               round(list_cosine_similarity(q.q_emb, c.c_emb), 4) AS sim,
-               CAST(row_number() OVER (PARTITION BY q.qid
-                 ORDER BY list_cosine_similarity(q.q_emb, c.c_emb) DESC, c.nid) AS INTEGER) AS rnk
-        FROM probe q JOIN assign c USING (cell)
-        WHERE q.qid <> c.nid) t
-      WHERE rnk <= 5 ORDER BY qid, rnk"""))
-
-  /** ann_ivf_trained_topk — the IVF probe path under a TRAINED codebook:
-    * SimOps.trainCentroids (2 unrolled Lloyd's iterations, centroid
-    * components rounded to 1e-6 precisely so cross-engine float-merge
-    * order cannot leak into the result) then the same probe/re-rank as
-    * ann_ivf_topk. The oracle replays the whole trainer in SQL —
-    * codebook init, two assign/recompute rounds (empty cells keep their
-    * previous centroid, ties to the higher cell), probe, exact re-rank —
-    * so the distributed k-means itself is hash-graded, not just
-    * recall-tested.
-    */
-  // a04 oracle generators (the lshBucketSql idiom): the trained-IVF
-  // oracle replays SimOps.trainCentroids in SQL, which needs the same
-  // score / argmax-assign / recompute blocks five times — emitted from
-  // one definition each so a semantics fix cannot miss a copy.
-  private def a04Score(out: String, cb: String, src: String = "e"): String =
-    s"""$out AS (
-      |        SELECT $src.vec_id, $src.emb, cb.cell,
-      |               list_dot_product($src.emb, cb.cvec) * (1.0 / sqrt(list_dot_product(cb.cvec, cb.cvec))) AS score
-      |        FROM $src CROSS JOIN $cb cb)""".stripMargin
-
-  private def a04Argmax(out: String, cols: String, src: String,
-                        where: String, keep: String): String =
-    s"""$out AS (
-      |        SELECT $cols FROM (
-      |          SELECT vec_id, emb, cell, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) r
-      |          FROM $src$where) t WHERE $keep)""".stripMargin
-
-  /** One unrolled Lloyd's round: score vs cb`i`, assign argmax cell
-    * (ties to the higher cell, like CellArgmax), per-dimension mean
-    * rounded to 1e-6 (half-away, same as trainCentroids.round6), empty
-    * cells keep their previous centroid.
-    */
-  private def a04Round(i: Int): String =
-    s"""${a04Score(s"s$i", s"cb$i")},
-      |      ${a04Argmax(s"a$i", "vec_id, emb, cell", s"s$i", "", "r = 1")},
-      |      m$i AS (
-      |        SELECT cell, p.p AS pos, round(avg(emb[p.p]), 6) AS m
-      |        FROM a$i CROSS JOIN pos p GROUP BY cell, p.p),
-      |      cb${i + 1} AS (
-      |        SELECT g.cell, list(coalesce(m$i.m, g.prev) ORDER BY g.pos) AS cvec
-      |        FROM (SELECT c.cell, p.p AS pos, c.cvec[p.p] AS prev FROM cb$i c CROSS JOIN pos p) g
-      |        LEFT JOIN m$i ON m$i.cell = g.cell AND m$i.pos = g.pos
-      |        GROUP BY g.cell)""".stripMargin
-
-  private val a04 = Q(
-    "ann_ivf_trained_topk",
-    (s, d) => {
-      import s.implicits._
-      val e = emb(s, d)
-      val cb = SimOps.trainCentroids(e, "vec_id", "embedding", 16, iters = 2)
-      SimOps.ivfTopK(e.filter($"vec_id" < 10), e, "vec_id", "embedding", 5,
-          codebook = Some(cb))
-        .orderBy($"qid", $"rnk")
-    },
-    Some(s"""
-      WITH
-      pos AS (SELECT unnest(range(1, 65)) AS p),
-      e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-      cb0 AS (
-        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
-               emb AS cvec
-        FROM (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT 16) s),
-      ${a04Round(0)},
-      ${a04Round(1)},
-      ${a04Score("sf_", "cb2")},
-      ${a04Argmax("assign", "vec_id AS nid, emb AS c_emb, cell", "sf_", "", "r = 1")},
-      ${a04Argmax("probe", "vec_id AS qid, emb AS q_emb, cell", "sf_", " WHERE vec_id < 10", "r <= 2")}
-      SELECT qid, nid, sim, rnk FROM (
-        SELECT q.qid, c.nid,
-               round(list_cosine_similarity(q.q_emb, c.c_emb), 4) AS sim,
-               CAST(row_number() OVER (PARTITION BY q.qid
-                 ORDER BY list_cosine_similarity(q.q_emb, c.c_emb) DESC, c.nid) AS INTEGER) AS rnk
-        FROM probe q JOIN assign c USING (cell)
-        WHERE q.qid <> c.nid) t
-      WHERE rnk <= 5 ORDER BY qid, rnk"""))
-
-  /** ann_pq_topk — product-quantization ANN (SimOps.pqTopK): corpus
-    * encoded once as 8 sub-codes (compressed-domain scan, ~3% of the
-    * bytes of the float column), per-query ADC lookup table, top-20
-    * candidates by approximate dot, exact cosine re-rank to top-5. The
-    * codebooks are deterministic (sliced from the 16 lowest-id
-    * vectors), so the oracle replays the whole index — sub-codebooks,
-    * argmin encoding (ties to the lower code), ordered-fold ADC sums,
-    * candidate cut, exact re-rank — and the result is hash-graded.
-    */
-  private val a05 = Q(
-    "ann_pq_topk",
-    (s, d) => {
-      import s.implicits._
-      val e = emb(s, d)
-      SimOps.pqTopK(e.filter($"vec_id" < 10), e, "vec_id", "embedding", 5)
-        .orderBy($"qid", $"rnk")
-    },
-    Some("""
-      WITH
-      e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-      sub AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS m),
-      cb AS (
-        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS kidx, emb
-        FROM (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT 16) s),
-      cbm AS (
-        SELECT cb.kidx, sub.m, cb.emb[sub.m*8+1 : sub.m*8+8] AS cvec
-        FROM cb CROSS JOIN sub),
-      enc AS (
-        SELECT vec_id, m, kidx AS code FROM (
-          SELECT e.vec_id, c.m, c.kidx,
-                 row_number() OVER (PARTITION BY e.vec_id, c.m
-                   ORDER BY list_distance(e.emb[c.m*8+1 : c.m*8+8], c.cvec) ASC, c.kidx ASC) r
-          FROM e CROSS JOIN cbm c) t WHERE r = 1),
-      lut AS (
-        SELECT q.vec_id AS qid, c.m, c.kidx,
-               list_dot_product(q.emb[c.m*8+1 : c.m*8+8], c.cvec) AS d
-        FROM e q CROSS JOIN cbm c WHERE q.vec_id < 10),
-      adc AS (
-        SELECT l.qid, n.vec_id AS nid, sum(l.d ORDER BY l.m) AS score
-        FROM enc n JOIN lut l ON l.m = n.m AND l.kidx = n.code
-        WHERE l.qid <> n.vec_id
-        GROUP BY l.qid, n.vec_id),
-      cand AS (
-        SELECT qid, nid FROM (
-          SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) r
-          FROM adc) t WHERE r <= 20)
-      SELECT qid, nid, sim, rnk FROM (
-        SELECT c.qid, c.nid,
-               round(list_cosine_similarity(q.emb, n.emb), 4) AS sim,
-               CAST(row_number() OVER (PARTITION BY c.qid
-                 ORDER BY list_cosine_similarity(q.emb, n.emb) DESC, c.nid) AS INTEGER) AS rnk
-        FROM cand c JOIN e q ON q.vec_id = c.qid JOIN e n ON n.vec_id = c.nid) t
-      WHERE rnk <= 5 ORDER BY qid, rnk"""))
-
-  /** ann_recall_report — recall@5 of the IVF index vs the exact
-    * brute-force baseline, computed IN the engine
-    * (SimOps.recallAtK): the quality number an operator of a
-    * corpus-scale ANN index watches, graded instead of trusted — both
-    * sides are deterministic (the a01/a03 plans verbatim), so the
-    * oracle replays approx, exact, the (qid, nid) hit join, and the
-    * per-query ratio. The report itself adds nothing corpus-sized:
-    * |queries|×k rows per side, broadcast join, partial aggregate.
-    */
-  private val a06 = Q(
-    "ann_recall_report",
-    (s, d) => {
-      import s.implicits._
-      val e = emb(s, d)
-      val q = e.filter($"vec_id" < 10)
-      SimOps.recallAtK(
-          SimOps.bruteForceTopK(q, e, "vec_id", "embedding", 5),
-          SimOps.ivfTopK(q, e, "vec_id", "embedding", 5))
-        .orderBy($"qid")
-    },
-    Some("""
-      WITH cb AS (
-        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
-               embedding::DOUBLE[] AS cvec,
-               1.0 / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cinv
-        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16) s),
-      scored AS (
-        SELECT e.vec_id, e.embedding::DOUBLE[] AS emb, cb.cell,
-               list_dot_product(e.embedding::DOUBLE[], cb.cvec) * cb.cinv AS score
-        FROM embeddings e CROSS JOIN cb),
-      assign AS (
-        SELECT vec_id AS nid, emb AS c_emb, cell FROM (
-          SELECT vec_id, emb, cell,
-                 row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS r
-          FROM scored) t WHERE r = 1),
-      probe AS (
-        SELECT vec_id AS qid, emb AS q_emb, cell FROM (
-          SELECT vec_id, emb, cell,
-                 row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS r
-          FROM scored WHERE vec_id < 10) t WHERE r <= 2),
-      ivf AS (
-        SELECT qid, nid FROM (
-          SELECT q.qid, c.nid,
-                 row_number() OVER (PARTITION BY q.qid
-                   ORDER BY list_cosine_similarity(q.q_emb, c.c_emb) DESC, c.nid) AS rnk
-          FROM probe q JOIN assign c USING (cell)
-          WHERE q.qid <> c.nid) t
-        WHERE rnk <= 5),
-      exact AS (
-        SELECT qid, nid FROM (
-          SELECT q.vec_id AS qid, c.vec_id AS nid,
-                 row_number() OVER (PARTITION BY q.vec_id
-                   ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
-                            c.vec_id) AS rnk
-          FROM embeddings q CROSS JOIN embeddings c
-          WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id) t
-        WHERE rnk <= 5)
-      SELECT e.qid, CAST(count(*) AS BIGINT) AS k,
-             CAST(sum(CASE WHEN i.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
-             round(CAST(sum(CASE WHEN i.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-                   / CAST(count(*) AS BIGINT), 4) AS recall
-      FROM exact e LEFT JOIN ivf i ON e.qid = i.qid AND e.nid = i.nid
-      GROUP BY e.qid ORDER BY e.qid"""))
-
-  /** ann_filtered_topk — metadata-FILTERED vector search
-    * (SimOps.ivfTopKFiltered): the vector-DB filtered-search mode.
-    * The IVF index (codebook = 16 lowest-id FULL-corpus vectors) is
-    * built once over the whole corpus; the label predicate applies to
-    * candidates BEFORE ranking, so each query gets its 5 nearest
-    * even-label neighbors — not a post-filtered remnant of an
-    * unfiltered top-5. The oracle is the a03 replay with the label
-    * carried through assignment and filtered in the candidate set
-    * (the codebook CTE stays unfiltered — that is the semantic under
-    * test).
-    */
-  private val a07 = Q(
-    "ann_filtered_topk",
-    (s, d) => {
-      import s.implicits._
-      val e = emb(s, d)
-      SimOps.ivfTopKFiltered(e.filter($"vec_id" < 10), e, "vec_id", "embedding",
-          col("label") % 2 === 0, 5)
-        .orderBy($"qid", $"rnk")
-    },
-    Some("""
-      WITH cb AS (
-        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
-               embedding::DOUBLE[] AS cvec,
-               1.0 / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cinv
-        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16) s),
-      scored AS (
-        SELECT e.vec_id, e.label, e.embedding::DOUBLE[] AS emb, cb.cell,
-               list_dot_product(e.embedding::DOUBLE[], cb.cvec) * cb.cinv AS score
-        FROM embeddings e CROSS JOIN cb),
-      assign AS (
-        SELECT vec_id AS nid, emb AS c_emb, cell FROM (
-          SELECT vec_id, label, emb, cell,
-                 row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS r
-          FROM scored) t WHERE r = 1 AND label % 2 = 0),
-      probe AS (
-        SELECT vec_id AS qid, emb AS q_emb, cell FROM (
-          SELECT vec_id, emb, cell,
-                 row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS r
-          FROM scored WHERE vec_id < 10) t WHERE r <= 2)
-      SELECT qid, nid, sim, rnk FROM (
-        SELECT q.qid, c.nid,
-               round(list_cosine_similarity(q.q_emb, c.c_emb), 4) AS sim,
-               CAST(row_number() OVER (PARTITION BY q.qid
-                 ORDER BY list_cosine_similarity(q.q_emb, c.c_emb) DESC, c.nid) AS INTEGER) AS rnk
-        FROM probe q JOIN assign c USING (cell)
-        WHERE q.qid <> c.nid) t
-      WHERE rnk <= 5 ORDER BY qid, rnk"""))
-
-  /** search_hybrid_rrf — hybrid retrieval: lexical BM25
-    * (query-by-document, TextOps.bm25PerQuery) and dense cosine
-    * (SimOps.bruteForceTopK) top-10 lists per query, fused with
-    * reciprocal-rank fusion (SimOps.rrfFuse, c = 60) into a final
-    * top-5 — the standard two-tower search stack, run entirely in the
-    * engine. Queries are docs 0–2 (doc_id and vec_id align in the
-    * fixtures). Both retriever legs reuse already-graded parity
-    * machinery (the t-bm25 score algebra, the a01 cosine ranking);
-    * RRF itself is exact IEEE (1/(60+rank), two addends), so the
-    * oracle replays the whole stack: inverted index, df, per-query
-    * scores, both rankings, the full-outer fusion, the fused ranking.
-    */
-  private val a08 = Q(
-    "search_hybrid_rrf",
-    (s, d) => {
-      import s.implicits._
-      val ds = docs(s, d)
-      val e = emb(s, d)
-      SimOps.rrfFuse(
-          TextOps.bm25PerQuery(ds.filter($"doc_id" < 3), ds, topN = 10),
-          SimOps.bruteForceTopK(e.filter($"vec_id" < 3), e, "vec_id", "embedding", 10),
-          k = 5)
-        .orderBy($"qid", $"rnk")
-    },
-    Some("""
-      WITH dd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      stats AS (
-        SELECT count(*) AS n_docs, sum(len(w))::DOUBLE / count(*) AS avgdl
-        FROM dd),
-      qt AS (
-        SELECT doc_id AS qid, unnest(list_distinct(w)) AS term
-        FROM dd WHERE doc_id < 3),
-      ctf AS (
-        SELECT doc_id AS nid, term, any_value(dl) AS dl, count(*)::DOUBLE AS tf
-        FROM (SELECT doc_id, len(w)::DOUBLE AS dl, unnest(w) AS term FROM dd) m
-        WHERE term IN (SELECT DISTINCT term FROM qt)
-        GROUP BY doc_id, term),
-      dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM ctf GROUP BY term),
-      lex AS (
-        SELECT qid, nid, rnk FROM (
-          SELECT qid, nid,
-                 CAST(row_number() OVER (PARTITION BY qid
-                   ORDER BY score DESC, nid) AS INTEGER) AS rnk
-          FROM (
-            SELECT q.qid, c.nid,
-                   round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
-                         * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))),
-                     4) AS score
-            FROM ctf c JOIN dfreq USING (term) JOIN qt q USING (term) CROSS JOIN stats
-            WHERE q.qid <> c.nid
-            GROUP BY q.qid, c.nid) s) r
-        WHERE rnk <= 10),
-      vec AS (
-        SELECT qid, nid, rnk FROM (
-          SELECT q.vec_id AS qid, c.vec_id AS nid,
-                 CAST(row_number() OVER (PARTITION BY q.vec_id
-                   ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
-                            c.vec_id) AS INTEGER) AS rnk
-          FROM embeddings q CROSS JOIN embeddings c
-          WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id) t
-        WHERE rnk <= 10)
-      SELECT qid, nid, rnk_lex, rnk_vec, round(rrf, 6) AS rrf, rnk FROM (
-        SELECT qid, nid, rnk_lex, rnk_vec, rrf,
-               CAST(row_number() OVER (PARTITION BY qid
-                 ORDER BY rrf DESC, nid) AS INTEGER) AS rnk
-        FROM (
-          SELECT COALESCE(l.qid, v.qid) AS qid, COALESCE(l.nid, v.nid) AS nid,
-                 l.rnk AS rnk_lex, v.rnk AS rnk_vec,
-                 COALESCE(1.0 / (60 + l.rnk), 0) + COALESCE(1.0 / (60 + v.rnk), 0) AS rrf
-          FROM lex l FULL OUTER JOIN vec v ON l.qid = v.qid AND l.nid = v.nid) f) g
-      WHERE rnk <= 5 ORDER BY qid, rnk"""))
-
-  /** Unrolled greedy-MMR oracle: pool (brute-force top-poolN, sims
-    * rounded to 4), pairwise in-pool csims (rounded to 4), then one
-    * CTE pair (sel_t, acc_t) per greedy step — sel_1 is the
-    * pure-relevance argmax, each later step maximizes
-    * `λ·sim − (1 − λ)·max csim vs acc` with the (1 − λ) constant
-    * computed BY the engine (both sides evaluate 1 − λ in IEEE double,
-    * so the constants agree bit-for-bit). The mmrTopK replay.
-    */
-  private def mmrOracleSql(k: Int, poolN: Int, lambda: Double): String = {
-    val steps = (2 to k).map { t =>
-      s"""sel$t AS (
-        SELECT qid, nid, $t AS step, sim FROM (
-          SELECT p.qid, p.nid, p.sim,
-                 row_number() OVER (PARTITION BY p.qid
-                   ORDER BY $lambda * p.sim - (1 - $lambda) * m.msim DESC, p.nid) AS r
-          FROM pool p
-          JOIN (SELECT ps.qid, ps.nid_a AS nid, max(ps.csim) AS msim
-                FROM ps JOIN acc${t - 1} s ON ps.qid = s.qid AND ps.nid_b = s.nid
-                GROUP BY 1, 2) m ON m.qid = p.qid AND m.nid = p.nid
-          WHERE NOT EXISTS (SELECT 1 FROM acc${t - 1} s
-                            WHERE s.qid = p.qid AND s.nid = p.nid)) t
-        WHERE r = 1),
-      acc$t AS (SELECT * FROM acc${t - 1} UNION ALL SELECT * FROM sel$t)"""
-    }.mkString(",\n      ")
-    s"""
-      WITH pool AS (
-        SELECT qid, nid, sim FROM (
-          SELECT q.vec_id AS qid, c.vec_id AS nid,
-                 round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS sim,
-                 row_number() OVER (PARTITION BY q.vec_id
-                   ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
-                            c.vec_id) AS rnk
-          FROM embeddings q CROSS JOIN embeddings c
-          WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id) t
-        WHERE rnk <= $poolN),
-      ps AS (
-        SELECT a.qid, a.nid AS nid_a, b.nid AS nid_b,
-               round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) AS csim
-        FROM pool a JOIN pool b ON a.qid = b.qid AND a.nid <> b.nid
-        JOIN embeddings ea ON ea.vec_id = a.nid
-        JOIN embeddings eb ON eb.vec_id = b.nid),
-      sel1 AS (
-        SELECT qid, nid, 1 AS step, sim FROM (
-          SELECT qid, nid, sim,
-                 row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS r
-          FROM pool) t WHERE r = 1),
-      acc1 AS (SELECT * FROM sel1),
-      $steps
-      SELECT qid, nid, CAST(step AS INTEGER) AS step, sim
-      FROM acc$k ORDER BY qid, step"""
-  }
-
-  /** ann_mmr_topk — Maximal-Marginal-Relevance diversification
-    * (SimOps.mmrTopK): greedy top-5 from a brute-force top-10 pool at
-    * λ = 0.7, every step graded — relevance minus max-redundancy over
-    * the already-selected set, the standard post-retrieval
-    * diversification pass. All sims round to 4 before selection on
-    * BOTH sides, so the greedy argmax sequence replays exactly; the
-    * per-step machinery (anti-join, per-query max, argmax window) is
-    * query-partitioned — re-ranking a million queries distributes.
-    */
-  private val a09 = Q(
-    "ann_mmr_topk",
-    (s, d) => {
-      import s.implicits._
-      val e = emb(s, d)
-      SimOps.mmrTopK(e.filter($"vec_id" < 3), e, "vec_id", "embedding",
-          k = 5, poolN = 10, lambda = 0.7)
-        .orderBy($"qid", $"step")
-    },
-    Some(mmrOracleSql(k = 5, poolN = 10, lambda = 0.7)))
-
-  /** ann_hard_negatives — hard-negative mining for contrastive
-    * training (SimOps.hardNegatives): per query vector, the 5 most
-    * confusable corpus vectors inside the cosine band [0.15, 0.35) —
-    * similar enough to carry gradient, below the near-duplicate zone
-    * that would make them false negatives. Band and output compare the
-    * ROUND-4 cosine on both sides (a01's precision contract extended
-    * to the filter — at sf0.1 rows land exactly ON both band edges,
-    * so banding the raw double would be engine-dependent). Graded as
-    * the exact brute scan; the 100 TB path feeds the same band+rank
-    * from an ivfTopK/lshTopK candidate pool.
-    */
-  private val a10 = Q(
-    "ann_hard_negatives",
-    (s, d) => {
-      import s.implicits._
-      val e = emb(s, d)
-      SimOps.hardNegatives(e.filter($"vec_id" < 5), e, "vec_id", "embedding",
-          k = 5, loBand = 0.15, hiBand = 0.35)
-        .orderBy($"qid", $"rnk")
-    },
-    Some("""
-      SELECT qid, nid, sim, rnk FROM (
-        SELECT qid, nid, sim,
-               CAST(row_number() OVER (PARTITION BY qid
-                 ORDER BY rawsim DESC, nid) AS INTEGER) AS rnk
-        FROM (
-          SELECT q.vec_id AS qid, c.vec_id AS nid,
-                 list_cosine_similarity(q.embedding::DOUBLE[],
-                                        c.embedding::DOUBLE[]) AS rawsim,
-                 round(list_cosine_similarity(q.embedding::DOUBLE[],
-                                              c.embedding::DOUBLE[]), 4) AS sim
-          FROM embeddings q CROSS JOIN embeddings c
-          WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id) s
-        WHERE sim >= 0.15 AND sim < 0.35) t
-      WHERE rnk <= 5 ORDER BY qid, rnk"""))
-
-  /** ann_knn_accuracy — leave-one-out 1-NN label accuracy
-    * (SimOps.knnLabelAccuracy): the standard probe eval of the
-    * embedding space, per label, on a deterministic md5 quarter-slice
-    * of query vectors (the hashSample convention) — evaluated
-    * in-engine and graded. Exact brute scan (corpus never shuffles,
-    * sampled queries broadcast, WindowGroupLimit rank-1); the a01
-    * margin contract covers the vote: a flip needs the top-2
-    * neighbors to differ in label AND sit within an ulp of cosine.
-    */
-  private val a11 = Q(
-    "ann_knn_accuracy",
-    (s, d) => SimOps.knnLabelAccuracy(emb(s, d), "vec_id", "embedding",
-        "label", sampleFraction = 0.25)
-      .orderBy(col("label")),
-    Some("""
-      WITH q AS (
-        SELECT vec_id, embedding, label FROM embeddings
-        WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::INTEGER
-              < 16384),
-      nn AS (
-        SELECT qid, nid FROM (
-          SELECT q.vec_id AS qid, c.vec_id AS nid,
-                 row_number() OVER (PARTITION BY q.vec_id
-                   ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
-                                                   c.embedding::DOUBLE[])
-                     DESC, c.vec_id) AS rnk
-          FROM q CROSS JOIN embeddings c
-          WHERE c.vec_id <> q.vec_id) t
-        WHERE rnk = 1),
-      j AS (
-        SELECT q.label AS label,
-               CASE WHEN nn.nid IS NOT NULL AND q.label = cl.label
-                    THEN 1 ELSE 0 END AS ok,
-               CASE WHEN nn.nid IS NULL THEN 1 ELSE 0 END AS unres
-        FROM q
-        LEFT JOIN nn ON q.vec_id = nn.qid
-        LEFT JOIN embeddings cl ON nn.nid = cl.vec_id)
-      SELECT label, count(*) AS n_queries,
-             CAST(sum(ok) AS BIGINT) AS n_correct,
-             CAST(sum(unres) AS BIGINT) AS n_unresolved,
-             round(CAST(sum(ok) AS DOUBLE) / count(*), 4) AS accuracy
-      FROM j GROUP BY 1 ORDER BY 1"""))
-
-  /** ann_knn_accuracy_ivf — the probe eval's SCALE PATH graded
-    * end-to-end (SimOps.knnLabelAccuracy with the IVF candidate
-    * pool): same md5 quarter-slice of queries, rank-1 vote drawn
-    * from the a03 IVF index (default first-16 codebook, nprobe = 2)
-    * instead of the brute scan. The oracle replays codebook,
-    * assignment, probe, rank-1 (a03's fragments), the self
-    * exclusion, and the label rollup — so the "at scale use the
-    * pool" claim is itself hash-graded, not just probe-measured
-    * (near-flat ×10/×30, BASELINE.md).
-    */
-  private val a12 = Q(
-    "ann_knn_accuracy_ivf",
-    (s, d) => SimOps.knnLabelAccuracy(emb(s, d), "vec_id", "embedding",
-        "label", sampleFraction = 0.25, ivfCells = Some(16))
-      .orderBy(col("label")),
-    Some("""
-      WITH cb AS (
-        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
-               embedding::DOUBLE[] AS cvec,
-               1.0 / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
-                 AS cinv
-        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16) s),
-      scored AS (
-        SELECT e.vec_id, e.embedding::DOUBLE[] AS emb, cb.cell,
-               list_dot_product(e.embedding::DOUBLE[], cb.cvec) * cb.cinv AS score
-        FROM embeddings e CROSS JOIN cb),
-      assign AS (
-        SELECT vec_id AS nid, emb AS c_emb, cell FROM (
-          SELECT vec_id, emb, cell,
-                 row_number() OVER (PARTITION BY vec_id
-                   ORDER BY score DESC, cell DESC) AS r
-          FROM scored) t WHERE r = 1),
-      probe AS (
-        SELECT vec_id AS qid, emb AS q_emb, cell FROM (
-          SELECT vec_id, emb, cell,
-                 row_number() OVER (PARTITION BY vec_id
-                   ORDER BY score DESC, cell DESC) AS r
-          FROM scored
-          WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::INTEGER
-                < 16384) t
-        WHERE r <= 2),
-      nn AS (
-        SELECT qid, nid FROM (
-          SELECT q.qid, c.nid,
-                 row_number() OVER (PARTITION BY q.qid
-                   ORDER BY list_cosine_similarity(q.q_emb, c.c_emb) DESC,
-                            c.nid) AS rnk
-          FROM probe q JOIN assign c USING (cell)
-          WHERE q.qid <> c.nid) t
-        WHERE rnk = 1),
-      qs AS (
-        SELECT vec_id AS qid, label FROM embeddings
-        WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::INTEGER
-              < 16384),
-      j AS (
-        SELECT qs.label AS label,
-               CASE WHEN nn.nid IS NOT NULL AND qs.label = cl.label
-                    THEN 1 ELSE 0 END AS ok,
-               CASE WHEN nn.nid IS NULL THEN 1 ELSE 0 END AS unres
-        FROM qs
-        LEFT JOIN nn ON qs.qid = nn.qid
-        LEFT JOIN embeddings cl ON nn.nid = cl.vec_id)
-      SELECT label, count(*) AS n_queries,
-             CAST(sum(ok) AS BIGINT) AS n_correct,
-             CAST(sum(unres) AS BIGINT) AS n_unresolved,
-             round(CAST(sum(ok) AS DOUBLE) / count(*), 4) AS accuracy
-      FROM j GROUP BY 1 ORDER BY 1"""))
-
-  /** corpus_report — the data card: per source×lang token/char/doc
-    * counts with rollup subtotals and each row's share of corpus
-    * tokens — the summary table every released training corpus ships.
-    * One corpus pass: the rollup aggregate (partial map-side — the
-    * token count is a row-local projection) plus a 1-row total
-    * broadcast for the share column. q13's rollup/NULLS FIRST parity
-    * convention.
-    */
-  private val cr1 = Q(
-    "corpus_report",
-    (s, d) => {
-      import s.implicits._
-      val d0 = docs(s, d)
-      val ntok = size(split($"text", " "))
-      val totals = d0.agg(sum(ntok).cast("double").as("__tot"))
-      d0.rollup($"source", $"lang")
-        .agg(count(lit(1)).as("n_docs"),
-             sum(ntok).cast("long").as("n_tokens"),
-             sum($"n_chars").as("n_chars_total"))
-        .crossJoin(broadcast(totals))
-        .withColumn("pct_tokens", round($"n_tokens" / $"__tot" * 100.0, 4))
-        .drop("__tot")
-        .orderBy($"source".asc_nulls_first, $"lang".asc_nulls_first)
-    },
-    Some("""
-      WITH dd AS (
-        SELECT source, lang, len(string_split(text, ' ')) AS ntok, n_chars
-        FROM documents),
-      tot AS (SELECT sum(ntok)::DOUBLE AS tt FROM dd)
-      SELECT source, lang, count(*) AS n_docs,
-             CAST(sum(ntok) AS BIGINT) AS n_tokens,
-             CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
-             round(CAST(sum(ntok) AS BIGINT) / tt * 100.0, 4) AS pct_tokens
-      FROM dd CROSS JOIN tot
-      GROUP BY ROLLUP(source, lang), tt
-      ORDER BY source NULLS FIRST, lang NULLS FIRST"""))
-
-  /** corpus_cluster_cards — cluster topic cards (SimOps.clusterCards):
-    * the embeddings k-means-clustered with the a04 trainer (16 cells,
-    * 2 Lloyd rounds), each cell reported as doc count + its 3 most
-    * distinctive terms by lift (cell term share / corpus term share)
-    * over the joined document text (doc_id and vec_id align in the
-    * fixtures) — the "what is in each cluster?" inspection step of
-    * embedding-driven curation. The oracle replays trainer,
-    * assignment, term statistics, the exact-integer-double lift, and
-    * the per-cell ranking through the shared unrolled-Lloyd fragments.
-    */
-  private val cr2 = Q(
-    "corpus_cluster_cards",
-    (s, d) =>
-      SimOps.clusterCards(emb(s, d), docs(s, d), "vec_id", "embedding",
-          "doc_id", "text", numCells = 16, iters = 2, topTerms = 3)
-        .orderBy(col("cell"), col("rnk")),
-    Some(s"""
-      WITH
-      pos AS (SELECT unnest(range(1, 65)) AS p),
-      e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
-            WHERE embedding IS NOT NULL),
-      cb0 AS (
-        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
-               emb AS cvec
-        FROM (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT 16) s),
-      ${a04Round(0)},
-      ${a04Round(1)},
-      ${a04Score("sf_", "cb2")},
-      ${a04Argmax("assign", "vec_id, cell", "sf_", "", "r = 1")},
-      j AS (
-        SELECT a.cell, d.text FROM assign a
-        JOIN documents d ON d.doc_id = a.vec_id),
-      nd AS (SELECT cell, count(*)::BIGINT AS n_docs FROM j GROUP BY cell),
-      trm AS (SELECT cell, unnest(string_split(text, ' ')) AS term FROM j),
-      ctf AS (SELECT cell, term, count(*)::BIGINT AS ctf FROM trm GROUP BY 1, 2),
-      ctot AS (SELECT cell, count(*)::BIGINT AS ctot FROM trm GROUP BY 1),
-      gtf AS (SELECT term, count(*)::BIGINT AS gtf FROM trm GROUP BY 1),
-      gtot AS (SELECT count(*)::BIGINT AS gtot FROM trm),
-      sc AS (
-        SELECT c.cell, c.term,
-               (c.ctf::DOUBLE * gtot) / (ct.ctot::DOUBLE * g.gtf) AS lift
-        FROM ctf c JOIN gtf g USING (term) JOIN ctot ct USING (cell)
-        CROSS JOIN gtot)
-      SELECT cell, n_docs, term, round(lift, 6) AS lift, rnk FROM (
-        SELECT cell, term, lift,
-               CAST(row_number() OVER (PARTITION BY cell
-                 ORDER BY lift DESC, term) AS INTEGER) AS rnk
-        FROM sc) t JOIN nd USING (cell)
-      WHERE rnk <= 3 ORDER BY cell, rnk"""))
-
-  // ---------------------------------------------------------- multimodal
-
-  /** media_meta — binary media column + typed metadata; the
-    * SQL-expressible slice is oracled.
-    */
-  private val m01 = Q(
-    "media_meta",
-    (s, d) => MediaOps.attachMedia(docs(s, d))
-      .select(col("doc_id"),
-        length(col("media")).cast("int").as("byte_len"),
-        floor(length(col("media")) / 64).cast("int").as("n_frames"))
-      .orderBy(col("doc_id")),
-    Some("""
-      SELECT doc_id,
-             CAST(length(text) AS INTEGER)      AS byte_len,
-             CAST(length(text) // 64 AS INTEGER) AS n_frames
-      FROM documents ORDER BY doc_id"""))
-
-  /** media_features — stubbed decode + frame sampling via
-    * mapPartitions (per-partition decoder init). The stub's arithmetic
-    * (byte sum / mean / 64-byte framing over the UTF-8 payload) is
-    * deterministic, and the testdata documents are pure ASCII (checked:
-    * octet_length == length at every SF), so DuckDB can mirror it with
-    * per-char `ord` — the oracle proves every row flows through the
-    * mapPartitions batch path with intact arithmetic, which is exactly
-    * the plumbing the stub exists to exercise.
-    */
-  private val m02 = Q(
-    "media_features",
-    (s, d) => MediaOps.extractFeatures(s, MediaOps.attachMedia(docs(s, d)))
-      .toDF()
-      .select(col("doc_id"), col("byte_len"), round(col("mean_byte"), 4).as("mean_byte"),
-        col("checksum"), col("n_frames"))
-      .orderBy(col("doc_id")),
-    Some("""
-      WITH b AS (
-        SELECT doc_id,
-               CAST(length(text) AS INTEGER) AS byte_len,
-               CAST(coalesce(list_sum(list_transform(range(1, length(text) + 1),
-                    i -> ord(text[i:i]))), 0) AS BIGINT) AS bsum
-        FROM documents)
-      SELECT doc_id, byte_len,
-             round(CASE WHEN byte_len = 0 THEN 0.0
-                        ELSE bsum::DOUBLE / byte_len END, 4) AS mean_byte,
-             bsum AS checksum,
-             CAST(byte_len // 64 AS INTEGER) AS n_frames
-      FROM b ORDER BY doc_id"""))
-
-  /** media_resize — stubbed resize/re-encode stage (§2.11 multimodal):
-    * binary in → smaller binary out with rewritten typed metadata, via
-    * per-partition batches. Metadata uses engine-local hashing →
-    * rows-only.
-    */
-  private val m03 = Q(
-    "media_resize",
-    (s, d) => MediaOps.resizeMedia(s, MediaOps.attachMedia(docs(s, d)), 64, 64)
-      .select(col("doc_id"), col("width"), col("height"),
-        length(col("media")).cast("int").as("byte_len"))
-      .orderBy(col("doc_id")),
-    None)
-
-  /** q24 — A6 arbitrary reducer: exact interpolated median per key
-    * (built-in percentile; both engines use linear interpolation).
-    */
-  private val q24 = Q(
-    "q24_median",
-    (s, d) => {
-      import s.implicits._
-      li(s, d).groupBy($"l_returnflag")
-        .agg(round(percentile($"l_quantity", lit(0.5)), 4).as("median_qty"),
-             round(percentile($"l_extendedprice", lit(0.9)), 4).as("p90_price"))
-        .orderBy($"l_returnflag")
-    },
-    Some("""
-      SELECT l_returnflag,
-             round(quantile_cont(l_quantity, 0.5), 4)      AS median_qty,
-             round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
-      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
-
-  /** q25 — cube (all grouping-set combinations; §2.5 superset). */
-  private val q25 = Q(
-    "q25_cube",
-    (s, d) => {
-      import s.implicits._
-      ord(s, d).cube($"o_orderstatus", $"o_orderpriority")
-        .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("sum_price"))
-        .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
-    },
-    Some("""
-      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-             round(sum(o_totalprice), 2) AS sum_price
-      FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
-      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""))
-
-  /** q26 — running analytic over the secondary-sort order (J3 idiom):
-    * cumulative spend per customer in order-date order.
-    */
-  private val q26 = Q(
-    "q26_running_sum",
-    (s, d) => {
-      import s.implicits._
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      ord(s, d)
-        .withColumn("running_total", round(sum($"o_totalprice").over(w), 2))
-        .select($"o_custkey", $"o_orderkey", $"running_total")
-        .orderBy($"o_custkey", $"o_orderkey")
-    },
-    Some("""
-      SELECT o_custkey, o_orderkey,
-             round(sum(o_totalprice) OVER (PARTITION BY o_custkey
-               ORDER BY o_orderdate, o_orderkey
-               ROWS UNBOUNDED PRECEDING), 2) AS running_total
-      FROM orders ORDER BY o_custkey, o_orderkey"""))
-
-  /** q27 — T1/T2 via the typed bounded-heap Aggregator (O(k) per group
-    * on map and reduce side — the 100 TB-safe exact top-k).
-    */
-  private val q27 = Q(
-    "q27_topk_udaf",
-    (s, d) => {
-      import s.implicits._
-      val tk = udaf(graft.functions.TopKAggregator(5))
-      li(s, d).groupBy($"l_returnflag")
-        .agg(tk($"l_quantity").as("topk"))
-        .select($"l_returnflag", posexplode($"topk"))
-        .toDF("l_returnflag", "pos", "v")
-        .orderBy($"l_returnflag", $"pos")
-    },
-    Some("""
-      SELECT l_returnflag, CAST(rn - 1 AS INTEGER) AS pos, v FROM (
-        SELECT l_returnflag, l_quantity AS v,
-               row_number() OVER (PARTITION BY l_returnflag
-                 ORDER BY l_quantity DESC) AS rn
-        FROM lineitem) t
-      WHERE rn <= 5 ORDER BY l_returnflag, pos"""))
-
-  /** q28 — GROUPING SETS through the SQL surface (temp view + spark.sql),
-    * the general form of rollup/cube.
-    */
-  private val q28 = Q(
-    "q28_grouping_sets",
-    (s, d) => {
-      ord(s, d).createOrReplaceTempView("orders_v")
-      s.sql("""
-        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-               round(sum(o_totalprice), 2) AS sum_price
-        FROM orders_v
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
-        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
-    },
-    Some("""
-      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-             round(sum(o_totalprice), 2) AS sum_price
-      FROM orders
-      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
-      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""))
-
-  /** q29 — skew-safe salted aggregation (same result as a direct
-    * groupBy-sum; the salted plan spreads hot keys over extra reducers).
-    */
-  private val q29 = Q(
-    "q29_salted_agg",
-    (s, d) => {
-      import s.implicits._
-      LibOps.saltedSumByKey(li(s, d), Seq("l_returnflag"), "l_quantity", as = "sum_qty")
-        .select($"l_returnflag", round($"sum_qty", 2).as("sum_qty"))
-        .orderBy($"l_returnflag")
-    },
-    Some("""
-      SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty
-      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
-
-  /** q30 — string functions (§2.8) over part: regex capture, split,
-    * upper — the mapper-side string idioms as pushed-down expressions.
-    */
-  private val q30 = Q(
-    "q30_string_funcs",
-    (s, d) => {
-      import s.implicits._
-      Tables.part(s, d)
-        .select(
-          regexp_extract($"p_brand", "Brand#(\\d+)", 1).cast("int").as("brand_num"),
-          upper(split($"p_type", " ").getItem(0)).as("type_head"),
-          $"p_retailprice")
-        .groupBy($"brand_num", $"type_head")
-        .agg(count(lit(1)).as("n"), round(avg($"p_retailprice"), 2).as("avg_price"))
-        .orderBy($"brand_num", $"type_head")
-    },
-    Some("""
-      SELECT CAST(regexp_extract(p_brand, 'Brand#(\d+)', 1) AS INTEGER) AS brand_num,
-             upper(string_split(p_type, ' ')[1]) AS type_head,
-             count(*) AS n, round(avg(p_retailprice), 2) AS avg_price
-      FROM part GROUP BY 1, 2 ORDER BY 1, 2"""))
-
-  /** q31 — supplier dimension join (completes table coverage). */
-  private val q31 = Q(
-    "q31_supplier_stats",
-    (s, d) => {
-      import s.implicits._
-      Tables.supplier(s, d)
-        .join(broadcast(nat(s, d)), $"s_nationkey" === $"n_nationkey")
-        .groupBy($"n_name")
-        .agg(count(lit(1)).as("n_suppliers"), round(sum($"s_acctbal"), 2).as("sum_bal"))
-        .orderBy($"n_name")
-    },
-    Some("""
-      SELECT n_name, count(*) AS n_suppliers, round(sum(s_acctbal), 2) AS sum_bal
-      FROM supplier JOIN nation ON s_nationkey = n_nationkey
-      GROUP BY n_name ORDER BY n_name"""))
-
-  // q32_approx_sketches (HLL distinct + approx percentile) was retired
-  // in round 6: both capabilities now have DETERMINISTIC graded
-  // counterparts — q82_kmv_distinct for the distinct sketch and
-  // q81/q83 for histogram quantiles — so the engine-native
-  // convenience ops (LibOps.approxCountDistinctByKey,
-  // percentile_approx) stay available and unit-proven (QueriesSpec
-  // "approx sketches"), but no longer hold a rows-only slot in the
-  // graded surface.
-
-  /** q33 — T3 nsmallest: bottom-2 cheapest orders per priority class. */
-  private val q33 = Q(
-    "q33_bottomk_per_group",
-    (s, d) => {
-      import s.implicits._
-      LibOps.bottomKPerKey(ord(s, d), Seq("o_orderpriority"),
-          Seq("o_totalprice", "o_orderkey"), 2)
-        .select($"o_orderpriority", $"o_orderkey", $"o_totalprice", $"rnk")
-        .orderBy($"o_orderpriority", $"rnk")
-    },
-    Some("""
-      SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
-        SELECT o_orderpriority, o_orderkey, o_totalprice,
-               CAST(row_number() OVER (PARTITION BY o_orderpriority
-                 ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS rnk
-        FROM orders) t
-      WHERE rnk <= 2 ORDER BY o_orderpriority, rnk"""))
-
-  /** q34 — C5 identitymapper: pure passthrough, deterministic order. */
-  private val q34 = Q(
-    "q34_identity",
-    (s, d) => LibOps.identityMap(reg(s, d)).orderBy(col("r_regionkey")),
-    Some("""
-      SELECT * FROM region ORDER BY r_regionkey"""))
-
-  /** q35 — C7 params: the oowordcount example (wordcount with an
-    * excluded-words `-param`); the param list rides the closure /
-    * codegen literal exactly like dumbo's task params.
-    */
-  private val excludedWords = Seq("the", "a", "of")
-  private val q35 = Q(
-    "q35_param_wordcount",
-    (s, d) => {
-      import s.implicits._
-      TextOps.wordCount(docs(s, d))
-        .filter(!$"word".isin(excludedWords: _*))
-        .orderBy($"word")
-    },
-    Some(s"""
-      SELECT word, count(*) AS cnt
-      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
-      WHERE word NOT IN (${excludedWords.map(w => s"'$w'").mkString(", ")})
-      GROUP BY word ORDER BY word"""))
-
-  /** q36 — S4/S8 codec round-trip as a graded query: records encoded to
-    * JSON lines and decoded back (encodepipe|decodepipe), then
-    * aggregated — proves the codec is lossless for the nested path.
-    */
-  private val q36 = Q(
-    "q36_codec_roundtrip",
-    (s, d) => {
-      val src = docs(s, d)
-      val decoded = graft.io.Codec.decodeJson(graft.io.Codec.encodeJson(src), src.schema)
-      decoded.groupBy(col("lang"))
-        .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("sum_chars"))
-        .orderBy(col("lang"))
-    },
-    Some("""
-      SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
-      FROM documents GROUP BY lang ORDER BY lang"""))
-
-  /** q37 — composed corpus-cleaning pipeline: quality filter → exact
-    * dedup → per-language counts, one fused plan (the operators
-    * composing is the point; dumbo would run 3 materialized MR passes).
-    * Thresholds are integer-exact (count*2 <= total, not a rounded
-    * ratio) so the oracle can't diverge on a float boundary.
-    */
-  private val q37 = Q(
-    "q37_clean_pipeline",
-    (s, d) => {
-      import s.implicits._
-      val ws = TextOps.words($"text")
-      val stops = array(TextOps.StopWords.map(lit): _*)
-      docs(s, d)
-        .filter(size(ws) >= 20 &&
-          size(filter(ws, w => array_contains(stops, w))) * 2 <= size(ws))
-        .groupBy($"text")
-        .agg(min($"doc_id").as("doc_id"), min($"lang").as("lang"))
-        .groupBy($"lang")
-        .agg(count(lit(1)).as("cnt"))
-        .orderBy($"lang")
-    },
-    Some(s"""
-      WITH good AS (
-        SELECT doc_id, lang, text FROM documents
-        WHERE len(string_split(text, ' ')) >= 20
-          AND len(list_filter(string_split(text, ' '),
-                w -> w IN (${TextOps.StopWords.map(w => s"'$w'").mkString(", ")}))) * 2
-              <= len(string_split(text, ' '))),
-      deduped AS (
-        SELECT min(doc_id) AS doc_id, min(lang) AS lang FROM good GROUP BY text)
-      SELECT lang, count(*) AS cnt FROM deduped GROUP BY lang ORDER BY lang"""))
-
-  /** q38 — backward as-of join (attribution idiom): each click joined
-    * to the user's latest purchase at-or-before it. Union-merge
-    * formulation: one shuffle on user_id, no range explosion
-    * (JoinOps.asofJoinBackward). DuckDB's native ASOF LEFT JOIN is the
-    * oracle, matching on epoch-µs values so both engines compare at the
-    * same precision (parquet is ns, Spark truncates to µs on read);
-    * outputs are epoch seconds.
-    */
-  private val q38 = Q(
-    "q38_asof_join",
-    (s, d) => {
-      import s.implicits._
-      val e = ev(s, d)
-      val clicks = e.filter($"event_type" === "click")
-        .select($"event_id", $"user_id", $"ts")
-      val purchases = e.filter($"event_type" === "purchase")
-        .select($"user_id", $"ts", $"value")
-      JoinOps.asofJoinBackward(clicks, purchases, Seq("user_id"), "ts",
-          rightPayload = Seq("ts", "value"))
-        .select($"event_id", $"user_id",
-          unix_timestamp($"ts").as("click_ts_s"),
-          unix_timestamp($"asof_ts").as("purchase_ts_s"),
-          round($"asof_value", 2).as("purchase_value"))
-        .orderBy($"event_id")
-    },
-    Some("""
-      SELECT c.event_id, c.user_id,
-             c.tu // 1000000 AS click_ts_s,
-             p.tu // 1000000 AS purchase_ts_s,
-             round(p.value, 2) AS purchase_value
-      FROM (SELECT event_id, user_id, epoch_us(ts) AS tu FROM events
-            WHERE event_type = 'click') c
-      ASOF LEFT JOIN (SELECT user_id, epoch_us(ts) AS tu, value FROM events
-            WHERE event_type = 'purchase') p
-        ON c.user_id = p.user_id AND p.tu <= c.tu
-      ORDER BY c.event_id"""))
-
-  /** q39 — range (interval) join: orders banded by price range. The
-    * band table is tiny → broadcast nested-loop join, the right plan
-    * for dim-table range predicates (never shuffles the fact side).
-    */
-  private val q39 = Q(
-    "q39_range_join",
-    (s, d) => {
-      import s.implicits._
-      val bands = Seq(
-        ("p0_low", 0.0, 100000.0),
-        ("p1_mid", 100000.0, 250000.0),
-        ("p2_high", 250000.0, 400000.0),
-        ("p3_top", 400000.0, 1e9)).toDF("band", "lo", "hi")
-      ord(s, d).join(broadcast(bands),
-          $"o_totalprice" >= $"lo" && $"o_totalprice" < $"hi")
-        .groupBy($"band")
-        .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("sum_price"))
-        .orderBy($"band")
-    },
-    Some("""
-      WITH bands(band, lo, hi) AS (VALUES
-        ('p0_low', 0.0, 100000.0), ('p1_mid', 100000.0, 250000.0),
-        ('p2_high', 250000.0, 400000.0), ('p3_top', 400000.0, 1000000000.0))
-      SELECT band, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
-      FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
-      GROUP BY band ORDER BY band"""))
-
-  /** q40 — pivot (long→wide): order counts per priority × status.
-    * Explicit pivot values keep the plan a single pass (no value-
-    * discovery job); coalesce(0) matches the conditional-agg oracle.
-    */
-  private val q40 = Q(
-    "q40_pivot",
-    (s, d) => {
-      import s.implicits._
-      ord(s, d).groupBy($"o_orderpriority")
-        .pivot("o_orderstatus", Seq("F", "O", "P"))
-        .agg(count(lit(1)))
-        .select($"o_orderpriority",
-          coalesce($"F", lit(0L)).as("n_f"),
-          coalesce($"O", lit(0L)).as("n_o"),
-          coalesce($"P", lit(0L)).as("n_p"))
-        .orderBy($"o_orderpriority")
-    },
-    Some("""
-      SELECT o_orderpriority,
-             count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
-             count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
-             count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
-      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
-
-  /** q41 — unpivot (wide→long, melt): per-flag sums unpivoted to
-    * (flag, metric, value) rows.
-    */
-  private val q41 = Q(
-    "q41_unpivot",
-    (s, d) => {
-      import s.implicits._
-      li(s, d).groupBy($"l_returnflag")
-        .agg(round(sum($"l_quantity"), 2).as("qty"),
-             round(sum($"l_extendedprice"), 2).as("price"),
-             round(sum($"l_discount"), 2).as("disc"))
-        .unpivot(Array($"l_returnflag"), Array($"qty", $"price", $"disc"),
-          "metric", "value")
-        .orderBy($"l_returnflag", $"metric")
-    },
-    Some("""
-      WITH s AS (
-        SELECT l_returnflag,
-               round(sum(l_quantity), 2)      AS qty,
-               round(sum(l_extendedprice), 2) AS price,
-               round(sum(l_discount), 2)      AS disc
-        FROM lineitem GROUP BY l_returnflag)
-      SELECT l_returnflag, 'qty' AS metric, qty AS value FROM s
-      UNION ALL SELECT l_returnflag, 'price', price FROM s
-      UNION ALL SELECT l_returnflag, 'disc', disc FROM s
-      ORDER BY l_returnflag, metric"""))
-
-  /** q42 — analytic window functions (lag/lead/rank/percent_rank/
-    * ntile) over each customer's orders; the full tiebreakered ordering
-    * makes every rank deterministic.
-    */
-  private val q42 = Q(
-    "q42_window_analytics",
-    (s, d) => {
-      import s.implicits._
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
-      ord(s, d).select($"o_custkey", $"o_orderkey",
-          round(lag($"o_totalprice", 1).over(w), 2).as("prev_price"),
-          round(lead($"o_totalprice", 1).over(w), 2).as("next_price"),
-          rank().over(w).cast("int").as("rnk"),
-          round(percent_rank().over(w), 4).as("pct_rnk"),
-          ntile(4).over(w).cast("int").as("quartile"))
-        .orderBy($"o_custkey", $"o_orderkey")
-    },
-    Some("""
-      SELECT o_custkey, o_orderkey,
-             round(lag(o_totalprice) OVER w, 2)  AS prev_price,
-             round(lead(o_totalprice) OVER w, 2) AS next_price,
-             CAST(rank() OVER w AS INTEGER)      AS rnk,
-             round(percent_rank() OVER w, 4)     AS pct_rnk,
-             CAST(ntile(4) OVER w AS INTEGER)    AS quartile
-      FROM orders
-      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
-      ORDER BY o_custkey, o_orderkey"""))
-
-  /** q43 — bivariate statistics per key: corr / covariance / variance
-    * (one-pass co-moment aggregates in both engines).
-    */
-  private val q43 = Q(
-    "q43_corr_stats",
-    (s, d) => {
-      import s.implicits._
-      li(s, d).groupBy($"l_returnflag")
-        .agg(round(corr($"l_quantity", $"l_extendedprice"), 4).as("corr_qp"),
-             round(covar_pop($"l_quantity", $"l_extendedprice"), 4).as("covar_p"),
-             round(covar_samp($"l_quantity", $"l_extendedprice"), 4).as("covar_s"),
-             round(var_pop($"l_quantity"), 4).as("var_qty"),
-             round(stddev_samp($"l_extendedprice"), 4).as("std_price"))
-        .orderBy($"l_returnflag")
-    },
-    Some("""
-      SELECT l_returnflag,
-             round(corr(l_quantity, l_extendedprice), 4)       AS corr_qp,
-             round(covar_pop(l_quantity, l_extendedprice), 4)  AS covar_p,
-             round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_s,
-             round(var_pop(l_quantity), 4)                     AS var_qty,
-             round(stddev_samp(l_extendedprice), 4)            AS std_price
-      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
-
-  /** q44 — per-label embedding centroids: posexplode → (label, pos)
-    * aggregate. The shuffle carries (label, pos, partial-sum) — K·dim
-    * cells regardless of corpus size, the scalable centroid shape
-    * (same layout the IVF trainer uses).
-    */
-  private val q44 = Q(
-    "q44_embedding_centroids",
-    (s, d) => {
-      import s.implicits._
-      emb(s, d).select($"label", posexplode($"embedding").as(Seq("pos", "v")))
-        .groupBy($"label", $"pos")
-        .agg(round(avg($"v"), 4).as("c_v"), count(lit(1)).as("n_vecs"))
-        .orderBy($"label", $"pos")
-    },
-    Some("""
-      SELECT label, pos, round(avg(v), 4) AS c_v, count(*) AS n_vecs
-      FROM (SELECT label,
-                   CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
-                   unnest(embedding) AS v
-            FROM embeddings) t
-      GROUP BY label, pos ORDER BY label, pos"""))
-
-  /** Cluster-valid scratch dir: rooted at the session's warehouse dir
-    * (a shared filesystem on a real cluster — a relative local path
-    * would resolve per-node and break any read-back), keyed by PID so
-    * concurrent processes don't race (overwrite-while-read), while
-    * staying self-overwriting within one process so bench loops don't
-    * accumulate dirs without bound.
-    */
-  private def tmpDir(s: SparkSession, name: String): String = {
-    val wh = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
-    s"$wh/graft_tmp/${name}_${ProcessHandle.current().pid()}"
-  }
-
-  /** Injective SQL-identifier-safe tag for a dataset path (hex of its
-    * UTF-8 bytes — lossy sanitization could alias two paths): q57b
-    * keys its per-JVM catalog tables and scratch dirs by it. Hex
-    * doubles the length, so paths past 32 chars fall back to the md5
-    * hex of the path (32 chars, bounded for any input — collision odds
-    * 2^-64-class, documented rather than structural; the repo's own
-    * dataset paths stay on the injective branch).
-    */
-  private[graft] def pathTag(d: String): String = {
-    val hex = d.getBytes("UTF-8").map(b => f"$b%02x").mkString
-    if (hex.length <= 64) hex
-    else java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map(b => f"$b%02x").mkString
-  }
-
-  /** Remove q57b scratch dirs left by JVMs that no longer exist: the
-    * pid-keyed convention is what makes concurrent runs race-free, and
-    * this dead-pid sweep is what keeps it from growing without bound
-    * (two bucketed copies of the two largest tables per JVM otherwise
-    * accumulate forever). A LIVE pid's dirs are never touched — the
-    * race fix stands.
-    */
-  private def sweepDeadQ57bScratch(s: SparkSession): Unit = {
-    val wh = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
-    val root = s"$wh/graft_tmp"
-    try {
-      if (graft.io.FsOps.exists(s, root))
-        graft.io.FsOps.ls(s, root)
-          .filter(_.split('/').last.startsWith("q57b_"))
-          .foreach { dir =>
-            val pid = dir.split('_').last
-            val alive = pid.toLongOption
-              .exists(p => ProcessHandle.of(p).isPresent)
-            if (!alive) graft.io.FsOps.rm(s, dir)
-          }
-    } catch { case _: Throwable => } // sweep is best-effort hygiene
-  }
-
-  /** Shared harness for the streaming_* parity queries: run `stream`
-    * into a memory sink under AvailableNow, await completion, return
-    * the sink name (caller projects, pins, and drops the view). Two
-    * parity-harness confs are scoped to the run and restored after:
-    *
-    *  - state partitions sized to harness volume (2; each shuffle
-    *    partition is a full set of state-store instances whose
-    *    load/commit cost is per-batch overhead — production sizes this
-    *    to state volume instead);
-    *  - no-data micro-batches OFF: every graded stream emits eagerly
-    *    inside its data batch (inner interval join, first-sight dedup,
-    *    sentinel-closed sessions), so the trailing watermark-advance
-    *    batch produces zero rows and only pays state-store commits.
-    *
-    * Together measured 9.1 s -> 1.9 s on streaming_interval_parity at
-    * sf0.1 local[32]. Production streams with timeout-driven emission
-    * (session closes on idle) need no-data batches ON — that is the
-    * default this helper restores.
-    */
-  private def runParityStream(s: SparkSession,
-                              stream: DataFrame, prefix: String,
-                              mode: String = "append"): String = {
-    val sink = s"${prefix}_${System.nanoTime()}"
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    val prevNoData =
-      s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-    s.conf.set("spark.sql.shuffle.partitions", "2")
-    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    try {
-      val q = stream.writeStream
-        .format("memory").queryName(sink).outputMode(mode)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally {
-      s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
-    }
-    sink
-  }
-
-  /** q45 — CSV sink + source round-trip (S1/S5 text formats for real):
-    * nation written to CSV with header, read back with an explicit
-    * schema, joined and aggregated — proves the text codec path is
-    * lossless. The oracle reads the original parquet.
-    */
-  private val q45 = Q(
-    "q45_csv_roundtrip",
-    (s, d) => {
-      import s.implicits._
-      val n = nat(s, d)
-      val tmp = tmpDir(s, "q45_csv")
-      n.write.mode("overwrite").option("header", "true").csv(tmp)
-      s.read.option("header", "true").schema(n.schema).csv(tmp)
-        .join(broadcast(reg(s, d)), $"n_regionkey" === $"r_regionkey")
-        .groupBy($"r_name")
-        .agg(count(lit(1)).as("n_nations"),
-             concat_ws(",", sort_array(collect_list($"n_name"))).as("nations"))
-        .orderBy($"r_name")
-    },
-    Some("""
-      SELECT r_name, count(*) AS n_nations,
-             string_agg(n_name, ',' ORDER BY n_name) AS nations
-      FROM nation JOIN region ON n_regionkey = r_regionkey
-      GROUP BY r_name ORDER BY r_name"""))
-
-  /** q55 — JSON-lines sink + source round-trip (S5's remaining text
-    * format): supplier written as JSON lines, read back with an
-    * explicit schema (doubles survive via shortest-round-trip
-    * encoding), then the q31 aggregation — proves the JSON codec path
-    * is lossless. The oracle reads the original parquet.
-    */
-  private val q55 = Q(
-    "q55_json_roundtrip",
-    (s, d) => {
-      import s.implicits._
-      val sup = Tables.supplier(s, d)
-      val tmp = tmpDir(s, "q55_json")
-      sup.write.mode("overwrite").json(tmp)
-      s.read.schema(sup.schema).json(tmp)
-        .join(broadcast(nat(s, d)), $"s_nationkey" === $"n_nationkey")
-        .groupBy($"n_name")
-        .agg(count(lit(1)).as("n_suppliers"), round(sum($"s_acctbal"), 2).as("sum_bal"))
-        .orderBy($"n_name")
-    },
-    Some("""
-      SELECT n_name, count(*) AS n_suppliers, round(sum(s_acctbal), 2) AS sum_bal
-      FROM supplier JOIN nation ON s_nationkey = n_nationkey
-      GROUP BY n_name ORDER BY n_name"""))
-
-  /** q56 — ORC sink + source round-trip (S5's other columnar format):
-    * customer written as zlib-compressed ORC, read back with an
-    * explicit schema, aggregated per market segment. The oracle reads
-    * the original parquet — lossless-codec proof, same contract as
-    * q45/q55.
-    */
-  private val q56 = Q(
-    "q56_orc_roundtrip",
-    (s, d) => {
-      import s.implicits._
-      val c = cust(s, d)
-      val tmp = tmpDir(s, "q56_orc")
-      c.write.mode("overwrite").option("compression", "zlib").orc(tmp)
-      s.read.schema(c.schema).orc(tmp)
-        .groupBy($"c_mktsegment")
-        .agg(count(lit(1)).as("n_customers"),
-             round(sum($"c_acctbal"), 2).as("sum_bal"))
-        .orderBy($"c_mktsegment")
-    },
-    Some("""
-      SELECT c_mktsegment, count(*) AS n_customers,
-             round(sum(c_acctbal), 2) AS sum_bal
-      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
-
-  /** q57 — bucketed co-located fact-fact join: orders and lineitem
-    * each written ONCE as bucketed tables (16 buckets on the join
-    * key), then sort-merge-joined with ZERO shuffle exchanges — the
-    * scan's hash layout already satisfies the join's required
-    * distribution. At 100 TB this converts every subsequent
-    * orders⋈lineitem run from two full-table shuffles into a pure
-    * scan-side merge; the one-time bucketed write is the amortized
-    * cost. The `merge` hint keeps the plan the scale plan (small-SF
-    * Catalyst would broadcast orders, hiding the bucket path the query
-    * exists to exercise); OpsSpec asserts the no-Exchange property.
-    */
-  // one aggregate contract for the build-and-probe (q57) and
-  // probe-only (q57b) variants — shared so the two cannot drift
-  private val q57OracleSql = """
-      SELECT o_orderpriority, count(*) AS n_items,
-             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
-      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-      GROUP BY o_orderpriority ORDER BY o_orderpriority"""
-
-  private val q57 = Q(
-    "q57_bucketed_join",
-    (s, d) => {
-      import s.implicits._
-      import graft.io.Bucketing
-      val pid = ProcessHandle.current().pid()
-      val oT = s"graft_b_orders_$pid"
-      val lT = s"graft_b_lineitem_$pid"
-      Bucketing.writeBucketed(
-        ord(s, d).select($"o_orderkey", $"o_orderpriority"),
-        oT, 16, "o_orderkey", Seq("o_orderkey"))
-      Bucketing.writeBucketed(
-        li(s, d).select($"l_orderkey", $"l_extendedprice", $"l_discount"),
-        lT, 16, "l_orderkey", Seq("l_orderkey"))
-      val res = Bucketing.table(s, oT).hint("merge")
-        .join(Bucketing.table(s, lT), $"o_orderkey" === $"l_orderkey")
-        .groupBy($"o_orderpriority")
-        .agg(count(lit(1)).as("n_items"),
-             round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
-               .as("revenue"))
-        // pin the 5-row result eagerly so the pid-suffixed scratch
-        // tables can be dropped before returning (no warehouse leak
-        // across runs); the timed work still includes write+join.
-        .localCheckpoint(true)
-      Bucketing.drop(s, oT)
-      Bucketing.drop(s, lT)
-      res.orderBy($"o_orderpriority")
-    },
-    Some(q57OracleSql))
-
-  /** q57b — the bucketed join's PROBE side, measured alone: q57's
-    * warm number re-pays two bucketed table writes every run (write
-    * family by design), so the cost the layout exists to amortize —
-    * the exchange-free sort-merge join — never appears as its own
-    * number. Here the bucketed tables build ONCE per JVM (rebuild-or-
-    * reuse by catalog existence; the catalog name and the file path
-    * both carry the pid — catalogs are per-JVM, and the pid-keyed path
-    * is the graft_tmp convention that makes concurrent JVMs unable to
-    * overwrite each other's files mid-read; like every other graft_tmp
-    * scratch write (q58/q70/q72), the cost is per-JVM dirs that
-    * accumulate until swept) and every subsequent run is the pure probe:
-    * bucket-layout scans feeding an SMJ with zero shuffle exchanges.
-    * Cold therefore includes the one-time build — the amortization
-    * story stated honestly — and warm IS the join. At 100 TB this is
-    * the number a resident cluster sees on every orders⋈lineitem after
-    * the layout lands. Same aggregate contract as q57 (the shared
-    * `q57OracleSql` serves both — structurally one oracle, it cannot
-    * drift); BucketingSpec asserts the reuse (second call leaves the
-    * catalog untouched) and the no-Exchange plan.
-    */
-  private val q57b = Q(
-    "q57b_bucketed_probe",
-    (s, d) => {
-      import s.implicits._
-      import graft.io.Bucketing
-      val pid = ProcessHandle.current().pid()
-      // hex of the path bytes — INJECTIVE (lossy sanitization like
-      // replaceAll can alias '/x/sf0.1' with '/x/sf0_1'), so two
-      // datasets can never share a table or path, and the identifier
-      // stays valid for any input
-      val tag = Queries.pathTag(d)
-      val oT = s"graft_b57p_orders_${pid}_$tag"
-      val lT = s"graft_b57p_lineitem_${pid}_$tag"
-      if (!s.catalog.tableExists(oT) || !s.catalog.tableExists(lT)) {
-        // one-time build is also the hygiene point: reclaim scratch
-        // left by dead JVMs before adding this one's
-        sweepDeadQ57bScratch(s)
-        Bucketing.writeBucketed(
-          ord(s, d).select($"o_orderkey", $"o_orderpriority"),
-          oT, 16, "o_orderkey", Seq("o_orderkey"),
-          Some(tmpDir(s, s"q57b_orders_$tag")))
-        Bucketing.writeBucketed(
-          li(s, d).select($"l_orderkey", $"l_extendedprice", $"l_discount"),
-          lT, 16, "l_orderkey", Seq("l_orderkey"),
-          Some(tmpDir(s, s"q57b_lineitem_$tag")))
-      }
-      Bucketing.table(s, oT).hint("merge")
-        .join(Bucketing.table(s, lT), $"o_orderkey" === $"l_orderkey")
-        .groupBy($"o_orderpriority")
-        .agg(count(lit(1)).as("n_items"),
-             round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
-               .as("revenue"))
-        .orderBy($"o_orderpriority")
-    },
-    Some(q57OracleSql))
-
-  /** q58 — range-clustered sorted layout + selective read-back:
-    * lineitem rewritten `repartitionByRange(l_orderkey) +
-    * sortWithinPartitions`, then a narrow key-range query over the new
-    * layout. Sorting makes every row group's min/max stats tight and
-    * file ranges disjoint, so the pushed-down BETWEEN skips all but
-    * the overlapping groups — the scan reads O(matching), not
-    * O(table). OpsSpec proves the skipping property from the parquet
-    * footers (disjoint ranges, ≤2 of 8 groups overlap a 10% range);
-    * the oracle proves the layout is lossless. The range gets MORE
-    * selective as the table grows (fixed keys, growing keyspace) —
-    * exactly the 100 TB shape.
-    */
-  private val q58 = Q(
-    "q58_sorted_layout",
-    (s, d) => {
-      import s.implicits._
-      import graft.io.Layout
-      val tmp = tmpDir(s, "q58_layout")
-      Layout.writeSorted(
-        li(s, d).select($"l_orderkey", $"l_quantity", $"l_extendedprice"),
-        tmp, 8, Seq($"l_orderkey"))
-      s.read.parquet(tmp)
-        .filter($"l_orderkey".between(100, 999))
-        .groupBy(($"l_orderkey" % 10).as("key_bucket"))
-        .agg(count(lit(1)).as("n"),
-             round(sum($"l_quantity"), 2).as("sum_qty"),
-             round(sum($"l_extendedprice"), 2).as("sum_price"))
-        .orderBy($"key_bucket")
-    },
-    Some("""
-      SELECT l_orderkey % 10 AS key_bucket, count(*) AS n,
-             round(sum(l_quantity), 2) AS sum_qty,
-             round(sum(l_extendedprice), 2) AS sum_price
-      FROM lineitem WHERE l_orderkey BETWEEN 100 AND 999
-      GROUP BY 1 ORDER BY 1"""))
-
-  /** q70 — Z-order layout round-trip (Layout.ZOrder): lineitem
-    * rewritten clustered on the Morton interleave of (l_partkey,
-    * l_suppkey), read back through a 2-dim box predicate, aggregated.
-    * The single-key layout (q58) leaves the second column full-width
-    * per file; the space-filling curve gives BOTH columns narrow
-    * per-file ranges (OpsSpec proves the box-volume shrink from the
-    * parquet footers). Oracle = the same box aggregate over the
-    * original table — the rewrite must be content-preserving.
-    */
-  private val q70 = Q(
-    "q70_zorder_layout",
-    (s, d) => {
-      import s.implicits._
-      import graft.io.Layout
-      val tmp = tmpDir(s, "q70_zorder")
-      Layout.ZOrder.writeZOrdered(
-        li(s, d).select($"l_partkey", $"l_suppkey", $"l_quantity"),
-        tmp, 8, "l_partkey", "l_suppkey")
-      s.read.parquet(tmp)
-        // box bounds valid at every sf (sf0.001 keys only span 0..199 x 0..9)
-        .filter($"l_partkey".between(20, 150) && $"l_suppkey".between(1, 7))
-        .groupBy(($"l_partkey" % 10).as("pk_bucket"))
-        .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("sum_qty"))
-        .orderBy($"pk_bucket")
-    },
-    Some("""
-      SELECT l_partkey % 10 AS pk_bucket, count(*) AS n,
-             round(sum(l_quantity), 2) AS sum_qty
-      FROM lineitem
-      WHERE l_partkey BETWEEN 20 AND 150 AND l_suppkey BETWEEN 1 AND 7
-      GROUP BY 1 ORDER BY 1"""))
-
-  /** q71 — incremental aggregate maintenance (MergeOps.aggState /
-    * mergeAggState): orders split into a historical snapshot
-    * (< 1996-01-01) and an arriving batch (≥), each reduced to per-key
-    * mergeable state, then MERGED — the shuffle carries state rows,
-    * never the snapshot's raw corpus. The oracle aggregates the whole
-    * table in one pass: incremental ≡ recompute is the graded claim.
-    */
-  private val q71 = Q(
-    "q71_incremental_agg",
-    (s, d) => {
-      import s.implicits._
-      // sum in DECIMAL: the merged state re-associates the sum
-      // (snapshot partial + batch partial) vs the oracle's single
-      // pass — a double sum could land a 1-ulp difference on a .005
-      // rounding boundary; decimal addition is exact so the
-      // incremental ≡ recompute parity is structural, not fixture luck
-      val o = ord(s, d)
-        .withColumn("o_price", $"o_totalprice".cast("decimal(18,2)"))
-      val cut = "1996-01-01"
-      val snap = MergeOps.aggState(
-        o.filter($"o_orderdate" < cut), Seq("o_orderstatus"), Seq("o_price"))
-      val batch = MergeOps.aggState(
-        o.filter($"o_orderdate" >= cut), Seq("o_orderstatus"), Seq("o_price"))
-      MergeOps.mergeAggState(snap, batch, Seq("o_orderstatus"), Seq("o_price"))
-        .select($"o_orderstatus", $"n_rows",
-          $"sum_o_price".cast("double").as("sum_price"),
-          $"min_o_price".cast("double").as("min_price"),
-          $"max_o_price".cast("double").as("max_price"))
-        .orderBy($"o_orderstatus")
-    },
-    Some("""
-      SELECT o_orderstatus, count(*) AS n_rows,
-             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
-             CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
-             CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
-      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
-
-  /** q72 — small-file compaction (Layout.compact): documents
-    * fragmented into 64 tiny part files, compacted back into
-    * size-targeted files (one round-robin shuffle), then aggregated.
-    * Compaction is content-neutral by contract, so the oracle is the
-    * plain aggregate over the original table; OpsSpec separately
-    * proves the file-count collapse.
-    */
-  private val q72 = Q(
-    "q72_compact",
-    (s, d) => {
-      import s.implicits._
-      import graft.io.Layout
-      val frag = tmpDir(s, "q72_frag")
-      val compacted = tmpDir(s, "q72_compacted")
-      docs(s, d).repartition(64).write.mode("overwrite").parquet(frag)
-      Layout.compact(s, frag, compacted, targetBytes = 8L * 1024 * 1024)
-      s.read.parquet(compacted)
-        .groupBy($"lang")
-        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
-        .orderBy($"lang")
-    },
-    Some("""
-      SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
-      FROM documents GROUP BY lang ORDER BY lang"""))
-
-  /** q74 — Hive-partitioned layout + partition-pruned read
-    * (Layout.writePartitioned): orders written partitioned by month
-    * ONLY (~80 directories at sf0.1), read back through a month range
-    * (pruned at planning time via `PartitionFilters` — zero data files
-    * opened outside 1996; OpsSpec asserts selected files < total
-    * files; PLANS.md shows the non-empty PartitionFilters) plus a
-    * status predicate that stays a pushed DATA filter. Round 4
-    * partitioned by month×status (~240 dirs) — violating q78's own
-    * file-count lesson (partition keys multiply directories; pick the
-    * coarsest key real predicates range over). Month is that key:
-    * date ranges prune directories; a 3-value status column earns 3×
-    * the files for a predicate parquet row-group stats already serve.
-    * The oracle proves the layout is lossless: same aggregate over the
-    * unpartitioned original. At 100 TB this is THE first-line layout
-    * lever — a date-partitioned corpus answers "last month" from a
-    * directory listing, not a scan.
-    */
-  private val q74 = Q(
-    "q74_partitioned_layout",
-    (s, d) => {
-      import s.implicits._
-      import graft.io.Layout
-      val tmp = tmpDir(s, "q74_part")
-      Layout.writePartitioned(
-        ord(s, d)
-          .withColumn("o_month", date_format($"o_orderdate", "yyyy-MM"))
-          .select($"o_orderkey", $"o_custkey", $"o_totalprice",
-            $"o_month", $"o_orderstatus"),
-        tmp, Seq("o_month"))
-      s.read.parquet(tmp)
-        .filter($"o_month".between("1996-01", "1996-12") &&
-          $"o_orderstatus" === "O")
-        .groupBy($"o_month")
-        // exact-decimal sum (q59/q71/q78 practice): 2-decimal prices
-        // cast exactly, so partial order can't flip a .005 boundary
-        .agg(count(lit(1)).as("n_orders"),
-             sum($"o_totalprice".cast("decimal(18,2)")).cast("double")
-               .as("sum_price"))
-        .orderBy($"o_month")
-    },
-    Some("""
-      SELECT strftime(o_orderdate, '%Y-%m') AS o_month, count(*) AS n_orders,
-             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-               AS sum_price
-      FROM orders
-      WHERE strftime(o_orderdate, '%Y-%m') BETWEEN '1996-01' AND '1996-12'
-        AND o_orderstatus = 'O'
-      GROUP BY 1 ORDER BY 1"""))
-
-  /** q75 — dynamic partition pruning over the partitioned layout: the
-    * fact (orders partitioned by month) carries NO static predicate —
-    * the months to read are only knowable through the join against the
-    * filtered dim (months of 1997). Catalyst plants the dim's
-    * broadcast result as a runtime `dynamicpruningexpression` in the
-    * fact scan's PartitionFilters (OpsSpec asserts it), so the fact
-    * reads 12 of 80 partitions without the query author writing a date
-    * range — the pattern that kills unpruned 100 TB scans static
-    * predicates miss (dim-driven date windows, dimension slices).
-    */
-  private val q75 = Q(
-    "q75_dpp_join",
-    (s, d) => {
-      import s.implicits._
-      import graft.io.Layout
-      val tmp = tmpDir(s, "q75_part")
-      Layout.writePartitioned(
-        ord(s, d)
-          .withColumn("o_month", date_format($"o_orderdate", "yyyy-MM"))
-          .select($"o_orderkey", $"o_totalprice", $"o_orderstatus", $"o_month"),
-        tmp, Seq("o_month"))
-      val fact = s.read.parquet(tmp)
-      // month dim with a year attribute — the filter lives HERE, never
-      // on the fact; only the join can transfer it
-      val dim = ord(s, d)
-        .select(date_format($"o_orderdate", "yyyy-MM").as("m")).distinct()
-        .withColumn("m_year", substring($"m", 1, 4))
-      fact.join(broadcast(dim.filter($"m_year" === "1997")),
-          fact("o_month") === dim("m"))
-        .groupBy($"o_month", $"o_orderstatus")
-        .agg(count(lit(1)).as("n_orders"),
-             sum($"o_totalprice".cast("decimal(18,2)")).cast("double")
-               .as("sum_price"))
-        .orderBy($"o_month", $"o_orderstatus")
-    },
-    Some("""
-      SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_orderstatus,
-             count(*) AS n_orders,
-             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-               AS sum_price
-      FROM orders
-      WHERE strftime(o_orderdate, '%Y') = '1997'
-      GROUP BY 1, 2 ORDER BY 1, 2"""))
-
-  /** q78 — the composed production fact layout
-    * (Bucketing.writePartitionedBucketed): orders PARTITIONED by year
-    * AND BUCKETED by orderkey, joined to bucketed lineitem through a
-    * year predicate. The two physical levers compose in one plan — the
-    * partition filter prunes 6 of 7 year directories at planning time,
-    * and within the surviving slice the join reads co-bucketed files
-    * with ZERO shuffle exchanges (BucketingSpec asserts both
-    * properties on one executed plan). At 100 TB this is the canonical
-    * fact shape: "this year's orders ⋈ lineitem" reads 1/7 of the
-    * table and skips both shuffles. Partition granularity is a FILE
-    * COUNT decision, not just a pruning one: partitions × buckets
-    * multiplies files (80 months × 16 buckets = 1280 tiny files at
-    * bench scale, measured 17 s to write; 7 years × 16 = 112, ~4 s) —
-    * pick the coarsest key the pruning predicates actually use. The
-    * `merge` hint keeps the scale plan at small sf (Catalyst would
-    * broadcast the pruned orders slice, hiding the bucket path the
-    * query grades).
-    */
-  private val q78 = Q(
-    "q78_partitioned_bucketed",
-    (s, d) => {
-      import s.implicits._
-      import graft.io.Bucketing
-      val pid = ProcessHandle.current().pid()
-      val oT = s"graft_pb_orders_$pid"
-      val lT = s"graft_pb_lineitem_$pid"
-      Bucketing.writePartitionedBucketed(
-        ord(s, d)
-          .withColumn("o_year", date_format($"o_orderdate", "yyyy"))
-          .select($"o_orderkey", $"o_orderpriority", $"o_year"),
-        oT, Seq("o_year"), 16, "o_orderkey", Seq("o_orderkey"))
-      Bucketing.writeBucketed(
-        li(s, d).select($"l_orderkey", $"l_extendedprice", $"l_discount"),
-        lT, 16, "l_orderkey", Seq("l_orderkey"))
-      val res = Bucketing.table(s, oT)
-        .filter($"o_year" === "1996")
-        .hint("merge")
-        .join(Bucketing.table(s, lT), $"o_orderkey" === $"l_orderkey")
-        .groupBy($"o_orderpriority")
-        // exact-decimal revenue (q59/q71's practice): both inputs are
-        // 2-decimal doubles, so the decimal casts are exact and the
-        // product/sum never depend on partial-aggregation order —
-        // round(sum(double),2) could flip a .005 boundary per engine
-        .agg(count(lit(1)).as("n_items"),
-             round(sum($"l_extendedprice".cast("decimal(18,2)") *
-                 (expr("CAST(1 AS DECIMAL(3,2))") -
-                  $"l_discount".cast("decimal(6,4)"))), 2)
-               .cast("double").as("revenue"))
-        // pin eagerly so the pid-suffixed scratch tables drop before
-        // returning (q57's hygiene)
-        .localCheckpoint(true)
-      Bucketing.drop(s, oT)
-      Bucketing.drop(s, lT)
-      res.orderBy($"o_orderpriority")
-    },
-    Some("""
-      SELECT o_orderpriority, count(*) AS n_items,
-             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                            (CAST(1 AS DECIMAL(3,2))
-                             - CAST(l_discount AS DECIMAL(6,4)))), 2)
-                  AS DOUBLE) AS revenue
-      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-      WHERE strftime(o_orderdate, '%Y') = '1996'
-      GROUP BY 1 ORDER BY 1"""))
-
-  /** q76 — snapshot diff (MergeOps.diffSnapshots): the changeset that
-    * turns `old` into `next`, extracted from the two snapshots — the
-    * inverse of q59's upsert. `next` is a deterministic refresh of
-    * orders (keys %7 dropped = deletes; %10 repriced in DECIMAL, the
-    * q59-proven engine-portable formulation = updates; negative keys =
-    * inserts). Graded output = the full changeset; the oracle replays
-    * the same refresh and diffs with two-sided anti-join semantics.
-    */
-  private val q76 = Q(
-    "q76_diff_snapshots",
-    (s, d) => {
-      import s.implicits._
-      val o = ord(s, d).select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
-      val repriced = round($"o_totalprice".cast("decimal(18,2)") *
-        expr("CAST(1.1 AS DECIMAL(2,1))"), 2).cast("double")
-      val next = o.filter($"o_orderkey" % 7 =!= 0)
-        .withColumn("o_totalprice",
-          when($"o_orderkey" % 10 === 0, repriced).otherwise($"o_totalprice"))
-        .unionByName(o.filter($"o_orderkey" % 13 === 0)
-          .withColumn("o_orderkey", -$"o_orderkey" - 1))
-      MergeOps.diffSnapshots(o, next, Seq("o_orderkey"))
-        .orderBy($"o_orderkey")
-    },
-    Some("""
-      WITH o AS (
-        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
-      nxt AS (
-        SELECT o_orderkey, o_orderstatus,
-               CASE WHEN o_orderkey % 10 = 0
-                    THEN CAST(round(CAST(o_totalprice AS DECIMAL(18,2))
-                              * CAST(1.1 AS DECIMAL(2,1)), 2) AS DOUBLE)
-                    ELSE o_totalprice END AS o_totalprice
-        FROM o WHERE o_orderkey % 7 <> 0
-        UNION ALL
-        SELECT -o_orderkey - 1, o_orderstatus, o_totalprice
-        FROM o WHERE o_orderkey % 13 = 0),
-      ch AS (
-        SELECT n.o_orderkey, n.o_orderstatus, n.o_totalprice,
-               FALSE AS is_delete
-        FROM nxt n LEFT JOIN o ON n.o_orderkey = o.o_orderkey
-        WHERE o.o_orderkey IS NULL
-           OR n.o_orderstatus IS DISTINCT FROM o.o_orderstatus
-           OR n.o_totalprice IS DISTINCT FROM o.o_totalprice),
-      del AS (
-        SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice,
-               TRUE AS is_delete
-        FROM o LEFT JOIN (SELECT DISTINCT o_orderkey FROM nxt) n
-          USING (o_orderkey)
-        WHERE n.o_orderkey IS NULL)
-      SELECT * FROM ch UNION ALL SELECT * FROM del
-      ORDER BY o_orderkey"""))
-
-  /** q59 — snapshot merge (MERGE INTO semantics): a deterministic
-    * changeset derived from orders itself — updates (repriced, status
-    * 'U'), inserts (new negative keys, status 'N'), deletes — applied
-    * via MergeOps.upsert (ONE union shuffle + per-key window, no
-    * join), then aggregated per status. Update/delete key sets are
-    * disjoint by construction so the merge needs no version column.
-    *
-    * Orders is STAGED ONCE (eager localCheckpoint, the capstone
-    * pattern): base + the three changeset branches all derive from the
-    * staged frame, so the executed plan has ZERO orders FileScans
-    * after the one staging scan — without staging each branch re-reads
-    * the parquet (4 scans; at 100 TB that is 4 passes over the fact).
-    */
-  private val q59 = Q(
-    "q59_merge_upsert",
-    (s, d) => {
-      import s.implicits._
-      val o = ord(s, d).localCheckpoint(true)
-      val upd = o.filter($"o_orderkey" % 10 === 0 && $"o_orderkey" % 7 =!= 0)
-        // reprice in DECIMAL: round(double * 1.1, 2) is engine-
-        // dependent (Spark rounds the shortest decimal repr, DuckDB
-        // the binary value) — exact decimal ×11/10 is not
-        .withColumn("o_totalprice",
-          round($"o_totalprice".cast("decimal(18,2)") *
-            expr("CAST(1.1 AS DECIMAL(2,1))"), 2).cast("double"))
-        .withColumn("o_orderstatus", lit("U"))
-        .withColumn("is_delete", lit(false))
-      val ins = o.filter($"o_orderkey" % 13 === 0)
-        .withColumn("o_orderkey", -($"o_orderkey" + 1))
-        .withColumn("o_orderstatus", lit("N"))
-        .withColumn("is_delete", lit(false))
-      val del = o.filter($"o_orderkey" % 7 === 0)
-        .withColumn("is_delete", lit(true))
-      val changes = upd.unionByName(ins).unionByName(del)
-      MergeOps.upsert(o, changes, Seq("o_orderkey"), Some("is_delete"))
-        .groupBy($"o_orderstatus")
-        // exact decimal sum, then one cast: a double sum of ~15k
-        // 1e5-sized values carries ulp error that flips the 2nd
-        // decimal depending on partition order — engine-dependent
-        .agg(count(lit(1)).as("n"),
-             sum($"o_totalprice".cast("decimal(18,2)")).cast("double")
-               .as("sum_price"))
-        .orderBy($"o_orderstatus")
-    },
-    Some("""
-      WITH upd AS (
-        SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
-               CAST(round(CAST(o_totalprice AS DECIMAL(18,2))
-                          * CAST(1.1 AS DECIMAL(2,1)), 2) AS DOUBLE)
-                 AS o_totalprice,
-               o_orderdate, o_orderpriority
-        FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 7 <> 0),
-      ins AS (
-        SELECT -(o_orderkey + 1) AS o_orderkey, o_custkey,
-               'N' AS o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
-        FROM orders WHERE o_orderkey % 13 = 0),
-      merged AS (
-        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
-               o_orderdate, o_orderpriority
-        FROM orders
-        WHERE o_orderkey % 7 <> 0
-          AND NOT (o_orderkey % 10 = 0 AND o_orderkey % 7 <> 0)
-        UNION ALL SELECT * FROM upd
-        UNION ALL SELECT * FROM ins)
-      SELECT o_orderstatus, count(*) AS n,
-             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-      FROM merged GROUP BY 1 ORDER BY 1"""))
-
-  /** q60 — salted skew join: lineitem⋈supplier through
-    * JoinOps.saltedJoin (4 salt buckets — large side spread across
-    * sub-keys, small side replicated ×4), aggregated per nation. The
-    * result is provably identical to the unsalted join (that is the
-    * oracle); the salt is what keeps one hot supplier from stalling a
-    * single reducer when the small side is too big to broadcast.
-    */
-  private val q60 = Q(
-    "q60_salted_join",
-    (s, d) => {
-      import s.implicits._
-      val l = li(s, d).select($"l_suppkey", $"l_extendedprice", $"l_discount")
-      val sp = Tables.supplier(s, d)
-        .select($"s_suppkey".as("l_suppkey"), $"s_nationkey")
-      JoinOps.saltedJoin(l, sp, Seq("l_suppkey"), saltBuckets = 4)
-        .groupBy($"s_nationkey")
-        .agg(count(lit(1)).as("n_items"),
-             round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
-               .as("revenue"))
-        .orderBy($"s_nationkey")
-    },
-    Some("""
-      SELECT s_nationkey, count(*) AS n_items,
-             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
-      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-      GROUP BY s_nationkey ORDER BY s_nationkey"""))
-
-  /** q61 — blocked fuzzy join (data-cleaning entity matching): part
-    * names matched within Levenshtein distance 3, candidates blocked
-    * by the name's noun (equi-join on the second word — never
-    * all-pairs; per-block quadratic over the bounded adjective set).
-    * DuckDB's levenshtein is the oracle's verifier — both engines
-    * compute plain unit-cost edit distance.
-    */
-  private val q61 = Q(
-    "q61_fuzzy_join",
-    (s, d) => {
-      import s.implicits._
-      JoinOps.fuzzyJoin(Tables.part(s, d), Tables.part(s, d), "p_name",
-          name => element_at(split(name, " "), 2), maxDist = 3)
-        .select($"a", $"b", $"dist")
-        .orderBy($"a", $"b")
-    },
-    Some("""
-      WITH n AS (SELECT DISTINCT p_name FROM part)
-      SELECT a.p_name AS a, b.p_name AS b,
-             CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
-      FROM n a JOIN n b
-        ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
-       AND a.p_name < b.p_name
-      WHERE levenshtein(a.p_name, b.p_name) <= 3
-      ORDER BY a, b"""))
-
-  /** q62 — fixed-width histogram over l_extendedprice (the profiling
-    * family): floor-binned, clamped to [0, 24], count + min/max per
-    * bin. One partial-aggregated shuffle carrying ≤ 25 groups off a
-    * single-column scan; both engines evaluate the identical double
-    * expression so bin edges agree bit-for-bit.
-    */
-  private val q62 = Q(
-    "q62_histogram",
-    (s, d) => LibOps.histogram(li(s, d), "l_extendedprice",
-        lo = 0.0, width = 5000.0, nbins = 25)
-      .orderBy(col("bin")),
-    Some("""
-      SELECT CAST(least(greatest(floor(l_extendedprice / 5000.0), 0), 24) AS INTEGER) AS bin,
-             count(*) AS n,
-             round(min(l_extendedprice), 4) AS bin_min,
-             round(max(l_extendedprice), 4) AS bin_max
-      FROM lineitem
-      WHERE l_extendedprice IS NOT NULL
-      GROUP BY 1 ORDER BY 1"""))
-
-  /** q63 — literal S1 text source round-trip: documents written as
-    * plain text lines, read back with `spark.read.text`, wordcounted.
-    * Closes dumbo's default text-input path literally (the parquet
-    * tables are the survey-sanctioned columnar upgrade; this proves
-    * the line-oriented path works end to end). Oracle = the same
-    * wordcount straight off the documents table (texts are single-line
-    * by construction, so the round-trip is lossless).
-    */
-  private val q63 = Q(
-    "q63_text_roundtrip",
-    (s, d) => {
-      val tmp = tmpDir(s, "q63_text")
-      docs(s, d).select(col("text")).write.mode("overwrite").text(tmp)
-      s.read.text(tmp)
-        .select(explode(split(col("value"), " ")).as("word"))
-        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-        .orderBy(col("word"))
-    },
-    Some("""
-      SELECT word, count(*) AS cnt FROM (
-        SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
-      GROUP BY word ORDER BY word"""))
-
-  /** q64 — per-group z-score outlier gate (LibOps.zscoreOutliers):
-    * mean/std per returnflag broadcast back, row-local |z| filter —
-    * no row shuffle, only the 3-row stats table moves. Threshold
-    * margin measured: nearest row sits 9.5e-7 z-units from 1.5, six
-    * orders above cross-engine float jitter, so the filtered set is
-    * engine-stable.
-    */
-  private val q64 = Q(
-    "q64_outliers",
-    (s, d) => {
-      import s.implicits._
-      LibOps.zscoreOutliers(li(s, d), Seq("l_returnflag"), "l_extendedprice", 1.5)
-        .groupBy($"l_returnflag")
-        .agg(count(lit(1)).as("n_outliers"),
-             round(max(abs($"z")), 4).as("max_abs_z"))
-        .orderBy($"l_returnflag")
-    },
-    Some("""
-      WITH s AS (
-        SELECT l_returnflag, avg(l_extendedprice) AS m,
-               stddev_pop(l_extendedprice) AS sd
-        FROM lineitem GROUP BY 1)
-      SELECT l_returnflag, count(*) AS n_outliers,
-             round(max(abs((l_extendedprice - m) / sd)), 4) AS max_abs_z
-      FROM lineitem JOIN s USING (l_returnflag)
-      WHERE abs((l_extendedprice - m) / sd) > 1.5
-      GROUP BY l_returnflag ORDER BY l_returnflag"""))
-
-  /** q65 — equi-depth (quantile) binning of l_extendedprice into 8
-    * bins (LibOps.equidepthBins): distinct-value counts shuffle (D
-    * values, not N rows), one D-row cumulative window, then pure
-    * integer threshold arithmetic — never the single-task global sort
-    * an ntile formulation would pay. The oracle replays the identical
-    * integer recipe, so engine≡oracle is exact (no float boundaries).
-    */
-  private val q65 = Q(
-    "q65_equidepth",
-    (s, d) => LibOps.equidepthSummary(li(s, d), "l_extendedprice", 8)
-      .orderBy(col("bin")),
-    Some("""
-      WITH dv AS (
-        SELECT l_extendedprice AS value, count(*) AS cnt
-        FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
-      cum AS (
-        SELECT value, cnt, sum(cnt) OVER (ORDER BY value) AS cum,
-               (SELECT sum(cnt) FROM dv) AS total
-        FROM dv),
-      bins AS (
-        SELECT value, cnt,
-               least(((cum - cnt) * 8) // total, 7) AS bin
-        FROM cum)
-      SELECT CAST(bin AS INTEGER) AS bin,
-             CAST(sum(cnt) AS BIGINT) AS n,
-             round(min(value), 4) AS lo,
-             round(max(value), 4) AS hi
-      FROM bins GROUP BY bin ORDER BY bin"""))
-
-  /** q67 — median/MAD robust outlier gate (LibOps.robustOutliers):
-    * the heavy-tail-safe variant of q64 — two grouped exact
-    * percentiles with keys-sized broadcasts between them, then a
-    * row-local |v − med|/MAD filter; no row data ever shuffles.
-    * quantile_cont ≡ Spark percentile (the q24 parity). Runs on
-    * events.value (heavy-tailed: robust-z reaches ~20, and the ~10k
-    * distinct values per type keep the exact-percentile buffers small
-    * — a near-continuous 100 TB column would use approx_percentile
-    * boundaries with the same plan shape). Threshold 3.75 chosen with
-    * measured cross-engine margin ≥ 3e-4 at every sf (nearest |rz| to
-    * the cut), so a 1-ulp disagreement cannot flip a row.
-    */
-  private val q67 = Q(
-    "q67_robust_outliers",
-    (s, d) => {
-      import s.implicits._
-      // pin = true: the Bench/Verify harness runs Hygiene.clearAll, so
-      // the graded instance keeps the fast no-recompute plan; the
-      // library DEFAULT is pin = false (safe for embedders — round-7
-      // verdict task 4)
-      LibOps.robustOutliers(ev(s, d), Seq("event_type"), "value", 3.75,
-          pin = true)
-        .groupBy($"event_type")
-        .agg(count(lit(1)).as("n_outliers"),
-             round(max(abs($"rz")), 4).as("max_abs_rz"))
-        .orderBy($"event_type")
-    },
-    Some("""
-      WITH m AS (
-        SELECT event_type, quantile_cont(value, 0.5) AS med
-        FROM events GROUP BY 1),
-      d AS (
-        SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
-        FROM events JOIN m USING (event_type) GROUP BY event_type)
-      SELECT event_type, count(*) AS n_outliers,
-             round(max(abs((value - med) / nullif(mad, 0))), 4) AS max_abs_rz
-      FROM events JOIN m USING (event_type) JOIN d USING (event_type)
-      WHERE abs((value - med) / nullif(mad, 0)) > 3.75
-      GROUP BY event_type ORDER BY event_type"""))
-
-  /** q66 — percentile-rank feature normalization
-    * (LibOps.percentileRank): every lineitem gains its empirical-CDF
-    * rank of l_quantity. The rank table comes from the shared
-    * distinct-value cumulative (D=50 rows here), broadcast back onto
-    * the fact — the oracle's `rank() OVER (ORDER BY …)` global window
-    * is exactly the single-task sort the operator avoids. Exact
-    * integer ratio, rounded at 6 for the cross-engine hash.
-    */
-  private val q66 = Q(
-    "q66_pct_rank",
-    (s, d) => LibOps.percentileRank(li(s, d), "l_quantity")
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-        col("pct_rank"))
-      // the synthetic lineitem repeats (orderkey, linenumber) pairs, so
-      // l_quantity completes the deterministic order
-      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
-    Some("""
-      SELECT l_orderkey, l_linenumber, l_quantity,
-             round((CAST(rank() OVER (ORDER BY l_quantity) AS DOUBLE) - 1)
-                   / count(*) OVER (), 6) AS pct_rank
-      FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity"""))
-
-  /** q46 — TPC-H Q5 shape: 6-table join (local-supplier revenue by
-    * nation within a region-year slice). Date + region filters push to
-    * the scans; nation/region broadcast; the fact-fact joins shuffle
-    * on their keys after pruning.
-    */
-  private val q46 = Q(
-    "q46_local_supplier_revenue",
-    (s, d) => {
-      import s.implicits._
-      li(s, d)
-        .join(ord(s, d), $"l_orderkey" === $"o_orderkey")
-        .join(cust(s, d), $"o_custkey" === $"c_custkey")
-        .join(Tables.supplier(s, d),
-          $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
-        .join(broadcast(nat(s, d)), $"s_nationkey" === $"n_nationkey")
-        .join(broadcast(reg(s, d)), $"n_regionkey" === $"r_regionkey")
-        .filter($"r_name" === "ASIA" &&
-          $"o_orderdate" >= lit("1996-01-01") && $"o_orderdate" < lit("1997-01-01"))
-        .groupBy($"n_name")
-        .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
-             count(lit(1)).as("n_lines"))
-        .orderBy($"revenue".desc, $"n_name")
-    },
-    Some("""
-      SELECT n_name,
-             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
-             count(*) AS n_lines
-      FROM lineitem
-      JOIN orders   ON l_orderkey = o_orderkey
-      JOIN customer ON o_custkey = c_custkey
-      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-      JOIN nation   ON s_nationkey = n_nationkey
-      JOIN region   ON n_regionkey = r_regionkey
-      WHERE r_name = 'ASIA'
-        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-        AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
-      GROUP BY n_name ORDER BY revenue DESC, n_name"""))
-
-  /** q47 — deterministic hash-based train/valid/test split: bucket =
-    * first 16 bits of md5(doc_id) mod 100. The reproducible-sampling
-    * idiom for training pipelines — stable under repartitioning,
-    * cluster size, and engine (md5 is portable, unlike rand(seed) or
-    * TABLESAMPLE), so the same doc lands in the same split everywhere.
-    */
-  private val q47 = Q(
-    "q47_hash_split",
-    (s, d) => {
-      import s.implicits._
-      val bucket = (conv(substring(md5($"doc_id".cast("string").cast("binary")), 1, 4),
-        16, 10).cast("int") % 100).as("bk")
-      docs(s, d).withColumn("bk", bucket)
-        .withColumn("split",
-          when($"bk" < 80, "train").when($"bk" < 90, "valid").otherwise("test"))
-        .groupBy($"split")
-        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
-        .orderBy($"split")
-    },
-    Some("""
-      WITH b AS (
-        SELECT *, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 100 AS bk
-        FROM documents)
-      SELECT CASE WHEN bk < 80 THEN 'train'
-                  WHEN bk < 90 THEN 'valid'
-                  ELSE 'test' END AS split,
-             count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
-      FROM b GROUP BY 1 ORDER BY 1"""))
-
-  /** q68 — leakage-safe grouped split (SampleOps.groupedSplit): fold
-    * assignment hashed on `source`, so near-duplicate docs from one
-    * site can never straddle train/test (q47's per-row split cannot
-    * guarantee that). Row-local md5 CASE, no shuffle; the oracle
-    * replays the same bucket arithmetic. count(DISTINCT source) per
-    * fold plus the total over folds equaling 20 distinct sources
-    * witnesses the co-assignment in the graded output itself.
-    */
-  private val q68 = Q(
-    "q68_grouped_split",
-    (s, d) => {
-      import s.implicits._
-      SampleOps.groupedSplit(docs(s, d), "source",
-          Seq("train" -> 80, "valid" -> 90))
-        .groupBy($"split")
-        .agg(count(lit(1)).as("n_docs"),
-             countDistinct($"source").as("n_sources"),
-             sum($"n_chars").as("sum_chars"))
-        .orderBy($"split")
-    },
-    Some("""
-      WITH b AS (
-        SELECT *, ('0x' || substr(md5(source), 1, 4))::INTEGER % 100 AS bk
-        FROM documents)
-      SELECT CASE WHEN bk < 80 THEN 'train'
-                  WHEN bk < 90 THEN 'valid'
-                  ELSE 'test' END AS split,
-             count(*) AS n_docs,
-             CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
-             CAST(sum(n_chars) AS BIGINT) AS sum_chars
-      FROM b GROUP BY 1 ORDER BY 1"""))
-
-  /** q69 — quality-weighted sampling (SampleOps.weightedSample): docs
-    * survive with probability proportional to length (capped at 1) —
-    * the continuous generalization of the mixture rates. Row-local
-    * hash-threshold WHERE; the oracle computes the identical double
-    * expression in the identical order, so the cut is bit-stable
-    * across engines.
-    */
-  private val q69 = Q(
-    "q69_weighted_sample",
-    (s, d) => {
-      import s.implicits._
-      SampleOps.weightedSample(docs(s, d), "doc_id",
-          least($"n_chars".cast("double") / 2000.0, lit(1.0)))
-        .groupBy($"lang")
-        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
-        .orderBy($"lang")
-    },
-    Some("""
-      WITH b AS (
-        SELECT *, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER AS bk
-        FROM documents)
-      SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
-      FROM b
-      WHERE CAST(bk AS DOUBLE) <
-            least(greatest(least(CAST(n_chars AS DOUBLE) / 2000.0, 1.0), 0.0), 1.0) * 65536.0
-      GROUP BY lang ORDER BY lang"""))
-
-  /** q48 — bigram counts (every occurrence, unlike the deduplicated
-    * dedup shingles): native WordNgrams (the interpreted
-    * transform/element_at form cost 2.9s of a 3s query), explode,
-    * count. Top-100 with full tiebreak.
-    */
-  private val q48 = Q(
-    "q48_bigram_counts",
-    (s, d) => {
-      import s.implicits._
-      docs(s, d)
-        .select(explode(graft.functions.TextFunctions.word_ngrams($"text", 2)).as("bigram"))
-        .groupBy($"bigram")
-        .agg(count(lit(1)).as("cnt"))
-        .orderBy($"cnt".desc, $"bigram")
-        .limit(100)
-    },
-    Some("""
-      SELECT bg AS bigram, count(*) AS cnt FROM (
-        SELECT w[i] || ' ' || w[i+1] AS bg
-        FROM (SELECT string_split(text, ' ') AS w FROM documents),
-             unnest(range(1, len(w))) AS t(i))
-      GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 100"""))
-
-  /** q49 — TF-IDF with top-5 terms per document (reported for the
-    * first 50 docs; tf/df statistics computed over the whole corpus).
-    * Three aggregates: tf per (doc, term), df per term (count of the
-    * already-distinct tf rows — no second distinct), corpus size N via
-    * a broadcast 1-row cross join. At scale: the (doc, term) shuffle
-    * dominates and is the irreducible cost of exact TF-IDF; df and N
-    * are partial-aggregated.
-    */
-  private val q49 = Q(
-    "q49_tfidf",
-    (s, d) => {
-      import s.implicits._
-      val tokens = docs(s, d)
-        .select($"doc_id", explode(TextOps.words($"text")).as("term"))
-      val tf = tokens.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("dfc"))
-      val n = docs(s, d).agg(count(lit(1)).as("n"))
-      val scored = tf.join(dfreq, "term")
-        .crossJoin(broadcast(n))
-        .withColumn("tfidf", $"tf" * log($"n".cast("double") / $"dfc"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"doc_id").orderBy($"tfidf".desc, $"term")
-      scored.filter($"doc_id" < 50)
-        .withColumn("rnk", row_number().over(w).cast("int"))
-        .filter($"rnk" <= 5)
-        .select($"doc_id", $"rnk", $"term", round($"tfidf", 4).as("tfidf"))
-        .orderBy($"doc_id", $"rnk")
-    },
-    Some("""
-      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-      tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-      dfq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
-      n AS (SELECT count(*) AS n FROM documents),
-      scored AS (
-        SELECT doc_id, term, tf * ln(n::DOUBLE / dfc) AS tfidf
-        FROM tf JOIN dfq USING (term) CROSS JOIN n
-        WHERE doc_id < 50)
-      SELECT doc_id, rnk, term, round(tfidf, 4) AS tfidf FROM (
-        SELECT doc_id, term, tfidf,
-               CAST(row_number() OVER (PARTITION BY doc_id
-                 ORDER BY tfidf DESC, term) AS INTEGER) AS rnk
-        FROM scored) x
-      WHERE rnk <= 5 ORDER BY doc_id, rnk"""))
-
-  /** q50 — MapType column surface (§2.8 map functions): props parsed
-    * into a real map (not string-extracted), then map_contains_key /
-    * try_element_at / size(map) aggregates. Values parse as STRING and
-    * cast per-key: a map<string,int> schema would null the WHOLE map
-    * when any one value fails int conversion, diverging from the
-    * oracle's per-key json semantics. try_element_at / try_cast (not
-    * element_at / cast): ANSI mode errors where the oracle yields NULL.
-    */
-  private val q50 = Q(
-    "q50_map_column",
-    (s, d) => {
-      import s.implicits._
-      ev(s, d)
-        .withColumn("m", from_json($"props", "map<string,string>", Map.empty[String, String]))
-        .groupBy($"event_type")
-        .agg(count(when(map_contains_key($"m", "k"), 1)).as("n_with_k"),
-             round(avg(try_element_at($"m", lit("k")).try_cast("int")), 4).as("avg_k"),
-             sum(size($"m")).as("total_keys"))
-        .orderBy($"event_type")
-    },
-    Some("""
-      SELECT event_type,
-             count(*) FILTER (WHERE json_extract(props, '$.k') IS NOT NULL) AS n_with_k,
-             round(avg(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
-             CAST(sum(len(json_keys(props))) AS BIGINT) AS total_keys
-      FROM events GROUP BY event_type ORDER BY event_type"""))
-
-  /** q51 — conversion funnel (event-sequence analytics): users who
-    * signed up, then clicked within 24h of first signup, then purchased
-    * within 24h of that first qualifying click. Since round 6 this
-    * delegates to the generalized `TimeOps.funnel` (per-user
-    * min-aggregates chained by co-partitioned user equi-joins; q87
-    * grades the op's native schema on a different step chain) and
-    * keeps this query's original stage-label output contract.
-    */
-  private val q51 = Q(
-    "q51_funnel",
-    (s, d) => {
-      import s.implicits._
-      TimeOps.funnel(ev(s, d), "user_id", "ts", "event_type",
-          Seq("signup", "click", "purchase"), withinHours = Some(24))
-        .select(
-          when($"step_idx" === 1, "stage1_signup")
-            .when($"step_idx" === 2, "stage2_click_24h")
-            .otherwise("stage3_purchase_24h").as("stage"),
-          $"n_users")
-        .orderBy($"stage")
-    },
-    Some("""
-      WITH ev AS (
-        SELECT user_id, event_type, epoch_us(ts) AS tu FROM events),
-      s AS (
-        SELECT user_id, min(tu) AS t_s FROM ev
-        WHERE event_type = 'signup' AND user_id IS NOT NULL GROUP BY 1),
-      c AS (
-        SELECT e.user_id, min(e.tu) AS t_c
-        FROM ev e JOIN s USING (user_id)
-        WHERE e.event_type = 'click' AND e.tu > s.t_s
-          AND e.tu <= s.t_s + 86400000000 GROUP BY 1),
-      p AS (
-        SELECT e.user_id, min(e.tu) AS t_p
-        FROM ev e JOIN c USING (user_id)
-        WHERE e.event_type = 'purchase' AND e.tu > c.t_c
-          AND e.tu <= c.t_c + 86400000000 GROUP BY 1)
-      SELECT 'stage1_signup' AS stage, count(*) AS n_users FROM s
-      UNION ALL SELECT 'stage2_click_24h', count(*) FROM c
-      UNION ALL SELECT 'stage3_purchase_24h', count(*) FROM p
-      ORDER BY stage"""))
-
-  /** q52 — bounded-frame window aggregate: 5-row rolling median of
-    * order value per customer (interpolated percentile over ROWS
-    * BETWEEN 4 PRECEDING AND CURRENT). Frame-bounded windows are the
-    * remaining window family after running (q26) and rank (q42)
-    * aggregates; at scale this is one keyed shuffle + per-group sorted
-    * pass with an O(frame)-bounded buffer.
-    */
-  private val q52 = Q(
-    "q52_rolling_median",
-    (s, d) => {
-      import s.implicits._
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
-        .rowsBetween(-4, 0)
-      ord(s, d)
-        .withColumn("roll_median", round(percentile($"o_totalprice", lit(0.5)).over(w), 4))
-        .select($"o_custkey", $"o_orderkey", $"roll_median")
-        .orderBy($"o_custkey", $"o_orderkey")
-    },
-    Some("""
-      SELECT o_custkey, o_orderkey,
-             round(quantile_cont(o_totalprice, 0.5) OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS roll_median
-      FROM orders ORDER BY o_custkey, o_orderkey"""))
-
-  /** q53 — column profiling (data-quality sweep): null count and
-    * distinct count per column in one pass over the table (count +
-    * count_distinct partial aggregates; no per-column scans). The
-    * standard pre-training corpus audit.
-    */
-  private val q53 = Q(
-    "q53_profile_columns",
-    (s, d) => {
-      import s.implicits._
-      val o = ord(s, d)
-      val cols = Seq("o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
-      val aggs = cols.flatMap { c =>
-        Seq((count(lit(1)) - count(col(c))).as(s"nulls_$c"),
-            countDistinct(col(c)).cast("long").as(s"dist_$c"))
-      }
-      val wide = o.agg(aggs.head, aggs.tail: _*)
-      // one row per column via stack (unpivot of paired measures)
-      val stacked = cols.map(c => s"'$c', nulls_$c, dist_$c").mkString(", ")
-      wide.select(expr(
-          s"stack(${cols.length}, $stacked) AS (col, n_nulls, n_distinct)"))
-        .orderBy($"col")
-    },
-    Some("""
-      SELECT 'o_custkey' AS col, count(*) - count(o_custkey) AS n_nulls,
-             count(DISTINCT o_custkey) AS n_distinct FROM orders
-      UNION ALL SELECT 'o_orderstatus', count(*) - count(o_orderstatus),
-             count(DISTINCT o_orderstatus) FROM orders
-      UNION ALL SELECT 'o_orderpriority', count(*) - count(o_orderpriority),
-             count(DISTINCT o_orderpriority) FROM orders
-      UNION ALL SELECT 'o_totalprice', count(*) - count(o_totalprice),
-             count(DISTINCT o_totalprice) FROM orders
-      ORDER BY col"""))
-
-  // ------------------------------------------------------ typed MapRed
-
-  /** mapred_wordcount — the same wordcount through the typed
-    * mapper/combiner layer (C1+C3 via Dataset closures), proving the
-    * dumbo-API layer against the q02 oracle.
-    */
-  private val mr1 = Q(
-    "mapred_wordcount",
-    (s, d) => {
-      import s.implicits._
-      val pairs = docs(s, d).select($"doc_id", $"text").as[(Long, String)]
-      val mapped = MapRed.mapRecords(pairs) { (_, text) =>
-        text.split(' ').iterator.map(w => (w, 1L))
-      }
-      MapRed.combineByKey(mapped)(_ + _)
-        .toDF("word", "cnt")
-        .orderBy($"word")
-    },
-    Some("""
-      SELECT word, count(*) AS cnt
-      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
-      GROUP BY word ORDER BY word"""))
-
-  // ------------------------------------------------------ streaming (graded)
-
-  /** streaming_sessions_parity — the custom streaming sessionizer
-    * (flatMapGroupsWithState, §2.9) run over the SAME events as
-    * q16_session_window via a bounded file stream, graded against q16's
-    * gaps-and-islands oracle. Sessions only EMIT when closed, so a
-    * naive one-shot run would lose each user's trailing session; a
-    * per-user sentinel event far past the last real event is unioned in
-    * as a second file source — every real session closes inside the
-    * data batch, while the sentinel sessions themselves stay open and
-    * are never emitted. The watermark is pushed beyond the data's span
-    * so cross-file disorder can't late-drop rows: this parity harness
-    * wants exact equality; production keeps the real watermark for
-    * bounded state (see StreamingSpec for those semantics).
-    */
-  private val st01 = Q(
-    "streaming_sessions_parity",
-    (s, d) => {
-      import s.implicits._
-      import graft.streaming.StreamingOps
-      val batch = ev(s, d).select($"user_id", $"ts")
-      val maxSec = batch.agg(max($"ts").cast("long")).head.getLong(0)
-      // stage events + sentinels into one scratch dir (FileStreamSource
-      // needs a directory; events.parquet is a single file). coalesce(1)
-      // is load-bearing, not cosmetic: a SINGLE part file makes one
-      // micro-batch structurally guaranteed — if the sentinel were ever
-      // delivered in an EARLIER batch than a user's real events (file
-      // splitting under a future trigger/source option), the negative
-      // gap would merge those events INTO the open sentinel session and
-      // silently swallow that user's output. Fine for a parity harness
-      // over bench-scale data; not a 100 TB pattern (production
-      // streaming uses the real watermark + timeouts, no sentinels).
-      val stageDir = tmpDir(s, "stream_events")
-      batch.unionByName(
-          batch.select($"user_id").distinct()
-            .withColumn("ts", lit(maxSec + 7 * 24 * 3600).cast("timestamp")))
-        .coalesce(1)
-        .write.mode("overwrite").parquet(stageDir)
-      val src = StreamingOps.eventsStream(s, stageDir, s.read.parquet(stageDir).schema)
-      val sessions = StreamingOps.statefulSessions(
-        s, src, gapSec = 1800, watermark = "3650 days")
-      val sink = runParityStream(s, sessions, "stream_sessions")
-      // pin the result, then drop the memory-sink view so repeated
-      // invocations (Bench runs every query twice) don't accumulate
-      // in-memory result tables for the life of the session
-      val out = s.table(sink)
-        // defense in depth: sentinel sessions never close, hence never
-        // emit — but a future sentinel tweak must not leak rows
-        .filter($"session_start" <= maxSec)
-        .select($"user_id", $"session_start", $"n_events")
-        .localCheckpoint(true)
-      s.catalog.dropTempView(sink)
-      out.orderBy($"user_id", $"session_start", $"n_events")
-    },
-    Some(sessionOracleSql("")))
-
-  /** streaming_dedup_parity — the watermark-bounded streaming dedup
-    * (`dropDuplicatesWithinWatermark`) graded end-to-end: the event
-    * corpus is delivered TWICE through a file stream (every event a
-    * duplicate), and the emitted set must equal the original table —
-    * DuckDB's plain scan is the oracle. Exercises the state-store path
-    * that plain unit counts only sample.
-    */
-  private val st02 = Q(
-    "streaming_dedup_parity",
-    (s, d) => {
-      import s.implicits._
-      import graft.streaming.StreamingOps
-      val batch = ev(s, d).select($"event_id", $"user_id", $"ts")
-      val stageDir = tmpDir(s, "stream_dedup_events")
-      batch.write.mode("overwrite").parquet(stageDir)
-      batch.write.mode("append").parquet(stageDir)
-      val src = StreamingOps.eventsStream(s, stageDir, s.read.parquet(stageDir).schema)
-      val deduped = StreamingOps.streamingDedup(src, watermark = "3650 days")
-      val sink = runParityStream(s, deduped, "stream_dedup")
-      // pin + drop the memory-sink view (same hygiene as st01)
-      val out = s.table(sink)
-        .select($"event_id", $"user_id", $"ts".cast("long").as("ts_s"))
-        .localCheckpoint(true)
-      s.catalog.dropTempView(sink)
-      out.orderBy($"event_id")
-    },
-    Some("""
-      SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
-      FROM events ORDER BY event_id"""))
-
-  /** streaming_interval_parity — the stream-stream interval join
-    * (clicks joined to the same user's purchases within 24h,
-    * watermark-bounded state on both sides) graded end-to-end: events
-    * delivered through a bounded file stream, inner-join rows emit
-    * eagerly on match, and the result must equal the batch interval
-    * join DuckDB computes at µs precision (the engine's timestamp
-    * resolution — parquet carries ns, both engines floor to µs).
-    */
-  private val st03 = Q(
-    "streaming_interval_parity",
-    (s, d) => {
-      import s.implicits._
-      import graft.streaming.StreamingOps
-      val batch = ev(s, d)
-        .select($"event_id", $"user_id", $"ts", $"event_type", $"value")
-      val stageDir = tmpDir(s, "stream_ssj_events")
-      // single part file = single micro-batch (same note as st01)
-      batch.coalesce(1).write.mode("overwrite").parquet(stageDir)
-      val src = StreamingOps.eventsStream(s, stageDir, s.read.parquet(stageDir).schema)
-      // parity harness: watermark pushed past the data span so no row
-      // can be late-dropped; production uses the real lateness bound
-      val joined = StreamingOps.clickPurchaseJoin(s,
-        src.filter($"event_type" === "click"),
-        src.filter($"event_type" === "purchase"),
-        intervalHours = 24, watermark = "3650 days")
-      val sink = runParityStream(s, joined, "stream_ssj")
-      // pin + drop the memory-sink view (same hygiene as st01)
-      val out = s.table(sink).localCheckpoint(true)
-      s.catalog.dropTempView(sink)
-      out.orderBy($"click_id", $"purchase_ts_s", $"purchase_value")
-    },
-    Some("""
-      WITH c AS (
-        SELECT event_id AS click_id, user_id, epoch_us(ts) AS cu
-        FROM events WHERE event_type = 'click'),
-      p AS (
-        SELECT user_id AS p_user_id, epoch_us(ts) AS pu, value AS purchase_value
-        FROM events WHERE event_type = 'purchase')
-      SELECT click_id, user_id,
-             cu // 1000000 AS click_ts_s,
-             pu // 1000000 AS purchase_ts_s,
-             purchase_value
-      FROM c JOIN p ON user_id = p_user_id
-        AND pu > cu AND pu <= cu + 86400000000
-      ORDER BY click_id, purchase_ts_s, purchase_value"""))
-
-  /** streaming_tumbling_parity — the watermarked tumbling-window
-    * aggregation (§2.9's windowed-agg state path, distinct from the
-    * sessions/dedup/join state stores graded by st01–st03) run over a
-    * bounded file stream and graded against q14's exact oracle. The
-    * memory sink runs in COMPLETE mode: append-mode window emission
-    * only fires when the watermark passes a window, and a bounded
-    * harness stream has no post-data batch to flush the tail windows —
-    * complete mode emits every window exactly as the batch query
-    * would. That keeps all windows in state, fine for a parity
-    * harness; production uses append + the real watermark, whose
-    * eviction semantics StreamingSpec proves separately.
-    */
-  private val st04 = Q(
-    "streaming_tumbling_parity",
-    (s, d) => {
-      import s.implicits._
-      import graft.streaming.StreamingOps
-      val batch = ev(s, d).select($"ts", $"event_type", $"value")
-      val stageDir = tmpDir(s, "stream_tumbling_events")
-      batch.coalesce(1).write.mode("overwrite").parquet(stageDir)
-      val src = StreamingOps.eventsStream(s, stageDir, s.read.parquet(stageDir).schema)
-      val windows = StreamingOps.tumblingCounts(src, "1 hour", watermark = "2 hours")
-      val sink = runParityStream(s, windows, "stream_tumbling", mode = "complete")
-      // pin + drop the memory-sink view (same hygiene as st01)
-      val out = s.table(sink)
-        .select($"window_start", $"event_type", $"cnt",
-          round($"sum_value", 2).as("sum_value"))
-        .localCheckpoint(true)
-      s.catalog.dropTempView(sink)
-      out.orderBy($"window_start", $"event_type")
-    },
-    Some("""
-      SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
-             event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
-      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
-
-  /** streaming_static_join_parity — the stream-static enrichment path
-    * (StreamingOps.staticEnrich), completing §2.9's join surface next
-    * to the stateful stream-stream interval join: events streamed from
-    * files, each micro-batch broadcast-joined to a static event-type
-    * dim, aggregated per tier in complete mode, graded against the
-    * equivalent batch SQL. Sums run in DECIMAL on both sides (q59's
-    * practice) so the micro-batch partial order can never flip a
-    * rounding boundary.
-    */
-  private val st05 = Q(
-    "streaming_static_join_parity",
-    (s, d) => {
-      import s.implicits._
-      import graft.streaming.StreamingOps
-      val batch = ev(s, d).select($"ts", $"event_type", $"value")
-      val stageDir = tmpDir(s, "stream_static_events")
-      batch.coalesce(1).write.mode("overwrite").parquet(stageDir)
-      val src = StreamingOps.eventsStream(s, stageDir, s.read.parquet(stageDir).schema)
-      val dim = ev(s, d).select($"event_type").distinct()
-        .withColumn("type_tier",
-          when(length($"event_type") >= 6, "long").otherwise("short"))
-      val enriched = StreamingOps.staticEnrich(src, dim, "event_type")
-        .groupBy($"type_tier")
-        .agg(count(lit(1)).as("cnt"),
-          round(sum($"value".cast("decimal(18,6)")), 2).cast("double")
-            .as("sum_value"))
-      val sink = runParityStream(s, enriched, "stream_static", mode = "complete")
-      val out = s.table(sink).localCheckpoint(true)
-      s.catalog.dropTempView(sink)
-      out.orderBy($"type_tier")
-    },
-    Some("""
-      SELECT CASE WHEN len(event_type) >= 6 THEN 'long' ELSE 'short' END
-               AS type_tier,
-             count(*) AS cnt,
-             CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
-               AS sum_value
-      FROM events GROUP BY 1 ORDER BY 1"""))
-
-  /** streaming_quality_parity — the curation path run STREAMING: the
-    * document corpus streamed from files and scored by the SAME
-    * TextOps.qualityModel plan the batch query grades (row-local
-    * stateless transform: no watermark, no state store, append mode —
-    * the ingest-time quality gate of a production pipeline). Graded
-    * per-doc against the shared quality-model SQL fragments, so batch
-    * query, streaming query, and oracle share one definition of the
-    * model.
-    */
-  private val st06 = Q(
-    "streaming_quality_parity",
-    (s, d) => {
-      import s.implicits._
-      import graft.streaming.StreamingOps
-      val batch = docs(s, d).select($"doc_id", $"text")
-      val stageDir = tmpDir(s, "stream_quality_docs")
-      batch.coalesce(1).write.mode("overwrite").parquet(stageDir)
-      val src = StreamingOps.docsStream(s, stageDir, s.read.parquet(stageDir).schema)
-      val scored = TextOps.qualityModel(src)
-        .select($"doc_id", $"score", $"keep")
-      val sink = runParityStream(s, scored, "stream_quality", mode = "append")
-      val out = s.table(sink).localCheckpoint(true)
-      s.catalog.dropTempView(sink)
-      out.orderBy($"doc_id")
-    },
-    Some(s"""$qualityModelCtes
-      SELECT doc_id, $qualityScoreSql AS score,
-             coalesce($qualityScoreSql > 0, false) AS keep
-      FROM m ORDER BY doc_id"""))
-
-  val all: Seq[Q] = Seq(
-    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
-    q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
-    q28, q29, q30, q31, q33, q34, q35, q36, q37,
-    q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51,
-    q52, q53, q54, q55, q56, q57, q57b, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
-    q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93,
-    d01, d02, d02u, d02m, d02i, d03, d04, d05, d06, d07, d08, d09, d10, d10i, d11, d12, d13, d14, d15, d16, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sm10, sm11, pk1, pk2, dc1, dc2, dc3, dc4, vd1,
-    t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, a11, a12, cr1, cr2, m01, m02, m03, mr1,
-    p01, st01, st02, st03, st04, st05, st06)
+  /** The graded registry: per-family files composed into one surface
+    * (round-7 verdict task 7 — the registry was a single 6,200-line
+    * file; the split is purely mechanical, no query renamed).
+    */
+  val all: Seq[Q] =
+    QueriesCore.qs ++ QueriesTime.qs ++ QueriesScalar.qs ++
+    QueriesDedup.qs ++ QueriesSampling.qs ++ QueriesEvents.qs ++
+    QueriesCuration.qs ++ QueriesText.qs ++ QueriesSim.qs ++
+    QueriesMedia.qs ++ QueriesOps.qs ++ QueriesLayout.qs ++
+    QueriesStreaming.qs
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
 
   def oracleMap: Map[String, String] =
     all.flatMap(q => q.oracle.map(sql => q.name -> sql.trim)).toMap
+
+  private[graft] def pathTag(d: String): String = QHelp.pathTag(d)
 }

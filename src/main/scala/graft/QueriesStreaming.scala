@@ -1,0 +1,298 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.ops._
+import graft.QHelp._
+
+/** Structured-Streaming parity family (watermarked windows, state ops). */
+private[graft] object QueriesStreaming {
+
+
+  /** Shared harness for the streaming_* parity queries: run `stream`
+    * into a memory sink under AvailableNow, await completion, return
+    * the sink name (caller projects, pins, and drops the view). Two
+    * parity-harness confs are scoped to the run and restored after:
+    *
+    *  - state partitions sized to harness volume (2; each shuffle
+    *    partition is a full set of state-store instances whose
+    *    load/commit cost is per-batch overhead — production sizes this
+    *    to state volume instead);
+    *  - no-data micro-batches OFF: every graded stream emits eagerly
+    *    inside its data batch (inner interval join, first-sight dedup,
+    *    sentinel-closed sessions), so the trailing watermark-advance
+    *    batch produces zero rows and only pays state-store commits.
+    *
+    * Together measured 9.1 s -> 1.9 s on streaming_interval_parity at
+    * sf0.1 local[32]. Production streams with timeout-driven emission
+    * (session closes on idle) need no-data batches ON — that is the
+    * default this helper restores.
+    */
+  private def runParityStream(s: SparkSession,
+                              stream: DataFrame, prefix: String,
+                              mode: String = "append"): String = {
+    val sink = s"${prefix}_${System.nanoTime()}"
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData =
+      s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try {
+      val q = stream.writeStream
+        .format("memory").queryName(sink).outputMode(mode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+    }
+    sink
+  }
+
+
+  // ------------------------------------------------------ streaming (graded)
+
+  /** streaming_sessions_parity — the custom streaming sessionizer
+    * (flatMapGroupsWithState, §2.9) run over the SAME events as
+    * q16_session_window via a bounded file stream, graded against q16's
+    * gaps-and-islands oracle. Sessions only EMIT when closed, so a
+    * naive one-shot run would lose each user's trailing session; a
+    * per-user sentinel event far past the last real event is unioned in
+    * as a second file source — every real session closes inside the
+    * data batch, while the sentinel sessions themselves stay open and
+    * are never emitted. The watermark is pushed beyond the data's span
+    * so cross-file disorder can't late-drop rows: this parity harness
+    * wants exact equality; production keeps the real watermark for
+    * bounded state (see StreamingSpec for those semantics).
+    */
+  private val st01 = Q(
+    "streaming_sessions_parity",
+    (s, d) => {
+      import s.implicits._
+      import graft.streaming.StreamingOps
+      val batch = ev(s, d).select($"user_id", $"ts")
+      val maxSec = batch.agg(max($"ts").cast("long")).head.getLong(0)
+      // stage events + sentinels into one scratch dir (FileStreamSource
+      // needs a directory; events.parquet is a single file). coalesce(1)
+      // is load-bearing, not cosmetic: a SINGLE part file makes one
+      // micro-batch structurally guaranteed — if the sentinel were ever
+      // delivered in an EARLIER batch than a user's real events (file
+      // splitting under a future trigger/source option), the negative
+      // gap would merge those events INTO the open sentinel session and
+      // silently swallow that user's output. Fine for a parity harness
+      // over bench-scale data; not a 100 TB pattern (production
+      // streaming uses the real watermark + timeouts, no sentinels).
+      val stageDir = tmpDir(s, "stream_events")
+      batch.unionByName(
+          batch.select($"user_id").distinct()
+            .withColumn("ts", lit(maxSec + 7 * 24 * 3600).cast("timestamp")))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(stageDir)
+      val src = StreamingOps.eventsStream(s, stageDir, s.read.parquet(stageDir).schema)
+      val sessions = StreamingOps.statefulSessions(
+        s, src, gapSec = 1800, watermark = "3650 days")
+      val sink = runParityStream(s, sessions, "stream_sessions")
+      // pin the result, then drop the memory-sink view so repeated
+      // invocations (Bench runs every query twice) don't accumulate
+      // in-memory result tables for the life of the session
+      val out = s.table(sink)
+        // defense in depth: sentinel sessions never close, hence never
+        // emit — but a future sentinel tweak must not leak rows
+        .filter($"session_start" <= maxSec)
+        .select($"user_id", $"session_start", $"n_events")
+        .localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      out.orderBy($"user_id", $"session_start", $"n_events")
+    },
+    Some(sessionOracleSql("")))
+
+
+  /** streaming_dedup_parity — the watermark-bounded streaming dedup
+    * (`dropDuplicatesWithinWatermark`) graded end-to-end: the event
+    * corpus is delivered TWICE through a file stream (every event a
+    * duplicate), and the emitted set must equal the original table —
+    * DuckDB's plain scan is the oracle. Exercises the state-store path
+    * that plain unit counts only sample.
+    */
+  private val st02 = Q(
+    "streaming_dedup_parity",
+    (s, d) => {
+      import s.implicits._
+      import graft.streaming.StreamingOps
+      val batch = ev(s, d).select($"event_id", $"user_id", $"ts")
+      val stageDir = tmpDir(s, "stream_dedup_events")
+      batch.write.mode("overwrite").parquet(stageDir)
+      batch.write.mode("append").parquet(stageDir)
+      val src = StreamingOps.eventsStream(s, stageDir, s.read.parquet(stageDir).schema)
+      val deduped = StreamingOps.streamingDedup(src, watermark = "3650 days")
+      val sink = runParityStream(s, deduped, "stream_dedup")
+      // pin + drop the memory-sink view (same hygiene as st01)
+      val out = s.table(sink)
+        .select($"event_id", $"user_id", $"ts".cast("long").as("ts_s"))
+        .localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      out.orderBy($"event_id")
+    },
+    Some("""
+      SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+      FROM events ORDER BY event_id"""))
+
+
+  /** streaming_interval_parity — the stream-stream interval join
+    * (clicks joined to the same user's purchases within 24h,
+    * watermark-bounded state on both sides) graded end-to-end: events
+    * delivered through a bounded file stream, inner-join rows emit
+    * eagerly on match, and the result must equal the batch interval
+    * join DuckDB computes at µs precision (the engine's timestamp
+    * resolution — parquet carries ns, both engines floor to µs).
+    */
+  private val st03 = Q(
+    "streaming_interval_parity",
+    (s, d) => {
+      import s.implicits._
+      import graft.streaming.StreamingOps
+      val batch = ev(s, d)
+        .select($"event_id", $"user_id", $"ts", $"event_type", $"value")
+      val stageDir = tmpDir(s, "stream_ssj_events")
+      // single part file = single micro-batch (same note as st01)
+      batch.coalesce(1).write.mode("overwrite").parquet(stageDir)
+      val src = StreamingOps.eventsStream(s, stageDir, s.read.parquet(stageDir).schema)
+      // parity harness: watermark pushed past the data span so no row
+      // can be late-dropped; production uses the real lateness bound
+      val joined = StreamingOps.clickPurchaseJoin(s,
+        src.filter($"event_type" === "click"),
+        src.filter($"event_type" === "purchase"),
+        intervalHours = 24, watermark = "3650 days")
+      val sink = runParityStream(s, joined, "stream_ssj")
+      // pin + drop the memory-sink view (same hygiene as st01)
+      val out = s.table(sink).localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      out.orderBy($"click_id", $"purchase_ts_s", $"purchase_value")
+    },
+    Some("""
+      WITH c AS (
+        SELECT event_id AS click_id, user_id, epoch_us(ts) AS cu
+        FROM events WHERE event_type = 'click'),
+      p AS (
+        SELECT user_id AS p_user_id, epoch_us(ts) AS pu, value AS purchase_value
+        FROM events WHERE event_type = 'purchase')
+      SELECT click_id, user_id,
+             cu // 1000000 AS click_ts_s,
+             pu // 1000000 AS purchase_ts_s,
+             purchase_value
+      FROM c JOIN p ON user_id = p_user_id
+        AND pu > cu AND pu <= cu + 86400000000
+      ORDER BY click_id, purchase_ts_s, purchase_value"""))
+
+
+  /** streaming_tumbling_parity — the watermarked tumbling-window
+    * aggregation (§2.9's windowed-agg state path, distinct from the
+    * sessions/dedup/join state stores graded by st01–st03) run over a
+    * bounded file stream and graded against q14's exact oracle. The
+    * memory sink runs in COMPLETE mode: append-mode window emission
+    * only fires when the watermark passes a window, and a bounded
+    * harness stream has no post-data batch to flush the tail windows —
+    * complete mode emits every window exactly as the batch query
+    * would. That keeps all windows in state, fine for a parity
+    * harness; production uses append + the real watermark, whose
+    * eviction semantics StreamingSpec proves separately.
+    */
+  private val st04 = Q(
+    "streaming_tumbling_parity",
+    (s, d) => {
+      import s.implicits._
+      import graft.streaming.StreamingOps
+      val batch = ev(s, d).select($"ts", $"event_type", $"value")
+      val stageDir = tmpDir(s, "stream_tumbling_events")
+      batch.coalesce(1).write.mode("overwrite").parquet(stageDir)
+      val src = StreamingOps.eventsStream(s, stageDir, s.read.parquet(stageDir).schema)
+      val windows = StreamingOps.tumblingCounts(src, "1 hour", watermark = "2 hours")
+      val sink = runParityStream(s, windows, "stream_tumbling", mode = "complete")
+      // pin + drop the memory-sink view (same hygiene as st01)
+      val out = s.table(sink)
+        .select($"window_start", $"event_type", $"cnt",
+          round($"sum_value", 2).as("sum_value"))
+        .localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      out.orderBy($"window_start", $"event_type")
+    },
+    Some("""
+      SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+             event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+
+  /** streaming_static_join_parity — the stream-static enrichment path
+    * (StreamingOps.staticEnrich), completing §2.9's join surface next
+    * to the stateful stream-stream interval join: events streamed from
+    * files, each micro-batch broadcast-joined to a static event-type
+    * dim, aggregated per tier in complete mode, graded against the
+    * equivalent batch SQL. Sums run in DECIMAL on both sides (q59's
+    * practice) so the micro-batch partial order can never flip a
+    * rounding boundary.
+    */
+  private val st05 = Q(
+    "streaming_static_join_parity",
+    (s, d) => {
+      import s.implicits._
+      import graft.streaming.StreamingOps
+      val batch = ev(s, d).select($"ts", $"event_type", $"value")
+      val stageDir = tmpDir(s, "stream_static_events")
+      batch.coalesce(1).write.mode("overwrite").parquet(stageDir)
+      val src = StreamingOps.eventsStream(s, stageDir, s.read.parquet(stageDir).schema)
+      val dim = ev(s, d).select($"event_type").distinct()
+        .withColumn("type_tier",
+          when(length($"event_type") >= 6, "long").otherwise("short"))
+      val enriched = StreamingOps.staticEnrich(src, dim, "event_type")
+        .groupBy($"type_tier")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum($"value".cast("decimal(18,6)")), 2).cast("double")
+            .as("sum_value"))
+      val sink = runParityStream(s, enriched, "stream_static", mode = "complete")
+      val out = s.table(sink).localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      out.orderBy($"type_tier")
+    },
+    Some("""
+      SELECT CASE WHEN len(event_type) >= 6 THEN 'long' ELSE 'short' END
+               AS type_tier,
+             count(*) AS cnt,
+             CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS sum_value
+      FROM events GROUP BY 1 ORDER BY 1"""))
+
+
+  /** streaming_quality_parity — the curation path run STREAMING: the
+    * document corpus streamed from files and scored by the SAME
+    * TextOps.qualityModel plan the batch query grades (row-local
+    * stateless transform: no watermark, no state store, append mode —
+    * the ingest-time quality gate of a production pipeline). Graded
+    * per-doc against the shared quality-model SQL fragments, so batch
+    * query, streaming query, and oracle share one definition of the
+    * model.
+    */
+  private val st06 = Q(
+    "streaming_quality_parity",
+    (s, d) => {
+      import s.implicits._
+      import graft.streaming.StreamingOps
+      val batch = docs(s, d).select($"doc_id", $"text")
+      val stageDir = tmpDir(s, "stream_quality_docs")
+      batch.coalesce(1).write.mode("overwrite").parquet(stageDir)
+      val src = StreamingOps.docsStream(s, stageDir, s.read.parquet(stageDir).schema)
+      val scored = TextOps.qualityModel(src)
+        .select($"doc_id", $"score", $"keep")
+      val sink = runParityStream(s, scored, "stream_quality", mode = "append")
+      val out = s.table(sink).localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      out.orderBy($"doc_id")
+    },
+    Some(s"""$qualityModelCtes
+      SELECT doc_id, $qualityScoreSql AS score,
+             coalesce($qualityScoreSql > 0, false) AS keep
+      FROM m ORDER BY doc_id"""))
+
+  val qs: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06)
+}

@@ -41,7 +41,15 @@ class PlanAuditSpec extends AnyFunSuite {
       "q87_funnel", "q88_transitions", "q89_rate_anomaly", "q91_ks_drift",
       "q92_attribution", "text_pmi_bigrams", "q93_rolling_active",
       "text_langid_confusion",
-      "sample_curriculum", "sample_dsir", "sample_shards")
+      "sample_curriculum", "sample_dsir", "sample_shards",
+      // round 7: dedup_minhash_uncapped/dedup_spans_incremental end in
+      // the same total-output left joins as their family (d02/d10);
+      // ann_knn_accuracy(+_ivf) joined this set when the unresolved-
+      // query fix left-joined the sample into the rollup — under
+      // count() the unique-key label joins drop without changing the
+      // group count
+      "ann_knn_accuracy", "ann_knn_accuracy_ivf",
+      "dedup_minhash_uncapped", "dedup_spans_incremental")
     val got = flagged.map(_._1).toSet
     val msg =
       s"""count()-eliminable set drifted.
