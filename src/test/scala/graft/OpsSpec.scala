@@ -2599,6 +2599,24 @@ class OpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("a", "b", 1L, 1.0), ("b", "a", 1L, 1.0)))
   }
 
+  test("TimeOps.transitionMatrix: NULL users are dropped, not one giant stream") {
+    import java.sql.Timestamp
+    val t = (m: Int) => new Timestamp(
+      Timestamp.valueOf("2024-01-01 00:00:00").getTime + m * 60000L)
+    // the anonymous stream interleaves c->d->c->d... — before the
+    // round-7 filter it formed ONE window partition and fabricated
+    // c->d / d->c transitions that exist for no actual user
+    val df = Seq(
+      (Option(1L), 1L, "a", t(0)), (Option(1L), 2L, "b", t(1)),
+      (Option.empty[Long], 3L, "c", t(0)), (Option.empty[Long], 4L, "d", t(1)),
+      (Option.empty[Long], 5L, "c", t(2)), (Option.empty[Long], 6L, "d", t(3)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val got = TimeOps.transitionMatrix(df, "user_id", "ts", "event_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("a", "b", 1L)),
+      "NULL-user events must contribute no transitions")
+  }
+
   test("TimeOps.rateAnomaly: dense spine, exact rolling moments, NULL z on zero variance") {
     import java.sql.Timestamp
     def ts(hour: Int, n: Int): Seq[Timestamp] = (0 until n).map(i =>
