@@ -777,5 +777,74 @@ private[graft] object QueriesDedup {
       WHERE t.doc_id >= 250
       ORDER BY t.doc_id"""))
 
-  val qs: Seq[Q] = Seq(d01, d02, d02u, d02m, d02i, d03, d04, d05, d11, d13, d06, d07, d12, d08, d09, d10, d10i)
+  /** dedup_spans_index_update — the index-MAINTENANCE half of the
+    * span-dedup ingest lifecycle (d10i is the probe half): snapshot
+    * index over doc_id < 200, batch1 (200 ≤ id < 400) folded in via
+    * `spanIndexMerge` — corpus never rescanned — then batch2
+    * (id ≥ 400) probed against the MERGED index. Because occurrence
+    * counts are additive over disjoint doc sets, the two-step-ingest
+    * output must equal one-shot batch spanDedup on the full union
+    * restricted to batch2 — which is exactly what the oracle computes
+    * (windows over ALL docs, union-wide hot filter, output ≥ 400).
+    * A wrong merge (dropped digest, double-counted occ) breaks the
+    * hot set and fails the hash. Same mirrored chain as d10/d10i.
+    */
+  private val d10u = Q(
+    "dedup_spans_index_update",
+    (s, d) => {
+      val all = docs(s, d)
+      val snapshot = DedupOps.spanIndex(
+        all.filter(col("doc_id") < 200), "text", "doc_id", n = 10)
+      val merged = DedupOps.spanIndexMerge(snapshot,
+        all.filter(col("doc_id") >= 200 && col("doc_id") < 400),
+        "text", "doc_id", n = 10)
+      DedupOps.spanDedupIncremental(all.filter(col("doc_id") >= 400),
+          merged, "text", "doc_id", n = 10)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      starts AS (
+        SELECT doc_id, w, unnest(range(0, greatest(len(w) - 9, 0))) AS pos
+        FROM tok),
+      win AS (
+        SELECT doc_id, pos,
+               md5(array_to_string(w[pos + 1 : pos + 10], ' ')) AS fp
+        FROM starts),
+      hot AS (
+        SELECT fp FROM win GROUP BY fp HAVING count(*) >= 2),
+      dup AS (
+        SELECT win.doc_id, win.pos FROM win JOIN hot USING (fp)
+        WHERE win.doc_id >= 400),
+      brk AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                         <= 10
+                    THEN 0 ELSE 1 END AS brk
+        FROM dup),
+      grp AS (
+        SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS g
+        FROM brk),
+      sp AS (
+        SELECT doc_id, g, min(pos) AS s, max(pos) AS e0, count(*) AS nw
+        FROM grp GROUP BY 1, 2),
+      agg AS (
+        SELECT doc_id,
+               CAST(count(*) AS INTEGER) AS n_spans,
+               CAST(sum(nw) AS BIGINT) AS n_dup_ngrams,
+               CAST(sum(e0 + 10 - s) AS BIGINT) AS dup_tokens
+        FROM sp GROUP BY 1)
+      SELECT t.doc_id,
+             coalesce(a.n_spans, 0) AS n_spans,
+             coalesce(a.n_dup_ngrams, 0) AS n_dup_ngrams,
+             coalesce(a.dup_tokens, 0) AS dup_tokens,
+             round(coalesce(a.dup_tokens, 0)::DOUBLE / len(w), 6) AS dup_frac
+      FROM tok t LEFT JOIN agg a USING (doc_id)
+      WHERE t.doc_id >= 400
+      ORDER BY t.doc_id"""))
+
+  val qs: Seq[Q] = Seq(d01, d02, d02u, d02m, d02i, d03, d04, d05, d11, d13, d06, d07, d12, d08, d09, d10, d10i, d10u)
 }

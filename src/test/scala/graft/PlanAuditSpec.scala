@@ -49,7 +49,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // count() the unique-key label joins drop without changing the
       // group count
       "ann_knn_accuracy", "ann_knn_accuracy_ivf",
-      "dedup_minhash_uncapped", "dedup_spans_incremental")
+      "dedup_minhash_uncapped", "dedup_spans_incremental",
+      // round 7 continuation: same spanReport left-join tail as d10i
+      "dedup_spans_index_update")
     val got = flagged.map(_._1).toSet
     val msg =
       s"""count()-eliminable set drifted.
