@@ -399,6 +399,42 @@ class OpsSpec extends AnyFunSuite {
       "chained merges must compose exactly")
   }
 
+  test("span ingest lifecycle plan: a stored index means the corpus is NEVER rescanned") {
+    // the 100 TB contract both incremental span ops document: with the
+    // spanIndex persisted, steady-state ingest reads ONLY the batch
+    // text and the ~24-byte/row index — a regression that re-derives
+    // anything from corpus text puts the corpus path back into these
+    // plans and fails here. Inline parquet fixtures (temp dir).
+    val dir = "/tmp/graft_test_spanidx"
+    val corpusPath = s"$dir/corpus_docs.parquet"
+    (1 to 30).map(i => (i.toLong, s"c$i a b c d e${i % 4} end"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(corpusPath)
+    (100 to 120).map(i => (i.toLong, s"b$i a b c d e${i % 4} end"))
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/batch_docs.parquet")
+    val corpus = spark.read.parquet(corpusPath)
+    DedupOps.spanIndex(corpus, "text", "doc_id", n = 3)
+      .write.mode("overwrite").parquet(s"$dir/span_index.parquet")
+    val storedIdx = spark.read.parquet(s"$dir/span_index.parquet")
+    val batch = spark.read.parquet(s"$dir/batch_docs.parquet")
+    for ((label, df) <- Seq(
+        "probe" -> DedupOps.spanDedupIncremental(
+          batch, storedIdx, "text", "doc_id", n = 3),
+        "merge" -> DedupOps.spanIndexMerge(
+          storedIdx, batch, "text", "doc_id", n = 3))) {
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(!plan.contains("corpus_docs.parquet"),
+        s"$label plan rescans corpus text:\n${plan.take(2000)}")
+      assert(plan.contains("span_index.parquet"),
+        s"$label plan must read the stored index")
+      assert(plan.contains("batch_docs.parquet"),
+        s"$label plan must read the batch")
+    }
+    graft.io.FsOps.rm(spark, dir)
+  }
+
   test("spanDedup plan: tokenize hoisted out of the window lambda, fan-out fires") {
     // the round-6 perf contract: the window transform is a
     // higher-order function (interpreted), so anything inside its
