@@ -254,11 +254,16 @@ private[graft] object QueriesEvents {
                               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
       z AS (
         SELECT event_type, h, cnt,
+               -- greatest(..., 0) mirrors the engine's float-variance
+               -- clamp: past 2^53 the subtraction can cancel to a
+               -- small negative even when the exact integer gate above
+               -- (correctly) says variance > 0 — both engines must
+               -- then agree on z = NULL via sqrt(0), not NaN/error
                CASE WHEN 24 * s2 = s1 * s1 THEN NULL
                     ELSE (CAST(cnt AS DOUBLE) - CAST(s1 AS DOUBLE) / 24.0)
-                         / sqrt((CAST(s2 AS DOUBLE)
+                         / nullif(sqrt(greatest((CAST(s2 AS DOUBLE)
                                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
-                                   / 24.0) / 24.0)
+                                   / 24.0) / 24.0, 0.0)), 0.0)
                END AS zv
         FROM w WHERE h >= 24)
       SELECT event_type, h, cnt, round(zv, 4) AS z,
