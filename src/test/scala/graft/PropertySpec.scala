@@ -646,4 +646,34 @@ class PropertySpec extends AnyFunSuite {
     val agree = sigs(0).zip(sigs(1)).count { case (a, b) => a == b }.toDouble / sigs(0).length
     assert(agree > 0.5, s"signature agreement $agree too low for ~0.9-jaccard docs")
   }
+
+  test("spanIndexMerge fold-in equals rebuild on random corpora (generator law)") {
+    // the occurrence-additivity law over RANDOM doc sets (the OpsSpec
+    // variant uses the real table at fixed splits): small vocab +
+    // short docs force heavy window collisions, doc lengths straddle
+    // the n=3 window threshold, batches may be empty on either side.
+    val docGen = Gen.listOfN(24,
+      Gen.zip(Gen.choose(0, 1), // 0 = corpus, 1 = batch
+        Gen.listOfN(6, Gen.choose(0, 4)).map(_.map(i => s"t$i")),
+        Gen.choose(1, 6)))      // effective length (may be < n)
+    samples(docGen, 8).foreach { raw =>
+      val rows = raw.zipWithIndex.map { case ((side, ws, len), i) =>
+        (i.toLong, side, ws.take(len).mkString(" ")) }
+      val corpus = rows.filter(_._2 == 0).map(r => (r._1, r._3))
+        .toDF("doc_id", "text")
+      val batch = rows.filter(_._2 == 1).map(r => (r._1, r._3))
+        .toDF("doc_id", "text")
+      val all = rows.map(r => (r._1, r._3)).toDF("doc_id", "text")
+      val merged = DedupOps.spanIndexMerge(
+          DedupOps.spanIndex(corpus, "text", "doc_id", n = 3),
+          batch, "text", "doc_id", n = 3)
+        .select(hex(col("fp")), col("occ"))
+        .collect().map(_.toString).sorted.toSeq
+      val rebuilt = DedupOps.spanIndex(all, "text", "doc_id", n = 3)
+        .select(hex(col("fp")), col("occ"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(merged == rebuilt,
+        s"merge != rebuild on ${rows.count(_._2 == 0)}+${rows.count(_._2 == 1)} docs")
+    }
+  }
 }
