@@ -113,6 +113,117 @@ private[graft] object QueriesText {
       FROM p GROUP BY 1, 2 ORDER BY 1, 2"""))
 
 
+  /** Shared (score, label) aggregate replay for the threshold-free
+    * langid eval family — the en one-vs-rest DECISION MARGIN
+    * (en stopword hits minus the best rival profile's hits: the
+    * integer quantity the argmax classifier actually thresholds at 0,
+    * and length-deconfounded where the raw hit count is not) ranked
+    * against the trusted `lang = 'en'` label, aggregated to
+    * per-distinct-score class counts (EvalOps.scoreCounts). Generated
+    * from TextOps.LangProfiles like langidPredSql, so the profile
+    * lists can't drift between engine and oracle.
+    */
+  private val langEnScoreAggSql: String = {
+    val scoreCols = TextOps.LangProfiles.map { case (lang, stops) =>
+      s"""len(list_filter(string_split(text, ' '),
+         |            w -> w IN (${stops.map(w => s"'$w'").mkString(", ")}))) AS s_$lang"""
+        .stripMargin
+    }.mkString(",\n          ")
+    val rivals = TextOps.LangProfiles.map(_._1).filterNot(_ == "en")
+      .map(l => s"s_$l").mkString(", ")
+    s"""WITH s0 AS (
+        SELECT lang,
+          $scoreCols
+        FROM documents
+        WHERE text IS NOT NULL AND lang IS NOT NULL),
+      sc AS (
+        SELECT CAST(s_en - greatest($rivals) AS BIGINT) AS score,
+               lang = 'en' AS y
+        FROM s0),
+      agg AS (
+        SELECT score,
+               CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+               CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+        FROM sc GROUP BY score)"""
+  }
+
+  private def langEnScored(s: SparkSession, d: String): DataFrame = {
+    val rivals = TextOps.LangProfiles.map(_._1).filterNot(_ == "en")
+      .map(l => col(s"score_$l"))
+    TextOps.langIdScored(docs(s, d))
+      .select((col("score_en") - greatest(rivals: _*)).as("score"),
+        (col("lang") === "en").as("y"))
+  }
+
+  /** eval_auc_langid — the en profile graded THRESHOLD-FREE: exact
+    * tie-corrected Mann–Whitney AUC of the decision-margin score
+    * against the trusted label (EvalOps.aucReport). One corpus pass
+    * to the distinct-score aggregate, then a tiny-frame window; the
+    * doubled-integer rank-sum keeps the oracle float-tolerance-free.
+    * NOTE on the expected value: the synthetic corpus draws every
+    * doc's text from one shared vocabulary independent of the `lang`
+    * label (rival-profile stopwords never occur), so ~0.5 is the
+    * CORRECT AUC here — the family grades the eval machinery
+    * exactly, not the heuristic's quality on real multilingual text.
+    */
+  private val t21 = Q(
+    "eval_auc_langid",
+    (s, d) => EvalOps.aucReport(langEnScored(s, d), "score", "y"),
+    Some(s"""$langEnScoreAggSql,
+      w AS (
+        SELECT score, n_pos, n_neg,
+               CAST(coalesce(sum(n_neg) OVER (ORDER BY score
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                 AS neg_below
+        FROM agg)
+      SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
+             CAST(sum(n_neg) AS BIGINT) AS n_neg,
+             CASE WHEN sum(n_pos) > 0 AND sum(n_neg) > 0 THEN
+               round(CAST(sum(n_pos * (2 * neg_below + n_neg)) AS DOUBLE) /
+                     (CAST(sum(n_pos) AS DOUBLE) * CAST(sum(n_neg) AS DOUBLE) * 2), 6)
+             END AS auc
+      FROM w"""))
+
+  /** eval_pr_langid — the full precision/recall curve over every
+    * decision threshold (EvalOps.prCurve): exact tp/fp/fn suffix sums
+    * over the distinct-score frame, rounded IEEE ratios of exact
+    * counts.
+    */
+  private val t22 = Q(
+    "eval_pr_langid",
+    (s, d) => EvalOps.prCurve(langEnScored(s, d), "score", "y")
+      .orderBy(col("threshold")),
+    Some(s"""$langEnScoreAggSql,
+      w AS (
+        SELECT score,
+               CAST(sum(n_pos) OVER (ORDER BY score DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+               CAST(sum(n_neg) OVER (ORDER BY score DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp,
+               CAST(sum(n_pos) OVER () AS BIGINT) AS p_all
+        FROM agg)
+      SELECT score AS threshold, tp, fp, p_all - tp AS fn,
+             round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) AS prec,
+             CASE WHEN p_all > 0 THEN
+               round(CAST(tp AS DOUBLE) / CAST(p_all AS DOUBLE), 6)
+             END AS recall
+      FROM w ORDER BY threshold"""))
+
+  /** eval_calibration_langid — reliability bins (EvalOps
+    * .calibrationBins): per distinct score, the empirical positive
+    * fraction; each integer score is its own bin.
+    */
+  private val t23 = Q(
+    "eval_calibration_langid",
+    (s, d) => EvalOps.calibrationBins(langEnScored(s, d), "score", "y")
+      .orderBy(col("score")),
+    Some(s"""$langEnScoreAggSql
+      SELECT score, n_pos + n_neg AS n, n_pos,
+             round(CAST(n_pos AS DOUBLE) / CAST(n_pos + n_neg AS DOUBLE), 6)
+               AS frac_pos
+      FROM agg ORDER BY score"""))
+
+
   private val t04 = Q(
     "text_fingerprint",
     (s, d) => TextOps.fingerprint(docs(s, d))
@@ -599,5 +710,5 @@ private[graft] object QueriesText {
       SELECT batch, rank, word, cnt, prev_cnt, round(lift, 4) AS lift
       FROM r WHERE rank <= 5 ORDER BY batch, rank"""))
 
-  val qs: Seq[Q] = Seq(t01, t16, t02, t03, t20, t04, t05, t06, t15, t07, t08, t09, t10, t14, t13, t12, q73, p01, t11, t17, t18)
+  val qs: Seq[Q] = Seq(t01, t16, t02, t03, t20, t21, t22, t23, t04, t05, t06, t15, t07, t08, t09, t10, t14, t13, t12, q73, p01, t11, t17, t18)
 }

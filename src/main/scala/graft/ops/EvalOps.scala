@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Threshold-free binary-classifier evaluation (SURVEY.md §2.11 —
+  * the evaluation layer): exact AUC, the full precision/recall
+  * curve, and reliability (calibration) bins for any (score, label)
+  * pair — e.g. a quality-model score vs a trusted keep label, or a
+  * langid profile score vs the trusted lang column. Complements the
+  * fixed-threshold confusion matrix ([[TextOps.langIdConfusion]])
+  * the way AUC complements accuracy.
+  *
+  * Scale shape (shared by all three ops): ONE corpus-sized pass that
+  * partial-aggregates to per-distinct-score (n_pos, n_neg) counts —
+  * after that every window and rollup runs over the distinct-score
+  * frame, which is vocabulary-small (integer heuristic scores,
+  * quantized model scores), never row-scaled. The unpartitioned
+  * `Window.orderBy(score)` instances below belong to the sanctioned
+  * ≤topK/buckets/nbins class for that reason: the frame they sort is
+  * the aggregated score domain, not the corpus.
+  *
+  * Exactness: counts are exact longs; AUC's rank-sum numerator is
+  * summed in DECIMAL(38,0) (partial-aggregation order cannot move an
+  * ulp, and P·N·2 up to 10^38 cannot overflow); every reported ratio
+  * is a single IEEE division of exact integers, rounded — identical
+  * in any engine, so the family is hash-gradeable with no float
+  * tolerance at all (stronger than the ln-noise class: there is no
+  * transcendental anywhere).
+  */
+object EvalOps {
+
+  /** Per-distinct-score positive/negative counts — the shared
+    * corpus-to-score-domain aggregate. `labelCol` must be boolean;
+    * rows with a NULL score or label are dropped (they belong to
+    * neither class — the transitionMatrix NULL-user convention).
+    */
+  def scoreCounts(df: DataFrame, scoreCol: String, labelCol: String): DataFrame =
+    df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(scoreCol).cast("long").as("score"))
+      .agg(
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("n_neg"))
+
+  /** Exact AUC (one row: n_pos, n_neg, auc) by the tie-corrected
+    * rank-sum identity: AUC = [Σ_s P_s·(2·N_below(s) + N_s)] / 2PN,
+    * where P_s/N_s are the per-score class counts and N_below the
+    * negatives at strictly lower scores — ties count half, carried
+    * as the doubled-integer numerator so the sum stays exact. Equals
+    * the probability a random positive outranks a random negative
+    * (the Mann–Whitney statistic). NULL when either class is empty.
+    */
+  def aucReport(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val byScore = Window.orderBy(col("score"))
+    val withBelow = scoreCounts(df, scoreCol, labelCol)
+      .withColumn("neg_below",
+        coalesce(sum(col("n_neg")).over(
+          byScore.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    withBelow
+      .agg(
+        sum(col("n_pos")).as("n_pos"),
+        sum(col("n_neg")).as("n_neg"),
+        sum((col("n_pos") * (col("neg_below") * 2 + col("n_neg")))
+          .cast(DecimalType(38, 0))).as("num2"))
+      .select(
+        col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(col("num2").cast("double") /
+            (col("n_pos").cast("double") * col("n_neg").cast("double") * 2), 6))
+          .as("auc"))
+  }
+
+  /** The full precision/recall curve: one row per distinct score
+    * taken as the decision threshold (predict positive iff
+    * score ≥ threshold), with exact tp/fp/fn from suffix sums over
+    * the score domain. recall is NULL when there are no positives
+    * at all. Ordered by threshold ascending; precision/recall are
+    * rounded IEEE divisions of the exact counts.
+    */
+  def prCurve(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val fromTop = Window.orderBy(col("score").desc)
+    scoreCounts(df, scoreCol, labelCol)
+      .withColumn("tp", sum(col("n_pos")).over(
+        fromTop.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("fp", sum(col("n_neg")).over(
+        fromTop.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("p_all", sum(col("n_pos")).over(
+        fromTop.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(
+        col("score").as("threshold"), col("tp"), col("fp"),
+        (col("p_all") - col("tp")).as("fn"),
+        round(col("tp").cast("double") /
+          (col("tp") + col("fp")).cast("double"), 6).as("prec"),
+        when(col("p_all") > 0,
+          round(col("tp").cast("double") / col("p_all").cast("double"), 6))
+          .as("recall"))
+  }
+
+  /** Reliability bins: per distinct score, the empirical positive
+    * fraction — the calibration diagram for an integer/quantized
+    * scorer (each score IS its own bin; pre-bucket continuous scores
+    * before calling). n ≥ 1 per row by construction, so frac_pos
+    * needs no guard.
+    */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String): DataFrame =
+    scoreCounts(df, scoreCol, labelCol)
+      .select(
+        col("score"), (col("n_pos") + col("n_neg")).as("n"), col("n_pos"),
+        round(col("n_pos").cast("double") /
+          (col("n_pos") + col("n_neg")).cast("double"), 6).as("frac_pos"))
+}

@@ -236,7 +236,18 @@ object TextOps {
     * filters themselves stay interpreted — the residual cost — but
     * are row-local and profile-bounded.
     */
-  def langId(df: DataFrame, textCol: String = "text"): DataFrame = {
+  def langId(df: DataFrame, textCol: String = "text"): DataFrame =
+    langIdScored(df, textCol).drop(LangProfiles.map(p => s"score_${p._1}"): _*)
+
+  /** [[langId]] with the per-profile stopword-hit counts KEPT
+    * (`score_de` … `score_zh`, IntegerType) alongside
+    * `predicted_lang` — the raw classifier scores the threshold-free
+    * evaluation layer ([[EvalOps.aucReport]] / [[EvalOps.prCurve]] /
+    * [[EvalOps.calibrationBins]]) ranks on. Same single row-local
+    * corpus pass; the score columns are computed either way and
+    * dropping them was presentation, not cost.
+    */
+  def langIdScored(df: DataFrame, textCol: String = "text"): DataFrame = {
     val withWs = df.withColumn("__lid_ws", words(col(textCol)))
     val ws = col("__lid_ws")
     val scored = LangProfiles.foldLeft(withWs) { case (acc, (lang, stops)) =>
@@ -251,7 +262,6 @@ object TextOps {
     }
     scored.withColumn("predicted_lang", best._1)
       .drop("__lid_ws")
-      .drop(LangProfiles.map(p => s"score_${p._1}"): _*)
   }
 
   /** Unigram-LM cross-entropy scoring (CCNet-style quality proxy): fit

@@ -51,7 +51,12 @@ class PlanAuditSpec extends AnyFunSuite {
       "ann_knn_accuracy", "ann_knn_accuracy_ivf",
       "dedup_minhash_uncapped", "dedup_spans_incremental",
       // round 7 continuation: same spanReport left-join tail as d10i
-      "dedup_spans_index_update")
+      "dedup_spans_index_update",
+      // round 7 eval family: under count() the AUC rank-sum window and
+      // the PR suffix-sum windows drop (row counts survive on the
+      // score-domain aggregate alone); calibration has no window and
+      // stays non-eliminable
+      "eval_auc_langid", "eval_pr_langid")
     val got = flagged.map(_._1).toSet
     val msg =
       s"""count()-eliminable set drifted.

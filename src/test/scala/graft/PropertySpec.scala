@@ -676,4 +676,51 @@ class PropertySpec extends AnyFunSuite {
         s"merge != rebuild on ${rows.count(_._2 == 0)}+${rows.count(_._2 == 1)} docs")
     }
   }
+
+  test("aucReport equals brute-force pair counting (Mann–Whitney law)") {
+    // AUC over the aggregated score domain must equal the O(n²)
+    // definition: P(random pos outranks random neg), ties half —
+    // heavy integer ties and single-class degenerate draws included.
+    val slGen = Gen.listOfN(40,
+      Gen.zip(Gen.choose(-3, 3), Gen.oneOf(true, false)))
+    samples(slGen, 10).foreach { data =>
+      val df = data.toDF("score", "y")
+      val row = EvalOps.aucReport(df, "score", "y").collect()(0)
+      val pos = data.filter(_._2).map(_._1)
+      val neg = data.filterNot(_._2).map(_._1)
+      assert(row.getLong(0) == pos.length && row.getLong(1) == neg.length)
+      if (pos.isEmpty || neg.isEmpty) assert(row.isNullAt(2))
+      else {
+        val num2 = (for (p <- pos; n <- neg)
+          yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+        val brute = BigDecimal(num2.toDouble / (2.0 * pos.length * neg.length))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(row.getDouble(2) - brute) < 1e-12,
+          s"auc ${row.getDouble(2)} != brute $brute")
+      }
+    }
+  }
+
+  test("prCurve equals brute-force thresholding; calibration bins sum back") {
+    val slGen = Gen.listOfN(30,
+      Gen.zip(Gen.choose(0, 4), Gen.oneOf(true, false)))
+    samples(slGen, 6).filter(d => d.exists(_._2)).foreach { data =>
+      val df = data.toDF("score", "y")
+      val pr = EvalOps.prCurve(df, "score", "y").orderBy("threshold").collect()
+      val p = data.count(_._2).toLong
+      pr.foreach { r =>
+        val t = r.getLong(0)
+        val tp = data.count(d => d._1 >= t && d._2).toLong
+        val fp = data.count(d => d._1 >= t && !d._2).toLong
+        assert(r.getLong(1) == tp && r.getLong(2) == fp && r.getLong(3) == p - tp)
+      }
+      // recall non-increasing in threshold; thresholds are the distinct scores
+      val recalls = pr.map(_.getDouble(5))
+      assert(recalls.zip(recalls.tail).forall { case (a, b) => a >= b })
+      assert(pr.map(_.getLong(0)).toSet == data.map(_._1.toLong).toSet)
+      val cal = EvalOps.calibrationBins(df, "score", "y").collect()
+      assert(cal.map(_.getLong(1)).sum == data.length.toLong)
+      assert(cal.map(_.getLong(2)).sum == p)
+    }
+  }
 }
