@@ -224,6 +224,55 @@ private[graft] object QueriesText {
       FROM agg ORDER BY score"""))
 
 
+  /** text_zipf_fit — Zipf-law log-log OLS over the top-500 term head
+    * (TextOps.zipfFit): corpus-health card, slope ≈ −1 on natural
+    * text. TakeOrderedAndProject head selection (never a vocab-sized
+    * window); DECIMAL(28,12) ln-term sums make the fit order-proof,
+    * mirrored exactly in the oracle.
+    */
+  private val t24 = Q(
+    "text_zipf_fit",
+    (s, d) => TextOps.zipfFit(docs(s, d), topK = 500),
+    Some("""
+      WITH c AS (
+        SELECT word, count(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        GROUP BY word),
+      top AS (SELECT word, cnt FROM c ORDER BY cnt DESC, word LIMIT 500),
+      r AS (
+        SELECT cnt,
+               row_number() OVER (ORDER BY cnt DESC, word) AS rnk
+        FROM top),
+      a AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_terms,
+               sum(CAST(ln(CAST(rnk AS DOUBLE)) AS DECIMAL(28,12))) AS sx,
+               sum(CAST(ln(CAST(cnt AS DOUBLE)) AS DECIMAL(28,12))) AS sy,
+               sum(CAST(ln(CAST(rnk AS DOUBLE)) * ln(CAST(cnt AS DOUBLE))
+                     AS DECIMAL(28,12))) AS sxy,
+               sum(CAST(ln(CAST(rnk AS DOUBLE)) * ln(CAST(rnk AS DOUBLE))
+                     AS DECIMAL(28,12))) AS sxx
+        FROM r)
+      SELECT n_terms,
+             CASE WHEN CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) != 0 THEN
+               round((CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+             END AS slope,
+             CASE WHEN CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) != 0 THEN
+               round((CAST(sy AS DOUBLE)
+                      - ((CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                        * CAST(sx AS DOUBLE))
+                     / CAST(n_terms AS DOUBLE), 6)
+             END AS intercept
+      FROM a"""))
+
+
   private val t04 = Q(
     "text_fingerprint",
     (s, d) => TextOps.fingerprint(docs(s, d))
@@ -710,5 +759,5 @@ private[graft] object QueriesText {
       SELECT batch, rank, word, cnt, prev_cnt, round(lift, 4) AS lift
       FROM r WHERE rank <= 5 ORDER BY batch, rank"""))
 
-  val qs: Seq[Q] = Seq(t01, t16, t02, t03, t20, t21, t22, t23, t04, t05, t06, t15, t07, t08, t09, t10, t14, t13, t12, q73, p01, t11, t17, t18)
+  val qs: Seq[Q] = Seq(t01, t16, t02, t03, t20, t21, t22, t23, t24, t04, t05, t06, t15, t07, t08, t09, t10, t14, t13, t12, q73, p01, t11, t17, t18)
 }

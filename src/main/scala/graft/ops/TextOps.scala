@@ -616,6 +616,57 @@ object TextOps {
           sum(col("n")).over(org.apache.spark.sql.expressions.Window
             .partitionBy(col("actual_lang"))), 4))
 
+  /** Zipf-law fit over the head of the term-frequency distribution —
+    * the corpus-health card: log-log OLS of count against rank over
+    * the `topK` most frequent terms (natural text slopes ≈ −1;
+    * markedly flatter/steeper heads flag synthetic, boilerplate-
+    * heavy, or spam-dominated corpora). The head is the standard fit
+    * domain — the tail departs from the power law in any real corpus.
+    *
+    * Scale shape: one partial-aggregated term-count pass (the
+    * wordcount irreducible), then `orderBy(cnt).limit(topK)` —
+    * TakeOrderedAndProject (per-partition top-k then merge, the
+    * q77/PMI discipline: NEVER a vocabulary-sized unpartitioned
+    * window); rank and the regression sums live on the ≤ topK
+    * surviving rows. Ties rank deterministically by (cnt desc, word).
+    *
+    * Exactness: the OLS sums run over DECIMAL(28,12)-cast ln terms
+    * (the bigramNll parity pattern — partial-aggregation order cannot
+    * move an ulp; ln's 1-ulp cross-engine class is absorbed by the
+    * 1e-12 quantization), and slope/intercept are a handful of IEEE
+    * ops on the exact aggregated decimals, rounded to 6. NULL slope
+    * when fewer than 2 distinct terms survive (zero OLS variance).
+    */
+  def zipfFit(df: DataFrame, textCol: String = "text",
+              topK: Int = 1000): DataFrame = {
+    require(topK >= 2, s"zipfFit: topK=$topK must be >= 2")
+    val counts = df.select(explode(words(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(topK)
+    val ranked = counts.withColumn("rnk",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("word"))))
+    val lx = log(col("rnk").cast("double"))
+    val ly = log(col("cnt").cast("double"))
+    val dec = (c: Column) => c.cast("decimal(28,12)")
+    val nD = col("n_terms").cast("double")
+    val denom = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val slope = (nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")) / denom
+    ranked
+      .agg(
+        count(lit(1)).as("n_terms"),
+        sum(dec(lx)).as("sx"), sum(dec(ly)).as("sy"),
+        sum(dec(lx * ly)).as("sxy"), sum(dec(lx * lx)).as("sxx"))
+      .select(
+        col("n_terms"),
+        when(denom =!= 0.0, round(slope, 6)).as("slope"),
+        when(denom =!= 0.0,
+          round((col("sy").cast("double") - slope * col("sx").cast("double"))
+            / nD, 6)).as("intercept"))
+  }
+
   /** Collocation mining by pointwise mutual information — the classic
     * "which word pairs belong together?" report: adjacent bigrams
     * with count >= `minCount`, scored by PMI = ln(p(w1w2) /

@@ -56,7 +56,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // the PR suffix-sum windows drop (row counts survive on the
       // score-domain aggregate alone); calibration has no window and
       // stays non-eliminable
-      "eval_auc_langid", "eval_pr_langid")
+      "eval_auc_langid", "eval_pr_langid",
+      // zipf: the rank window + OLS-sum columns drop under count()
+      // (the 1-row output count survives on the head aggregate alone)
+      "text_zipf_fit")
     val got = flagged.map(_._1).toSet
     val msg =
       s"""count()-eliminable set drifted.

@@ -677,6 +677,44 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("zipfFit equals a brute-force quantized-OLS reference") {
+    // replicate the op's exact arithmetic: per-term ln doubles
+    // quantized to DECIMAL(28,12) (HALF_UP, Spark's cast mode), exact
+    // BigDecimal sums, final OLS in double — any drift in rank ties,
+    // head selection, or sum order shows up as a hard mismatch.
+    val docGen = Gen.listOfN(12,
+      Gen.listOfN(8, Gen.choose(0, 9)).map(_.map(i => s"w$i").mkString(" ")))
+    samples(docGen, 6).foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val topK = 6
+      val row = TextOps.zipfFit(df, "text", topK = topK).collect()(0)
+      val counts = texts.flatMap(_.split(" ")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, ws) => (w, ws.size.toLong) }
+      val head = counts.toSeq.sortBy { case (w, c) => (-c, w) }.take(topK)
+      val n = head.size
+      assert(row.getLong(0) == n.toLong)
+      def q12(d: Double): BigDecimal =
+        BigDecimal(d).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      val pts = head.zipWithIndex.map { case ((_, c), i) =>
+        (math.log((i + 1).toDouble), math.log(c.toDouble)) }
+      val sx = pts.map(p => q12(p._1)).sum.toDouble
+      val sy = pts.map(p => q12(p._2)).sum.toDouble
+      val sxy = pts.map(p => q12(p._1 * p._2)).sum.toDouble
+      val sxx = pts.map(p => q12(p._1 * p._1)).sum.toDouble
+      val denom = n * sxx - sx * sx
+      if (denom == 0.0) assert(row.isNullAt(1))
+      else {
+        val slope = (n * sxy - sx * sy) / denom
+        def r6(d: Double): Double = BigDecimal(d)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(row.getDouble(1) == r6(slope),
+          s"slope ${row.getDouble(1)} != ${r6(slope)}")
+        assert(row.getDouble(2) == r6((sy - slope * sx) / n))
+      }
+    }
+  }
+
   test("aucReport equals brute-force pair counting (Mann–Whitney law)") {
     // AUC over the aggregated score domain must equal the O(n²)
     // definition: P(random pos outranks random neg), ties half —
