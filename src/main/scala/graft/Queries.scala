@@ -32,7 +32,7 @@ object Queries {
     QueriesDedup.qs ++ QueriesSampling.qs ++ QueriesEvents.qs ++
     QueriesCuration.qs ++ QueriesText.qs ++ QueriesSim.qs ++
     QueriesMedia.qs ++ QueriesOps.qs ++ QueriesLayout.qs ++
-    QueriesStreaming.qs
+    QueriesStreaming.qs ++ QueriesGraph.qs
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

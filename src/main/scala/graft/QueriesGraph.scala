@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.GraphOps
+import QHelp._
+
+/** Graph-analytics family: iterative fixpoint computations expressed
+  * as chained Catalyst plans (the C4 iteration modality at its
+  * canonical scale shape). The oracle replays the ENTIRE all-integer
+  * fixpoint in SQL — unrolled iterations generated from one
+  * round-emitter (the a04Round idiom), so a semantics fix cannot miss
+  * a copy.
+  */
+private[graft] object QueriesGraph {
+
+  /** One unrolled PageRank round: dangling mass of r{i-1}, per-edge
+    * contributions half_up(u·w/outW) summed per dst, then the
+    * three-term damped update — every rounding the exact rational
+    * half-up integer division half_up(a/b) = (2a+b)//(2b), exactly
+    * like GraphOps.pageRank (S = 10¹² rank units, damping 85/100).
+    * The u·w numerator goes through HUGEINT (the engine uses
+    * DECIMAL(38,0)) so no product can overflow; `//` on positives is
+    * truncation, = Spark's `div`.
+    */
+  private def prRound(i: Int): String =
+    s"""d$i AS (
+      |        SELECT coalesce(sum(u), 0) AS dmass
+      |        FROM r${i - 1} WHERE node NOT IN (SELECT src FROM en)),
+      |      c$i AS (
+      |        SELECT en.dst AS node,
+      |               sum(CAST((2 * CAST(r.u AS HUGEINT) * en.w + en.outw)
+      |                        // (2 * en.outw) AS BIGINT)) AS csum
+      |        FROM r${i - 1} r JOIN en ON r.node = en.src GROUP BY en.dst),
+      |      r$i AS (
+      |        SELECT nd.node,
+      |               CAST((30000000000000 + 100 * nn.n) // (200 * nn.n)
+      |                  + (170 * coalesce(c.csum, 0) + 100) // 200
+      |                  + (170 * CAST(d.dmass AS HUGEINT) + 100 * nn.n)
+      |                    // (200 * nn.n)
+      |                 AS BIGINT) AS u
+      |        FROM nd LEFT JOIN c$i c USING (node)
+      |             CROSS JOIN d$i d CROSS JOIN nn)""".stripMargin
+
+  /** graph_pagerank — 3-iteration weighted PageRank over the word-
+    * adjacency (bigram) graph of the documents corpus
+    * (GraphOps.wordPageRank): nodes = words, edge w1→w2 weighted by
+    * corpus bigram count. Ranks are exact BIGINT units of 10⁻¹² —
+    * no float anywhere in the fixpoint or the graded output. Top-20
+    * by rank with full tiebreak.
+    */
+  private val g01 = Q(
+    "graph_pagerank",
+    (s, d) => GraphOps.wordPageRank(docs(s, d), iters = 3, topK = 20,
+      stageDir = Some(tmpDir(s, "pagerank"))),
+    Some(s"""
+      WITH e0 AS (
+        SELECT w[i] AS src, w[i+1] AS dst, count(*) AS w
+        FROM (SELECT string_split(text, ' ') AS w FROM documents
+              WHERE text IS NOT NULL),
+             unnest(range(1, len(w))) AS t(i)
+        GROUP BY 1, 2),
+      ow AS (SELECT src, sum(w) AS outw FROM e0 GROUP BY src),
+      en AS (SELECT e0.src, e0.dst, e0.w, ow.outw FROM e0 JOIN ow USING (src)),
+      nd AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nd),
+      r0 AS (
+        SELECT node,
+               CAST((2000000000000 + nn.n) // (2 * nn.n) AS BIGINT) AS u
+        FROM nd CROSS JOIN nn),
+      ${prRound(1)},
+      ${prRound(2)},
+      ${prRound(3)}
+      SELECT node, u AS rank_e12
+      FROM r3 ORDER BY rank_e12 DESC, node LIMIT 20"""))
+
+  val qs: Seq[Q] = Seq(g01)
+}

@@ -273,6 +273,135 @@ private[graft] object QueriesText {
       FROM a"""))
 
 
+  /** text_heaps_fit — Heaps'-law vocabulary-growth OLS
+    * (TextOps.heapsFit): V(n) ≈ K·n^β over per-doc cumulative
+    * (tokens, types) points in doc_id order. Engine-side running sums
+    * go through the PackOps two-level prefix sum (never an
+    * unpartitioned corpus window); the oracle's plain cumulative
+    * windows produce the identical exact integers. DECIMAL(28,12)
+    * ln-term sums per the zipf contract.
+    */
+  private val t25 = Q(
+    "text_heaps_fit",
+    (s, d) => TextOps.heapsFit(docs(s, d)),
+    Some("""
+      WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+      pd AS (
+        SELECT doc_id AS id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM d),
+      nt AS (
+        SELECT fd AS id, count(*) AS n_new
+        FROM (SELECT word, min(id) AS fd
+              FROM (SELECT doc_id AS id,
+                           unnest(string_split(text, ' ')) AS word FROM d)
+              GROUP BY word)
+        GROUP BY fd),
+      sp AS (
+        SELECT pd.id, pd.n_tok, coalesce(nt.n_new, 0) AS n_new
+        FROM pd LEFT JOIN nt USING (id)),
+      c AS (
+        SELECT sum(n_tok) OVER (ORDER BY id ROWS UNBOUNDED PRECEDING) AS n,
+               sum(n_new) OVER (ORDER BY id ROWS UNBOUNDED PRECEDING) AS v
+        FROM sp),
+      p AS (SELECT n, v FROM c WHERE n > 0 AND v > 0),
+      a AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_points,
+               sum(CAST(ln(CAST(n AS DOUBLE)) AS DECIMAL(28,12))) AS sx,
+               sum(CAST(ln(CAST(v AS DOUBLE)) AS DECIMAL(28,12))) AS sy,
+               sum(CAST(ln(CAST(n AS DOUBLE)) * ln(CAST(v AS DOUBLE))
+                     AS DECIMAL(28,12))) AS sxy,
+               sum(CAST(ln(CAST(n AS DOUBLE)) * ln(CAST(n AS DOUBLE))
+                     AS DECIMAL(28,12))) AS sxx
+        FROM p)
+      SELECT n_points,
+             CASE WHEN CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) != 0 THEN
+               round((CAST(n_points AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+             END AS beta,
+             CASE WHEN CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) != 0 THEN
+               round((CAST(sy AS DOUBLE)
+                      - ((CAST(n_points AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                        * CAST(sx AS DOUBLE))
+                     / CAST(n_points AS DOUBLE), 6)
+             END AS ln_k
+      FROM a"""))
+
+  /** Per-source variant of the shared (score, label) aggregate: the
+    * langEnScoreAggSql replay keyed additionally by `source`, for the
+    * grouped-AUC monitor. Generated from TextOps.LangProfiles like its
+    * ungrouped sibling, so the profiles cannot drift.
+    */
+  private val langEnScoreAggBySourceSql: String = {
+    val scoreCols = TextOps.LangProfiles.map { case (lang, stops) =>
+      s"""len(list_filter(string_split(text, ' '),
+         |            w -> w IN (${stops.map(w => s"'$w'").mkString(", ")}))) AS s_$lang"""
+        .stripMargin
+    }.mkString(",\n          ")
+    val rivals = TextOps.LangProfiles.map(_._1).filterNot(_ == "en")
+      .map(l => s"s_$l").mkString(", ")
+    s"""WITH s0 AS (
+        SELECT lang, source,
+          $scoreCols
+        FROM documents
+        WHERE text IS NOT NULL AND lang IS NOT NULL AND source IS NOT NULL),
+      sc AS (
+        SELECT source,
+               CAST(s_en - greatest($rivals) AS BIGINT) AS score,
+               lang = 'en' AS y
+        FROM s0),
+      agg AS (
+        SELECT source, score,
+               CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+               CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+        FROM sc GROUP BY source, score)"""
+  }
+
+  /** eval_auc_by_source — the AUC monitor GROUPED by corpus source
+    * (EvalOps.aucByGroup): one row per source, same doubled-integer
+    * rank-sum as eval_auc_langid with every window PARTITIONED by the
+    * group — the per-domain classifier-drift card a production
+    * pipeline tracks per ingest feed.
+    */
+  private val t26 = Q(
+    "eval_auc_by_source",
+    (s, d) => EvalOps.aucByGroup(
+        langEnScoredBySource(s, d), "score", "y", "source")
+      .orderBy(col("source")),
+    Some(s"""$langEnScoreAggBySourceSql,
+      w AS (
+        SELECT source, score, n_pos, n_neg,
+               CAST(coalesce(sum(n_neg) OVER (PARTITION BY source ORDER BY score
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                 AS neg_below
+        FROM agg)
+      SELECT source,
+             CAST(sum(n_pos) AS BIGINT) AS n_pos,
+             CAST(sum(n_neg) AS BIGINT) AS n_neg,
+             CASE WHEN sum(n_pos) > 0 AND sum(n_neg) > 0 THEN
+               round(CAST(sum(n_pos * (2 * neg_below + n_neg)) AS DOUBLE) /
+                     (CAST(sum(n_pos) AS DOUBLE) * CAST(sum(n_neg) AS DOUBLE) * 2), 6)
+             END AS auc
+      FROM w GROUP BY source ORDER BY source"""))
+
+  private def langEnScoredBySource(s: SparkSession, d: String): DataFrame = {
+    val rivals = TextOps.LangProfiles.map(_._1).filterNot(_ == "en")
+      .map(l => col(s"score_$l"))
+    TextOps.langIdScored(docs(s, d))
+      .filter(col("source").isNotNull)
+      .select(col("source"),
+        (col("score_en") - greatest(rivals: _*)).as("score"),
+        (col("lang") === "en").as("y"))
+  }
+
+  
   private val t04 = Q(
     "text_fingerprint",
     (s, d) => TextOps.fingerprint(docs(s, d))
@@ -759,5 +888,5 @@ private[graft] object QueriesText {
       SELECT batch, rank, word, cnt, prev_cnt, round(lift, 4) AS lift
       FROM r WHERE rank <= 5 ORDER BY batch, rank"""))
 
-  val qs: Seq[Q] = Seq(t01, t16, t02, t03, t20, t21, t22, t23, t24, t04, t05, t06, t15, t07, t08, t09, t10, t14, t13, t12, q73, p01, t11, t17, t18)
+  val qs: Seq[Q] = Seq(t01, t16, t02, t03, t20, t21, t22, t23, t24, t25, t26, t04, t05, t06, t15, t07, t08, t09, t10, t14, t13, t12, q73, p01, t11, t17, t18)
 }

@@ -110,4 +110,40 @@ object EvalOps {
         col("score"), (col("n_pos") + col("n_neg")).as("n"), col("n_pos"),
         round(col("n_pos").cast("double") /
           (col("n_pos") + col("n_neg")).cast("double"), 6).as("frac_pos"))
+
+  /** Per-group AUC — [[aucReport]] keyed by a group column (the
+    * per-domain / per-source classifier-drift monitor): the same
+    * shared score-domain aggregate keyed additionally by group, the
+    * same doubled-integer rank-sum, with every window PARTITIONED by
+    * group so the frame stays (group × distinct-score)-bounded — the
+    * bounded-frame caveat of the ungrouped family does not even
+    * arise. One row per group; auc NULL where a class is empty
+    * within the group. Rows with a NULL group are dropped (they
+    * belong to no panel — the scoreCounts NULL convention).
+    */
+  def aucByGroup(df: DataFrame, scoreCol: String, labelCol: String,
+                 groupCol: String): DataFrame = {
+    val byScore = Window.partitionBy(col("grp")).orderBy(col("score"))
+    df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull &&
+        col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"), col(scoreCol).cast("long").as("score"))
+      .agg(
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("n_neg"))
+      .withColumn("neg_below",
+        coalesce(sum(col("n_neg")).over(
+          byScore.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .groupBy(col("grp").as(groupCol))
+      .agg(
+        sum(col("n_pos")).as("n_pos"),
+        sum(col("n_neg")).as("n_neg"),
+        sum((col("n_pos") * (col("neg_below") * 2 + col("n_neg")))
+          .cast(DecimalType(38, 0))).as("num2"))
+      .select(
+        col(groupCol), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(col("num2").cast("double") /
+            (col("n_pos").cast("double") * col("n_neg").cast("double") * 2), 6))
+          .as("auc"))
+  }
 }

