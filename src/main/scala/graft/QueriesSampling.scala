@@ -766,5 +766,81 @@ private[graft] object QueriesSampling {
       FROM events e JOIN cut USING (event_type)
       GROUP BY e.event_type ORDER BY e.event_type"""))
 
-  val qs: Seq[Q] = Seq(pk1, pk2, sm1, sm2, sm7, sm3, sm4, sm8, sm9, sm5, sm6, sm10, sm11, q77, q80, q79, q81, q82, q83)
+  /** q94_kmv_incremental — count-distinct index maintenance: the KMV
+    * sketch state (LibOps.kmvSketch, the ~k-row/group summary behind
+    * q82's estimator) stored for a corpus half, the ingest half's
+    * sketch FOLDED IN with kmvMerge (k-smallest-of-distinct-union is
+    * associative ⇒ merge ≡ rebuild exactly — the spanIndexMerge law,
+    * property-tested), and the estimate read off the merged state next
+    * to the single-pass kmvDistinct over the union: the graded output
+    * shows n_merged = n_full on every row. The corpus is never
+    * rescanned at ingest — the count-distinct sibling of the
+    * exact/MinHash/semantic/span incremental-dedup family.
+    */
+  private val k94 = Q(
+    "q94_kmv_incremental",
+    (s, d) => {
+      import s.implicits._
+      val corpus = ev(s, d).filter($"event_id" % 2 === 0)
+      val batch = ev(s, d).filter($"event_id" % 2 =!= 0)
+      val merged = LibOps.kmvMerge(
+        LibOps.kmvSketch(corpus, Seq("event_type"), "user_id", 64),
+        LibOps.kmvSketch(batch, Seq("event_type"), "user_id", 64),
+        Seq("event_type"), 64)
+      val full = LibOps.kmvDistinct(ev(s, d), Seq("event_type"), "user_id", 64)
+        .select($"event_type", round($"n_distinct_est", 4).as("n_full"))
+      LibOps.kmvEstimate(merged, Seq("event_type"), 64)
+        .select($"event_type", round($"n_distinct_est", 4).as("n_merged"))
+        .join(full, "event_type")
+        .orderBy($"event_type")
+    },
+    Some("""
+      WITH hv AS (
+        SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS v,
+               (CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                     ::BIGINT AS DOUBLE) + 1.0) / 1152921504606846976.0 AS h,
+               event_id % 2 = 0 AS half
+        FROM events WHERE user_id IS NOT NULL),
+      skc AS (
+        SELECT event_type, v, h FROM (
+          SELECT event_type, v, h,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY h, v) AS rk
+          FROM (SELECT DISTINCT event_type, v, h FROM hv WHERE half))
+        WHERE rk <= 64),
+      skb AS (
+        SELECT event_type, v, h FROM (
+          SELECT event_type, v, h,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY h, v) AS rk
+          FROM (SELECT DISTINCT event_type, v, h FROM hv WHERE NOT half))
+        WHERE rk <= 64),
+      m AS (
+        SELECT event_type, v, h FROM (
+          SELECT event_type, v, h,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY h, v) AS rk
+          FROM (SELECT event_type, v, h FROM skc
+                UNION SELECT event_type, v, h FROM skb))
+        WHERE rk <= 64),
+      est AS (
+        SELECT event_type, count(*) AS n, max(h) AS hk FROM m
+        GROUP BY event_type),
+      fullsk AS (
+        SELECT event_type, count(*) AS n, max(h) AS hk FROM (
+          SELECT event_type, v, h,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY h, v) AS rk
+          FROM (SELECT DISTINCT event_type, v, h FROM hv))
+        WHERE rk <= 64 GROUP BY event_type)
+      SELECT e.event_type,
+             round(CASE WHEN e.n < 64 THEN CAST(e.n AS DOUBLE)
+                        ELSE 63.0 / e.hk END, 4) AS n_merged,
+             round(CASE WHEN f.n < 64 THEN CAST(f.n AS DOUBLE)
+                        ELSE 63.0 / f.hk END, 4) AS n_full
+      FROM est e JOIN fullsk f USING (event_type)
+      ORDER BY event_type"""))
+
+
+  val qs: Seq[Q] = Seq(pk1, pk2, sm1, sm2, sm7, sm3, sm4, sm8, sm9, sm5, sm6, sm10, sm11, q77, q80, q79, q81, q82, q83, k94)
 }

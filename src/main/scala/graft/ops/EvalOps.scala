@@ -34,15 +34,27 @@ object EvalOps {
 
   /** Per-distinct-score positive/negative counts — the shared
     * corpus-to-score-domain aggregate. `labelCol` must be boolean;
-    * rows with a NULL score or label are dropped (they belong to
-    * neither class — the transitionMatrix NULL-user convention).
+    * rows with a NULL score or label belong to neither class (the
+    * transitionMatrix NULL-user convention): NULL labels count in
+    * neither sum, and NULL-score / all-NULL-label groups are dropped
+    * AFTER the aggregate by ONE fused predicate. The fusion is
+    * deliberate plan shaping, not style: a pre-aggregate
+    * `scoreCol.isNotNull` filter (or a post-aggregate conjunct
+    * Catalyst can split) pushes below the aggregate and re-evaluates
+    * the score expression — for a computed score like the langid
+    * 5-profile margin that DOUBLES the per-row hot cost (measured:
+    * the round-7 ×10 sweep); referencing the aggregate outputs inside
+    * the same predicate pins the filter above the aggregate, so the
+    * score is computed exactly once per row, as the grouping
+    * expression.
     */
   def scoreCounts(df: DataFrame, scoreCol: String, labelCol: String): DataFrame =
-    df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
-      .groupBy(col(scoreCol).cast("long").as("score"))
+    df.groupBy(col(scoreCol).cast("long").as("score"))
       .agg(
-        sum(when(col(labelCol), 1L).otherwise(0L)).as("n_pos"),
-        sum(when(col(labelCol), 0L).otherwise(1L)).as("n_neg"))
+        sum(when(col(labelCol) === true, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col(labelCol) === false, 1L).otherwise(0L)).as("n_neg"))
+      .filter(when(col("score").isNotNull,
+        (col("n_pos") + col("n_neg")) > 0).otherwise(lit(false)))
 
   /** Exact AUC (one row: n_pos, n_neg, auc) by the tie-corrected
     * rank-sum identity: AUC = [Σ_s P_s·(2·N_below(s) + N_s)] / 2PN,
@@ -124,12 +136,16 @@ object EvalOps {
   def aucByGroup(df: DataFrame, scoreCol: String, labelCol: String,
                  groupCol: String): DataFrame = {
     val byScore = Window.partitionBy(col("grp")).orderBy(col("score"))
-    df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull &&
-        col(groupCol).isNotNull)
-      .groupBy(col(groupCol).as("grp"), col(scoreCol).cast("long").as("score"))
+    df.groupBy(col(groupCol).as("grp"), col(scoreCol).cast("long").as("score"))
       .agg(
-        sum(when(col(labelCol), 1L).otherwise(0L)).as("n_pos"),
-        sum(when(col(labelCol), 0L).otherwise(1L)).as("n_neg"))
+        sum(when(col(labelCol) === true, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col(labelCol) === false, 1L).otherwise(0L)).as("n_neg"))
+      // the scoreCounts fused-filter contract (see above): NULL group/
+      // score groups drop HERE, above the aggregate, in one
+      // non-splittable predicate — a bare isNotNull conjunct would push
+      // below and re-evaluate the computed score per row
+      .filter(when(col("grp").isNotNull && col("score").isNotNull,
+        (col("n_pos") + col("n_neg")) > 0).otherwise(lit(false)))
       .withColumn("neg_below",
         coalesce(sum(col("n_neg")).over(
           byScore.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

@@ -483,6 +483,71 @@ object LibOps {
       .drop("__n", "__hk")
   }
 
+  /** The KMV sketch STATE behind [[kmvDistinct]] — per key group, the
+    * k smallest md5-hash values with their (stringified) members: a
+    * ~k-row/group mergeable summary (the count-distinct sibling of the
+    * span/MinHash digest indexes). Store it once for the corpus; fold
+    * ingest batches in with [[kmvMerge]]; read the estimate off the
+    * state with [[kmvEstimate]] — the corpus is never rescanned.
+    *
+    * State schema: (keys..., __v string, __h double). The member
+    * string rides along because (a) merge dedups on it exactly and
+    * (b) it is the deterministic tie-break under 60-bit hash
+    * collisions (the kmvDistinct convention).
+    */
+  def kmvSketch(df: DataFrame, keys: Seq[String], value: String,
+                k: Int = 64): DataFrame = {
+    require(k >= 2, s"kmvSketch: k=$k")
+    Seq("__v", "__h", "__rk").foreach(c =>
+      require(!df.columns.contains(c) && !keys.contains(c),
+        s"kmvSketch: input already has a $c column"))
+    val h = (conv(substring(md5(col("__v").cast("binary")), 1, 15), 16, 10)
+      .cast("double") + 1.0) / lit(1152921504606846976.0)
+    val hashed = df.filter(col(value).isNotNull)
+      .select((keys.map(col) :+ col(value).cast("string").as("__v")): _*)
+      .distinct()
+      .withColumn("__h", h)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__h").asc, col("__v").asc)
+    hashed.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k).drop("__rk")
+  }
+
+  /** Fold one KMV state into another (ingest maintenance): union,
+    * exact dedup on the member, re-take the k smallest per group.
+    * k-smallest-of-distinct-union is associative and commutative, so
+    * merge ≡ rebuild EXACTLY and chained merges compose — the
+    * spanIndexMerge law, property-tested. Inputs are ~k-row/group
+    * states; the merge never touches a corpus.
+    */
+  def kmvMerge(state: DataFrame, other: DataFrame, keys: Seq[String],
+               k: Int = 64): DataFrame = {
+    require(k >= 2, s"kmvMerge: k=$k")
+    val cols = (keys :+ "__v" :+ "__h").map(col)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__h").asc, col("__v").asc)
+    state.select(cols: _*).union(other.select(cols: _*))
+      .groupBy((keys :+ "__v").map(col): _*).agg(first(col("__h")).as("__h"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k).drop("__rk")
+  }
+
+  /** The [[kmvDistinct]] estimator read off a stored state: per group,
+    * n_distinct_est = n when the sketch is unsaturated (n < k — the
+    * count IS exact), else (k−1)/h_k with h_k the k-th smallest hash
+    * (= the state's max). One partial-aggregated pass over ~k-row
+    * groups.
+    */
+  def kmvEstimate(state: DataFrame, keys: Seq[String],
+                  k: Int = 64): DataFrame =
+    state.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"), max(col("__h")).as("__hk"))
+      .withColumn("n_distinct_est",
+        when(col("__n") < k, col("__n").cast("double"))
+          .otherwise(lit((k - 1).toDouble) / col("__hk")))
+      .drop("__n", "__hk")
+
+
   /** Per-group [[approxQuantileCuts]] — the grouped percentile SCALE
     * path: one row of `cut_i` boundaries PER KEY GROUP, so per-domain
     * winsorization/robust gates run over near-continuous columns

@@ -28,8 +28,13 @@ object Profile {
         "q30_string_funcs", "dedup_embedding", "ann_lsh_topk", "mapred_wordcount")
     names.foreach { n =>
       val fn = graft.Queries.queryMap(n)
+      // noop sink, NOT count(): under count() Catalyst eliminates
+      // unreferenced subtrees (the PlanAudit class) — a profiler that
+      // times count() lies about exactly the queries worth profiling
       def time(): Double = {
-        val t0 = System.nanoTime(); fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
       }
       val cold = time(); val warm = time(); val warm2 = time()
       println(f"PROF $n%-28s cold=$cold%6.2f warm=$warm%6.2f warm2=$warm2%6.2f")

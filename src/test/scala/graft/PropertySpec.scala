@@ -832,6 +832,39 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("KMV sketch state: merge == rebuild, chains compose, estimate == kmvDistinct") {
+    // the spanIndexMerge law family for the count-distinct index:
+    // k-smallest-of-distinct-union is associative, so folding a batch
+    // sketch into a stored state equals rebuilding from the union —
+    // compared on the exact state rows AND the exact estimates.
+    val k = 8
+    val gen = Gen.listOfN(120, Gen.zip(Gen.choose(0, 2), Gen.choose(0L, 40L)))
+    samples(gen, 5).foreach { data =>
+      val (a, b) = data.splitAt(data.length / 2)
+      def mk(rows: Seq[(Int, Long)]) =
+        rows.map { case (g, v) => (s"g$g", v) }.toDF("g", "v")
+      def stateSet(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+      val skA = LibOps.kmvSketch(mk(a), Seq("g"), "v", k)
+      val skB = LibOps.kmvSketch(mk(b), Seq("g"), "v", k)
+      val merged = LibOps.kmvMerge(skA, skB, Seq("g"), k)
+      val rebuilt = LibOps.kmvSketch(mk(data), Seq("g"), "v", k)
+      assert(stateSet(merged) == stateSet(rebuilt))
+      // chained compose: fold b in two pieces
+      val (b1, b2) = b.splitAt(b.length / 2)
+      val chained = LibOps.kmvMerge(
+        LibOps.kmvMerge(skA, LibOps.kmvSketch(mk(b1), Seq("g"), "v", k), Seq("g"), k),
+        LibOps.kmvSketch(mk(b2), Seq("g"), "v", k), Seq("g"), k)
+      assert(stateSet(chained) == stateSet(rebuilt))
+      // the estimate off the merged state == the one-pass estimator
+      val est = LibOps.kmvEstimate(merged, Seq("g"), k)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+      val direct = LibOps.kmvDistinct(mk(data), Seq("g"), "v", k)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+      assert(est == direct)
+    }
+  }
+
   test("aucReport equals brute-force pair counting (Mann–Whitney law)") {
     // AUC over the aggregated score domain must equal the O(n²)
     // definition: P(random pos outranks random neg), ties half —
