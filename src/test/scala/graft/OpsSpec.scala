@@ -2755,4 +2755,29 @@ class OpsSpec extends AnyFunSuite {
       sampleFraction = 0.0).collect()(0)
     assert(z.getAs[Long]("n_true_pairs") == 0L && z.isNullAt(3) && z.isNullAt(4))
   }
+
+  test("EvalOps NULL drop stays ABOVE the aggregate (fused-filter plan contract)") {
+    // the round-7 1.9x finding: a splittable `score IS NOT NULL`
+    // pushes below the aggregate and re-evaluates the computed score
+    // expression per row. The fused when() predicate must keep the
+    // Filter above the Aggregate — pin it so an optimizer change
+    // cannot silently re-admit the double evaluation.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter}
+    val df = spark.range(100)
+      .selectExpr("id % 7 as s", "id % 2 = 0 as y")
+      .selectExpr("s * 2 + 1 as score", "y") // a COMPUTED score column
+    Seq(
+      EvalOps.scoreCounts(df, "score", "y"),
+      EvalOps.aucByGroup(df.selectExpr("score", "y", "'g' as grp"),
+        "score", "y", "grp")) foreach { out =>
+      val agg = out.queryExecution.optimizedPlan
+        .collect { case a: Aggregate => a }
+      assert(agg.nonEmpty)
+      // no Filter anywhere beneath the BOTTOM aggregate (the corpus
+      // pass — the fused filter legitimately sits between it and any
+      // aggregate above)
+      assert(agg.last.children.flatMap(_.collect { case f: Filter => f }).isEmpty,
+        s"NULL-drop filter pushed below the corpus aggregate:\n${out.queryExecution.optimizedPlan}")
+    }
+  }
 }
