@@ -123,7 +123,11 @@ private[graft] object QueriesText {
     * from TextOps.LangProfiles like langidPredSql, so the profile
     * lists can't drift between engine and oracle.
     */
-  private val langEnScoreAggSql: String = {
+  /** One generator for both the global and the keyed (score, label)
+    * aggregate replays — a profile-handling tweak cannot reach one
+    * graded eval and miss the other (the clusterCtesSql idiom).
+    */
+  private def langEnScoreAgg(keyCols: Seq[String]): String = {
     val scoreCols = TextOps.LangProfiles.map { case (lang, stops) =>
       s"""len(list_filter(string_split(text, ' '),
          |            w -> w IN (${stops.map(w => s"'$w'").mkString(", ")}))) AS s_$lang"""
@@ -131,28 +135,42 @@ private[graft] object QueriesText {
     }.mkString(",\n          ")
     val rivals = TextOps.LangProfiles.map(_._1).filterNot(_ == "en")
       .map(l => s"s_$l").mkString(", ")
+    val keySel = keyCols.map(k => s"$k, ").mkString
+    val keyNotNull = keyCols.map(k => s" AND $k IS NOT NULL").mkString
+    val keyGroup = keyCols.map(k => s"$k, ").mkString
     s"""WITH s0 AS (
-        SELECT lang,
+        SELECT ${keySel}lang,
           $scoreCols
         FROM documents
-        WHERE text IS NOT NULL AND lang IS NOT NULL),
+        WHERE text IS NOT NULL AND lang IS NOT NULL$keyNotNull),
       sc AS (
-        SELECT CAST(s_en - greatest($rivals) AS BIGINT) AS score,
+        SELECT ${keySel}CAST(s_en - greatest($rivals) AS BIGINT) AS score,
                lang = 'en' AS y
         FROM s0),
       agg AS (
-        SELECT score,
+        SELECT ${keyGroup}score,
                CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
                CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
-        FROM sc GROUP BY score)"""
+        FROM sc GROUP BY ${keyGroup}score)"""
   }
 
-  private def langEnScored(s: SparkSession, d: String): DataFrame = {
+  private val langEnScoreAggSql: String = langEnScoreAgg(Nil)
+
+  /** The engine-side (score, label) frame, optionally carrying extra
+    * key columns. The explicit text-NOT-NULL guard matches the
+    * oracle's WHERE unconditionally — without it the engine relies on
+    * size(NULL)=NULL, which flips to -1 under
+    * spark.sql.legacy.sizeOfNull and would count NULL-text docs the
+    * oracle excludes (the bm25 legacy-config defense).
+    */
+  private def langEnScored(s: SparkSession, d: String,
+                           extraCols: Seq[String] = Nil): DataFrame = {
     val rivals = TextOps.LangProfiles.map(_._1).filterNot(_ == "en")
       .map(l => col(s"score_$l"))
-    TextOps.langIdScored(docs(s, d))
-      .select((col("score_en") - greatest(rivals: _*)).as("score"),
-        (col("lang") === "en").as("y"))
+    TextOps.langIdScored(docs(s, d).filter(col("text").isNotNull))
+      .select((extraCols.map(col) ++ Seq(
+        (col("score_en") - greatest(rivals: _*)).as("score"),
+        (col("lang") === "en").as("y"))): _*)
   }
 
   /** eval_auc_langid — the en profile graded THRESHOLD-FREE: exact
@@ -334,36 +352,6 @@ private[graft] object QueriesText {
              END AS ln_k
       FROM a"""))
 
-  /** Per-source variant of the shared (score, label) aggregate: the
-    * langEnScoreAggSql replay keyed additionally by `source`, for the
-    * grouped-AUC monitor. Generated from TextOps.LangProfiles like its
-    * ungrouped sibling, so the profiles cannot drift.
-    */
-  private val langEnScoreAggBySourceSql: String = {
-    val scoreCols = TextOps.LangProfiles.map { case (lang, stops) =>
-      s"""len(list_filter(string_split(text, ' '),
-         |            w -> w IN (${stops.map(w => s"'$w'").mkString(", ")}))) AS s_$lang"""
-        .stripMargin
-    }.mkString(",\n          ")
-    val rivals = TextOps.LangProfiles.map(_._1).filterNot(_ == "en")
-      .map(l => s"s_$l").mkString(", ")
-    s"""WITH s0 AS (
-        SELECT lang, source,
-          $scoreCols
-        FROM documents
-        WHERE text IS NOT NULL AND lang IS NOT NULL AND source IS NOT NULL),
-      sc AS (
-        SELECT source,
-               CAST(s_en - greatest($rivals) AS BIGINT) AS score,
-               lang = 'en' AS y
-        FROM s0),
-      agg AS (
-        SELECT source, score,
-               CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
-               CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
-        FROM sc GROUP BY source, score)"""
-  }
-
   /** eval_auc_by_source — the AUC monitor GROUPED by corpus source
     * (EvalOps.aucByGroup): one row per source, same doubled-integer
     * rank-sum as eval_auc_langid with every window PARTITIONED by the
@@ -373,9 +361,9 @@ private[graft] object QueriesText {
   private val t26 = Q(
     "eval_auc_by_source",
     (s, d) => EvalOps.aucByGroup(
-        langEnScoredBySource(s, d), "score", "y", "source")
+        langEnScored(s, d, Seq("source")), "score", "y", "source")
       .orderBy(col("source")),
-    Some(s"""$langEnScoreAggBySourceSql,
+    Some(s"""${langEnScoreAgg(Seq("source"))},
       w AS (
         SELECT source, score, n_pos, n_neg,
                CAST(coalesce(sum(n_neg) OVER (PARTITION BY source ORDER BY score
@@ -391,15 +379,6 @@ private[graft] object QueriesText {
              END AS auc
       FROM w GROUP BY source ORDER BY source"""))
 
-  private def langEnScoredBySource(s: SparkSession, d: String): DataFrame = {
-    val rivals = TextOps.LangProfiles.map(_._1).filterNot(_ == "en")
-      .map(l => col(s"score_$l"))
-    TextOps.langIdScored(docs(s, d))
-      .filter(col("source").isNotNull)
-      .select(col("source"),
-        (col("score_en") - greatest(rivals: _*)).as("score"),
-        (col("lang") === "en").as("y"))
-  }
 
   
   private val t04 = Q(

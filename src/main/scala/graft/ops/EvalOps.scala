@@ -48,13 +48,52 @@ object EvalOps {
     * score is computed exactly once per row, as the grouping
     * expression.
     */
-  def scoreCounts(df: DataFrame, scoreCol: String, labelCol: String): DataFrame =
-    df.groupBy(col(scoreCol).cast("long").as("score"))
+  def scoreCounts(df: DataFrame, scoreCol: String, labelCol: String,
+                  keys: Seq[String] = Nil): DataFrame = {
+    keys.foreach(k => require(!Seq("score", "n_pos", "n_neg").contains(k),
+      s"scoreCounts: key column '$k' collides with an output column"))
+    val groupCols = keys.map(col) :+ col(scoreCol).cast("long").as("score")
+    val notNull = (col("score").isNotNull +: keys.map(col(_).isNotNull))
+      .reduce(_ && _)
+    df.groupBy(groupCols: _*)
       .agg(
         sum(when(col(labelCol) === true, 1L).otherwise(0L)).as("n_pos"),
         sum(when(col(labelCol) === false, 1L).otherwise(0L)).as("n_neg"))
-      .filter(when(col("score").isNotNull,
+      .filter(when(notNull,
         (col("n_pos") + col("n_neg")) > 0).otherwise(lit(false)))
+  }
+
+  /** Shared rank-sum tail of [[aucReport]]/[[aucByGroup]] — ONE
+    * definition of the doubled-integer Mann–Whitney numerator (the
+    * fused-filter and exactness contracts live in exactly one place):
+    * the neg-below window partitions by `keys` when present, and the
+    * wide product goes through DECIMAL(38,0) BEFORE the multiply —
+    * n_pos·(2·neg_below+n_neg) as BIGINT would overflow past ~9.2e18
+    * (3e9 positives × 3e9 negatives on one score row), which at the
+    * 100 TB contract is a real corpus, not a hypothetical.
+    */
+  private def aucTail(counts: DataFrame, keys: Seq[String]): DataFrame = {
+    val base = Window.orderBy(col("score"))
+    val byScore =
+      if (keys.isEmpty) base else Window.partitionBy(keys.map(col): _*)
+        .orderBy(col("score"))
+    counts
+      .withColumn("neg_below",
+        coalesce(sum(col("n_neg")).over(
+          byScore.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sum(col("n_pos")).as("n_pos"),
+        sum(col("n_neg")).as("n_neg"),
+        sum(col("n_pos").cast(DecimalType(38, 0)) *
+          (col("neg_below") * 2 + col("n_neg"))).as("num2"))
+      .select((keys.map(col) ++ Seq(
+        col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(col("num2").cast("double") /
+            (col("n_pos").cast("double") * col("n_neg").cast("double") * 2), 6))
+          .as("auc"))): _*)
+  }
 
   /** Exact AUC (one row: n_pos, n_neg, auc) by the tie-corrected
     * rank-sum identity: AUC = [Σ_s P_s·(2·N_below(s) + N_s)] / 2PN,
@@ -64,25 +103,8 @@ object EvalOps {
     * the probability a random positive outranks a random negative
     * (the Mann–Whitney statistic). NULL when either class is empty.
     */
-  def aucReport(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
-    val byScore = Window.orderBy(col("score"))
-    val withBelow = scoreCounts(df, scoreCol, labelCol)
-      .withColumn("neg_below",
-        coalesce(sum(col("n_neg")).over(
-          byScore.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    withBelow
-      .agg(
-        sum(col("n_pos")).as("n_pos"),
-        sum(col("n_neg")).as("n_neg"),
-        sum((col("n_pos") * (col("neg_below") * 2 + col("n_neg")))
-          .cast(DecimalType(38, 0))).as("num2"))
-      .select(
-        col("n_pos"), col("n_neg"),
-        when(col("n_pos") > 0 && col("n_neg") > 0,
-          round(col("num2").cast("double") /
-            (col("n_pos").cast("double") * col("n_neg").cast("double") * 2), 6))
-          .as("auc"))
-  }
+  def aucReport(df: DataFrame, scoreCol: String, labelCol: String): DataFrame =
+    aucTail(scoreCounts(df, scoreCol, labelCol), Nil)
 
   /** The full precision/recall curve: one row per distinct score
     * taken as the decision threshold (predict positive iff
@@ -134,32 +156,6 @@ object EvalOps {
     * belong to no panel — the scoreCounts NULL convention).
     */
   def aucByGroup(df: DataFrame, scoreCol: String, labelCol: String,
-                 groupCol: String): DataFrame = {
-    val byScore = Window.partitionBy(col("grp")).orderBy(col("score"))
-    df.groupBy(col(groupCol).as("grp"), col(scoreCol).cast("long").as("score"))
-      .agg(
-        sum(when(col(labelCol) === true, 1L).otherwise(0L)).as("n_pos"),
-        sum(when(col(labelCol) === false, 1L).otherwise(0L)).as("n_neg"))
-      // the scoreCounts fused-filter contract (see above): NULL group/
-      // score groups drop HERE, above the aggregate, in one
-      // non-splittable predicate — a bare isNotNull conjunct would push
-      // below and re-evaluate the computed score per row
-      .filter(when(col("grp").isNotNull && col("score").isNotNull,
-        (col("n_pos") + col("n_neg")) > 0).otherwise(lit(false)))
-      .withColumn("neg_below",
-        coalesce(sum(col("n_neg")).over(
-          byScore.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .groupBy(col("grp").as(groupCol))
-      .agg(
-        sum(col("n_pos")).as("n_pos"),
-        sum(col("n_neg")).as("n_neg"),
-        sum((col("n_pos") * (col("neg_below") * 2 + col("n_neg")))
-          .cast(DecimalType(38, 0))).as("num2"))
-      .select(
-        col(groupCol), col("n_pos"), col("n_neg"),
-        when(col("n_pos") > 0 && col("n_neg") > 0,
-          round(col("num2").cast("double") /
-            (col("n_pos").cast("double") * col("n_neg").cast("double") * 2), 6))
-          .as("auc"))
-  }
+                 groupCol: String): DataFrame =
+    aucTail(scoreCounts(df, scoreCol, labelCol, Seq(groupCol)), Seq(groupCol))
 }

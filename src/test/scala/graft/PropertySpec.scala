@@ -689,7 +689,9 @@ class PropertySpec extends AnyFunSuite {
         .toDF("doc_id", "text")
       val topK = 6
       val row = TextOps.zipfFit(df, "text", topK = topK).collect()(0)
-      val counts = texts.flatMap(_.split(" ")).filter(_.nonEmpty)
+      // split(" ", -1): keep empty tokens incl. trailing — the engine's
+      // words() (Spark split) and DuckDB string_split both do
+      val counts = texts.flatMap(_.split(" ", -1))
         .groupBy(identity).map { case (w, ws) => (w, ws.size.toLong) }
       val head = counts.toSeq.sortBy { case (w, c) => (-c, w) }.take(topK)
       val n = head.size
@@ -778,7 +780,7 @@ class PropertySpec extends AnyFunSuite {
       var seen = Set.empty[String]
       var (cumTok, cumVoc) = (0L, 0L)
       val pts = texts.zipWithIndex.flatMap { case (t, _) =>
-        val ws = t.split(" ").toSeq.filter(_ => true)
+        val ws = t.split(" ", -1).toSeq // keep empty tokens, like words()
         cumTok += ws.size
         val fresh = ws.distinct.filterNot(seen)
         seen ++= fresh
