@@ -66,7 +66,12 @@ private[graft] object QHelp {
     * append `cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM
     * reach GROUP BY a)`-style selections.
     */
-  private[graft] def clusterCtesSql: String = """
+  /** The dup-edge chain alone (shingles → pruned postings → Jaccard
+    * pairs → symmetric `edges`), shared by the recursive-closure
+    * oracles below AND the bounded-round graph_components replay — one
+    * definition of the near-dup edge semantics.
+    */
+  private[graft] def clusterEdgeCtes: String = """
       WITH RECURSIVE sets AS (
         SELECT doc_id,
                CASE WHEN len(w) >= 3
@@ -89,7 +94,10 @@ private[graft] object QHelp {
         WHERE n_inter::DOUBLE / (sz_a + sz_b - n_inter) >= 0.8),
       edges AS (
         SELECT id_a AS a, id_b AS b FROM dup
-        UNION ALL SELECT id_b, id_a FROM dup),
+        UNION ALL SELECT id_b, id_a FROM dup)"""
+
+
+  private[graft] def clusterCtesSql: String = s"""$clusterEdgeCtes,
       reach(a, b) AS (
         SELECT doc_id, doc_id FROM documents
         UNION

