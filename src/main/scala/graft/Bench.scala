@@ -70,6 +70,28 @@ object Bench {
     // the work a real consumer pays, at zero sink cost.
     def exec(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+    // Host-factor calibration probe (round-7 verdict task 1): a FIXED
+    // synthetic workload — seeded range → hash-keyed two-level
+    // aggregate, zero IO, constant size — timed at suite start and
+    // end. Same-code bench series on this host have differed by up to
+    // 1.44× from machine state alone (BASELINE.md r07 disclosure), so
+    // every pin now carries its own meter reading: cross-series
+    // totals are compared as total/calib (the probe is CPU+shuffle
+    // shaped like the suite's hot path), and a calib_pre/calib_post
+    // gap flags state drift WITHIN a series. Median of 3 runs so one
+    // GC pause can't poison the estimate; plan shape never varies, so
+    // codegen compiles once (absorbed by the first warmup run below).
+    def calibrate(): Double = {
+      def once(): Double = time(exec(
+        spark.range(0, 20000000L, 1, 32)
+          .selectExpr("id * 2654435761 % 1000003 AS k", "id % 97 AS v")
+          .groupBy("k")
+          .agg(org.apache.spark.sql.functions.sum("v"),
+            org.apache.spark.sql.functions.count("*"))))
+      val runs = Seq(once(), once(), once()).sorted
+      hygiene()
+      runs(1)
+    }
     // State hygiene between timed runs (graft.Hygiene — shared with
     // Verify): each bench invocation builds a fresh DataFrame, so
     // dropping every persisted RDD + cached relation after the noop
@@ -78,6 +100,7 @@ object Bench {
     // the same clean deterministic session (round 4 measured what
     // happens without this: read-family "warm" slower than cold).
     def hygiene(): Unit = Hygiene.clearAll(spark, blocking = true, gc = true)
+    val calibPre = calibrate()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.forall(_.contains(q._1)))
       .map { case (name, fn) =>
@@ -103,7 +126,9 @@ object Bench {
     // name silently drops out of the filter — the requested-name count
     // would overstate the run)
     val subsetTag = only.map(_ => s""""subset":${results.size},""").getOrElse("")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec",$subsetTag"queries":${json(x => (x._1, x._2))},"total_warm":$totalWarm,"queries_warm":${json(x => (x._1, x._3))},$fam,"sf":"$sfDir"}"""
+    val calibPost = calibrate()
+    val calib = s""""calib_pre":$calibPre,"calib_post":$calibPost"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec",$subsetTag"queries":${json(x => (x._1, x._2))},"total_warm":$totalWarm,"queries_warm":${json(x => (x._1, x._3))},$fam,$calib,"sf":"$sfDir"}"""
     println(line)
     // belt-and-suspenders: the same line as a file, in case a harness
     // parses logs that interleave or prefix stdout

@@ -215,17 +215,15 @@ private[graft] object QueriesDedup {
     * aggregate. The near-dup analogue of dedup_incremental's exact
     * path.
     */
-  private val d02i = Q(
-    "dedup_minhash_incremental",
-    (s, d) => {
-      val all = docs(s, d)
-      DedupOps.minhashNearDupIncremental(
-        all.filter(col("doc_id") % 10 =!= 0),
-        all.filter(col("doc_id") % 10 === 0),
-        "text", "doc_id")
-        .orderBy(col("doc_id"))
-    },
-    Some("""
+  /** The full incremental-minhash oracle chain, parameterized by the
+    * corpus/batch split predicates (the lpRound one-definition idiom):
+    * serves both `dedup_minhash_incremental` and the index-maintenance
+    * grader `dedup_minhash_index_update` — which by the merge law
+    * (index(A) ⊎ bands(B) = index(A∪B), banding per-doc) must equal
+    * exactly this one-shot replay on the merged corpus, so the two
+    * graded queries differ ONLY in the split. */
+  private def minhashIncrementalSql(oldPred: String,
+                                    newPred: String): String = s"""
       WITH sets AS (
         SELECT doc_id,
                CASE WHEN len(w) >= 3
@@ -245,8 +243,8 @@ private[graft] object QueriesDedup {
       bands AS (
         SELECT doc_id, i // 4 AS band_idx, list(v ORDER BY i) AS band_key
         FROM sig GROUP BY doc_id, i // 4),
-      oldb AS (SELECT * FROM bands WHERE doc_id % 10 <> 0),
-      newb AS (SELECT * FROM bands WHERE doc_id % 10 = 0),
+      oldb AS (SELECT * FROM bands WHERE $oldPred),
+      newb AS (SELECT * FROM bands WHERE $newPred),
       ok AS (
         SELECT band_idx, band_key FROM oldb
         GROUP BY 1, 2 HAVING count(*) <= 256),
@@ -272,9 +270,49 @@ private[graft] object QueriesDedup {
              coalesce(per.n_candidates, 0) AS n_candidates,
              round(coalesce(per.mj, 0), 4) AS max_jaccard,
              coalesce(per.mj, 0) >= 0.8 AS is_dup
-      FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+      FROM (SELECT doc_id FROM documents WHERE $newPred) d
       LEFT JOIN per ON d.doc_id = per.doc_id
-      ORDER BY d.doc_id"""))
+      ORDER BY d.doc_id"""
+
+  private val d02i = Q(
+    "dedup_minhash_incremental",
+    (s, d) => {
+      val all = docs(s, d)
+      DedupOps.minhashNearDupIncremental(
+        all.filter(col("doc_id") % 10 =!= 0),
+        all.filter(col("doc_id") % 10 === 0),
+        "text", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+    Some(minhashIncrementalSql("doc_id % 10 <> 0", "doc_id % 10 = 0")))
+
+  /** dedup_minhash_index_update — the index-MAINTENANCE half of the
+    * minhash ingest lifecycle (d02i is the probe half; the exact
+    * sibling of dedup_spans_index_update): band index built over
+    * doc_id < 200, batch1 (200 ≤ id < 400) folded in via
+    * `minhashIndexMerge` — corpus signatures never recomputed — then
+    * batch2 (id ≥ 400) probed against the MERGED index, with corpus
+    * text touched only through the candidate-id semi-join. Banding is
+    * per-document, so the merged index must equal a one-shot rebuild
+    * over doc_id < 400 — which is exactly what the oracle replays
+    * (the shared minhashIncrementalSql chain split at 400). A wrong
+    * merge (dropped band row, duplicated doc) perturbs bucket sizes
+    * or candidates and fails the hash.
+    */
+  private val d02x = Q(
+    "dedup_minhash_index_update",
+    (s, d) => {
+      val all = docs(s, d)
+      val snapshot = DedupOps.minhashIndex(
+        all.filter(col("doc_id") < 200), "text", "doc_id")
+      val merged = DedupOps.minhashIndexMerge(snapshot,
+        all.filter(col("doc_id") >= 200 && col("doc_id") < 400),
+        "text", "doc_id")
+      DedupOps.minhashNearDupIndexed(all.filter(col("doc_id") >= 400),
+          merged, all.filter(col("doc_id") < 400), "text", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+    Some(minhashIncrementalSql("doc_id < 400", "doc_id >= 400")))
 
 
   /** dedup_simhash — 64-bit SimHash + 16-bit-segment blocking. FULL
@@ -336,6 +374,104 @@ private[graft] object QueriesDedup {
       FROM sh s LEFT JOIN near ON s.doc_id = near.doc_id
       ORDER BY s.doc_id"""))
 
+
+  /** The full incremental-simhash oracle chain, parameterized by the
+    * corpus/batch split predicates (the minhashIncrementalSql idiom —
+    * one definition serves the probe grader and the index-maintenance
+    * grader, which by the per-doc-signature merge law must equal this
+    * one-shot replay on the merged corpus). Replays d03's signature
+    * chain (md5 low-64 word hashes, 64 vote sums, >= 0 tie rule, the
+    * signed bit-63 reassembly), then the INDEX-side-only segment cap,
+    * the incoming×index candidate join, and signature-only Hamming
+    * verification.
+    */
+  private def simhashIncrementalSql(oldPred: String,
+                                    newPred: String): String = s"""
+      WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      hs AS (
+        SELECT doc_id, md5_number_lower(w) AS h FROM words),
+      votes AS (
+        SELECT doc_id, t.b AS b,
+               sum(CASE WHEN (h >> t.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM hs, range(64) t(b) GROUP BY 1, 2),
+      sh AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN v < 0 THEN 0
+                             WHEN b = 63 THEN -9223372036854775808
+                             ELSE (CAST(1 AS BIGINT) << b) END) AS BIGINT)
+                 AS simhash
+        FROM votes GROUP BY doc_id),
+      segs AS (
+        SELECT doc_id, simhash, t.s AS seg_idx,
+               (simhash >> (t.s * 16)) & 65535 AS seg_val
+        FROM sh, range(4) t(s)),
+      oldseg AS (SELECT * FROM segs WHERE $oldPred),
+      newseg AS (SELECT * FROM segs WHERE $newPred),
+      keepseg AS (
+        SELECT seg_idx, seg_val FROM oldseg
+        GROUP BY 1, 2 HAVING count(*) <= 256),
+      near AS (
+        SELECT id_new, count(*) AS n_near, min(hamming) AS min_hamming
+        FROM (
+          SELECT DISTINCT n.doc_id AS id_new, o.doc_id AS id_old,
+                 bit_count(xor(n.simhash, o.simhash)) AS hamming
+          FROM newseg n
+          JOIN keepseg USING (seg_idx, seg_val)
+          JOIN oldseg o USING (seg_idx, seg_val)) p
+        WHERE hamming <= 3
+        GROUP BY id_new)
+      SELECT d.doc_id,
+             CAST(coalesce(near.n_near, 0) AS BIGINT) AS n_near,
+             CAST(near.min_hamming AS INTEGER) AS min_hamming,
+             coalesce(near.n_near, 0) > 0 AS is_dup
+      FROM (SELECT doc_id FROM documents WHERE $newPred) d
+      LEFT JOIN near ON d.doc_id = near.id_new
+      ORDER BY d.doc_id"""
+
+  /** dedup_simhash_incremental — the SimHash ingest probe (round 8:
+    * the one dedup modality that still lacked an incremental shape):
+    * the doc_id % 10 == 0 batch scored against the snapshot's
+    * simhashIndex. Candidates are incoming×index segment matches only
+    * (index-side bucket cap), and verification is bit_count(xor) over
+    * the two SIGNATURES — the probe never touches corpus text at all
+    * (16 bytes/doc of state; plan-asserted in OpsSpec), the strongest
+    * never-rescan contract in the family.
+    */
+  private val d03i = Q(
+    "dedup_simhash_incremental",
+    (s, d) => {
+      val all = docs(s, d)
+      DedupOps.simhashNearDupIncremental(
+        all.filter(col("doc_id") % 10 === 0),
+        DedupOps.simhashIndex(
+          all.filter(col("doc_id") % 10 =!= 0), "text", "doc_id"),
+        "text", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+    Some(simhashIncrementalSql("doc_id % 10 <> 0", "doc_id % 10 = 0")))
+
+  /** dedup_simhash_index_update — the maintenance half (the
+    * dedup_minhash_index_update sibling): index(<200) ⊎ batch1
+    * (200–399) via `simhashIndexMerge` (signatures are per-doc, so
+    * merge = plain union = rebuild exactly), batch2 (≥400) probed
+    * against the merged index ≡ the one-shot incremental on the
+    * union — the shared simhashIncrementalSql chain split at 400.
+    */
+  private val d03u = Q(
+    "dedup_simhash_index_update",
+    (s, d) => {
+      val all = docs(s, d)
+      val merged = DedupOps.simhashIndexMerge(
+        DedupOps.simhashIndex(
+          all.filter(col("doc_id") < 200), "text", "doc_id"),
+        all.filter(col("doc_id") >= 200 && col("doc_id") < 400),
+        "text", "doc_id")
+      DedupOps.simhashNearDupIncremental(all.filter(col("doc_id") >= 400),
+          merged, "text", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+    Some(simhashIncrementalSql("doc_id < 400", "doc_id >= 400")))
 
   /** dedup_ngram_jaccard — exact shingle Jaccard via inverted-index
     * join, top-50 most similar pairs. Oracled: Jaccard over 64-bit
@@ -846,5 +982,5 @@ private[graft] object QueriesDedup {
       WHERE t.doc_id >= 400
       ORDER BY t.doc_id"""))
 
-  val qs: Seq[Q] = Seq(d01, d02, d02u, d02m, d02i, d03, d04, d05, d11, d13, d06, d07, d12, d08, d09, d10, d10i, d10u)
+  val qs: Seq[Q] = Seq(d01, d02, d02u, d02m, d02i, d02x, d03, d03i, d03u, d04, d05, d11, d13, d06, d07, d12, d08, d09, d10, d10i, d10u)
 }

@@ -122,5 +122,42 @@ private[graft] object QueriesGraph {
       FROM documents d LEFT JOIN l$lpIters l ON l.node = d.doc_id
       ORDER BY doc_id"""))
 
-  val qs: Seq[Q] = Seq(g01, g02)
+  /** graph_components_audit — the convergence audit of g02's
+    * production config graded IN-ENGINE on the graded data (round-7
+    * verdict task 5; the dedup_lsh_recall pattern): per propagation
+    * round, the count of endpoint labels that CHANGED that round,
+    * over the SAME near-dup edges and the same k = 8. A trailing run
+    * of zeros is the measured safety margin of the fixed k on every
+    * fixture — the "k ≥ diameter carries a large margin" claim was
+    * previously only property-tested on random graphs; here a fixture
+    * regen that produced a deeper component than k covers would turn
+    * round 8 nonzero and fail the hash loudly. The oracle replays all
+    * 8 unrolled rounds (shared lpRound emitter) and diffs consecutive
+    * label CTEs — both sides all-integer, no tolerance.
+    */
+  private val g03 = Q(
+    "graph_components_audit",
+    (s, d) => {
+      val pairs = graft.ops.DedupOps
+        .ngramJaccardPairs(docs(s, d), "text", "doc_id", roundJaccard = false)
+        .filter(col("jaccard") >= 0.8).select(col("id_a"), col("id_b"))
+      GraphOps.labelConvergenceAudit(pairs, "id_a", "id_b",
+          iters = lpIters, stageDir = Some(tmpDir(s, "components_audit")))
+        .orderBy(col("round"))
+    },
+    Some(s"""$clusterEdgeCtes,
+      em AS MATERIALIZED (SELECT a, b FROM edges),
+      l0 AS MATERIALIZED (
+        SELECT DISTINCT a AS node, a AS label FROM em),
+      ${(1 to lpIters).map(lpRound).mkString(",\n      ")}
+      ${(1 to lpIters).map(i =>
+        s"""SELECT CAST($i AS INTEGER) AS round,
+           |       CAST(coalesce(sum(CASE WHEN c.label <> p.label
+           |                           THEN 1 ELSE 0 END), 0) AS BIGINT)
+           |         AS n_changed
+           |       FROM l${i - 1} p JOIN l$i c USING (node)"""
+          .stripMargin).mkString("\n      UNION ALL\n      ")}
+      ORDER BY round"""))
+
+  val qs: Seq[Q] = Seq(g01, g02, g03)
 }

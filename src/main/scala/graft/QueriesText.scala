@@ -202,6 +202,99 @@ private[graft] object QueriesText {
              END AS auc
       FROM w"""))
 
+  /** eval_auc_quality — EvalOps.aucReport over a SECOND scorer
+    * (round-7 verdict task 7: prove the eval layer composes with any
+    * (score, label) pair, not just the langid fragments it landed
+    * with): score = text_quality_model's all-integer margin, label =
+    * even-numbered source (trusted-provenance proxy — "does the
+    * quality score separate trusted sources?"). Both sides bit-exact:
+    * the score replay is the shared qualityModelCtes/qualityScoreSql
+    * pair t16 grades, the rank-sum the same doubled-integer
+    * Mann–Whitney as eval_auc_langid. NULL-text docs have a NULL
+    * score and drop via the fused scoreCounts filter, mirrored by the
+    * oracle's post-aggregate WHERE. As with the langid family, ~0.5
+    * is the CORRECT value on this synthetic corpus (text is drawn
+    * independently of source) — the query grades the machinery.
+    */
+  private val t21q = Q(
+    "eval_auc_quality",
+    (s, d) => EvalOps.aucReport(
+      TextOps.qualityModel(docs(s, d)).select(col("score"),
+        (substring(col("source"), 4, 10).cast("int") % 2 === 0).as("y")),
+      "score", "y"),
+    Some(s"""$qualityModelCtes,
+      sc AS (
+        SELECT $qualityScoreSql AS score,
+               (CAST(substr(d.source, 4) AS INTEGER) % 2 = 0) AS y
+        FROM m JOIN documents d USING (doc_id)),
+      agg AS (
+        SELECT score, n_pos, n_neg FROM (
+          SELECT score,
+                 CAST(sum(CASE WHEN y = true THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+                 CAST(sum(CASE WHEN y = false THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+          FROM sc GROUP BY score) t
+        WHERE score IS NOT NULL AND n_pos + n_neg > 0),
+      w AS (
+        SELECT score, n_pos, n_neg,
+               CAST(coalesce(sum(n_neg) OVER (ORDER BY score
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                 AS neg_below
+        FROM agg)
+      SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
+             CAST(sum(n_neg) AS BIGINT) AS n_neg,
+             CASE WHEN sum(n_pos) > 0 AND sum(n_neg) > 0 THEN
+               round(CAST(sum(n_pos * (2 * neg_below + n_neg)) AS DOUBLE) /
+                     (CAST(sum(n_pos) AS DOUBLE) * CAST(sum(n_neg) AS DOUBLE) * 2), 6)
+             END AS auc
+      FROM w"""))
+
+  /** eval_auc_incremental — the eval layer's INGEST-LIFECYCLE shape
+    * (round 8: the spanIndexMerge/kmvMerge law extended to
+    * monitoring): the corpus arrives as two batches (doc_id parity),
+    * each partial-aggregated to its scoreCounts state, folded with
+    * `scoreCountsMerge` (class counts are additive over disjoint row
+    * sets, so merge ≡ rebuild EXACTLY — dropped 0/0 groups are
+    * additive zeros), and AUC recomputed from the merged state alone
+    * (`aucFromCounts`) — the corpus is never rescanned at monitoring
+    * time. Graded q94-style with the law visible per-row: auc_merged
+    * (the real split→merge→state path) next to auc_full (the one-shot
+    * aucReport); the oracle computes the one-shot value for both
+    * columns, so any merge defect (lost group, double count) breaks
+    * the hash.
+    */
+  private val t21i = Q(
+    "eval_auc_incremental",
+    (s, d) => {
+      val scored = langEnScored(s, d, Seq("doc_id"))
+      val cA = EvalOps.scoreCounts(
+        scored.filter(col("doc_id") % 2 === 0), "score", "y")
+      val cB = EvalOps.scoreCounts(
+        scored.filter(col("doc_id") % 2 =!= 0), "score", "y")
+      val merged = EvalOps.aucFromCounts(EvalOps.scoreCountsMerge(cA, cB))
+        .select(col("n_pos"), col("n_neg"), col("auc").as("auc_merged"))
+      val full = EvalOps.aucReport(langEnScored(s, d), "score", "y")
+        .select(col("auc").as("auc_full"))
+      merged.crossJoin(full)
+    },
+    Some(s"""$langEnScoreAggSql,
+      w AS (
+        SELECT score, n_pos, n_neg,
+               CAST(coalesce(sum(n_neg) OVER (ORDER BY score
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                 AS neg_below
+        FROM agg)
+      SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
+             CAST(sum(n_neg) AS BIGINT) AS n_neg,
+             CASE WHEN sum(n_pos) > 0 AND sum(n_neg) > 0 THEN
+               round(CAST(sum(n_pos * (2 * neg_below + n_neg)) AS DOUBLE) /
+                     (CAST(sum(n_pos) AS DOUBLE) * CAST(sum(n_neg) AS DOUBLE) * 2), 6)
+             END AS auc_merged,
+             CASE WHEN sum(n_pos) > 0 AND sum(n_neg) > 0 THEN
+               round(CAST(sum(n_pos * (2 * neg_below + n_neg)) AS DOUBLE) /
+                     (CAST(sum(n_pos) AS DOUBLE) * CAST(sum(n_neg) AS DOUBLE) * 2), 6)
+             END AS auc_full
+      FROM w"""))
+
   /** eval_pr_langid — the full precision/recall curve over every
     * decision threshold (EvalOps.prCurve): exact tp/fp/fn suffix sums
     * over the distinct-score frame, rounded IEEE ratios of exact
@@ -867,5 +960,5 @@ private[graft] object QueriesText {
       SELECT batch, rank, word, cnt, prev_cnt, round(lift, 4) AS lift
       FROM r WHERE rank <= 5 ORDER BY batch, rank"""))
 
-  val qs: Seq[Q] = Seq(t01, t16, t02, t03, t20, t21, t22, t23, t24, t25, t26, t04, t05, t06, t15, t07, t08, t09, t10, t14, t13, t12, q73, p01, t11, t17, t18)
+  val qs: Seq[Q] = Seq(t01, t16, t02, t03, t20, t21, t21q, t21i, t22, t23, t24, t25, t26, t04, t05, t06, t15, t07, t08, t09, t10, t14, t13, t12, q73, p01, t11, t17, t18)
 }

@@ -330,18 +330,86 @@ object DedupOps {
   def minhashNearDupIncremental(corpus: DataFrame, incoming: DataFrame,
                                 textCol: String, idCol: String,
                                 shingleN: Int = 3, threshold: Double = 0.8,
-                                maxBucket: Int = 256): DataFrame = {
-    def sig(df: DataFrame) = df.select(col(idCol),
-      graft.functions.TextFunctions.minhash_sig_md5(
-        col(textCol), shingleN, NumHashes).as("minhash_sig"))
-    val rawKey = (cols: Seq[Column]) => array(cols: _*)
-    val corpusBands = minhashBands(sig(corpus), idCol, rawKey)
-    val incomingBands = minhashBands(sig(incoming), idCol, rawKey)
+                                maxBucket: Int = 256): DataFrame =
+    minhashNearDupIndexed(incoming,
+      minhashIndex(corpus, textCol, idCol, shingleN), corpus,
+      textCol, idCol, shingleN, threshold, maxBucket)
+
+  /** The stored MinHash BAND index of a corpus snapshot: one row per
+    * (doc, band) — (idCol, band_idx INT, band_hash ARRAY<BIGINT>) —
+    * built ONCE from corpus text, then persisted; every ingest batch
+    * probes it via [[minhashNearDupIndexed]] without recomputing a
+    * single corpus signature. On the ENGINE-PORTABLE mirror family
+    * ([[graft.functions.MinHashSigMd5]] + raw-tuple band keys) by
+    * design: a persisted index outlives engines, and the md5 family
+    * lets any engine (or an oracle) recompute and verify the stored
+    * bands bit-for-bit — the [[spanIndex]] rationale. ~Bands rows ×
+    * (id + RowsPerBand longs) per doc; at 100 TB it lives bucketed on
+    * (band_idx, band_hash) so the probe join is exchange-free on the
+    * index side.
+    */
+  def minhashIndex(corpus: DataFrame, textCol: String, idCol: String,
+                   shingleN: Int = 3): DataFrame =
+    minhashBands(
+      corpus.select(col(idCol),
+        graft.functions.TextFunctions.minhash_sig_md5(
+          col(textCol), shingleN, NumHashes).as("minhash_sig")),
+      idCol, cols => array(cols: _*))
+
+  /** Roll an ingested batch INTO the stored [[minhashIndex]] — the
+    * index-MAINTENANCE half of the minhash ingest lifecycle
+    * ([[minhashNearDupIndexed]] is the probe half; the exact template
+    * of [[spanIndexMerge]]): banding is per-document, so for doc sets
+    * with distinct ids  index(A) ⊎ bands(B) = index(A ∪ B)  exactly —
+    * a plain union, no aggregate at all (span occurrence counts had
+    * to re-sum; band rows are already per-doc facts). The corpus is
+    * never rescanned: each fold costs one BATCH-sized signature pass,
+    * so a daily ingest can chain merges forever with
+    * `merged ≡ minhashIndex(everything)` at every step — graded
+    * through the consumer by `dedup_minhash_index_update` (a batch
+    * probed against a merged index reproduces the one-shot
+    * incremental on the union).
+    *
+    * Ids must be unique across ingests (the standard warehouse
+    * contract — a re-ingested id would double its band rows exactly
+    * as re-unioning the doc into a rebuild would).
+    */
+  def minhashIndexMerge(snapshotIndex: DataFrame, newDocs: DataFrame,
+                        textCol: String, idCol: String,
+                        shingleN: Int = 3): DataFrame =
+    snapshotIndex.select(col(idCol), col("band_idx"), col("band_hash"))
+      .unionByName(minhashIndex(newDocs, textCol, idCol, shingleN))
+
+  /** [[minhashNearDupIncremental]]'s probe half against a PREBUILT
+    * [[minhashIndex]]: candidates are incoming×index band-key matches
+    * only, and — the point of the index — corpus TEXT is touched only
+    * for verification of the matched candidates, via a semi-join that
+    * restricts the corpus to candidate ids BEFORE shingling (the
+    * candidate set is batch-bounded, so that lookup is an id-keyed
+    * point read; the inline-corpus caller shingled the whole corpus
+    * per ingest, which at 100 TB is the full-scan the index exists to
+    * avoid). The candidate subtree is referenced twice (id
+    * restriction + pair verification) — both are index-probe-sized,
+    * and the second is exchange-reusable; that is strictly cheaper
+    * than one corpus-wide shingle pass.
+    *
+    * `maxBucket` caps INDEX-side band buckets exactly as the inline
+    * path capped corpus buckets (a >cap bucket is mass-duplicated
+    * boilerplate — exact-dedup territory); the incoming side is a
+    * batch and needs no cap. Output: [[minhashNearDupIncremental]]'s
+    * schema, bit-identical to the inline path by construction (the
+    * semi-join cannot change an inner-join-on-id verification).
+    */
+  def minhashNearDupIndexed(incoming: DataFrame, bandIndex: DataFrame,
+                            corpus: DataFrame, textCol: String, idCol: String,
+                            shingleN: Int = 3, threshold: Double = 0.8,
+                            maxBucket: Int = 256): DataFrame = {
+    val incomingBands = minhashIndex(incoming, textCol, idCol, shingleN)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band_idx"), col("band_hash"))
     val boundedCorpus =
-      if (maxBucket == Int.MaxValue) corpusBands
-      else corpusBands
+      if (maxBucket == Int.MaxValue) bandIndex
+      else bandIndex
         .withColumn("__bsz", count(lit(1)).over(w))
         .filter(col("__bsz") <= maxBucket)
         .drop("__bsz")
@@ -352,7 +420,10 @@ object DedupOps {
         Seq("band_idx", "band_hash"))
       .select("id_new", "id_old").distinct()
     val newSets = shingleStringSets(incoming, textCol, idCol, shingleN)
-    val oldSets = shingleStringSets(corpus, textCol, idCol, shingleN)
+    val oldSets = shingleStringSets(
+      corpus.join(cands.select(col("id_old").as(idCol)).distinct(),
+        Seq(idCol), "left_semi"),
+      textCol, idCol, shingleN)
     val verified = cands
       .join(newSets.select(col(idCol).as("id_new"), col("sh").as("sh_a")), "id_new")
       .join(oldSets.select(col(idCol).as("id_old"), col("sh").as("sh_b")), "id_old")
@@ -576,15 +647,21 @@ object DedupOps {
     * keeps the pigeonhole guarantee; mass-identical content past the
     * cap is [[exactDedup]]'s job.
     */
-  def simhashNearDup(df: DataFrame, textCol: String, idCol: String,
-                     maxHamming: Int = 3, maxBucket: Int = 256): DataFrame = {
-    val sh = simhash(df, textCol, idCol)
-    val segs = sh.select(col(idCol), col("simhash"),
+  /** The 4×16-bit segment rows of a signature frame — the blocking
+    * key derivation shared by [[simhashNearDup]] and the incremental
+    * probe (row-local, no shuffle; 4 rows per doc). */
+  private def simhashSegments(sh: DataFrame, idCol: String): DataFrame =
+    sh.select(col(idCol), col("simhash"),
       explode(array((0 until 4).map { s =>
         struct(lit(s).as("seg_idx"),
           shiftright(col("simhash"), s * 16).bitwiseAND(lit(0xFFFFL)).as("seg_val"))
       }: _*)).as("seg"))
       .select(col(idCol), col("simhash"), col("seg.seg_idx"), col("seg.seg_val"))
+
+  def simhashNearDup(df: DataFrame, textCol: String, idCol: String,
+                     maxHamming: Int = 3, maxBucket: Int = 256): DataFrame = {
+    val sh = simhash(df, textCol, idCol)
+    val segs = simhashSegments(sh, idCol)
     val wseg = org.apache.spark.sql.expressions.Window
       .partitionBy(col("seg_idx"), col("seg_val"))
     val bounded =
@@ -607,6 +684,87 @@ object DedupOps {
       .groupBy(idCol).agg(count(lit(1)).as("n_near"))
     sh.join(perDoc, Seq(idCol), "left")
       .withColumn("n_near", coalesce(col("n_near"), lit(0L)))
+  }
+
+  /** The stored SimHash signature index of a corpus snapshot: one
+    * (idCol, simhash BIGINT) row per doc — 16 bytes/doc-class state,
+    * the smallest index in the dedup family. Built once from corpus
+    * text; afterwards BOTH halves of the ingest lifecycle run without
+    * corpus text at all: segment blocking derives row-locally from
+    * the stored signature, and — unlike MinHash, whose verification
+    * needs shingle sets — Hamming verification needs ONLY the two
+    * signatures, so an incremental probe never touches the corpus
+    * (plan-asserted in OpsSpec; the [[spanIndex]]/[[minhashIndex]]
+    * rationale taken to its strongest form).
+    */
+  def simhashIndex(corpus: DataFrame, textCol: String,
+                   idCol: String): DataFrame =
+    simhash(corpus, textCol, idCol)
+
+  /** Roll an ingested batch INTO the stored [[simhashIndex]] — the
+    * maintenance half ([[simhashNearDupIncremental]] is the probe
+    * half): signatures are per-document, so for doc sets with
+    * distinct ids  index(A) ⊎ sig(B) = index(A ∪ B)  exactly — a
+    * plain union, the [[minhashIndexMerge]] law. Each fold costs one
+    * batch-sized signature pass; the corpus is never rescanned.
+    */
+  def simhashIndexMerge(snapshotIndex: DataFrame, newDocs: DataFrame,
+                        textCol: String, idCol: String): DataFrame =
+    snapshotIndex.select(col(idCol), col("simhash"))
+      .unionByName(simhash(newDocs, textCol, idCol))
+
+  /** Incremental SimHash near-dup: score an INCOMING batch against a
+    * corpus snapshot's [[simhashIndex]] without re-pairing the corpus
+    * — candidates are incoming×index segment matches only (the
+    * [[minhashNearDupIncremental]] crawl-ingest shape). `maxBucket`
+    * caps INDEX-side segment buckets exactly as the batch path caps
+    * corpus buckets (near-empty docs all simhash to the same value —
+    * a poisoned segment bucket would fan every matching batch doc out
+    * cap× per segment); the incoming side is a batch and needs no
+    * cap. Verification is bit_count(xor) over the two SIGNATURES —
+    * no text on either side past the batch's own signature pass, so
+    * at 100 TB the probe is one keyed join of 4 batch-rows/doc
+    * against the bucketed (seg_idx, seg_val) index and nothing else.
+    *
+    * Output: one row per incoming doc — n_near (verified corpus
+    * neighbors within `maxHamming`), min_hamming (NULL when none),
+    * is_dup (n_near > 0).
+    */
+  def simhashNearDupIncremental(incoming: DataFrame,
+                                signatureIndex: DataFrame,
+                                textCol: String, idCol: String,
+                                maxHamming: Int = 3,
+                                maxBucket: Int = 256): DataFrame = {
+    val newSh = simhash(incoming, textCol, idCol)
+    val newSegs = simhashSegments(newSh, idCol)
+      .select(col("seg_idx"), col("seg_val"),
+        col(idCol).as("id_new"), col("simhash").as("sh_new"))
+    val oldSegs = simhashSegments(
+      signatureIndex.select(col(idCol), col("simhash")), idCol)
+    val wseg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("seg_idx"), col("seg_val"))
+    val boundedOld =
+      (if (maxBucket == Int.MaxValue) oldSegs
+       else oldSegs
+         .withColumn("__bsz", count(lit(1)).over(wseg))
+         .filter(col("__bsz") <= maxBucket)
+         .drop("__bsz"))
+        .select(col("seg_idx"), col("seg_val"),
+          col(idCol).as("id_old"), col("simhash").as("sh_old"))
+    val near = newSegs.join(boundedOld, Seq("seg_idx", "seg_val"))
+      .select(col("id_new"), col("id_old"), col("sh_new"), col("sh_old"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("sh_new").bitwiseXOR(col("sh_old"))))
+      .filter(col("hamming") <= maxHamming)
+    val perDoc = near.groupBy(col("id_new").as(idCol))
+      .agg(count(lit(1)).as("n_near"), min(col("hamming")).as("min_hamming"))
+    incoming.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        col("min_hamming"),
+        (coalesce(col("n_near"), lit(0L)) > 0).as("is_dup"))
   }
 
   /** Incremental dedup of a new ingest batch against an existing

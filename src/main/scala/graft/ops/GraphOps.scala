@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics (SURVEY.md §2 C4 — multi-pass iteration
@@ -52,14 +52,34 @@ object GraphOps {
   private def halfUpDiv(a: Column, b: Column): Column =
     call_function("div", a * 2 + b, b * 2).cast("long")
 
-  /** Stage a frame to scratch parquet and read it back (lineage cut —
-    * the q59 pattern), or pass it through when no dir is given. */
-  private def stage(df: DataFrame, stageDir: Option[String],
-                    name: String): DataFrame = stageDir match {
-    case Some(dir) =>
-      df.write.mode("overwrite").parquet(s"$dir/$name")
-      df.sparkSession.read.parquet(s"$dir/$name")
-    case None => df
+  /** Stage a frame to scratch parquet and read it back — the lineage
+    * cut (q59 pattern) every iteration REQUIRES: each round's frame is
+    * referenced twice by the next (dangling + contributions for
+    * pageRank, self + neighbor-min for propagation), so an unstaged
+    * chain re-derives its predecessors ~2^iters times unless runtime
+    * exchange reuse catches every copy (PlanAudit measured 192 logical
+    * scans for 3 unstaged rounds). Staging is therefore UNCONDITIONAL
+    * (round-7 verdict task 3 — the safe plan must not be opt-in): a
+    * bare call auto-derives a scratch dir, below. */
+  private def stage(df: DataFrame, dir: String, name: String): DataFrame = {
+    df.write.mode("overwrite").parquet(s"$dir/$name")
+    df.sparkSession.read.parquet(s"$dir/$name")
+  }
+
+  /** Scratch dir for a bare call (no `stageDir`): rooted at the
+    * session warehouse (a shared filesystem on a real cluster — a
+    * relative local path would resolve per-node and break read-back),
+    * keyed by PID so concurrent processes can't overwrite each other
+    * mid-read, PLUS a per-JVM counter so two bare calls in one process
+    * never alias either (an iteration result must stay readable after
+    * a later call — the graded queries' explicit per-query dirs get
+    * this from their names). The cost is that looping bare callers
+    * accumulate dirs; loops should pass an explicit self-overwriting
+    * `stageDir`. */
+  private val autoSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def autoStageDir(spark: SparkSession, name: String): String = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+    s"$wh/graft_tmp/graph_${name}_${ProcessHandle.current().pid()}_${autoSeq.incrementAndGet()}"
   }
 
   /** Fixed-iteration weighted PageRank over a directed edge list.
@@ -71,16 +91,17 @@ object GraphOps {
     * @param dampingNum/dampingDen damping as an exact rational
     *              (default 85/100) — a double damping would re-admit
     *              the float-rounding class the integer form removes
-    * @param stageDir when set, the ranks frame AND the aggregated
-    *              edge list are staged to scratch parquet (lineage cut
-    *              per iteration — the q59 pattern): without it each
-    *              round references its predecessor twice (dangling +
-    *              contributions), so the unstaged plan re-evaluates
-    *              the rank chain ~2^iters times unless runtime
-    *              exchange reuse catches every copy. Both frames are
-    *              nodes/edge-TYPES-sized (never corpus-sized), and the
-    *              (string, long) parquet round-trip is lossless, so
-    *              staging changes cost shape only, never values.
+    * @param stageDir scratch dir for the per-iteration lineage cut
+    *              (see [[stage]]); None (the default) derives one from
+    *              the session warehouse ([[autoStageDir]]) — staging
+    *              is ALWAYS on, because the unstaged plan re-evaluates
+    *              the rank chain ~2^iters times (measured: 192 logical
+    *              scans for 3 rounds) and a blowup must not be
+    *              reachable by omitting an argument. Both staged
+    *              frames are nodes/edge-TYPES-sized (never
+    *              corpus-sized), and the parquet round-trip is
+    *              lossless, so staging changes cost shape only, never
+    *              values.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                wCol: String, iters: Int = 3,
@@ -89,11 +110,12 @@ object GraphOps {
     require(iters >= 1 && iters <= 20, s"pageRank: iters=$iters out of [1,20]")
     require(dampingNum > 0 && dampingNum < dampingDen,
       s"pageRank: damping $dampingNum/$dampingDen not in (0,1)")
+    val dir = stageDir.getOrElse(autoStageDir(edges.sparkSession, "pagerank"))
     val ew = edges.groupBy(col(srcCol).as("src"), col(dstCol).as("dst"))
       .agg(sum(col(wCol).cast("long")).as("w"))
     val edgesN = stage(
       ew.join(ew.groupBy(col("src")).agg(sum(col("w")).as("outw")), Seq("src")),
-      stageDir, "edges")
+      dir, "edges")
     val nodes = edgesN.select(col("src").as("node"))
       .union(edgesN.select(col("dst").as("node"))).distinct()
     // N is ONE driver-side scalar (the approxQuantileCuts
@@ -104,7 +126,7 @@ object GraphOps {
     val r0 = hu(Scale, n)
     // base = half_up((dd - dn)·S / (dd·N)) — a constant, folded here
     val base = hu((dampingDen - dampingNum) * BigInt(Scale), BigInt(dampingDen) * n)
-    var ranks = stage(nodes.select(col("node"), lit(r0).as("u")), stageDir, "r0")
+    var ranks = stage(nodes.select(col("node"), lit(r0).as("u")), dir, "r0")
     for (i <- 1 to iters) {
       // fresh aliases each round: r's src and contrib's node are new
       // attributes, so the chained self-referencing joins stay
@@ -132,7 +154,7 @@ object GraphOps {
               + halfUpDiv(col("dmass").cast("decimal(38,0)") * dampingNum,
                   lit(dampingDen) * n))
               .as("u")),
-        stageDir, s"r$i")
+        dir, s"r$i")
     }
     ranks.select(col("node"), col("u").as("rank_e12"))
   }
@@ -161,16 +183,32 @@ object GraphOps {
   def minLabelPropagate(edges: DataFrame, srcCol: String, dstCol: String,
                         iters: Int, stageDir: Option[String] = None): DataFrame = {
     require(iters >= 1 && iters <= 50, s"minLabelPropagate: iters=$iters out of [1,50]")
+    val dir = stageDir.getOrElse(autoStageDir(edges.sparkSession, "labelprop"))
+    propagateRounds(edges, srcCol, dstCol, iters, dir).last
+  }
+
+  /** The shared propagation loop of [[minLabelPropagate]] and
+    * [[labelConvergenceAudit]] — ONE definition of the round semantics
+    * (an audit that re-implemented the update rule could pass while
+    * the production op drifted). Returns the staged label frames
+    * lp0..lp{iters}: each element is a read of its scratch parquet, so
+    * holding all iters+1 of them costs nothing until scanned and the
+    * audit's per-round diffs scan only consecutive pairs. */
+  private def propagateRounds(edges: DataFrame, srcCol: String,
+                              dstCol: String, iters: Int,
+                              dir: String): Seq[DataFrame] = {
     val sym = stage(
       edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
         .union(edges.select(col(dstCol).cast("long").as("a"),
           col(srcCol).cast("long").as("b")))
         .distinct(),
-      stageDir, "sym_edges")
+      dir, "sym_edges")
     var labels = stage(
       sym.select(col("a").as("node")).distinct()
         .select(col("node"), col("node").as("label")),
-      stageDir, "lp0")
+      dir, "lp0")
+    val rounds = Seq.newBuilder[DataFrame]
+    rounds += labels
     for (i <- 1 to iters) {
       val l = labels.select(col("node").as("a"), col("label"))
       val nbrMin = l.join(sym, Seq("a"))
@@ -180,9 +218,44 @@ object GraphOps {
           .select(col("node"),
             least(col("label"), coalesce(col("nbr_min"), col("label")))
               .as("label")),
-        stageDir, s"lp$i")
+        dir, s"lp$i")
+      rounds += labels
     }
-    labels
+    rounds.result()
+  }
+
+  /** In-engine convergence audit of [[minLabelPropagate]] (round-7
+    * verdict task 5 — the `dedup_lsh_recall` pattern: grade the
+    * production config's safety-margin claim on every fixture, don't
+    * just property-test it on random graphs): one row per round i =
+    * 1..iters with the count of nodes whose label CHANGED in that
+    * round. `n_changed = 0` at round i means the propagation had
+    * already converged after round i-1 — so a trailing run of zeros
+    * is the measured margin of the fixed k over this data, and a
+    * NONZERO final round is the audit failing loudly (k too small:
+    * labels were still moving when the rounds ran out).
+    *
+    * Scale shape: the rounds themselves are [[minLabelPropagate]]'s
+    * staged chain (shared loop, see [[propagateRounds]]); each audit
+    * row is one endpoints-sized equi-join of two CONSECUTIVE staged
+    * frames + a 1-row count — k small constant, so the audit costs
+    * O(k) node-frame joins on top of the propagation it audits.
+    * All-integer in, exact counts out: hash-gradeable, no tolerance.
+    */
+  def labelConvergenceAudit(edges: DataFrame, srcCol: String,
+                            dstCol: String, iters: Int,
+                            stageDir: Option[String] = None): DataFrame = {
+    require(iters >= 1 && iters <= 50,
+      s"labelConvergenceAudit: iters=$iters out of [1,50]")
+    val dir = stageDir.getOrElse(autoStageDir(edges.sparkSession, "lpaudit"))
+    val rounds = propagateRounds(edges, srcCol, dstCol, iters, dir)
+    rounds.sliding(2).zipWithIndex.map { case (Seq(prev, cur), i) =>
+      prev.select(col("node"), col("label").as("__prev"))
+        .join(cur, Seq("node"))
+        .agg(coalesce(sum(when(col("label") =!= col("__prev"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_changed"))
+        .select(lit(i + 1).cast("int").as("round"), col("n_changed"))
+    }.reduce(_ unionByName _)
   }
 
   /** PageRank over the word-adjacency graph of a text corpus: nodes =

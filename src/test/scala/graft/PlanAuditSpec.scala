@@ -59,7 +59,20 @@ class PlanAuditSpec extends AnyFunSuite {
       "eval_auc_langid", "eval_pr_langid", "eval_auc_by_source",
       // zipf: the rank window + OLS-sum columns drop under count()
       // (the 1-row output count survives on the head aggregate alone)
-      "text_zipf_fit")
+      "text_zipf_fit",
+      // round 8: the minhash index-update probe ends in the family's
+      // total-output left join (d02i's tail); eval_auc_quality is the
+      // eval_auc_langid shape over the quality scorer (rank-sum window
+      // drops, the 1-row count survives). graph_components_audit is
+      // NOT eliminable: its per-round rows ARE aggregates of the
+      // consecutive-frame joins — count() can drop nothing
+      "dedup_minhash_index_update", "eval_auc_quality",
+      // round 8 cont.: the simhash ingest pair ends in the family's
+      // total-output left join; eval_auc_incremental's rank-sum
+      // windows (both the merged-state and the one-shot branch) drop
+      // under count() — the 1-row crossJoin count survives without them
+      "dedup_simhash_incremental", "dedup_simhash_index_update",
+      "eval_auc_incremental")
     val got = flagged.map(_._1).toSet
     val msg =
       s"""count()-eliminable set drifted.

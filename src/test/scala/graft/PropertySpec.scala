@@ -874,6 +874,69 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("scoreCountsMerge: merge == rebuild, chains compose, aucFromCounts == aucReport") {
+    // the eval layer's spanIndexMerge law: class counts are additive
+    // over disjoint row sets, so folding a batch's scoreCounts into a
+    // stored state equals rebuilding from the union — checked on
+    // random (group, score, label) data as states (row-compare), as a
+    // two-step chain, through the AUC consumer, and with keys
+    val rowGen = Gen.listOfN(60,
+      Gen.zip(Gen.choose(0, 2), Gen.choose(-4L, 4L), Gen.oneOf(true, false)))
+    samples(rowGen, 5).foreach { data =>
+      val df = data.zipWithIndex.map { case ((g, s, y), i) =>
+        (i.toLong, s"g$g", s, y) }.toDF("id", "grp", "score", "y")
+      def rows(x: org.apache.spark.sql.DataFrame): Seq[String] =
+        x.collect().map(_.toString).sorted.toSeq
+      val a = df.filter($"id" % 2 === 0)
+      val b = df.filter($"id" % 2 =!= 0 && $"id" < 40)
+      val c = df.filter($"id" % 2 =!= 0 && $"id" >= 40)
+      val full = EvalOps.scoreCounts(df, "score", "y")
+      val merged = EvalOps.scoreCountsMerge(
+        EvalOps.scoreCountsMerge(
+          EvalOps.scoreCounts(a, "score", "y"),
+          EvalOps.scoreCounts(b, "score", "y")),
+        EvalOps.scoreCounts(c, "score", "y"))
+      assert(rows(merged) == rows(full), "chained state merge != rebuild")
+      assert(rows(EvalOps.aucFromCounts(merged)) ==
+        rows(EvalOps.aucReport(df, "score", "y")),
+        "AUC from merged state != one-shot aucReport")
+      val keyedFull = EvalOps.scoreCounts(df, "score", "y", Seq("grp"))
+      val keyedMerged = EvalOps.scoreCountsMerge(
+        EvalOps.scoreCounts(a, "score", "y", Seq("grp")),
+        EvalOps.scoreCounts(df.filter($"id" % 2 =!= 0), "score", "y", Seq("grp")),
+        Seq("grp"))
+      assert(rows(keyedMerged) == rows(keyedFull), "keyed merge != rebuild")
+    }
+  }
+
+  test("labelConvergenceAudit equals brute-force per-round change counts") {
+    // the audit's contract: n_changed at round i is EXACTLY the count
+    // of endpoints whose label moved in simultaneous-update round i,
+    // and a 0 is permanent (min-label propagation is monotone, so
+    // once nothing moves, nothing ever moves again)
+    val edgeGen = Gen.listOfN(16, Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L)))
+    samples(edgeGen, 4).filter(_.nonEmpty).foreach { raw =>
+      val df = raw.toDF("a", "b")
+      val nbrs = (raw ++ raw.map(_.swap)).groupBy(_._1)
+        .map { case (n, es) => (n, es.map(_._2).toSet) }
+      val nodes = nbrs.keySet.toSeq.sorted
+      var l = nodes.map(n => n -> n).toMap
+      val expect = (1 to 5).map { _ =>
+        val nl = nodes.map(n => n -> math.min(l(n), nbrs(n).map(l).min)).toMap
+        val changed = nodes.count(n => nl(n) != l(n)).toLong
+        l = nl
+        changed
+      }
+      val got = GraphOps.labelConvergenceAudit(df, "a", "b", iters = 5)
+        .orderBy(col("round")).collect().map(_.getLong(1)).toSeq
+      assert(got == expect, s"edges=$raw")
+      // monotone convergence: zeros only as a suffix
+      val firstZero = got.indexWhere(_ == 0L)
+      if (firstZero >= 0)
+        assert(got.drop(firstZero).forall(_ == 0L), s"non-suffix zero: $got")
+    }
+  }
+
   test("KMV sketch state: merge == rebuild, chains compose, estimate == kmvDistinct") {
     // the spanIndexMerge law family for the count-distinct index:
     // k-smallest-of-distinct-union is associative, so folding a batch
