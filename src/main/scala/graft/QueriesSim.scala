@@ -107,6 +107,66 @@ private[graft] object QueriesSim {
       WHERE rnk <= 5 ORDER BY qid, rnk"""))
 
 
+  /** ann_ivf_index_update — the ANN family's ingest lifecycle
+    * (round 8; the dedup_*_index_update sibling): IVF assignment
+    * index built over the vec_id < 200 snapshot under the snapshot's
+    * pinned lowest-id codebook, the 200–399 batch folded in with
+    * `ivfIndexMerge` (per-row assignment under a FIXED codebook ⇒
+    * merge = plain union ≡ rebuild exactly — re-deriving the codebook
+    * from the grown corpus is the RETRAIN event, by design not this
+    * op), then queries probe the MERGED index via `ivfTopKIndexed` —
+    * the corpus is never re-assigned. Because the snapshot holds the
+    * 16 lowest ids of the union, the pinned snapshot codebook equals
+    * the one-shot default codebook of the union, so the oracle is
+    * a03's full replay restricted to vec_id < 400 — any merge defect
+    * (lost vector, stale cell) changes candidates and fails the hash.
+    */
+  private val a03u = Q(
+    "ann_ivf_index_update",
+    (s, d) => {
+      import s.implicits._
+      val e = emb(s, d)
+      val snap = e.filter($"vec_id" < 200)
+      val cb = SimOps.lowestIdCodebook(snap, "vec_id", "embedding", 16)
+      val merged = SimOps.ivfIndexMerge(
+        SimOps.ivfIndex(snap, "vec_id", "embedding", cb),
+        e.filter($"vec_id" >= 200 && $"vec_id" < 400),
+        "vec_id", "embedding", cb)
+      SimOps.ivfTopKIndexed(e.filter($"vec_id" < 10), merged,
+          "vec_id", "embedding", cb, k = 5)
+        .orderBy($"qid", $"rnk")
+    },
+    Some("""
+      WITH cb AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+               embedding::DOUBLE[] AS cvec,
+               1.0 / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cinv
+        FROM (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id < 200 ORDER BY vec_id LIMIT 16) s),
+      scored AS (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS emb, cb.cell,
+               list_dot_product(e.embedding::DOUBLE[], cb.cvec) * cb.cinv AS score
+        FROM (SELECT * FROM embeddings WHERE vec_id < 400) e CROSS JOIN cb),
+      assign AS (
+        SELECT vec_id AS nid, emb AS c_emb, cell FROM (
+          SELECT vec_id, emb, cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS r
+          FROM scored) t WHERE r = 1),
+      probe AS (
+        SELECT vec_id AS qid, emb AS q_emb, cell FROM (
+          SELECT vec_id, emb, cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS r
+          FROM scored WHERE vec_id < 10) t WHERE r <= 2)
+      SELECT qid, nid, sim, rnk FROM (
+        SELECT q.qid, c.nid,
+               round(list_cosine_similarity(q.q_emb, c.c_emb), 4) AS sim,
+               CAST(row_number() OVER (PARTITION BY q.qid
+                 ORDER BY list_cosine_similarity(q.q_emb, c.c_emb) DESC, c.nid) AS INTEGER) AS rnk
+        FROM probe q JOIN assign c USING (cell)
+        WHERE q.qid <> c.nid) t
+      WHERE rnk <= 5 ORDER BY qid, rnk"""))
+
+
   private val a04 = Q(
     "ann_ivf_trained_topk",
     (s, d) => {
@@ -695,5 +755,5 @@ private[graft] object QueriesSim {
         FROM sc) t JOIN nd USING (cell)
       WHERE rnk <= 3 ORDER BY cell, rnk"""))
 
-  val qs: Seq[Q] = Seq(a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, a11, a12, cr1, cr2)
+  val qs: Seq[Q] = Seq(a01, a02, a03, a03u, a04, a05, a06, a07, a08, a09, a10, a11, a12, cr1, cr2)
 }

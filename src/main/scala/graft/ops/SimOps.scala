@@ -298,15 +298,84 @@ object SimOps {
               codebook: Option[Array[Array[Double]]] = None): DataFrame = {
     val self = isSelfJoin(queries, corpus)
     val centroids = codebook.getOrElse(defaultCodebook(corpus, idCol, embCol, numCells))
-    val c = corpus.select(col(idCol).as("nid"), col(embCol).as("c_emb"))
-      .withColumn("cell", cellArgmax(col("c_emb"), centroids))
+    ivfProbeTail(queries, ivfIndex(corpus, idCol, embCol, centroids),
+      idCol, embCol, k, nprobe, centroids, self)
+  }
+
+  /** The deterministic lowest-id codebook [[ivfTopK]] defaults to,
+    * exposed for the index lifecycle: the ingest ops below require the
+    * codebook PINNED explicitly, and a caller building a snapshot
+    * index needs the same deterministic choice the inline path makes.
+    */
+  def lowestIdCodebook(corpus: DataFrame, idCol: String, embCol: String,
+                       k: Int): Array[Array[Double]] =
+    defaultCodebook(corpus, idCol, embCol, k)
+
+  /** The stored IVF-flat assignment INDEX of a corpus snapshot under
+    * a FIXED codebook: one (idCol, embCol, cell INT) row per vector —
+    * the ANN family's ingest-lifecycle state ([[spanIndex]]/
+    * [[DedupOps.minhashIndex]] rationale). Cell assignment is a
+    * per-row argmax against the pinned codebook, so the K-dots-per-row
+    * pass every [[ivfTopK]] call re-pays happens ONCE per vector ever;
+    * at 100 TB the index lives partitioned/bucketed on `cell`, so a
+    * probe's candidate join is exchange-free on the index side and
+    * touches only the nprobe probed cells (partition pruning on the
+    * cell key).
+    */
+  def ivfIndex(corpus: DataFrame, idCol: String, embCol: String,
+               codebook: Array[Array[Double]]): DataFrame =
+    corpus.select(col(idCol), col(embCol))
+      .withColumn("cell", cellArgmax(col(embCol), codebook))
+
+  /** Roll an ingested batch INTO the stored [[ivfIndex]] — the
+    * maintenance half of the ANN ingest lifecycle ([[ivfTopKIndexed]]
+    * is the probe half): under the SAME pinned codebook, assignment
+    * is per-row, so  index(A) ⊎ assign(B) = index(A ∪ B)  exactly — a
+    * plain union (the [[DedupOps.minhashIndexMerge]] law). Each fold
+    * costs one batch-sized assignment pass; the corpus is never
+    * re-assigned. The codebook parameter is REQUIRED, not defaulted,
+    * because the law holds only while the codebook is pinned —
+    * re-deriving it from the grown corpus is the RETRAIN event, which
+    * rebuilds the index by definition (the standard IVF deployment
+    * model: retrain rarely, fold ingests daily).
+    */
+  def ivfIndexMerge(snapshotIndex: DataFrame, newDocs: DataFrame,
+                    idCol: String, embCol: String,
+                    codebook: Array[Array[Double]]): DataFrame =
+    snapshotIndex.select(col(idCol), col(embCol), col("cell"))
+      .unionByName(ivfIndex(newDocs, idCol, embCol, codebook))
+
+  /** [[ivfTopK]]'s probe half against a PREBUILT [[ivfIndex]]: the
+    * queries pick their nprobe best cells against the same pinned
+    * codebook and re-rank exactly inside them — the corpus-side
+    * assignment never recomputes (plan-asserted in OpsSpec: a probe
+    * against a stored index reads the index and the queries, nothing
+    * else). ivfTopKIndexed(q, ivfIndex(c, cb), cb) ≡
+    * ivfTopK(q, c, codebook = Some(cb)) by construction (shared
+    * tail, per-row assignment).
+    */
+  def ivfTopKIndexed(queries: DataFrame, index: DataFrame, idCol: String,
+                     embCol: String, codebook: Array[Array[Double]],
+                     k: Int, nprobe: Int = 2): DataFrame =
+    ivfProbeTail(queries, index, idCol, embCol, k, nprobe, codebook,
+      selfJoin = false)
+
+  /** Shared probe tail of [[ivfTopK]]/[[ivfTopKIndexed]] — ONE
+    * definition of probe-cells/re-rank, so the inline and stored-index
+    * paths cannot drift. */
+  private def ivfProbeTail(queries: DataFrame, index: DataFrame,
+                           idCol: String, embCol: String, k: Int,
+                           nprobe: Int, centroids: Array[Array[Double]],
+                           selfJoin: Boolean): DataFrame = {
+    val c = index.select(col(idCol).as("nid"), col(embCol).as("c_emb"),
+        col("cell"))
       .withColumn("c_norm", l2Norm(col("c_emb")))
     // queries probe the nprobe best cells (native CellTopCells)
     val q = queries.select(col(idCol).as("qid"), col(embCol).as("q_emb"))
       .withColumn("cell", explode(
         graft.functions.IvfFunctions.cell_top_cells(col("q_emb"), centroids, nprobe)))
       .withColumn("q_norm", l2Norm(col("q_emb")))
-    val scored = candidateJoin(c, q, "cell", self)
+    val scored = candidateJoin(c, q, "cell", selfJoin)
       .filter(col("qid") =!= col("nid"))
       .withColumn("sim", dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)

@@ -521,6 +521,45 @@ class OpsSpec extends AnyFunSuite {
     graft.io.FsOps.rm(spark, dir)
   }
 
+  test("ivfIndexMerge: fold-in ≡ rebuild under a pinned codebook; indexed probe ≡ ivfTopK") {
+    // per-row assignment under a FIXED codebook: index(A) ⊎ assign(B)
+    // = index(A ∪ B) exactly; and the stored-index probe must equal
+    // the inline ivfTopK with the same pinned codebook AND never read
+    // the corpus file (the index carries the embeddings).
+    val e = graft.io.Tables.embeddings(spark, TestSpark.Sf0001)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val cb = SimOps.lowestIdCodebook(
+      e.filter($"vec_id" < 200), "vec_id", "embedding", 16)
+    val merged = SimOps.ivfIndexMerge(
+      SimOps.ivfIndex(e.filter($"vec_id" < 200), "vec_id", "embedding", cb),
+      e.filter($"vec_id" >= 200), "vec_id", "embedding", cb)
+    assert(rows(merged) == rows(SimOps.ivfIndex(e, "vec_id", "embedding", cb)),
+      "merge != rebuild")
+    val q = e.filter($"vec_id" < 10)
+    assert(rows(SimOps.ivfTopKIndexed(q, merged, "vec_id", "embedding", cb, k = 5))
+        == rows(SimOps.ivfTopK(q, e, "vec_id", "embedding", 5, codebook = Some(cb))),
+      "indexed probe != inline ivfTopK under the pinned codebook")
+    // stored-index plan: queries + index only, corpus never re-assigned
+    val dir = "/tmp/graft_test_ivfidx"
+    e.write.mode("overwrite").parquet(s"$dir/corpus_embs.parquet")
+    SimOps.ivfIndex(spark.read.parquet(s"$dir/corpus_embs.parquet"),
+        "vec_id", "embedding", cb)
+      .write.mode("overwrite").parquet(s"$dir/ivf_index.parquet")
+    q.write.mode("overwrite").parquet(s"$dir/query_embs.parquet")
+    val probe = SimOps.ivfTopKIndexed(
+      spark.read.parquet(s"$dir/query_embs.parquet"),
+      spark.read.parquet(s"$dir/ivf_index.parquet"),
+      "vec_id", "embedding", cb, k = 5)
+    probe.collect()
+    val plan = probe.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("corpus_embs.parquet"),
+      s"indexed probe must not re-assign the corpus:\n${plan.take(2000)}")
+    assert(plan.contains("ivf_index.parquet") && plan.contains("query_embs.parquet"))
+    graft.io.FsOps.rm(spark, dir)
+  }
+
   test("GraphOps bare calls stage by default: final plan is one scan of scratch parquet") {
     // round-7 verdict task 3: the measured 192-scan unstaged lineage
     // blowup must be unreachable by accident. A bare call (no
