@@ -420,8 +420,11 @@ object DedupOps {
         Seq("band_idx", "band_hash"))
       .select("id_new", "id_old").distinct()
     val newSets = shingleStringSets(incoming, textCol, idCol, shingleN)
+    // no .distinct() on the semi-join's right side: left_semi is
+    // duplicate-insensitive, and cands is already distinct — a
+    // distinct here would re-pay an exchange+aggregate per probe
     val oldSets = shingleStringSets(
-      corpus.join(cands.select(col("id_old").as(idCol)).distinct(),
+      corpus.join(cands.select(col("id_old").as(idCol)),
         Seq(idCol), "left_semi"),
       textCol, idCol, shingleN)
     val verified = cands

