@@ -159,5 +159,42 @@ private[graft] object QueriesGraph {
           .stripMargin).mkString("\n      UNION ALL\n      ")}
       ORDER BY round"""))
 
-  val qs: Seq[Q] = Seq(g01, g02, g03)
+  /** graph_components_incremental — the cluster family's ingest
+    * lifecycle (GraphOps.componentsIncremental): the near-dup edges
+    * split 2:1 into an "old corpus" set (snapshot = converged
+    * min-label components of the old edges, k = 8) and an ingest
+    * batch; the batch folds in WITHOUT replaying old edges — the
+    * quotient graph on snapshot labels is propagated instead
+    * (batch-bounded frame) and the snapshot remapped through it.
+    * Graded against GROUND TRUTH, not a replay: the recursive-CTE
+    * transitive closure over ALL edges (the dedup_clusters oracle) —
+    * so the quotient argument itself is hash-graded end to end: a
+    * wrong seed, a dropped bridge, or an unconverged snapshot all
+    * split or merge some component and fail loudly.
+    */
+  private val g04 = Q(
+    "graph_components_incremental",
+    (s, d) => {
+      val pairs = graft.ops.DedupOps
+        .ngramJaccardPairs(docs(s, d), "text", "doc_id", roundJaccard = false)
+        .filter(col("jaccard") >= 0.8).select(col("id_a"), col("id_b"))
+      val oldE = pairs.filter((col("id_a") + col("id_b")) % 3 =!= 0)
+      val newE = pairs.filter((col("id_a") + col("id_b")) % 3 === 0)
+      val snap = GraphOps.minLabelPropagate(oldE, "id_a", "id_b",
+        iters = lpIters, stageDir = Some(tmpDir(s, "ccinc_snap")))
+      val labels = GraphOps.componentsIncremental(snap, newE,
+        "id_a", "id_b", iters = lpIters,
+        stageDir = Some(tmpDir(s, "ccinc_q")))
+      docs(s, d).select(col("doc_id"))
+        .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).cast("long").as("cluster_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""$clusterCtesSql,
+      cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+      SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id
+      FROM cl ORDER BY doc_id"""))
+
+  val qs: Seq[Q] = Seq(g01, g02, g03, g04)
 }

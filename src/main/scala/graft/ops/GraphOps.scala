@@ -289,6 +289,65 @@ object GraphOps {
     }.reduce(_ unionByName _)
   }
 
+  /** Incremental connected components: fold a batch of NEW edges into
+    * a stored label snapshot — the graph/cluster family's ingest
+    * lifecycle (round 8: the last index-bearing family without one).
+    * The old corpus's edges are NEVER replayed, because canonical
+    * labels ARE the quotient: nodes sharing a snapshot label are
+    * connected in the old graph by construction, so components of
+    * (old ∪ batch) are exactly the components of the QUOTIENT graph
+    * whose nodes are labels and whose edges are the batch edges
+    * mapped through the snapshot — and when snapshot labels are the
+    * [[minLabelPropagate]]/[[DedupOps.dedupClusters]] CANONICAL
+    * MINIMA (label = min node id of its component), min-label
+    * propagation over the quotient yields the union's canonical
+    * minima directly (the min of a merged class is the min of its
+    * member labels, each label being its own component's min). Unseen
+    * batch endpoints enter as their own label (the convention's
+    * identity), so a batch may bridge, extend, or create components.
+    *
+    * Scale shape: the propagated frame is BATCH-bounded — at most
+    * 2·|batch edges| quotient nodes; old edges and untouched nodes
+    * never enter the loop. The only corpus-sized work is one left
+    * join seeding batch endpoints with snapshot labels and one left
+    * join remapping the snapshot through the quotient result (both
+    * label-keyed equi-joins). `iters` bounds the QUOTIENT diameter
+    * (≤ the batch's longest new-edge path — audit with
+    * [[labelConvergenceAudit]] over the quotient edges when in
+    * doubt); the snapshot must itself be converged, which its own
+    * audit grades.
+    *
+    * @param snapshotLabels (node, label) — [[minLabelPropagate]]'s
+    *              output convention, converged (labels = component
+    *              minima)
+    * Output: (node, label) over snapshot nodes ∪ batch endpoints.
+    */
+  def componentsIncremental(snapshotLabels: DataFrame, newEdges: DataFrame,
+                            srcCol: String, dstCol: String, iters: Int,
+                            stageDir: Option[String] = None): DataFrame = {
+    val labs = snapshotLabels.select(col("node").cast("long").as("node"),
+      col("label").cast("long").as("label"))
+    val ends = newEdges.select(col(srcCol).cast("long").as("node"))
+      .union(newEdges.select(col(dstCol).cast("long").as("node"))).distinct()
+    val seed = ends.join(labs, Seq("node"), "left")
+      .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+    // quotient edges: batch endpoints mapped to their canonical
+    // labels; same-label edges merge nothing and are dropped before
+    // the loop (their labels remap to themselves via the coalesce)
+    val qe = newEdges
+      .select(col(srcCol).cast("long").as("__s"), col(dstCol).cast("long").as("__d"))
+      .join(seed.select(col("node").as("__s"), col("label").as("la")), Seq("__s"))
+      .join(seed.select(col("node").as("__d"), col("label").as("lb")), Seq("__d"))
+      .filter(col("la") =!= col("lb"))
+      .select(col("la"), col("lb"))
+    val remap = minLabelPropagate(qe, "la", "lb", iters, stageDir)
+      .select(col("node").as("label"), col("label").as("__nl"))
+    val allNodes = labs.unionByName(seed.join(labs, Seq("node"), "left_anti"))
+    allNodes.join(remap, Seq("label"), "left")
+      .select(col("node"),
+        coalesce(col("__nl"), col("label")).as("label"))
+  }
+
   /** PageRank over the word-adjacency graph of a text corpus: nodes =
     * words, a directed edge w1→w2 per adjacent bigram occurrence
     * (weight = corpus bigram count, via the native WordNgrams

@@ -939,6 +939,42 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("componentsIncremental equals brute-force components of the union") {
+    // the quotient-graph law: with snapshot labels = canonical
+    // component minima of the OLD edges, folding a batch of new edges
+    // via label-quotient propagation must equal connected components
+    // of old ∪ new — bridging old components, extending them with
+    // unseen nodes, and creating brand-new components all occur in
+    // random splits. iters = node count guarantees convergence on
+    // both the snapshot and the quotient.
+    val edgeGen = Gen.listOfN(18, Gen.zip(Gen.choose(0L, 11L), Gen.choose(0L, 11L)))
+    samples(edgeGen, 5).filter(_.size >= 2).foreach { raw =>
+      val (oldRaw, newRaw) = raw.zipWithIndex.partition(_._2 % 3 != 0)
+      val oldE = oldRaw.map(_._1); val newE = newRaw.map(_._1)
+      if (oldE.nonEmpty && newE.nonEmpty) {
+        val k = 12
+        val snap = GraphOps.minLabelPropagate(oldE.toDF("a", "b"), "a", "b", k)
+        val got = GraphOps.componentsIncremental(snap, newE.toDF("a", "b"),
+            "a", "b", k)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        // brute-force CC of the union over ALL touched nodes
+        val union = oldE ++ newE
+        val nbrs = (union ++ union.map(_.swap)).groupBy(_._1)
+          .map { case (n, es) => (n, es.map(_._2).toSet) }
+        def ccOf(start: Long): Long = {
+          var seen = Set(start); var frontier = Set(start)
+          while (frontier.nonEmpty) {
+            frontier = frontier.flatMap(n => nbrs.getOrElse(n, Set.empty)) -- seen
+            seen ++= frontier
+          }
+          seen.min
+        }
+        val expect = nbrs.keySet.map(n => n -> ccOf(n)).toMap
+        assert(got == expect, s"old=$oldE new=$newE")
+      }
+    }
+  }
+
   test("KMV sketch state: merge == rebuild, chains compose, estimate == kmvDistinct") {
     // the spanIndexMerge law family for the count-distinct index:
     // k-smallest-of-distinct-union is associative, so folding a batch
