@@ -18,7 +18,8 @@ object Bench {
     "q80_compact_partitioned",
     "streaming_dedup_parity", "streaming_interval_parity",
     "streaming_quality_parity", "streaming_sessions_parity",
-    "streaming_static_join_parity", "streaming_tumbling_parity")
+    "streaming_simhash_ingest_parity", "streaming_static_join_parity",
+    "streaming_tumbling_parity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -385,7 +385,7 @@ private[graft] object QueriesDedup {
     * the incoming×index candidate join, and signature-only Hamming
     * verification.
     */
-  private def simhashIncrementalSql(oldPred: String,
+  private[graft] def simhashIncrementalSql(oldPred: String,
                                     newPred: String): String = s"""
       WITH words AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

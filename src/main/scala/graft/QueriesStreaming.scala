@@ -294,5 +294,43 @@ private[graft] object QueriesStreaming {
              coalesce($qualityScoreSql > 0, false) AS keep
       FROM m ORDER BY doc_id"""))
 
-  val qs: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06)
+  /** streaming_simhash_ingest_parity — the index-lifecycle INGEST
+    * PROBE deployed under Structured Streaming (round 8: proving the
+    * lifecycle ops compose with the streaming ingest path, not just
+    * batch): the incoming docs (doc_id % 10 == 0) arrive as a file
+    * stream in MULTIPLE micro-batches (4 files, maxFilesPerTrigger=2),
+    * each probed via foreachBatch against the STORED simhash index of
+    * the corpus — the dedup_simhash_incremental pipeline per batch,
+    * outputs appended. Because the probe's per-doc output depends
+    * only on the doc and the index, micro-batch boundaries cannot
+    * change the result, so the appended union is graded against the
+    * SAME one-shot oracle as the batch query (shared
+    * simhashIncrementalSql — batch query, streaming query, and oracle
+    * share one definition).
+    */
+  private val st07 = Q(
+    "streaming_simhash_ingest_parity",
+    (s, d) => {
+      import s.implicits._
+      import graft.streaming.StreamingOps
+      val all = docs(s, d)
+      val stageDir = tmpDir(s, "stream_sh_batch")
+      all.filter($"doc_id" % 10 === 0).repartition(4)
+        .write.mode("overwrite").parquet(stageDir)
+      val idxDir = tmpDir(s, "stream_sh_index")
+      DedupOps.simhashIndex(all.filter($"doc_id" % 10 =!= 0), "text", "doc_id")
+        .write.mode("overwrite").parquet(idxDir)
+      val index = s.read.parquet(idxDir)
+      val src = s.readStream.schema(s.read.parquet(stageDir).schema)
+        .option("maxFilesPerTrigger", "2").parquet(stageDir)
+      val outDir = tmpDir(s, "stream_sh_out")
+      StreamingOps.foreachBatchIngest(src, outDir) { batch =>
+        DedupOps.simhashNearDupIncremental(batch, index, "text", "doc_id")
+      }
+      s.read.parquet(outDir).orderBy($"doc_id")
+    },
+    Some(QueriesDedup.simhashIncrementalSql(
+      "doc_id % 10 <> 0", "doc_id % 10 = 0")))
+
+  val qs: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07)
 }

