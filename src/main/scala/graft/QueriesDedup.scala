@@ -222,7 +222,7 @@ private[graft] object QueriesDedup {
     * (index(A) ⊎ bands(B) = index(A∪B), banding per-doc) must equal
     * exactly this one-shot replay on the merged corpus, so the two
     * graded queries differ ONLY in the split. */
-  private def minhashIncrementalSql(oldPred: String,
+  private[graft] def minhashIncrementalSql(oldPred: String,
                                     newPred: String): String = s"""
       WITH sets AS (
         SELECT doc_id,
@@ -801,11 +801,22 @@ private[graft] object QueriesDedup {
     * in both engines), same integer-width casts, double-division
     * coverage rounded to 6 on both sides.
     */
-  private val d10 = Q(
-    "dedup_spans",
-    (s, d) => DedupOps.spanDedup(docs(s, d), "text", "doc_id", n = 10)
-      .orderBy(col("doc_id")),
-    Some("""
+  /** The full span-dedup oracle chain, parameterized by the
+    * hot-filter universe and output predicates (the
+    * minhashIncrementalSql one-definition idiom; round 9, was four
+    * hand-kept copies): `hotPred` restricts which docs' windows count
+    * toward the ≥2 occurrence bound (empty = all — the full-corpus
+    * and maintained-index graders, whose union IS everything;
+    * non-empty = the retraction grader, where deleted docs must stop
+    * counting), `outPred` restricts dup/output rows to the graded
+    * batch (empty = whole corpus). Serves d10 / d10i / d10u /
+    * d10d, which by the additive-count laws differ ONLY in these
+    * predicates.
+    */
+  private def spanOracleSql(hotPred: String, outPred: String): String = {
+    def where(alias: String, pred: String): String =
+      if (pred.isEmpty) "" else s"\n        WHERE $alias$pred"
+    s"""
       WITH tok AS (
         SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       starts AS (
@@ -816,9 +827,10 @@ private[graft] object QueriesDedup {
                md5(array_to_string(w[pos + 1 : pos + 10], ' ')) AS fp
         FROM starts),
       hot AS (
-        SELECT fp FROM win GROUP BY fp HAVING count(*) >= 2),
+        SELECT fp FROM win${where("", hotPred)}
+        GROUP BY fp HAVING count(*) >= 2),
       dup AS (
-        SELECT win.doc_id, win.pos FROM win JOIN hot USING (fp)),
+        SELECT win.doc_id, win.pos FROM win JOIN hot USING (fp)${where("win.", outPred)}),
       brk AS (
         SELECT doc_id, pos,
                CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
@@ -844,8 +856,15 @@ private[graft] object QueriesDedup {
              coalesce(a.n_dup_ngrams, 0) AS n_dup_ngrams,
              coalesce(a.dup_tokens, 0) AS dup_tokens,
              round(coalesce(a.dup_tokens, 0)::DOUBLE / len(w), 6) AS dup_frac
-      FROM tok t LEFT JOIN agg a USING (doc_id)
-      ORDER BY t.doc_id"""))
+      FROM tok t LEFT JOIN agg a USING (doc_id)${where("t.", outPred)}
+      ORDER BY t.doc_id"""
+  }
+
+  private val d10 = Q(
+    "dedup_spans",
+    (s, d) => DedupOps.spanDedup(docs(s, d), "text", "doc_id", n = 10)
+      .orderBy(col("doc_id")),
+    Some(spanOracleSql("", "")))
 
 
   /** dedup_spans_incremental — ingest-vs-corpus span dedup (round-7
@@ -869,49 +888,7 @@ private[graft] object QueriesDedup {
           snapshot, "text", "doc_id", n = 10)
         .orderBy(col("doc_id"))
     },
-    Some("""
-      WITH tok AS (
-        SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      starts AS (
-        SELECT doc_id, w, unnest(range(0, greatest(len(w) - 9, 0))) AS pos
-        FROM tok),
-      win AS (
-        SELECT doc_id, pos,
-               md5(array_to_string(w[pos + 1 : pos + 10], ' ')) AS fp
-        FROM starts),
-      hot AS (
-        SELECT fp FROM win GROUP BY fp HAVING count(*) >= 2),
-      dup AS (
-        SELECT win.doc_id, win.pos FROM win JOIN hot USING (fp)
-        WHERE win.doc_id >= 250),
-      brk AS (
-        SELECT doc_id, pos,
-               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-                         <= 10
-                    THEN 0 ELSE 1 END AS brk
-        FROM dup),
-      grp AS (
-        SELECT doc_id, pos,
-               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
-                 ROWS UNBOUNDED PRECEDING) AS g
-        FROM brk),
-      sp AS (
-        SELECT doc_id, g, min(pos) AS s, max(pos) AS e0, count(*) AS nw
-        FROM grp GROUP BY 1, 2),
-      agg AS (
-        SELECT doc_id,
-               CAST(count(*) AS INTEGER) AS n_spans,
-               CAST(sum(nw) AS BIGINT) AS n_dup_ngrams,
-               CAST(sum(e0 + 10 - s) AS BIGINT) AS dup_tokens
-        FROM sp GROUP BY 1)
-      SELECT t.doc_id,
-             coalesce(a.n_spans, 0) AS n_spans,
-             coalesce(a.n_dup_ngrams, 0) AS n_dup_ngrams,
-             coalesce(a.dup_tokens, 0) AS dup_tokens,
-             round(coalesce(a.dup_tokens, 0)::DOUBLE / len(w), 6) AS dup_frac
-      FROM tok t LEFT JOIN agg a USING (doc_id)
-      WHERE t.doc_id >= 250
-      ORDER BY t.doc_id"""))
+    Some(spanOracleSql("", "doc_id >= 250")))
 
   /** dedup_spans_index_update — the index-MAINTENANCE half of the
     * span-dedup ingest lifecycle (d10i is the probe half): snapshot
@@ -938,49 +915,169 @@ private[graft] object QueriesDedup {
           merged, "text", "doc_id", n = 10)
         .orderBy(col("doc_id"))
     },
-    Some("""
-      WITH tok AS (
-        SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      starts AS (
-        SELECT doc_id, w, unnest(range(0, greatest(len(w) - 9, 0))) AS pos
-        FROM tok),
-      win AS (
-        SELECT doc_id, pos,
-               md5(array_to_string(w[pos + 1 : pos + 10], ' ')) AS fp
-        FROM starts),
-      hot AS (
-        SELECT fp FROM win GROUP BY fp HAVING count(*) >= 2),
-      dup AS (
-        SELECT win.doc_id, win.pos FROM win JOIN hot USING (fp)
-        WHERE win.doc_id >= 400),
-      brk AS (
-        SELECT doc_id, pos,
-               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-                         <= 10
-                    THEN 0 ELSE 1 END AS brk
-        FROM dup),
-      grp AS (
-        SELECT doc_id, pos,
-               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
-                 ROWS UNBOUNDED PRECEDING) AS g
-        FROM brk),
-      sp AS (
-        SELECT doc_id, g, min(pos) AS s, max(pos) AS e0, count(*) AS nw
-        FROM grp GROUP BY 1, 2),
-      agg AS (
-        SELECT doc_id,
-               CAST(count(*) AS INTEGER) AS n_spans,
-               CAST(sum(nw) AS BIGINT) AS n_dup_ngrams,
-               CAST(sum(e0 + 10 - s) AS BIGINT) AS dup_tokens
-        FROM sp GROUP BY 1)
-      SELECT t.doc_id,
-             coalesce(a.n_spans, 0) AS n_spans,
-             coalesce(a.n_dup_ngrams, 0) AS n_dup_ngrams,
-             coalesce(a.dup_tokens, 0) AS dup_tokens,
-             round(coalesce(a.dup_tokens, 0)::DOUBLE / len(w), 6) AS dup_frac
-      FROM tok t LEFT JOIN agg a USING (doc_id)
-      WHERE t.doc_id >= 400
-      ORDER BY t.doc_id"""))
+    Some(spanOracleSql("", "doc_id >= 400")))
 
-  val qs: Seq[Q] = Seq(d01, d02, d02u, d02m, d02i, d02x, d03, d03i, d03u, d04, d05, d11, d13, d06, d07, d12, d08, d09, d10, d10i, d10u)
+  /** dedup_spans_index_delete — the RETRACTION half of the span
+    * lifecycle (round 9; d10u is the fold-in half): index built over
+    * doc_id < 400, the 200–399 docs then RETRACTED via
+    * `spanIndexDelete` (the signed fold — counts subtract because
+    * they are additive; digests that empty out drop), then the ≥ 400
+    * batch probed against the retracted index. By the delete law the
+    * result must equal one-shot batch spanDedup over ({<200} ∪
+    * {≥400}) restricted to the batch — exactly the oracle's replay:
+    * the hot filter counts windows ONLY over surviving docs (deleted
+    * docs' windows must stop counting, or a takedown leaves its
+    * boilerplate marked duplicated), output ≥ 400. An over-deleted
+    * count, a digest kept at zero, or a leaked deleted-doc window all
+    * perturb the hot set and fail the hash.
+    */
+  private val d10d = Q(
+    "dedup_spans_index_delete",
+    (s, d) => {
+      val all = docs(s, d)
+      val full = DedupOps.spanIndex(
+        all.filter(col("doc_id") < 400), "text", "doc_id", n = 10)
+      val retracted = DedupOps.spanIndexDelete(full,
+        all.filter(col("doc_id") >= 200 && col("doc_id") < 400),
+        "text", "doc_id", n = 10)
+      DedupOps.spanDedupIncremental(all.filter(col("doc_id") >= 400),
+          retracted, "text", "doc_id", n = 10)
+        .orderBy(col("doc_id"))
+    },
+    Some(spanOracleSql("doc_id < 200 OR doc_id >= 400", "doc_id >= 400")))
+
+  /** dedup_minhash_index_delete — the RETRACTION half of the minhash
+    * lifecycle (round 9; d02x is the fold-in half): band index built
+    * over doc_id < 400, the 200–399 docs RETRACTED via
+    * `minhashIndexDelete` (band rows are per-doc facts — one id-keyed
+    * anti-join, no text touched), then the ≥ 400 batch probed against
+    * the retracted index with the surviving corpus (< 200) as the
+    * verification side. By the delete law this must equal the
+    * one-shot incremental of the batch against the < 200 corpus —
+    * the shared minhashIncrementalSql chain split at (200, 400). A
+    * leaked deleted band row resurfaces its doc as a candidate (wrong
+    * n_candidates); an over-deleted row loses one — either fails the
+    * hash.
+    */
+  private val d02d = Q(
+    "dedup_minhash_index_delete",
+    (s, d) => {
+      val all = docs(s, d)
+      val full = DedupOps.minhashIndex(
+        all.filter(col("doc_id") < 400), "text", "doc_id")
+      val retracted = DedupOps.minhashIndexDelete(full,
+        all.filter(col("doc_id") >= 200 && col("doc_id") < 400)
+          .select(col("doc_id")),
+        "doc_id")
+      DedupOps.minhashNearDupIndexed(all.filter(col("doc_id") >= 400),
+          retracted, all.filter(col("doc_id") < 200), "text", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+    Some(minhashIncrementalSql("doc_id < 200", "doc_id >= 400")))
+
+  /** dedup_minhash_stats_probe — the STORED-bucket-stats probe shape
+    * (round 9: the round-8 verdict's one structural probe-cost nit
+    * made a graded production shape): snapshot stats built once over
+    * the < 200 index, the 200–399 batch folded into BOTH the index
+    * (minhashIndexMerge) and the stats (minhashBucketStatsMerge —
+    * counts are additive), then the ≥ 400 batch probed with
+    * `bandStats` passed — the maxBucket cap is an anti-join against
+    * the stored over-cap keys, NOT a count() window over the full
+    * index per probe (plan-asserted in OpsSpec: no Window over the
+    * index side). Stats-filtered ≡ window-filtered by construction
+    * (same counts), so the oracle is d02x's exact chain: a stale or
+    * mis-summed stats row flips a bucket across the 256 cap, changes
+    * the candidate set, and fails the hash.
+    */
+  private val d02s = Q(
+    "dedup_minhash_stats_probe",
+    (s, d) => {
+      val all = docs(s, d)
+      val snapshot = DedupOps.minhashIndex(
+        all.filter(col("doc_id") < 200), "text", "doc_id")
+      val batch1 = all.filter(col("doc_id") >= 200 && col("doc_id") < 400)
+      val merged = DedupOps.minhashIndexMerge(snapshot, batch1,
+        "text", "doc_id")
+      val mergedStats = DedupOps.minhashBucketStatsMerge(
+        DedupOps.minhashBucketStats(snapshot),
+        DedupOps.minhashBucketStats(
+          DedupOps.minhashIndex(batch1, "text", "doc_id")))
+      DedupOps.minhashNearDupIndexed(all.filter(col("doc_id") >= 400),
+          merged, all.filter(col("doc_id") < 400), "text", "doc_id",
+          bandStats = Some(mergedStats))
+        .orderBy(col("doc_id"))
+    },
+    Some(minhashIncrementalSql("doc_id < 400", "doc_id >= 400")))
+
+  /** dedup_simhash_index_delete — the RETRACTION half of the simhash
+    * lifecycle (round 9; d03u is the fold-in half): signature index
+    * over doc_id < 400, the 200–399 signatures RETRACTED via
+    * `simhashIndexDelete` (per-doc facts — id anti-join, 16 bytes/doc
+    * removed, no text on either side), the ≥ 400 batch probed against
+    * the retracted index ≡ the one-shot incremental against the < 200
+    * index — the shared simhashIncrementalSql chain split at
+    * (200, 400). Deletion must also update the blocking structure:
+    * a leaked signature re-enters segment buckets and can flip a
+    * bucket across the 256 cap — both failure modes break the hash.
+    */
+  private val d03d = Q(
+    "dedup_simhash_index_delete",
+    (s, d) => {
+      val all = docs(s, d)
+      val full = DedupOps.simhashIndex(
+        all.filter(col("doc_id") < 400), "text", "doc_id")
+      val retracted = DedupOps.simhashIndexDelete(full,
+        all.filter(col("doc_id") >= 200 && col("doc_id") < 400)
+          .select(col("doc_id")),
+        "doc_id")
+      DedupOps.simhashNearDupIncremental(all.filter(col("doc_id") >= 400),
+          retracted, "text", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+    Some(simhashIncrementalSql("doc_id < 200", "doc_id >= 400")))
+
+  /** dedup_simhash_bucketed_probe — the round-8 verdict's
+    * documented-but-unproven 100 TB claim made a graded shape
+    * (round 9): the corpus's SEGMENT index (simhashSegmentIndex — the
+    * probe's exact blocking relation, 4 fixed-width rows/doc) is
+    * WRITTEN as a table BUCKETED on its probe key (seg_idx, seg_val),
+    * its bucket stats stored beside it, and the % 10 == 0 batch
+    * probed against the stored table through
+    * `simhashNearDupSegIndexed` with the stats passed — so the cap is
+    * an anti-join, not an index window, and the candidate join plans
+    * with ZERO exchange on the index side straight off the bucketed
+    * scan (the q57 contract; `merge` hint keeps the plan the scale
+    * plan where small-SF Catalyst would broadcast — OpsSpec asserts
+    * the no-index-side-Exchange property on the stored plan). Same
+    * output as the signature-index probe by construction, so the
+    * oracle is d03i's exact chain.
+    */
+  private val d03b = Q(
+    "dedup_simhash_bucketed_probe",
+    (s, d) => {
+      import graft.io.Bucketing
+      val all = docs(s, d)
+      val segT = s"graft_shseg_${ProcessHandle.current().pid()}"
+      Bucketing.writeBucketedKeys(
+        DedupOps.simhashSegmentIndex(
+          DedupOps.simhashIndex(
+            all.filter(col("doc_id") % 10 =!= 0), "text", "doc_id"),
+          "doc_id"),
+        segT, 8, Seq("seg_idx", "seg_val"), Seq("seg_idx", "seg_val"))
+      val segIndex = Bucketing.table(s, segT)
+      val res = DedupOps.simhashNearDupSegIndexed(
+          all.filter(col("doc_id") % 10 === 0),
+          segIndex.hint("merge"), "text", "doc_id",
+          segStats = Some(DedupOps.simhashSegmentStats(segIndex)))
+        // pin eagerly so the pid-keyed scratch table can drop before
+        // returning (the q57 hygiene); timed work includes the write
+        .localCheckpoint(true)
+      Bucketing.drop(s, segT)
+      res.orderBy(col("doc_id"))
+    },
+    Some(simhashIncrementalSql("doc_id % 10 <> 0", "doc_id % 10 = 0")))
+
+  val qs: Seq[Q] = Seq(d01, d02, d02u, d02m, d02i, d02x, d02d, d02s, d03,
+    d03i, d03u, d03d, d03b, d04, d05, d11, d13, d06, d07, d12, d08, d09,
+    d10, d10i, d10u, d10d)
 }

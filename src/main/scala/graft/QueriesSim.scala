@@ -69,24 +69,32 @@ private[graft] object QueriesSim {
     * higher cell, like CellArgmax), probe the 2 best cells, exact
     * re-rank inside them.
     */
-  private val a03 = Q(
-    "ann_ivf_topk",
-    (s, d) => {
-      import s.implicits._
-      val e = emb(s, d)
-      SimOps.ivfTopK(e.filter($"vec_id" < 10), e, "vec_id", "embedding", 5)
-        .orderBy($"qid", $"rnk")
-    },
-    Some("""
+  /** The full IVF-flat probe oracle chain, parameterized by the
+    * codebook-source and corpus predicates (the
+    * minhashIncrementalSql one-definition idiom; round 9, was two
+    * hand-kept copies): replays the deterministic lowest-id codebook,
+    * per-vector argmax assignment (ties to the higher cell, like
+    * CellArgmax), 2-best-cell probing for the vec_id < 10 queries,
+    * and exact in-cell re-rank. Serves a03 (inline, full corpus),
+    * a03u (fold-in maintenance: merged index ≡ rebuild on the union),
+    * a03d (retraction: deleted index ≡ rebuild on the survivors), and
+    * the streaming ingest parity — which by the per-row-assignment
+    * laws differ ONLY in these predicates.
+    */
+  private[graft] def ivfProbeOracleSql(cbPred: String,
+                                       corpusPred: String): String = {
+    def w(pred: String): String = if (pred.isEmpty) "" else s" WHERE $pred"
+    s"""
       WITH cb AS (
         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
                embedding::DOUBLE[] AS cvec,
                1.0 / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cinv
-        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16) s),
+        FROM (SELECT vec_id, embedding FROM embeddings${w(cbPred)}
+              ORDER BY vec_id LIMIT 16) s),
       scored AS (
         SELECT e.vec_id, e.embedding::DOUBLE[] AS emb, cb.cell,
                list_dot_product(e.embedding::DOUBLE[], cb.cvec) * cb.cinv AS score
-        FROM embeddings e CROSS JOIN cb),
+        FROM (SELECT * FROM embeddings${w(corpusPred)}) e CROSS JOIN cb),
       assign AS (
         SELECT vec_id AS nid, emb AS c_emb, cell FROM (
           SELECT vec_id, emb, cell,
@@ -104,7 +112,18 @@ private[graft] object QueriesSim {
                  ORDER BY list_cosine_similarity(q.q_emb, c.c_emb) DESC, c.nid) AS INTEGER) AS rnk
         FROM probe q JOIN assign c USING (cell)
         WHERE q.qid <> c.nid) t
-      WHERE rnk <= 5 ORDER BY qid, rnk"""))
+      WHERE rnk <= 5 ORDER BY qid, rnk"""
+  }
+
+  private val a03 = Q(
+    "ann_ivf_topk",
+    (s, d) => {
+      import s.implicits._
+      val e = emb(s, d)
+      SimOps.ivfTopK(e.filter($"vec_id" < 10), e, "vec_id", "embedding", 5)
+        .orderBy($"qid", $"rnk")
+    },
+    Some(ivfProbeOracleSql("", "")))
 
 
   /** ann_ivf_index_update — the ANN family's ingest lifecycle
@@ -136,35 +155,39 @@ private[graft] object QueriesSim {
           "vec_id", "embedding", cb, k = 5)
         .orderBy($"qid", $"rnk")
     },
-    Some("""
-      WITH cb AS (
-        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
-               embedding::DOUBLE[] AS cvec,
-               1.0 / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cinv
-        FROM (SELECT vec_id, embedding FROM embeddings
-              WHERE vec_id < 200 ORDER BY vec_id LIMIT 16) s),
-      scored AS (
-        SELECT e.vec_id, e.embedding::DOUBLE[] AS emb, cb.cell,
-               list_dot_product(e.embedding::DOUBLE[], cb.cvec) * cb.cinv AS score
-        FROM (SELECT * FROM embeddings WHERE vec_id < 400) e CROSS JOIN cb),
-      assign AS (
-        SELECT vec_id AS nid, emb AS c_emb, cell FROM (
-          SELECT vec_id, emb, cell,
-                 row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS r
-          FROM scored) t WHERE r = 1),
-      probe AS (
-        SELECT vec_id AS qid, emb AS q_emb, cell FROM (
-          SELECT vec_id, emb, cell,
-                 row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS r
-          FROM scored WHERE vec_id < 10) t WHERE r <= 2)
-      SELECT qid, nid, sim, rnk FROM (
-        SELECT q.qid, c.nid,
-               round(list_cosine_similarity(q.q_emb, c.c_emb), 4) AS sim,
-               CAST(row_number() OVER (PARTITION BY q.qid
-                 ORDER BY list_cosine_similarity(q.q_emb, c.c_emb) DESC, c.nid) AS INTEGER) AS rnk
-        FROM probe q JOIN assign c USING (cell)
-        WHERE q.qid <> c.nid) t
-      WHERE rnk <= 5 ORDER BY qid, rnk"""))
+    Some(ivfProbeOracleSql("vec_id < 200", "vec_id < 400")))
+
+  /** ann_ivf_index_delete — the RETRACTION half of the ANN lifecycle
+    * (round 9; a03u is the fold-in half): assignment index built over
+    * vec_id < 400 under the pinned < 200 snapshot codebook, the
+    * 200–399 vectors then RETRACTED via `ivfIndexDelete` (assignment
+    * rows are per-vector facts — one id anti-join, embeddings never
+    * touched; the codebook stays pinned BY DESIGN — re-deriving it
+    * from the shrunk corpus is the retrain event, which rebuilds).
+    * By the delete law the probe against the retracted index must
+    * equal the one-shot replay over the survivors (vec_id < 200) —
+    * the shared ivfProbeOracleSql chain (the pinned codebook IS the
+    * survivors' lowest-id codebook, so the oracle's rebuild matches
+    * structurally). A leaked deleted vector resurfaces as a
+    * candidate; an over-deleted one vacates a top-5 slot — either
+    * fails the hash.
+    */
+  private val a03d = Q(
+    "ann_ivf_index_delete",
+    (s, d) => {
+      import s.implicits._
+      val e = emb(s, d)
+      val cb = SimOps.lowestIdCodebook(
+        e.filter($"vec_id" < 200), "vec_id", "embedding", 16)
+      val retracted = SimOps.ivfIndexDelete(
+        SimOps.ivfIndex(e.filter($"vec_id" < 400), "vec_id", "embedding", cb),
+        e.filter($"vec_id" >= 200 && $"vec_id" < 400).select($"vec_id"),
+        "vec_id")
+      SimOps.ivfTopKIndexed(e.filter($"vec_id" < 10), retracted,
+          "vec_id", "embedding", cb, k = 5)
+        .orderBy($"qid", $"rnk")
+    },
+    Some(ivfProbeOracleSql("vec_id < 200", "vec_id < 200")))
 
 
   private val a04 = Q(
@@ -755,5 +778,5 @@ private[graft] object QueriesSim {
         FROM sc) t JOIN nd USING (cell)
       WHERE rnk <= 3 ORDER BY cell, rnk"""))
 
-  val qs: Seq[Q] = Seq(a01, a02, a03, a03u, a04, a05, a06, a07, a08, a09, a10, a11, a12, cr1, cr2)
+  val qs: Seq[Q] = Seq(a01, a02, a03, a03u, a03d, a04, a05, a06, a07, a08, a09, a10, a11, a12, cr1, cr2)
 }

@@ -24,13 +24,26 @@ object Bucketing {
     */
   def writeBucketed(df: DataFrame, table: String, numBuckets: Int,
                     bucketCol: String, sortCols: Seq[String] = Nil,
-                    path: Option[String] = None): Unit = {
+                    path: Option[String] = None): Unit =
+    writeBucketedKeys(df, table, numBuckets, Seq(bucketCol), sortCols, path)
+
+  /** [[writeBucketed]] with a COMPOSITE bucket key — the layout for
+    * indexes whose probe joins on a key tuple (e.g. the simhash
+    * segment index on (seg_idx, seg_val)): hash-partitioning on the
+    * full tuple satisfies the join's required distribution straight
+    * off the scan, so every probe joins with zero exchange on the
+    * index side while only the (batch-sized) probe side shuffles.
+    */
+  def writeBucketedKeys(df: DataFrame, table: String, numBuckets: Int,
+                        bucketCols: Seq[String], sortCols: Seq[String] = Nil,
+                        path: Option[String] = None): Unit = {
+    require(bucketCols.nonEmpty, "writeBucketedKeys: no bucket columns")
     // an explicit path makes the table EXTERNAL: files land under the
     // caller's chosen dir (q57b uses pid-keyed graft_tmp scratch, with
     // a dead-pid sweep bounding accumulation) and the CALLER owns
     // their lifecycle — DROP TABLE removes only the catalog entry
     val w0 = df.write.mode("overwrite").format("parquet")
-      .bucketBy(numBuckets, bucketCol)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
     val w = path.fold(w0)(p => w0.option("path", p))
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(table)

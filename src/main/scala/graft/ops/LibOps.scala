@@ -494,6 +494,16 @@ object LibOps {
     * string rides along because (a) merge dedups on it exactly and
     * (b) it is the deterministic tie-break under 60-bit hash
     * collisions (the kmvDistinct convention).
+    *
+    * RETRACTION: KMV has no delete fold, by construction — the state
+    * keeps only the k smallest hashes, so a deleted member's
+    * replacement (the (k+1)-th smallest at build time) was discarded
+    * and cannot be recovered from the state. Deleting documents from
+    * the corpus is therefore a REBUILD over the survivors (one corpus
+    * pass — the IVF codebook-retrain precedent; contrast
+    * [[graft.ops.DedupOps.spanIndexDelete]], whose counts subtract).
+    * Deployments needing cheap retraction shard the sketch by ingest
+    * batch and rebuild only the affected shard before re-merging.
     */
   def kmvSketch(df: DataFrame, keys: Seq[String], value: String,
                 k: Int = 64): DataFrame = {
