@@ -15,8 +15,9 @@ object Bench {
     "q57_bucketed_join", "q58_sorted_layout", "q63_text_roundtrip",
     "q70_zorder_layout", "q72_compact", "q73_schema_evolution",
     "q74_partitioned_layout", "q75_dpp_join", "q78_partitioned_bucketed",
-    "q80_compact_partitioned",
+    "q80_compact_partitioned", "dedup_simhash_bucketed_probe",
     "streaming_dedup_parity", "streaming_interval_parity",
+    "streaming_ivf_ingest_parity", "streaming_minhash_ingest_parity",
     "streaming_quality_parity", "streaming_sessions_parity",
     "streaming_simhash_ingest_parity", "streaming_static_join_parity",
     "streaming_tumbling_parity")
@@ -80,8 +81,13 @@ object Bench {
     // totals are compared as total/calib (the probe is CPU+shuffle
     // shaped like the suite's hot path), and a calib_pre/calib_post
     // gap flags state drift WITHIN a series. Median of 3 runs so one
-    // GC pause can't poison the estimate; plan shape never varies, so
-    // codegen compiles once (absorbed by the first warmup run below).
+    // GC pause can't poison the estimate. One DISCARDED run precedes
+    // the timed three (round-9, the r08 advice): the probe's own
+    // plan-shape codegen/JIT otherwise lands in calib_pre's median
+    // only (the suite warmup above warms q01's shape, not this one),
+    // biasing pre high vs post — which reads as within-series state
+    // drift. The discard is symmetric in both calls so pre and post
+    // measure the same steady state.
     def calibrate(): Double = {
       def once(): Double = time(exec(
         spark.range(0, 20000000L, 1, 32)
@@ -89,6 +95,7 @@ object Bench {
           .groupBy("k")
           .agg(org.apache.spark.sql.functions.sum("v"),
             org.apache.spark.sql.functions.count("*"))))
+      once() // discarded: absorb the probe's own codegen/JIT warmup
       val runs = Seq(once(), once(), once()).sorted
       hygiene()
       runs(1)

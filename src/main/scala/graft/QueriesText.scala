@@ -215,17 +215,27 @@ private[graft] object QueriesText {
     * oracle's post-aggregate WHERE. As with the langid family, ~0.5
     * is the CORRECT value on this synthetic corpus (text is drawn
     * independently of source) — the query grades the machinery.
+    *
+    * Degradation parity (round-9, the r08 advice): the label parse is
+    * tolerant IDENTICALLY on both sides — Spark takes the FULL suffix
+    * (substr to end-of-string, no length cap that would silently
+    * truncate an overlong id) and casts non-ANSI (NULL on garbage);
+    * the oracle mirrors with TRY_CAST over the same full substr
+    * (DuckDB's plain CAST hard-errors where Spark NULLs). A future
+    * fixture with a non-numeric or overlong source suffix degrades to
+    * the same NULL label in both engines instead of diverging.
     */
   private val t21q = Q(
     "eval_auc_quality",
     (s, d) => EvalOps.aucReport(
       TextOps.qualityModel(docs(s, d)).select(col("score"),
-        (substring(col("source"), 4, 10).cast("int") % 2 === 0).as("y")),
+        (col("source").substr(lit(4), length(col("source"))).cast("int")
+          % 2 === 0).as("y")),
       "score", "y"),
     Some(s"""$qualityModelCtes,
       sc AS (
         SELECT $qualityScoreSql AS score,
-               (CAST(substr(d.source, 4) AS INTEGER) % 2 = 0) AS y
+               (TRY_CAST(substr(d.source, 4) AS INTEGER) % 2 = 0) AS y
         FROM m JOIN documents d USING (doc_id)),
       agg AS (
         SELECT score, n_pos, n_neg FROM (

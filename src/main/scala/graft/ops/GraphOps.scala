@@ -67,25 +67,32 @@ object GraphOps {
   }
 
   /** Scratch dir for a bare call (no `stageDir`): rooted at the
-    * session warehouse (a shared filesystem on a real cluster — a
-    * relative local path would resolve per-node and break read-back),
-    * keyed by a UUID so no two calls EVER alias — not PID+counter,
-    * which collides across hosts sharing one warehouse FS (pid spaces
-    * are per-host and every JVM counts from 1; an overwrite
-    * mid-lineage would break a sibling app's staged reads). Each
-    * fresh dir means an iteration result stays readable after any
-    * later call. Cleanup: [[cleanupAuto]] eagerly deletes every
-    * round but the one the returned frame reads, and the dir is
-    * registered for delete-on-exit, so bare calls don't accumulate
-    * scratch beyond the JVM's lifetime; loops wanting zero residue
-    * should still pass an explicit self-overwriting `stageDir`. */
+    * `graft.scratch.dir` session conf when set, else the session
+    * warehouse (both must be a shared filesystem on a real cluster —
+    * a relative local path would resolve per-node and break
+    * read-back; the conf exists for deployments whose warehouse
+    * location is NOT writable — an object-store managed warehouse or
+    * read-only metastore path — where a bare iterative call would
+    * otherwise fail at its first staging write). Keyed by a UUID so
+    * no two calls EVER alias — not PID+counter, which collides across
+    * hosts sharing one warehouse FS (pid spaces are per-host and
+    * every JVM counts from 1; an overwrite mid-lineage would break a
+    * sibling app's staged reads). Each fresh dir means an iteration
+    * result stays readable after any later call. Cleanup:
+    * [[cleanupAuto]] eagerly deletes every round but the one the
+    * returned frame reads, and the dir is registered for
+    * delete-on-exit, so bare calls don't accumulate scratch beyond
+    * the JVM's lifetime; loops wanting zero residue should still pass
+    * an explicit self-overwriting `stageDir`. */
   private def autoStageDir(spark: SparkSession, name: String): String = {
-    val wh = spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
-    val dir = s"$wh/graft_tmp/graph_${name}_${java.util.UUID.randomUUID().toString.take(12)}"
+    val root = spark.conf.getOption("graft.scratch.dir")
+      .getOrElse(spark.conf.get("spark.sql.warehouse.dir"))
+      .stripSuffix("/")
+    val dir = s"$root/graft_tmp/graph_${name}_${java.util.UUID.randomUUID().toString.take(12)}"
     try {
       val p = new org.apache.hadoop.fs.Path(dir)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).deleteOnExit(p)
-    } catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
     dir
   }
 
@@ -103,7 +110,7 @@ object GraphOps {
       fs.listStatus(new org.apache.hadoop.fs.Path(dir))
         .filter(_.getPath.getName != keep)
         .foreach(st => fs.delete(st.getPath, true))
-    } catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Fixed-iteration weighted PageRank over a directed edge list.
     * Output: (node, rank_e12 BIGINT) for ALL nodes; Σ rank_e12 ≈ 10¹²
@@ -116,8 +123,14 @@ object GraphOps {
     *              the float-rounding class the integer form removes
     * @param stageDir scratch dir for the per-iteration lineage cut
     *              (see [[stage]]); None (the default) derives one from
-    *              the session warehouse ([[autoStageDir]]) — staging
-    *              is ALWAYS on, because the unstaged plan re-evaluates
+    *              `graft.scratch.dir` / the session warehouse
+    *              ([[autoStageDir]]). NOTE the eager-write semantics
+    *              every iterative op here shares: the call WRITES its
+    *              staged rounds at DataFrame-construction time (not at
+    *              first action), so the scratch root must be writable
+    *              when the call is made — set `graft.scratch.dir` on
+    *              deployments whose warehouse path is read-only.
+    *              Staging is ALWAYS on, because the unstaged plan re-evaluates
     *              the rank chain ~2^iters times (measured: 192 logical
     *              scans for 3 rounds) and a blowup must not be
     *              reachable by omitting an argument. Both staged
@@ -203,7 +216,9 @@ object GraphOps {
     * All-integer (labels ARE the node ids): no float anywhere.
     * Output: (node, label) over edge ENDPOINTS only — isolated nodes
     * are trivially their own cluster; callers join back (the
-    * dedupClusters convention).
+    * dedupClusters convention). Eager-write semantics: stages rounds
+    * at construction time (the [[pageRank]] stageDir note — set
+    * `graft.scratch.dir` when the warehouse path is read-only).
     */
   def minLabelPropagate(edges: DataFrame, srcCol: String, dstCol: String,
                         iters: Int, stageDir: Option[String] = None): DataFrame = {
@@ -269,6 +284,15 @@ object GraphOps {
     * frames + a 1-row count — k small constant, so the audit costs
     * O(k) node-frame joins on top of the propagation it audits.
     * All-integer in, exact counts out: hash-gradeable, no tolerance.
+    *
+    * Eager-write + lifetime note: like every iterative op here the
+    * call stages rounds at construction time (set `graft.scratch.dir`
+    * when the warehouse path is read-only), and — unlike the others —
+    * an AUTO-derived dir gets no eager round cleanup, because the
+    * returned plan reads EVERY staged round (each audit row diffs a
+    * consecutive pair); the dir is delete-on-exit only. Long-lived
+    * sessions auditing in a loop should pass an explicit
+    * self-overwriting `stageDir`.
     */
   def labelConvergenceAudit(edges: DataFrame, srcCol: String,
                             dstCol: String, iters: Int,
