@@ -72,7 +72,15 @@ class PlanAuditSpec extends AnyFunSuite {
       // windows (both the merged-state and the one-shot branch) drop
       // under count() — the 1-row crossJoin count survives without them
       "dedup_simhash_incremental", "dedup_simhash_index_update",
-      "eval_auc_incremental")
+      "eval_auc_incremental",
+      // round 9: every retraction grader probes through its family's
+      // incremental tail — the same total-output left join (minhash/
+      // simhash per-doc rollup, spanReport); the stats probe is
+      // d02x's shape with the cap anti-join swapped in (the left-join
+      // tail is unchanged). The bucketed probe is NOT here: its
+      // localCheckpoint pins the full result before count() can prune
+      "dedup_minhash_index_delete", "dedup_simhash_index_delete",
+      "dedup_spans_index_delete", "dedup_minhash_stats_probe")
     val got = flagged.map(_._1).toSet
     val msg =
       s"""count()-eliminable set drifted.
