@@ -16,7 +16,8 @@ object Bench {
     "q70_zorder_layout", "q72_compact", "q73_schema_evolution",
     "q74_partitioned_layout", "q75_dpp_join", "q78_partitioned_bucketed",
     "q80_compact_partitioned", "dedup_simhash_bucketed_probe",
-    "streaming_dedup_parity", "streaming_interval_parity",
+    "streaming_dedup_parity", "streaming_index_delete_parity",
+    "streaming_interval_parity",
     "streaming_ivf_ingest_parity", "streaming_minhash_ingest_parity",
     "streaming_quality_parity", "streaming_sessions_parity",
     "streaming_simhash_ingest_parity", "streaming_static_join_parity",

@@ -410,5 +410,47 @@ private[graft] object QueriesStreaming {
     },
     Some(QueriesSim.ivfProbeOracleSql("", "")))
 
-  val qs: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09)
+  /** streaming_index_delete_parity — index RETRACTION deployed under
+    * Structured Streaming (round 9, closing the lifecycle×deployment
+    * matrix: build/merge/probe/delete × batch/stream): a CDC-style
+    * takedown feed — the doc_id % 10 == 0 ids in 4 files,
+    * maxFilesPerTrigger=2 ⇒ genuinely multi-batch — folds
+    * `simhashIndexDelete` per micro-batch into the stored signature
+    * index via `foreachBatchFold` (versioned snapshots: read v{n},
+    * publish v{n+1} — the read-snapshot/fold/publish contract a
+    * transactional table manages at scale). Deletion composes
+    * (chained anti-joins ≡ one anti-join of the union — the OpsSpec
+    * law), so the final state must equal the never-ingested index,
+    * proven THROUGH the consumer: the held-out % 10 == 5 batch probed
+    * against the final state ≡ the one-shot incremental against the
+    * index of the surviving corpus — the shared simhashIncrementalSql
+    * chain with both slices excluded. A leaked takedown id resurfaces
+    * as a candidate and fails the hash.
+    */
+  private val st10 = Q(
+    "streaming_index_delete_parity",
+    (s, d) => {
+      import s.implicits._
+      import graft.streaming.StreamingOps
+      val all = docs(s, d)
+      val index0 = DedupOps.simhashIndex(
+        all.filter($"doc_id" % 10 =!= 5), "text", "doc_id")
+      val stageDir = tmpDir(s, "stream_del_ids")
+      all.filter($"doc_id" % 10 === 0).select($"doc_id").repartition(4)
+        .write.mode("overwrite").parquet(stageDir)
+      val src = s.readStream.schema(s.read.parquet(stageDir).schema)
+        .option("maxFilesPerTrigger", "2").parquet(stageDir)
+      val retracted = StreamingOps.foreachBatchFold(src, index0,
+        tmpDir(s, "stream_del_state")) { (state, batch) =>
+        DedupOps.simhashIndexDelete(state, batch, "doc_id")
+      }
+      DedupOps.simhashNearDupIncremental(
+          all.filter($"doc_id" % 10 === 5), retracted, "text", "doc_id")
+        .orderBy($"doc_id")
+    },
+    Some(QueriesDedup.simhashIncrementalSql(
+      "doc_id % 10 <> 0 AND doc_id % 10 <> 5", "doc_id % 10 = 5")))
+
+  val qs: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
+    st10)
 }

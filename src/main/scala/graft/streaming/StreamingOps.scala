@@ -243,6 +243,65 @@ object StreamingOps {
     q.awaitTermination()
   }
 
+  /** Fold a stream of MAINTENANCE batches into a stored index/state —
+    * the streaming deployment of the lifecycle FOLD ops
+    * ([[foreachBatchIngest]] streams the PROBES; this streams the
+    * merges and deletions: a crawl feed folding `minhashIndexMerge`
+    * per batch, a CDC takedown feed folding `simhashIndexDelete` /
+    * `spanIndexDelete`, a monitoring feed folding `scoreCountsMerge`).
+    * Per-batch ≡ one-shot whenever `fold` composes — true for every
+    * lifecycle fold in this repo (merge and delete laws are
+    * property-tested as chained compositions), so a stream of batches
+    * lands on exactly the state a single batch union would.
+    *
+    * State is VERSIONED under `stateDir`: each micro-batch reads the
+    * latest `v{n}` snapshot, writes `v{n+1}`, then best-effort deletes
+    * `v{n}` — never overwriting the version it reads (a parquet dir
+    * cannot be rewritten from its own scan; the versioned write makes
+    * each step atomic-at-the-directory and leaves a consistent
+    * snapshot for any concurrent reader of the PREVIOUS version). At
+    * production scale this is the poor-man's transactional table — a
+    * real deployment puts the state in a table format with snapshot
+    * isolation and retention (the same shape, managed); the op's
+    * contract (read snapshot → fold batch → publish snapshot) is
+    * format-agnostic. `stateDir` and its checkpoint are cleared
+    * first, so each invocation reprocesses from scratch (a production
+    * deployment keeps the checkpoint — exactly-once resume; versions
+    * then continue from the stored latest).
+    *
+    * Returns the FINAL state as a read of the last version.
+    */
+  def foreachBatchFold(stream: DataFrame, initState: DataFrame,
+                       stateDir: String)
+                      (fold: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val spark = stream.sparkSession
+    graft.io.FsOps.rm(spark, stateDir)
+    graft.io.FsOps.rm(spark, stateDir + "_ckpt")
+    initState.write.mode("overwrite").parquet(s"$stateDir/v0")
+    def latestVersion(): Int =
+      graft.io.FsOps.ls(spark, stateDir)
+        .map(_.split('/').last)
+        .collect { case s if s.matches("v\\d+") => s.drop(1).toInt }
+        .max
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val v = latestVersion()
+        val cur = spark.read.parquet(s"$stateDir/v$v")
+        fold(cur, batch).write.mode("overwrite").parquet(s"$stateDir/v${v + 1}")
+        // the new snapshot is durable; the old one is garbage (no live
+        // plan reads it — the fold's write was eager). Best-effort:
+        // a failed delete costs space, never correctness.
+        try graft.io.FsOps.rm(spark, s"$stateDir/v$v")
+        catch { case scala.util.control.NonFatal(_) => () }
+        ()
+      }
+      .option("checkpointLocation", stateDir + "_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$stateDir/v${latestVersion()}")
+  }
+
   /** Stream-static enrichment join — the remaining §2.9 join path
     * (distinct from the stateful stream-stream interval join): each
     * micro-batch joins against a STATIC dimension, broadcast per

@@ -80,7 +80,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // tail is unchanged). The bucketed probe is NOT here: its
       // localCheckpoint pins the full result before count() can prune
       "dedup_minhash_index_delete", "dedup_simhash_index_delete",
-      "dedup_spans_index_delete", "dedup_minhash_stats_probe")
+      "dedup_spans_index_delete", "dedup_minhash_stats_probe",
+      // the streaming delete parity's FOLD runs eagerly inside
+      // foreachBatchFold; only its final probe-of-stored-output plan
+      // (the incremental left-join tail again) is count()-prunable
+      "streaming_index_delete_parity")
     val got = flagged.map(_._1).toSet
     val msg =
       s"""count()-eliminable set drifted.

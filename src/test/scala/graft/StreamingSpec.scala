@@ -281,4 +281,33 @@ class StreamingSpec extends AnyFunSuite {
       assert(perUser == users)
     } finally q.stop()
   }
+
+  test("foreachBatchFold: multi-batch fold == one-shot fold; versions collapse to the latest") {
+    // the streaming MAINTENANCE deployment (merge/delete folds): a
+    // 4-file / 2-per-trigger id stream folded into a stored state via
+    // anti-join deletes must land on exactly the never-ingested state
+    // (chained deletes compose), and the versioned-snapshot dir must
+    // hold ONLY the final version (eager cleanup of superseded
+    // snapshots) plus survive an empty fold result.
+    import spark.implicits._
+    val state0 = (0L until 100L).map(i => (i, i * 7)).toDF("id", "sig")
+    val stageDir = java.nio.file.Files.createTempDirectory("fold_ids").toString
+    val stateDir = java.nio.file.Files.createTempDirectory("fold_state").toString + "/s"
+    (0L until 40L).map(Tuple1(_)).toDF("id").repartition(4)
+      .write.mode("overwrite").parquet(stageDir)
+    val src = spark.readStream.schema(spark.read.parquet(stageDir).schema)
+      .option("maxFilesPerTrigger", "2").parquet(stageDir)
+    val fin = StreamingOps.foreachBatchFold(src, state0, stateDir) {
+      (state, batch) => state.join(batch, Seq("id"), "left_anti")
+    }
+    val got = fin.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.toSeq == (40L until 100L).map(i => (i, i * 7)))
+    // only the latest version remains on disk
+    val versions = graft.io.FsOps.ls(spark, stateDir)
+      .map(_.split('/').last).filter(_.matches("v\\d+"))
+    assert(versions.size == 1, s"superseded versions not cleaned: $versions")
+    graft.io.FsOps.rm(spark, stageDir)
+    graft.io.FsOps.rm(spark, stateDir)
+    graft.io.FsOps.rm(spark, stateDir + "_ckpt")
+  }
 }
