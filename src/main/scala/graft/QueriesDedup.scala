@@ -1009,6 +1009,39 @@ private[graft] object QueriesDedup {
     },
     Some(minhashIncrementalSql("doc_id < 400", "doc_id >= 400")))
 
+  /** dedup_minhash_stats_delete — the stats SIGNED FOLD graded through
+    * the consumer (round 9, closing the stats symmetry: d02s grades
+    * the additive merge; this grades the retraction): full index +
+    * stats over doc_id < 400, the 200–399 docs retracted from BOTH —
+    * the index by id anti-join, the stats by
+    * `minhashBucketStatsDelete` over the removed band rows (an id
+    * semi-join slice of the index — banding is deterministic, so the
+    * slice IS what those docs contributed) — then the ≥ 400 batch
+    * probed with the retracted stats passed. Equal to the one-shot
+    * incremental against the < 200 corpus: an under-decremented stat
+    * keeps a shrunk bucket over the cap (lost candidates), a bucket
+    * kept at zero or over-decremented re-admits one — either way the
+    * candidate set moves and the hash fails.
+    */
+  private val d02sd = Q(
+    "dedup_minhash_stats_delete",
+    (s, d) => {
+      val all = docs(s, d)
+      val full = DedupOps.minhashIndex(
+        all.filter(col("doc_id") < 400), "text", "doc_id")
+      val delIds = all.filter(col("doc_id") >= 200 && col("doc_id") < 400)
+        .select(col("doc_id"))
+      val retracted = DedupOps.minhashIndexDelete(full, delIds, "doc_id")
+      val retractedStats = DedupOps.minhashBucketStatsDelete(
+        DedupOps.minhashBucketStats(full),
+        full.join(delIds, Seq("doc_id"), "left_semi"))
+      DedupOps.minhashNearDupIndexed(all.filter(col("doc_id") >= 400),
+          retracted, all.filter(col("doc_id") < 200), "text", "doc_id",
+          bandStats = Some(retractedStats))
+        .orderBy(col("doc_id"))
+    },
+    Some(minhashIncrementalSql("doc_id < 200", "doc_id >= 400")))
+
   /** dedup_simhash_index_delete — the RETRACTION half of the simhash
     * lifecycle (round 9; d03u is the fold-in half): signature index
     * over doc_id < 400, the 200–399 signatures RETRACTED via
@@ -1077,7 +1110,7 @@ private[graft] object QueriesDedup {
     },
     Some(simhashIncrementalSql("doc_id % 10 <> 0", "doc_id % 10 = 0")))
 
-  val qs: Seq[Q] = Seq(d01, d02, d02u, d02m, d02i, d02x, d02d, d02s, d03,
-    d03i, d03u, d03d, d03b, d04, d05, d11, d13, d06, d07, d12, d08, d09,
-    d10, d10i, d10u, d10d)
+  val qs: Seq[Q] = Seq(d01, d02, d02u, d02m, d02i, d02x, d02d, d02s, d02sd,
+    d03, d03i, d03u, d03d, d03b, d04, d05, d11, d13, d06, d07, d12, d08,
+    d09, d10, d10i, d10u, d10d)
 }

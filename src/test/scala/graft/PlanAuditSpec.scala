@@ -81,6 +81,7 @@ class PlanAuditSpec extends AnyFunSuite {
       // localCheckpoint pins the full result before count() can prune
       "dedup_minhash_index_delete", "dedup_simhash_index_delete",
       "dedup_spans_index_delete", "dedup_minhash_stats_probe",
+      "dedup_minhash_stats_delete",
       // the streaming delete parity's FOLD runs eagerly inside
       // foreachBatchFold; only its final probe-of-stored-output plan
       // (the incremental left-join tail again) is count()-prunable
