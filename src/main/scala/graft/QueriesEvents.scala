@@ -94,18 +94,11 @@ private[graft] object QueriesEvents {
     * partial-aggregated histogram passes; everything after is
     * nbins-sized broadcasts and row-local arithmetic.
     */
-  private val q86 = Q(
-    "q86_drift_psi",
-    (s, d) => {
-      import s.implicits._
-      val e = ev(s, d)
-      LibOps.psiReport(
-          e.filter($"ts" < "2024-01-16 00:00:00"),
-          e.filter($"ts" >= "2024-01-16 00:00:00"),
-          "value", lo = 0.0, width = 25.0, nbins = 20)
-        .orderBy($"bin")
-    },
-    Some("""
+  /** The PSI oracle chain — ONE definition serving q86 (inline
+    * two-sample) and drift_psi_incremental (stored reference state +
+    * batch-folded current state), which by the additive-bin-count law
+    * must equal exactly this one-shot replay. */
+  private val psiOracleSql = """
       WITH bins AS (SELECT CAST(unnest(range(20)) AS INTEGER) AS bin),
       ha AS (
         SELECT CAST(least(greatest(floor(value / 25.0), 0), 19) AS INTEGER)
@@ -133,7 +126,53 @@ private[graft] object QueriesEvents {
                AS psi_contrib
       FROM bins LEFT JOIN ha USING (bin) LEFT JOIN hb USING (bin)
       CROSS JOIN ta CROSS JOIN tb
-      ORDER BY bin"""))
+      ORDER BY bin"""
+
+  private val q86 = Q(
+    "q86_drift_psi",
+    (s, d) => {
+      import s.implicits._
+      val e = ev(s, d)
+      LibOps.psiReport(
+          e.filter($"ts" < "2024-01-16 00:00:00"),
+          e.filter($"ts" >= "2024-01-16 00:00:00"),
+          "value", lo = 0.0, width = 25.0, nbins = 20)
+        .orderBy($"bin")
+    },
+    Some(psiOracleSql))
+
+  /** drift_psi_incremental — the distribution-monitoring INGEST
+    * lifecycle (round 9: the scoreCountsMerge/spanIndexMerge law on
+    * histogram states): the reference window's histState is STORED
+    * once; the current window arrives as two batches (split at
+    * Jan 24), each partial-aggregated to its own nbins-sized state
+    * and folded with `histStateMerge` — bin counts are additive over
+    * disjoint rows, so merge ≡ rebuild EXACTLY — and the PSI gate
+    * recomputes from the two stored states alone (`psiFromStates`,
+    * the shared tail psiReport itself delegates to). The corpus is
+    * never rescanned at monitoring time: daily drift checks cost two
+    * nbins-sized reads. Oracle = q86's exact one-shot chain (shared
+    * psiOracleSql) — a lost bin, double-counted fold, or drifted
+    * clamp changes a count and fails the hash.
+    */
+  private val q86i = Q(
+    "drift_psi_incremental",
+    (s, d) => {
+      import s.implicits._
+      val e = ev(s, d)
+      val refState = LibOps.histState(
+        e.filter($"ts" < "2024-01-16 00:00:00"),
+        "value", lo = 0.0, width = 25.0, nbins = 20)
+      val cur = LibOps.histStateMerge(
+        LibOps.histState(
+          e.filter($"ts" >= "2024-01-16 00:00:00" && $"ts" < "2024-01-24 00:00:00"),
+          "value", lo = 0.0, width = 25.0, nbins = 20),
+        LibOps.histState(
+          e.filter($"ts" >= "2024-01-24 00:00:00"),
+          "value", lo = 0.0, width = 25.0, nbins = 20))
+      LibOps.psiFromStates(refState, cur, nbins = 20).orderBy($"bin")
+    },
+    Some(psiOracleSql))
 
 
   /** q87_funnel — ordered funnel conversion (TimeOps.funnel):
@@ -485,5 +524,5 @@ private[graft] object QueriesEvents {
       FROM dau d JOIN wau USING (day)
       ORDER BY day"""))
 
-  val qs: Seq[Q] = Seq(q84, q85, q86, q87, q88, q89, q90, q91, q92, t19, q93)
+  val qs: Seq[Q] = Seq(q84, q85, q86, q86i, q87, q88, q89, q90, q91, q92, t19, q93)
 }

@@ -109,19 +109,65 @@ object LibOps {
                 lo: Double, width: Double, nbins: Int,
                 alpha: Double = 0.5): DataFrame = {
     require(width > 0 && nbins > 0, s"psiReport: width=$width nbins=$nbins")
-    require(alpha > 0, s"psiReport: alpha=$alpha (0 would make empty bins infinite)")
-    def hist(df: DataFrame, cName: String) = {
-      val v = col(value).cast("double")
-      val bin = least(greatest(floor((v - lo) / width), lit(0.0)),
-        lit(nbins - 1.0))
-      df.filter(v.isNotNull).groupBy(bin.cast("int").as("bin"))
-        .agg(count(lit(1)).as(cName))
-    }
-    val ha = hist(a, "__na")
-    val hb = hist(b, "__nb")
+    psiFromStates(histState(a, value, lo, width, nbins),
+      histState(b, value, lo, width, nbins), nbins, alpha)
+  }
+
+  /** The stored HISTOGRAM STATE of a sample — sparse (bin INT,
+    * n BIGINT) over the [[psiReport]] binning (clamped fixed-width
+    * bins; absent bin = 0) — the distribution-monitoring family's
+    * ingest-lifecycle state (the [[kmvSketch]]/scoreCounts pattern for
+    * DISTRIBUTIONS): build once per reference window, fold ingest
+    * batches in with [[histStateMerge]], and every drift gate
+    * ([[psiFromStates]], quantiles, winsorize bounds) reads the
+    * nbins-sized state alone — the corpus is never rescanned at
+    * monitoring time. Bin counts are additive over disjoint row sets,
+    * so merge ≡ rebuild EXACTLY, and [[histStateDelete]]'s signed
+    * fold retracts a batch exactly (the spanIndex laws — this is the
+    * one monitoring state where retraction subtracts cleanly; KMV
+    * documents rebuild instead).
+    */
+  def histState(df: DataFrame, value: String, lo: Double, width: Double,
+                nbins: Int): DataFrame = {
+    require(width > 0 && nbins > 0, s"histState: width=$width nbins=$nbins")
+    val v = col(value).cast("double")
+    val bin = least(greatest(floor((v - lo) / width), lit(0.0)),
+      lit(nbins - 1.0))
+    df.filter(v.isNotNull).groupBy(bin.cast("int").as("bin"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** state(A) ⊎ state(B) group-summed = state(A ∪ B) — one
+    * nbins-sized union-aggregate; chained folds compose. */
+  def histStateMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("bin"), col("n"))
+      .unionByName(b.select(col("bin"), col("n")))
+      .groupBy(col("bin")).agg(sum(col("n")).as("n"))
+
+  /** Signed fold: retract a batch's state from the stored state
+    * (bins that empty out DROP — the sparse convention treats absent
+    * as zero, so the drop is exact). */
+  def histStateDelete(state: DataFrame, removed: DataFrame): DataFrame =
+    state.select(col("bin"), col("n"))
+      .unionByName(removed.select(col("bin"), (-col("n")).as("n")))
+      .groupBy(col("bin")).agg(sum(col("n")).as("n"))
+      .filter(col("n") > 0)
+
+  /** [[psiReport]]'s tail over two PREBUILT [[histState]]s — ONE
+    * definition of the PSI arithmetic (the inline caller delegates
+    * here), and the monitoring deployment: reference state stored
+    * once, current state folded batch-by-batch, PSI recomputed from
+    * the two nbins-sized states alone.
+    */
+  def psiFromStates(stateA: DataFrame, stateB: DataFrame, nbins: Int,
+                    alpha: Double = 0.5): DataFrame = {
+    require(nbins > 0, s"psiFromStates: nbins=$nbins")
+    require(alpha > 0, s"psiFromStates: alpha=$alpha (0 would make empty bins infinite)")
+    val ha = stateA.select(col("bin"), col("n").as("__na"))
+    val hb = stateB.select(col("bin"), col("n").as("__nb"))
     val ta = ha.agg(sum(col("__na")).as("__ta"))
     val tb = hb.agg(sum(col("__nb")).as("__tb"))
-    val spine = a.sparkSession.range(nbins)
+    val spine = stateA.sparkSession.range(nbins)
       .select(col("id").cast("int").as("bin"))
     val p = (coalesce(col("__na"), lit(0L)) + alpha) /
       (col("__ta") + alpha * nbins)

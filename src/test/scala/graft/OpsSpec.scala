@@ -3119,6 +3119,37 @@ class OpsSpec extends AnyFunSuite {
       "simhash stats-capped probe must not window the index")
   }
 
+  test("histState: merge ≡ rebuild, chains compose, delete retracts exactly, psiFromStates ≡ psiReport") {
+    // the distribution-monitoring lifecycle's laws (the
+    // scoreCountsMerge pattern on histogram bins): counts additive
+    // over disjoint rows, signed fold retracts a batch exactly
+    // (emptied bins drop — sparse-state convention), and the stored-
+    // state PSI equals the inline two-sample report (shared tail).
+    val e = graft.io.Tables.events(spark, TestSpark.Sf0001)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val a = e.filter($"event_id" % 3 === 0)
+    val b = e.filter($"event_id" % 3 === 1)
+    val c = e.filter($"event_id" % 3 === 2)
+    def st(df: org.apache.spark.sql.DataFrame) =
+      LibOps.histState(df, "value", 0.0, 25.0, 20)
+    val all = rows(st(e))
+    assert(rows(LibOps.histStateMerge(
+      LibOps.histStateMerge(st(a), st(b)), st(c))) == all,
+      "chained state merges != rebuild")
+    assert(rows(LibOps.histStateDelete(st(e), st(c)))
+      == rows(st(e.filter($"event_id" % 3 =!= 2))),
+      "state delete != rebuild-without")
+    // round-trip: fold in, retract, land on the original
+    assert(rows(LibOps.histStateDelete(
+      LibOps.histStateMerge(st(a), st(b)), st(b))) == rows(st(a)),
+      "merge-then-delete != original state")
+    // PSI through the consumer: stored states ≡ inline report
+    assert(rows(LibOps.psiFromStates(st(a), st(b), 20))
+      == rows(LibOps.psiReport(a, b, "value", 0.0, 25.0, 20)),
+      "psiFromStates != psiReport")
+  }
+
   test("bucketed segment-index probe: index side reads its buckets and never shuffles") {
     // the round-8 verdict's documented-but-unproven 100 TB claim made
     // structural: the simhash segment index STORED bucketed on its

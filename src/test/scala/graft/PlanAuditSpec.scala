@@ -85,7 +85,12 @@ class PlanAuditSpec extends AnyFunSuite {
       // the streaming delete parity's FOLD runs eagerly inside
       // foreachBatchFold; only its final probe-of-stored-output plan
       // (the incremental left-join tail again) is count()-prunable
-      "streaming_index_delete_parity")
+      "streaming_index_delete_parity",
+      // psiFromStates' spine left-joins + stat crossJoins prune under
+      // count() (the spine count survives alone) — q86 has the same
+      // tail but its inline hists hide behind the shared subtree;
+      // both are noop-sink-timed anyway
+      "drift_psi_incremental")
     val got = flagged.map(_._1).toSet
     val msg =
       s"""count()-eliminable set drifted.
