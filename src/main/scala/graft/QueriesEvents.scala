@@ -98,7 +98,7 @@ private[graft] object QueriesEvents {
     * two-sample) and drift_psi_incremental (stored reference state +
     * batch-folded current state), which by the additive-bin-count law
     * must equal exactly this one-shot replay. */
-  private val psiOracleSql = """
+  private[graft] val psiOracleSql = """
       WITH bins AS (SELECT CAST(unnest(range(20)) AS INTEGER) AS bin),
       ha AS (
         SELECT CAST(least(greatest(floor(value / 25.0), 0), 19) AS INTEGER)

@@ -243,6 +243,68 @@ object StreamingOps {
     q.awaitTermination()
   }
 
+  /** One store in a maintenance-fold stream: `name` keys its
+    * versioned state subdirectory, `init` is the v0 snapshot, `fold`
+    * is the lifecycle fold (merge/delete) applied per micro-batch.
+    */
+  final case class FoldSpec(name: String, init: DataFrame,
+                            fold: (DataFrame, DataFrame) => DataFrame)
+
+  /** A version dir counts only once its `_SUCCESS` marker exists — a
+    * crash mid-write leaves a partial `v{n}` that must never be
+    * selected as the latest snapshot (it is overwritten by the
+    * replayed batch instead).
+    */
+  private def committed(spark: SparkSession, versionDir: String): Boolean =
+    graft.io.FsOps.exists(spark, s"$versionDir/_SUCCESS")
+
+  /** Largest COMMITTED version under `stateDir` (uncommitted partials
+    * from a crash are invisible here).
+    */
+  private[graft] def latestCommitted(spark: SparkSession,
+                                     stateDir: String): Long = {
+    val vs = graft.io.FsOps.ls(spark, stateDir)
+      .map(_.split('/').last)
+      .collect { case s if s.matches("v\\d+") => s.drop(1).toLong }
+      .filter(v => committed(spark, s"$stateDir/v$v"))
+    require(vs.nonEmpty, s"foreachBatchFold: no committed snapshot under $stateDir")
+    vs.max
+  }
+
+  /** Apply ONE micro-batch's fold to a versioned state dir under the
+    * batchId-keyed commit protocol (shared by [[foreachBatchFold]] /
+    * [[foreachBatchFoldMulti]]; package-visible so the spec can drive
+    * replay/crash cases directly):
+    *
+    *  - snapshot `v{n}` = init folded with batches 0..n−1, so batch
+    *    `b` publishes `v{b+1}` from the latest committed snapshot;
+    *  - if `v{b+1}` is already committed the batch is a REPLAY
+    *    (foreachBatch retry, or restart after a crash between the
+    *    state publish and the streaming checkpoint commit) and the
+    *    fold is SKIPPED — exactly-once for any fold, including
+    *    non-idempotent additive merges;
+    *  - an UNCOMMITTED `v{b+1}` (crash mid-write) is invisible to
+    *    [[latestCommitted]] and simply overwritten by the redo;
+    *  - superseded committed snapshots are deleted only after the new
+    *    one is committed (best-effort: a failed delete costs space,
+    *    never correctness).
+    */
+  private[graft] def applyFoldBatch(spark: SparkSession, stateDir: String,
+                                    batchId: Long, batch: DataFrame,
+                                    fold: (DataFrame, DataFrame) => DataFrame): Unit = {
+    val target = s"$stateDir/v${batchId + 1}"
+    if (committed(spark, target)) return // replayed batch: already folded
+    val v = latestCommitted(spark, stateDir)
+    require(v <= batchId,
+      s"foreachBatchFold: state at v$v is ahead of batch $batchId under $stateDir")
+    val cur = spark.read.parquet(s"$stateDir/v$v")
+    fold(cur, batch).write.mode("overwrite").parquet(target)
+    (v to batchId).foreach { i =>
+      try graft.io.FsOps.rm(spark, s"$stateDir/v$i")
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
   /** Fold a stream of MAINTENANCE batches into a stored index/state —
     * the streaming deployment of the lifecycle FOLD ops
     * ([[foreachBatchIngest]] streams the PROBES; this streams the
@@ -254,52 +316,106 @@ object StreamingOps {
     * property-tested as chained compositions), so a stream of batches
     * lands on exactly the state a single batch union would.
     *
-    * State is VERSIONED under `stateDir`: each micro-batch reads the
-    * latest `v{n}` snapshot, writes `v{n+1}`, then best-effort deletes
-    * `v{n}` — never overwriting the version it reads (a parquet dir
-    * cannot be rewritten from its own scan; the versioned write makes
-    * each step atomic-at-the-directory and leaves a consistent
-    * snapshot for any concurrent reader of the PREVIOUS version). At
-    * production scale this is the poor-man's transactional table — a
-    * real deployment puts the state in a table format with snapshot
+    * State is VERSIONED under `stateDir` and KEYED BY BATCH ID:
+    * snapshot `v{n}` is init folded with batches 0..n−1, each
+    * micro-batch reads the latest `_SUCCESS`-committed snapshot and
+    * publishes `v{batchId+1}` — never overwriting the version it
+    * reads (a parquet dir cannot be rewritten from its own scan; the
+    * versioned write makes each step atomic-at-the-directory and
+    * leaves a consistent snapshot for any concurrent reader of the
+    * previous version). Because the target version is derived from
+    * the batch id, a replayed batch finds its snapshot already
+    * committed and no-ops — EXACTLY-ONCE state for additive,
+    * non-idempotent folds, not just idempotent deletes — and a crash
+    * mid-write leaves an uncommitted partial that is ignored and
+    * overwritten on redo (see [[applyFoldBatch]]). At production
+    * scale this is the poor-man's transactional table — a real
+    * deployment puts the state in a table format with snapshot
     * isolation and retention (the same shape, managed); the op's
     * contract (read snapshot → fold batch → publish snapshot) is
-    * format-agnostic. `stateDir` and its checkpoint are cleared
-    * first, so each invocation reprocesses from scratch (a production
-    * deployment keeps the checkpoint — exactly-once resume; versions
-    * then continue from the stored latest).
+    * format-agnostic.
     *
-    * Returns the FINAL state as a read of the last version.
+    * `resume = false` (a fresh deployment) clears `stateDir` and its
+    * checkpoint and seeds `v0 = initState`; `resume = true` KEEPS
+    * both — the streaming checkpoint skips every already-processed
+    * file, versions continue from the stored latest, and the final
+    * state equals the uninterrupted run (graded by
+    * `streaming_fold_resume_parity`; `initState` is ignored on
+    * resume).
+    *
+    * Returns the FINAL state as a read of the last committed version.
     */
   def foreachBatchFold(stream: DataFrame, initState: DataFrame,
-                       stateDir: String)
+                       stateDir: String, resume: Boolean = false)
                       (fold: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val spark = stream.sparkSession
-    graft.io.FsOps.rm(spark, stateDir)
-    graft.io.FsOps.rm(spark, stateDir + "_ckpt")
-    initState.write.mode("overwrite").parquet(s"$stateDir/v0")
-    def latestVersion(): Int =
-      graft.io.FsOps.ls(spark, stateDir)
-        .map(_.split('/').last)
-        .collect { case s if s.matches("v\\d+") => s.drop(1).toInt }
-        .max
+    if (!resume) {
+      graft.io.FsOps.rm(spark, stateDir)
+      graft.io.FsOps.rm(spark, stateDir + "_ckpt")
+      initState.write.mode("overwrite").parquet(s"$stateDir/v0")
+    } else require(graft.io.FsOps.exists(spark, stateDir),
+      s"foreachBatchFold: resume=true but no prior state under $stateDir")
     val q = stream.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val v = latestVersion()
-        val cur = spark.read.parquet(s"$stateDir/v$v")
-        fold(cur, batch).write.mode("overwrite").parquet(s"$stateDir/v${v + 1}")
-        // the new snapshot is durable; the old one is garbage (no live
-        // plan reads it — the fold's write was eager). Best-effort:
-        // a failed delete costs space, never correctness.
-        try graft.io.FsOps.rm(spark, s"$stateDir/v$v")
-        catch { case scala.util.control.NonFatal(_) => () }
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        applyFoldBatch(spark, stateDir, batchId, batch, fold)
         ()
       }
       .option("checkpointLocation", stateDir + "_ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(s"$stateDir/v${latestVersion()}")
+    spark.read.parquet(s"$stateDir/v${latestCommitted(spark, stateDir)}")
+  }
+
+  /** [[foreachBatchFold]] over MANY stores at once — the ingest
+    * capstone shape: one crawl/CDC feed maintains every index and
+    * monitoring state side-by-side (minhash band index + its bucket
+    * stats, simhash signatures, span digests, KMV sketches, eval
+    * score counts, drift histograms), with the micro-batch PINNED
+    * (persisted) before the folds so the batch is scanned ONCE per
+    * trigger and every store's fold reads the pinned copy — at 100 TB
+    * the alternative re-reads each ingest batch N-stores times. Each
+    * store keeps its own versioned snapshot dir under
+    * `stateRoot/{name}` with the same batchId-keyed commit protocol
+    * (a replayed batch no-ops per store independently, so a crash
+    * between two stores' publishes redoes only the unpublished ones).
+    * Returns name → final committed state.
+    */
+  def foreachBatchFoldMulti(stream: DataFrame, stateRoot: String,
+                            specs: Seq[FoldSpec],
+                            resume: Boolean = false): Map[String, DataFrame] = {
+    require(specs.nonEmpty, "foreachBatchFoldMulti: no fold specs")
+    require(specs.map(_.name).distinct.size == specs.size,
+      "foreachBatchFoldMulti: duplicate spec names")
+    require(specs.forall(sp => sp.name.nonEmpty && !sp.name.contains('/')),
+      "foreachBatchFoldMulti: spec names must be non-empty path segments")
+    val spark = stream.sparkSession
+    def dirOf(name: String) = s"$stateRoot/$name"
+    if (!resume) {
+      graft.io.FsOps.rm(spark, stateRoot)
+      graft.io.FsOps.rm(spark, stateRoot + "_ckpt")
+      specs.foreach(sp =>
+        sp.init.write.mode("overwrite").parquet(s"${dirOf(sp.name)}/v0"))
+    } else require(graft.io.FsOps.exists(spark, stateRoot),
+      s"foreachBatchFoldMulti: resume=true but no prior state under $stateRoot")
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // one batch scan feeding N folds: materialize on first use,
+        // every subsequent fold reads the cached copy
+        val pinned = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try specs.foreach(sp =>
+          applyFoldBatch(spark, dirOf(sp.name), batchId, pinned.toDF(), sp.fold))
+        finally pinned.unpersist()
+        ()
+      }
+      .option("checkpointLocation", stateRoot + "_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    specs.map { sp =>
+      val d = dirOf(sp.name)
+      sp.name -> spark.read.parquet(s"$d/v${latestCommitted(spark, d)}")
+    }.toMap
   }
 
   /** Stream-static enrichment join — the remaining §2.9 join path

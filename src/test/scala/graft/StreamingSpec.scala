@@ -310,4 +310,87 @@ class StreamingSpec extends AnyFunSuite {
     graft.io.FsOps.rm(spark, stateDir)
     graft.io.FsOps.rm(spark, stateDir + "_ckpt")
   }
+
+  test("applyFoldBatch: replay no-ops on additive folds; uncommitted partials are overwritten") {
+    // the round-9 advice case made structural: a foreachBatch RETRY
+    // (micro-batch replay after a crash between the state publish and
+    // the streaming checkpoint commit) must not re-apply the fold —
+    // with an ADDITIVE fold (count merge) a second application
+    // double-counts, so exactly-once is only real if the replay
+    // no-ops. And a crash MID-WRITE leaves a partial snapshot without
+    // _SUCCESS, which must be invisible to version selection and
+    // overwritten by the redo.
+    import spark.implicits._
+    val stateDir =
+      java.nio.file.Files.createTempDirectory("fold_replay").toString + "/s"
+    val init = Seq((0, 10L), (1, 5L)).toDF("bin", "n")
+    init.write.mode("overwrite").parquet(s"$stateDir/v0")
+    val batch = Seq((0, 1L), (2, 7L)).toDF("bin", "n")
+    val fold = (state: org.apache.spark.sql.DataFrame,
+                b: org.apache.spark.sql.DataFrame) =>
+      graft.ops.LibOps.histStateMerge(state, b)
+    def stateRows() = {
+      val v = StreamingOps.latestCommitted(spark, stateDir)
+      spark.read.parquet(s"$stateDir/v$v")
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+    }
+    StreamingOps.applyFoldBatch(spark, stateDir, 0L, batch, fold)
+    val once = stateRows()
+    assert(once == Seq((0, 11L), (1, 5L), (2, 7L)))
+    // replay of the SAME batch id: must be a no-op (not 12/5/14)
+    StreamingOps.applyFoldBatch(spark, stateDir, 0L, batch, fold)
+    assert(stateRows() == once, "replayed batch re-applied an additive fold")
+    // crash mid-write: a partial v2 with data but no _SUCCESS marker
+    Seq((9, 999L)).toDF("bin", "n").write.mode("overwrite")
+      .parquet(s"$stateDir/v2")
+    graft.io.FsOps.rm(spark, s"$stateDir/v2/_SUCCESS")
+    assert(StreamingOps.latestCommitted(spark, stateDir) == 1L,
+      "uncommitted partial selected as latest snapshot")
+    // the redo of batch 1 overwrites the partial and lands correctly
+    StreamingOps.applyFoldBatch(spark, stateDir, 1L, batch, fold)
+    assert(stateRows() == Seq((0, 12L), (1, 5L), (2, 14L)))
+    graft.io.FsOps.rm(spark, stateDir)
+  }
+
+  test("foreachBatchFoldMulti: every store lands on its one-shot state off one pinned batch") {
+    // the ingest-capstone primitive: one feed, many stores — each
+    // store's chained per-batch folds must equal its one-shot fold of
+    // the whole feed (additive law), with independent versioned dirs
+    import spark.implicits._
+    val stageDir =
+      java.nio.file.Files.createTempDirectory("multi_feed").toString
+    val root =
+      java.nio.file.Files.createTempDirectory("multi_state").toString + "/r"
+    val feed = (0L until 60L).map(i => (i, (i % 7).toDouble)).toDF("id", "v")
+    feed.repartition(4).write.mode("overwrite").parquet(stageDir)
+    val src = spark.readStream.schema(spark.read.parquet(stageDir).schema)
+      .option("maxFilesPerTrigger", "2").parquet(stageDir)
+    val emptyHist = spark.range(0)
+      .select($"id".cast("int").as("bin"), $"id".as("n"))
+    val initIdx = Seq((-1L, -7L)).toDF("id", "sig")
+    val fin = StreamingOps.foreachBatchFoldMulti(src, root, Seq(
+      StreamingOps.FoldSpec("hist", emptyHist, (st, b) =>
+        graft.ops.LibOps.histStateMerge(st,
+          graft.ops.LibOps.histState(b, "v", 0.0, 1.0, 8))),
+      StreamingOps.FoldSpec("idx", initIdx, (st, b) =>
+        st.unionByName(b.select($"id", ($"id" * 7).as("sig"))))))
+    val gotHist = fin("hist").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+    val wantHist = graft.ops.LibOps.histState(feed, "v", 0.0, 1.0, 8)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+    assert(gotHist == wantHist, "chained hist folds != one-shot state")
+    val gotIdx = fin("idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(gotIdx == ((-1L, -7L) +: (0L until 60L).map(i => (i, i * 7))),
+      "chained index folds != one-shot state")
+    // each store kept only its final committed version
+    Seq("hist", "idx").foreach { n =>
+      val vs = graft.io.FsOps.ls(spark, s"$root/$n")
+        .map(_.split('/').last).filter(_.matches("v\\d+"))
+      assert(vs.size == 1, s"store $n kept superseded versions: $vs")
+    }
+    graft.io.FsOps.rm(spark, stageDir)
+    graft.io.FsOps.rm(spark, root)
+    graft.io.FsOps.rm(spark, root + "_ckpt")
+  }
 }
