@@ -49,6 +49,71 @@ object Bucketing {
       .saveAsTable(table)
   }
 
+  /** Append-mode fold write into an existing bucketed table — the
+    * lifecycle MERGE on a stored index (each ingest batch's rows land
+    * in their buckets without rewriting the table; the probe's
+    * zero-exchange plan is unchanged because every file still belongs
+    * to one hash bucket). The cost: each append adds one file per
+    * written bucket, so a long-maintained index accumulates
+    * waves × buckets small files — periodic [[compactBucketed]]
+    * undoes that. `numBuckets`/`bucketCols` must match the table's
+    * spec (Spark rejects a mismatch at write time).
+    */
+  def appendBucketedKeys(df: DataFrame, table: String, numBuckets: Int,
+                         bucketCols: Seq[String],
+                         sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty, "appendBucketedKeys: no bucket columns")
+    val w = df.write.mode("append").format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
+  /** Compact a bucketed table fragmented by append-mode maintenance
+    * folds — [[graft.io.Layout.compact]] for BUCKETED state, the
+    * operational composition of the index lifecycle with the layout
+    * family: after N [[appendBucketedKeys]] folds a stored index
+    * holds N files per bucket and selective probes pay per-file
+    * open/footer cost. The rewrite reads the table once, applies
+    * `transform` (identity for a pure compaction; an id anti-join
+    * folds a RETRACTION into the same single pass — on a stored table
+    * a delete is a rewrite anyway, so compaction is exactly when it
+    * is free), repartitions on the bucket keys into one partition per
+    * bucket (the writer assigns bucket ids with the same hash, so
+    * each task holds exactly one bucket → ONE file per bucket), and
+    * writes `outTable` with the bucket spec COPIED from the catalog —
+    * the layout, and every probe's zero-exchange plan, survives by
+    * construction. Writes to a NEW name because a table cannot be
+    * overwritten from its own scan (the foreachBatchFold versioning
+    * rationale); the caller swaps names / drops the old when ready.
+    */
+  def compactBucketed(spark: SparkSession, inTable: String, outTable: String,
+                      transform: DataFrame => DataFrame = identity,
+                      path: Option[String] = None): Unit = {
+    import org.apache.spark.sql.functions.col
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(inTable))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"compactBucketed: table $inTable has no bucket spec"))
+    val df = transform(spark.table(inTable))
+      .repartition(spec.numBuckets, spec.bucketColumnNames.map(col): _*)
+    // keep the source's bucket-grouped scan: the scan already satisfies
+    // the repartition's distribution, so the exchange is elided and the
+    // rewrite is ZERO-shuffle (each task reads one bucket's files and
+    // writes its one compacted file — the plan a 100 TB compaction
+    // wants). Without this pin, DisableUnnecessaryBucketedScan ungroups
+    // the scan AFTER the aligned exchange was already elided, splitting
+    // each bucket across tasks — measured: 4 waves × 4 buckets
+    // recompact to 16 files instead of 4.
+    val prevAuto = spark.conf.get(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try writeBucketedKeys(df, outTable, spec.numBuckets, spec.bucketColumnNames,
+      spec.sortColumnNames, path)
+    finally spark.conf.set(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled", prevAuto)
+  }
+
   /** The full production fact layout: Hive-PARTITIONED on a pruning
     * key (date/source) AND BUCKETED on a join key — the two physical
     * levers compose, they don't compete. A predicate on the partition

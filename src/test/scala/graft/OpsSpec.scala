@@ -3150,6 +3150,133 @@ class OpsSpec extends AnyFunSuite {
       "psiFromStates != psiReport")
   }
 
+  test("compactBucketed: churned index files collapse, bucket layout and content survive") {
+    // the operational seam of append-mode index maintenance: four
+    // merge folds leave ~waves×buckets files; the compaction rewrite
+    // must collapse them to one per bucket, copy the bucket spec from
+    // the catalog (the probe's zero-exchange plan depends on it), and
+    // be content-neutral
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val docs = graft.io.Tables.documents(spark, TestSpark.Sf0001)
+    val tbl = "graft_test_churn"
+    val cpt = "graft_test_churn_compacted"
+    Seq(tbl, cpt).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    def dataFiles(t: String): Int = {
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t)).location
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      var n = 0
+      while (it.hasNext) {
+        val f = it.next().getPath.getName
+        if (!f.startsWith("_") && !f.startsWith(".")) n += 1
+      }
+      n
+    }
+    try {
+      val keys = Seq("seg_idx", "seg_val")
+      def segOf(m: Int) = DedupOps.simhashSegmentIndex(
+        DedupOps.simhashIndex(docs.filter($"doc_id" % 4 === m), "text", "doc_id"),
+        "doc_id")
+      graft.io.Bucketing.writeBucketedKeys(segOf(0), tbl, 4, keys, keys)
+      (1 to 3).foreach(i =>
+        graft.io.Bucketing.appendBucketedKeys(segOf(i), tbl, 4, keys, keys))
+      val before = dataFiles(tbl)
+      assert(before > 4, s"churn fixture produced only $before files")
+      graft.io.Bucketing.compactBucketed(spark, tbl, cpt)
+      val after = dataFiles(cpt)
+      assert(after < before && after <= 4,
+        s"compaction did not collapse files: $before -> $after")
+      // spec copied, content identical, compacted scan still bucketed
+      val specIn = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(tbl)).bucketSpec
+      val specOut = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(cpt)).bucketSpec
+      assert(specIn == specOut, s"bucket spec changed: $specIn -> $specOut")
+      assert(spark.table(cpt).collect().map(_.toString).sorted.toSeq ==
+        spark.table(tbl).collect().map(_.toString).sorted.toSeq,
+        "compaction changed table content")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val agg = spark.table(cpt).groupBy($"seg_idx", $"seg_val").count()
+        val scans = agg.queryExecution.executedPlan.collect {
+          case f: FileSourceScanExec if f.tableIdentifier.exists(_.table == cpt) => f
+        }
+        assert(scans.nonEmpty && scans.forall(_.bucketedScan),
+          "compacted table no longer scans bucketed")
+      } finally spark.conf.unset("spark.sql.adaptive.enabled")
+    } finally
+      Seq(tbl, cpt).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("bucketed band-index probe: minhash index side reads its buckets and never shuffles") {
+    // the minhash sibling of the segment-index assertion below
+    // (round 10): the band index stored BUCKETED on its raw probe key
+    // (band_idx, band_hash ARRAY<BIGINT> — Spark hash-partitions and
+    // orders arrays natively), stats stored keys-sized, and the probe
+    // plans with zero Exchange anywhere between the index scan and
+    // its first join. Broadcast off so the SMJ bucket path (the
+    // large-ingest shape) is what's asserted; AQE off for a
+    // deterministic tree.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = graft.io.Tables.documents(spark, TestSpark.Sf0001)
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val batch = docs.filter($"doc_id" % 10 === 0)
+    val tbl = "graft_test_mhband_bucketed"
+    val statsDir = "/tmp/graft_test_mhband_stats"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    try {
+      graft.io.Bucketing.writeBucketedKeys(
+        DedupOps.minhashIndex(corpus, "text", "doc_id"),
+        tbl, 4, Seq("band_idx", "band_hash"), Seq("band_idx", "band_hash"))
+      val bandIndex = graft.io.Bucketing.table(spark, tbl)
+      DedupOps.minhashBucketStats(bandIndex)
+        .write.mode("overwrite").parquet(statsDir)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val probe = DedupOps.minhashNearDupIndexed(batch, bandIndex,
+          corpus, "text", "doc_id",
+          bandStats = Some(spark.read.parquet(statsDir)))
+        // matches the inline-index probe exactly
+        val viaInline = DedupOps.minhashNearDupIncremental(corpus, batch,
+          "text", "doc_id")
+        assert(probe.collect().map(_.toString).sorted.toSeq ==
+          viaInline.collect().map(_.toString).sorted.toSeq,
+          "bucketed probe != inline-index probe")
+        def isIndexScan(p: SparkPlan): Boolean = p match {
+          case f: FileSourceScanExec =>
+            f.tableIdentifier.exists(_.table == tbl)
+          case _ => false
+        }
+        val plan = probe.queryExecution.executedPlan
+        val indexScans = plan.collect { case f if isIndexScan(f) => f }
+        assert(indexScans.nonEmpty, s"plan must scan the stored table:\n$plan")
+        assert(indexScans.forall {
+          case f: FileSourceScanExec => f.bucketedScan
+        }, s"index scan must use the bucket layout:\n$plan")
+        def pathTo(p: SparkPlan): Option[List[SparkPlan]] =
+          if (isIndexScan(p)) Some(List(p))
+          else p.children.view.flatMap(pathTo).headOption.map(p :: _)
+        val path = pathTo(plan).getOrElse(fail(s"no path to index scan:\n$plan"))
+        val belowJoin = path.reverse
+          .takeWhile(n => !n.getClass.getSimpleName.contains("Join"))
+        assert(path.reverse.exists(_.getClass.getSimpleName.contains("Join")),
+          s"index scan feeds no join:\n$plan")
+        assert(!belowJoin.exists(_.isInstanceOf[ShuffleExchangeExec]),
+          s"the stored index was shuffled before its join:\n$plan")
+      } finally {
+        spark.conf.unset("spark.sql.adaptive.enabled")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      graft.io.FsOps.rm(spark, statsDir)
+    }
+  }
+
   test("bucketed segment-index probe: index side reads its buckets and never shuffles") {
     // the round-8 verdict's documented-but-unproven 100 TB claim made
     // structural: the simhash segment index STORED bucketed on its
