@@ -62,8 +62,16 @@ private[graft] object QueriesMedia {
 
   /** media_resize — stubbed resize/re-encode stage (§2.11 multimodal):
     * binary in → smaller binary out with rewritten typed metadata, via
-    * per-partition batches. Metadata uses engine-local hashing →
-    * rows-only.
+    * per-partition batches. FULLY ORACLED as of round 10 (was the
+    * suite's lone rows-only entry for seven rounds): attachMedia's
+    * metadata is now plain integer arithmetic, so DuckDB replays the
+    * whole metadata chain — source dims, pixel-ratio byte budget
+    * (floor division, the min/max clamps, the empty-payload branch for
+    * NULL-text docs) — and the byte_len of every stub-resized payload
+    * is hash-graded. The payload BYTES remain stub territory (stride
+    * sampling stands in for a real codec), but the Spark-side
+    * contract — mapPartitions batch path, binary in/out, output size
+    * proportional to target dims — is now arithmetic-verified per row.
     */
   private val m03 = Q(
     "media_resize",
@@ -71,7 +79,20 @@ private[graft] object QueriesMedia {
       .select(col("doc_id"), col("width"), col("height"),
         length(col("media")).cast("int").as("byte_len"))
       .orderBy(col("doc_id")),
-    None)
+    Some("""
+      WITH m AS (
+        SELECT doc_id,
+               CAST(coalesce(length(text), 0) AS BIGINT) AS len,
+               (doc_id * 40503 + 17) % 1280 + 64 AS w,
+               (doc_id * 69069 + 5) % 720 + 64 AS h
+        FROM documents)
+      SELECT doc_id,
+             CAST(64 AS INTEGER) AS width,
+             CAST(64 AS INTEGER) AS height,
+             CAST(CASE WHEN len = 0 THEN 0
+                       ELSE greatest(1, least(len, (len * 4096) // (w * h)))
+                  END AS INTEGER) AS byte_len
+      FROM m ORDER BY doc_id"""))
 
   val qs: Seq[Q] = Seq(m01, m02, m03)
 }

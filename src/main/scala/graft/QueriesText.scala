@@ -216,26 +216,35 @@ private[graft] object QueriesText {
     * is the CORRECT value on this synthetic corpus (text is drawn
     * independently of source) — the query grades the machinery.
     *
-    * Degradation parity (round-9, the r08 advice): the label parse is
-    * tolerant IDENTICALLY on both sides — Spark takes the FULL suffix
-    * (substr to end-of-string, no length cap that would silently
-    * truncate an overlong id) and casts non-ANSI (NULL on garbage);
-    * the oracle mirrors with TRY_CAST over the same full substr
-    * (DuckDB's plain CAST hard-errors where Spark NULLs). A future
-    * fixture with a non-numeric or overlong source suffix degrades to
-    * the same NULL label in both engines instead of diverging.
+    * Degradation parity (round-9 advice, hardened round 10): the
+    * label parse is tolerant IDENTICALLY on both sides — Spark takes
+    * the FULL suffix (substr to end-of-string, no length cap that
+    * would silently truncate an overlong id) and both engines gate
+    * the cast on an ALL-DIGITS check before converting (round 10:
+    * Spark's non-ANSI string→int cast NULLs a decimal string like
+    * '3.6' while DuckDB's TRY_CAST converts via double and rounds —
+    * the regex gate removes that divergence class entirely; overlong
+    * all-digits suffixes overflow to NULL in both engines). A future
+    * fixture with a non-numeric, decimal, or overlong source suffix
+    * degrades to the same NULL label in both engines instead of
+    * diverging.
     */
   private val t21q = Q(
     "eval_auc_quality",
-    (s, d) => EvalOps.aucReport(
-      TextOps.qualityModel(docs(s, d)).select(col("score"),
-        (col("source").substr(lit(4), length(col("source"))).cast("int")
-          % 2 === 0).as("y")),
-      "score", "y"),
+    (s, d) => {
+      val sfx = col("source").substr(lit(4), length(col("source")))
+      EvalOps.aucReport(
+        TextOps.qualityModel(docs(s, d)).select(col("score"),
+          (when(sfx.rlike("^[0-9]+$"), sfx.cast("int"))
+            % 2 === 0).as("y")),
+        "score", "y")
+    },
     Some(s"""$qualityModelCtes,
       sc AS (
         SELECT $qualityScoreSql AS score,
-               (TRY_CAST(substr(d.source, 4) AS INTEGER) % 2 = 0) AS y
+               (CASE WHEN regexp_matches(substr(d.source, 4), '^[0-9]+$$')
+                     THEN TRY_CAST(substr(d.source, 4) AS INTEGER) END
+                % 2 = 0) AS y
         FROM m JOIN documents d USING (doc_id)),
       agg AS (
         SELECT score, n_pos, n_neg FROM (

@@ -25,15 +25,21 @@ object MediaOps {
   /** Wrap a text table into an opaque-binary "media" table: bytes +
     * typed metadata (mime/width/height). On a real corpus this column
     * would come straight from parquet binary; the metadata derivation
-    * here is deterministic filler.
+    * here is deterministic filler — in PLAIN integer arithmetic
+    * (round 10, was xxhash64: an engine-local hash made the resize
+    * metadata un-oracleable; a Weyl-style multiply-add-mod any engine
+    * replays bit-for-bit keeps the same spread and lets
+    * `media_resize` grade its metadata chain end-to-end).
     */
   def attachMedia(documents: DataFrame): DataFrame =
     documents.select(
       col("doc_id"),
       encode(col("text"), "UTF-8").as("media"),
       lit("application/fake").as("mime"),
-      (pmod(xxhash64(col("doc_id")), lit(1280)) + 64).cast("int").as("width"),
-      (pmod(xxhash64(col("doc_id"), lit(1)), lit(720)) + 64).cast("int").as("height"))
+      (pmod(col("doc_id") * 40503L + 17L, lit(1280L)) + 64L)
+        .cast("int").as("width"),
+      (pmod(col("doc_id") * 69069L + 5L, lit(720L)) + 64L)
+        .cast("int").as("height"))
 
   /** STUB DECODER — deterministic fake standing in for e.g. JPEG/PCM
     * decoding (real codecs are not in this container). Consumes the
