@@ -813,7 +813,7 @@ private[graft] object QueriesDedup {
     * d10d, which by the additive-count laws differ ONLY in these
     * predicates.
     */
-  private def spanOracleSql(hotPred: String, outPred: String): String = {
+  private[graft] def spanOracleSql(hotPred: String, outPred: String): String = {
     def where(alias: String, pred: String): String =
       if (pred.isEmpty) "" else s"\n        WHERE $alias$pred"
     s"""

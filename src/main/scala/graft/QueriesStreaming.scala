@@ -504,6 +504,239 @@ private[graft] object QueriesStreaming {
     },
     Some(QueriesEvents.psiOracleSql))
 
+  /** pipeline_ingest_fold — the END-TO-END INGEST CAPSTONE (round 10):
+    * one crawl feed maintains EVERY store in the engine side-by-side,
+    * proving the lifecycle folds compose in a single deployment
+    * rather than only one-per-query. The corpus (doc_id % 10 ∉ {0,5})
+    * seeds seven stores — minhash band index AND its bucket stats,
+    * simhash signature index, span digest index, per-lang KMV
+    * distinct-source sketch, quality-score eval counts, and the
+    * n_chars drift histogram — then the % 10 == 0 feed arrives in two
+    * micro-batches through `foreachBatchFoldMulti`, which pins each
+    * batch ONCE and folds all seven stores off the pinned copy
+    * (StreamingSpec proves the single-materialization contract with
+    * an accumulator; at 100 TB the alternative re-reads every ingest
+    * batch N-stores times). After the stream, each family is read
+    * THROUGH its consumer against the final stored states: the
+    * % 10 == 5 batch probes the minhash (stats-capped), simhash, and
+    * span indexes; the KMV estimate, the AUC, and the PSI report
+    * come off their states alone. One summary row per family
+    * (family, m1, m2, m3 — counts exact, float sums through DECIMAL
+    * so partial order cannot flip a rounding boundary), graded
+    * against a six-chain oracle where every chain is the family's own
+    * shared one-shot replay over the corpus∪feed split — a fold that
+    * dropped, doubled, or leaked a row in ANY store moves its
+    * family's row and fails the hash.
+    */
+  private val st12 = Q(
+    "pipeline_ingest_fold",
+    (s, d) => {
+      import s.implicits._
+      import graft.streaming.StreamingOps
+      import graft.streaming.StreamingOps.FoldSpec
+      val all = docs(s, d)
+      val corpus = all.filter($"doc_id" % 10 =!= 0 && $"doc_id" % 10 =!= 5)
+      val feed = all.filter($"doc_id" % 10 === 0)
+      val probe = all.filter($"doc_id" % 10 === 5)
+      val stageDir = tmpDir(s, "cap_feed")
+      feed.repartition(2).write.mode("overwrite").parquet(stageDir)
+      val src = s.readStream.schema(s.read.parquet(stageDir).schema)
+        .option("maxFilesPerTrigger", "1").parquet(stageDir)
+      // the t21q digit-gated provenance label (one definition of the
+      // degradation semantics would be nicer, but the gate is 3 lines
+      // and the oracle below replays t21q's exact fragments)
+      def labeled(df: DataFrame) = {
+        val sfx = col("source").substr(lit(4), length(col("source")))
+        TextOps.qualityModel(df).select(col("score"),
+          (when(sfx.rlike("^[0-9]+$"), sfx.cast("int")) % 2 === 0).as("y"))
+      }
+      def hist(df: DataFrame) =
+        LibOps.histState(df, "n_chars", lo = 0.0, width = 32.0, nbins = 20)
+      val emptyHist = s.range(0)
+        .select($"id".cast("int").as("bin"), $"id".as("n"))
+      val fin = StreamingOps.foreachBatchFoldMulti(src, tmpDir(s, "cap_state"),
+        Seq(
+          FoldSpec("mh_index", DedupOps.minhashIndex(corpus, "text", "doc_id"),
+            (st, b) => DedupOps.minhashIndexMerge(st, b, "text", "doc_id")),
+          FoldSpec("mh_stats", DedupOps.minhashBucketStats(
+              DedupOps.minhashIndex(corpus, "text", "doc_id")),
+            (st, b) => DedupOps.minhashBucketStatsMerge(st,
+              DedupOps.minhashBucketStats(
+                DedupOps.minhashIndex(b, "text", "doc_id")))),
+          FoldSpec("sh_index", DedupOps.simhashIndex(corpus, "text", "doc_id"),
+            (st, b) => DedupOps.simhashIndexMerge(st, b, "text", "doc_id")),
+          FoldSpec("span_index", DedupOps.spanIndex(corpus, "text", "doc_id"),
+            (st, b) => DedupOps.spanIndexMerge(st, b, "text", "doc_id")),
+          FoldSpec("kmv", LibOps.kmvSketch(corpus, Seq("lang"), "source"),
+            (st, b) => LibOps.kmvMerge(st,
+              LibOps.kmvSketch(b, Seq("lang"), "source"), Seq("lang"))),
+          FoldSpec("eval_counts", EvalOps.scoreCounts(labeled(corpus), "score", "y"),
+            (st, b) => EvalOps.scoreCountsMerge(st,
+              EvalOps.scoreCounts(labeled(b), "score", "y"))),
+          FoldSpec("psi_state", emptyHist,
+            (st, b) => LibOps.histStateMerge(st, hist(b)))))
+      val ingestedDocs = all.filter($"doc_id" % 10 =!= 5)
+      def row(fam: String, agg: DataFrame) =
+        agg.select(lit(fam).as("family"), $"m1", $"m2", $"m3")
+      val mh = row("minhash",
+        DedupOps.minhashNearDupIndexed(probe, fin("mh_index"), ingestedDocs,
+            "text", "doc_id", bandStats = Some(fin("mh_stats")))
+          .agg(sum(when($"is_dup", 1L).otherwise(0L)).cast("double").as("m1"),
+            sum($"n_candidates").cast("double").as("m2"),
+            sum($"max_jaccard".cast("decimal(18,4)")).cast("double").as("m3")))
+      val sh = row("simhash",
+        DedupOps.simhashNearDupIncremental(probe, fin("sh_index"),
+            "text", "doc_id")
+          .agg(sum(when($"is_dup", 1L).otherwise(0L)).cast("double").as("m1"),
+            sum($"n_near").cast("double").as("m2"),
+            sum(coalesce($"min_hamming", lit(-1))).cast("double").as("m3")))
+      val sp = row("span",
+        DedupOps.spanDedupIncremental(probe, fin("span_index"), "text", "doc_id")
+          .agg(sum($"n_spans").cast("double").as("m1"),
+            sum($"n_dup_ngrams").cast("double").as("m2"),
+            sum($"dup_tokens").cast("double").as("m3")))
+      val km = row("kmv",
+        LibOps.kmvEstimate(fin("kmv"), Seq("lang"))
+          .agg(count(lit(1)).cast("double").as("m1"),
+            sum(round($"n_distinct_est", 4).cast("decimal(18,4)"))
+              .cast("double").as("m2"),
+            lit(0.0).as("m3")))
+      val ev = row("eval",
+        EvalOps.aucFromCounts(fin("eval_counts"))
+          .select($"n_pos".cast("double").as("m1"),
+            $"n_neg".cast("double").as("m2"), $"auc".as("m3")))
+      val ps = row("psi",
+        LibOps.psiFromStates(hist(corpus), fin("psi_state"), nbins = 20)
+          .agg(sum($"n_a").cast("double").as("m1"),
+            sum($"n_b").cast("double").as("m2"),
+            sum($"psi_contrib".cast("decimal(18,6)")).cast("double").as("m3")))
+      mh.unionByName(sh).unionByName(sp).unionByName(km).unionByName(ev)
+        .unionByName(ps)
+        .orderBy($"family")
+    },
+    Some(s"""
+      SELECT family, m1, m2, m3 FROM (
+        SELECT 'minhash' AS family,
+               CAST(count(*) FILTER (WHERE is_dup) AS DOUBLE) AS m1,
+               CAST(sum(n_candidates) AS DOUBLE) AS m2,
+               CAST(sum(CAST(max_jaccard AS DECIMAL(18,4))) AS DOUBLE) AS m3
+        FROM (${QueriesDedup.minhashIncrementalSql(
+          "doc_id % 10 <> 5", "doc_id % 10 = 5")}) q
+        UNION ALL
+        SELECT 'simhash' AS family,
+               CAST(count(*) FILTER (WHERE is_dup) AS DOUBLE) AS m1,
+               CAST(sum(n_near) AS DOUBLE) AS m2,
+               CAST(sum(coalesce(min_hamming, -1)) AS DOUBLE) AS m3
+        FROM (${QueriesDedup.simhashIncrementalSql(
+          "doc_id % 10 <> 5", "doc_id % 10 = 5")}) q
+        UNION ALL
+        SELECT 'span' AS family,
+               CAST(sum(n_spans) AS DOUBLE) AS m1,
+               CAST(sum(n_dup_ngrams) AS DOUBLE) AS m2,
+               CAST(sum(dup_tokens) AS DOUBLE) AS m3
+        FROM (${QueriesDedup.spanOracleSql("", "doc_id % 10 = 5")}) q
+        UNION ALL
+        SELECT 'kmv' AS family,
+               CAST(cnt AS DOUBLE) AS m1, CAST(s2 AS DOUBLE) AS m2,
+               0.0 AS m3
+        FROM (
+          WITH dv AS (
+            SELECT DISTINCT lang, source FROM documents
+            WHERE doc_id % 10 <> 5 AND source IS NOT NULL),
+          h AS (
+            SELECT lang, source,
+                   (CAST(('0x' || substr(md5(source), 1, 15))
+                         ::BIGINT AS DOUBLE) + 1.0) / 1152921504606846976.0
+                     AS hv
+            FROM dv),
+          r AS (
+            SELECT lang, hv,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY hv, source) AS rk
+            FROM h),
+          est AS (
+            SELECT lang,
+                   CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                        ELSE 63.0 / max(CASE WHEN rk = 64 THEN hv END) END
+                     AS n_est
+            FROM r WHERE rk <= 64 GROUP BY 1)
+          SELECT count(*) AS cnt,
+                 sum(CAST(round(n_est, 4) AS DECIMAL(18,4))) AS s2
+          FROM est) q
+        UNION ALL
+        SELECT 'eval' AS family,
+               CAST(n_pos AS DOUBLE) AS m1, CAST(n_neg AS DOUBLE) AS m2,
+               auc AS m3
+        FROM (
+          $qualityModelCtes,
+          sc AS (
+            SELECT $qualityScoreSql AS score,
+                   (CASE WHEN regexp_matches(substr(d.source, 4), '^[0-9]+$$')
+                         THEN TRY_CAST(substr(d.source, 4) AS INTEGER) END
+                    % 2 = 0) AS y
+            FROM m JOIN documents d USING (doc_id)
+            WHERE d.doc_id % 10 <> 5),
+          agg AS (
+            SELECT score, n_pos, n_neg FROM (
+              SELECT score,
+                     CAST(sum(CASE WHEN y = true THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_pos,
+                     CAST(sum(CASE WHEN y = false THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_neg
+              FROM sc GROUP BY score) t
+            WHERE score IS NOT NULL AND n_pos + n_neg > 0),
+          w AS (
+            SELECT score, n_pos, n_neg,
+                   CAST(coalesce(sum(n_neg) OVER (ORDER BY score
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS neg_below
+            FROM agg)
+          SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
+                 CAST(sum(n_neg) AS BIGINT) AS n_neg,
+                 CASE WHEN sum(n_pos) > 0 AND sum(n_neg) > 0 THEN
+                   round(CAST(sum(n_pos * (2 * neg_below + n_neg)) AS DOUBLE) /
+                         (CAST(sum(n_pos) AS DOUBLE)
+                          * CAST(sum(n_neg) AS DOUBLE) * 2), 6)
+                 END AS auc
+          FROM w) q
+        UNION ALL
+        SELECT 'psi' AS family,
+               CAST(sa AS DOUBLE) AS m1, CAST(sb AS DOUBLE) AS m2,
+               CAST(sc3 AS DOUBLE) AS m3
+        FROM (
+          WITH bins AS (SELECT CAST(unnest(range(20)) AS INTEGER) AS bin),
+          ha AS (
+            SELECT CAST(least(greatest(floor(n_chars / 32.0), 0), 19)
+                     AS INTEGER) AS bin,
+                   count(*)::BIGINT AS n_a
+            FROM documents
+            WHERE n_chars IS NOT NULL
+              AND doc_id % 10 <> 0 AND doc_id % 10 <> 5
+            GROUP BY 1),
+          hb AS (
+            SELECT CAST(least(greatest(floor(n_chars / 32.0), 0), 19)
+                     AS INTEGER) AS bin,
+                   count(*)::BIGINT AS n_b
+            FROM documents
+            WHERE n_chars IS NOT NULL AND doc_id % 10 = 0
+            GROUP BY 1),
+          ta AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta FROM ha),
+          tb AS (SELECT CAST(sum(n_b) AS BIGINT) AS tb FROM hb),
+          p AS (
+            SELECT bin, coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
+                   round(((coalesce(n_a, 0) + 0.5) / (ta + 10.0)
+                          - (coalesce(n_b, 0) + 0.5) / (tb + 10.0))
+                         * ln(((coalesce(n_a, 0) + 0.5) / (ta + 10.0))
+                              / ((coalesce(n_b, 0) + 0.5) / (tb + 10.0))), 6)
+                     AS pc
+            FROM bins LEFT JOIN ha USING (bin) LEFT JOIN hb USING (bin)
+            CROSS JOIN ta CROSS JOIN tb)
+          SELECT CAST(sum(n_a) AS BIGINT) AS sa,
+                 CAST(sum(n_b) AS BIGINT) AS sb,
+                 sum(CAST(pc AS DECIMAL(18,6))) AS sc3
+          FROM p) q
+      ) u ORDER BY family"""))
+
   val qs: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
-    st10, st11)
+    st10, st11, st12)
 }

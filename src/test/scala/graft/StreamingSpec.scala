@@ -393,4 +393,39 @@ class StreamingSpec extends AnyFunSuite {
     graft.io.FsOps.rm(spark, root)
     graft.io.FsOps.rm(spark, root + "_ckpt")
   }
+
+  test("foreachBatchFoldMulti computes each micro-batch once across all folds") {
+    // the capstone's scan contract: the batch is PINNED before the
+    // folds, so N stores cost one batch materialization, not N — an
+    // accumulator-bumping projection inside the stream counts row
+    // evaluations; with the pin it fires once per feed row, without it
+    // each fold's eager state write would recompute the batch
+    import spark.implicits._
+    val stageDir =
+      java.nio.file.Files.createTempDirectory("pin_feed").toString
+    val root =
+      java.nio.file.Files.createTempDirectory("pin_state").toString + "/r"
+    val nRows = 40L
+    (0L until nRows).map(Tuple1(_)).toDF("id").coalesce(1)
+      .write.mode("overwrite").parquet(stageDir)
+    val acc = spark.sparkContext.longAccumulator("batch_row_evals")
+    val bump = org.apache.spark.sql.functions.udf { (x: Long) =>
+      acc.add(1); x
+    }
+    val src = spark.readStream.schema(spark.read.parquet(stageDir).schema)
+      .parquet(stageDir)
+      .select(bump($"id").as("id"))
+    val init = Seq((-1L, 0L)).toDF("id", "m")
+    def spec(n: String, k: Long) = StreamingOps.FoldSpec(n, init,
+      (st, b) => st.unionByName(b.select($"id", ($"id" * k).as("m"))))
+    val fin = StreamingOps.foreachBatchFoldMulti(src, root,
+      Seq(spec("a", 2), spec("b", 3), spec("c", 5)))
+    assert(fin("c").count() == nRows + 1)
+    assert(acc.value == nRows,
+      s"batch rows evaluated ${acc.value} times for $nRows rows × 3 folds " +
+        "— the pinned-batch single-scan contract is broken")
+    graft.io.FsOps.rm(spark, stageDir)
+    graft.io.FsOps.rm(spark, root)
+    graft.io.FsOps.rm(spark, root + "_ckpt")
+  }
 }
