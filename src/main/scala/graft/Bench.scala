@@ -16,6 +16,11 @@ object Bench {
     "q70_zorder_layout", "q72_compact", "q73_schema_evolution",
     "q74_partitioned_layout", "q75_dpp_join", "q78_partitioned_bucketed",
     "q80_compact_partitioned", "dedup_simhash_bucketed_probe",
+    // round 10: bucketed-table writes (band index; churn + compaction)
+    // and the two new streaming-fold runs re-pay staging/state writes
+    // per invocation, like their round-8/9 siblings
+    "dedup_minhash_bucketed_probe", "dedup_simhash_index_compact",
+    "streaming_fold_resume_parity", "pipeline_ingest_fold",
     "streaming_dedup_parity", "streaming_index_delete_parity",
     "streaming_interval_parity",
     "streaming_ivf_ingest_parity", "streaming_minhash_ingest_parity",

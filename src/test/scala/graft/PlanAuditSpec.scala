@@ -90,7 +90,17 @@ class PlanAuditSpec extends AnyFunSuite {
       // count() (the spine count survives alone) — q86 has the same
       // tail but its inline hists hide behind the shared subtree;
       // both are noop-sink-timed anyway
-      "drift_psi_incremental")
+      "drift_psi_incremental",
+      // round 10: both new streaming-fold queries run their folds
+      // EAGERLY inside foreachBatchFold(Multi); only the post-stream
+      // readout plan is count()-prunable — resume-parity ends in the
+      // psiFromStates tail above, and the capstone's six-row union
+      // keeps its row count from the 1-row aggregates alone while the
+      // m-columns' windows (AUC rank-sum) and probe left-join tails
+      // drop. The two bucketed probes and the compaction are NOT here:
+      // their localCheckpoint pins the full result before count() can
+      // prune
+      "streaming_fold_resume_parity", "pipeline_ingest_fold")
     val got = flagged.map(_._1).toSet
     val msg =
       s"""count()-eliminable set drifted.
