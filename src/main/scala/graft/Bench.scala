@@ -21,6 +21,7 @@ object Bench {
     // per invocation, like their round-8/9 siblings
     "dedup_minhash_bucketed_probe", "dedup_simhash_index_compact",
     "streaming_fold_resume_parity", "pipeline_ingest_fold",
+    "streaming_ingest_resume_parity",
     "streaming_dedup_parity", "streaming_index_delete_parity",
     "streaming_interval_parity",
     "streaming_ivf_ingest_parity", "streaming_minhash_ingest_parity",

@@ -842,5 +842,75 @@ private[graft] object QueriesSampling {
       ORDER BY event_type"""))
 
 
-  val qs: Seq[Q] = Seq(pk1, pk2, sm1, sm2, sm7, sm3, sm4, sm8, sm9, sm5, sm6, sm10, sm11, q77, q80, q79, q81, q82, q83, k94)
+  /** q95_kmv_shard_retract — the retraction story for the ONE family
+    * whose state cannot subtract (round 10: kmvSketch's scaladoc
+    * documented "shard the sketch" since round 8; this implements and
+    * grades it): a min-sketch discards the information a delete needs,
+    * so the sharded state keeps one ~k-row sketch PER INGEST SHARD
+    * (the takedown unit) and retraction becomes a shard-keyed
+    * anti-join — `kmvShardDelete` — with the estimate read off the
+    * surviving shards (`kmvEstimateSharded`). The estimate is EXACT,
+    * not stacked-approximate: each of the union's k smallest hashes is
+    * within its own shard's k smallest, the same identity behind
+    * kmvMerge ≡ rebuild. Graded head-to-head: the retracted-state
+    * estimate next to the one-shot kmvDistinct over the surviving
+    * events — the oracle replays BOTH paths (per-shard top-k, shard
+    * drop, cross-shard dedup + re-rank vs the direct sketch), so the
+    * two columns must agree row-for-row AND match DuckDB bit-for-bit.
+    */
+  private val k95 = Q(
+    "q95_kmv_shard_retract",
+    (s, d) => {
+      import s.implicits._
+      val e = ev(s, d).withColumn("shard", $"event_id" % 4)
+      val state = LibOps.kmvSketchSharded(e, Seq("event_type"), "user_id",
+        "shard", 64)
+      val retracted = LibOps.kmvShardDelete(state,
+        s.range(2, 3).select($"id".as("shard")), "shard")
+      val est = LibOps.kmvEstimateSharded(retracted, Seq("event_type"), 64)
+        .select($"event_type", round($"n_distinct_est", 4).as("n_retracted"))
+      val rebuild = LibOps.kmvDistinct(e.filter($"shard" =!= 2),
+          Seq("event_type"), "user_id", 64)
+        .select($"event_type", round($"n_distinct_est", 4).as("n_rebuild"))
+      est.join(rebuild, "event_type").orderBy($"event_type")
+    },
+    Some("""
+      WITH hv AS (
+        SELECT DISTINCT event_type, event_id % 4 AS shard,
+               CAST(user_id AS VARCHAR) AS v,
+               (CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                     ::BIGINT AS DOUBLE) + 1.0) / 1152921504606846976.0 AS h
+        FROM events WHERE user_id IS NOT NULL),
+      sk AS (
+        SELECT event_type, shard, v, h FROM (
+          SELECT event_type, shard, v, h,
+                 row_number() OVER (PARTITION BY event_type, shard
+                                    ORDER BY h, v) AS rk
+          FROM hv) WHERE rk <= 64),
+      uni AS (
+        SELECT DISTINCT event_type, v, h FROM sk WHERE shard <> 2),
+      m AS (
+        SELECT event_type, v, h FROM (
+          SELECT event_type, v, h,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY h, v) AS rk
+          FROM uni) WHERE rk <= 64),
+      est AS (
+        SELECT event_type, count(*) AS n, max(h) AS hk FROM m GROUP BY 1),
+      fullsk AS (
+        SELECT event_type, count(*) AS n, max(h) AS hk FROM (
+          SELECT event_type, v, h,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY h, v) AS rk
+          FROM (SELECT DISTINCT event_type, v, h FROM hv WHERE shard <> 2))
+        WHERE rk <= 64 GROUP BY 1)
+      SELECT e.event_type,
+             round(CASE WHEN e.n < 64 THEN CAST(e.n AS DOUBLE)
+                        ELSE 63.0 / e.hk END, 4) AS n_retracted,
+             round(CASE WHEN f.n < 64 THEN CAST(f.n AS DOUBLE)
+                        ELSE 63.0 / f.hk END, 4) AS n_rebuild
+      FROM est e JOIN fullsk f USING (event_type)
+      ORDER BY event_type"""))
+
+  val qs: Seq[Q] = Seq(pk1, pk2, sm1, sm2, sm7, sm3, sm4, sm8, sm9, sm5, sm6, sm10, sm11, q77, q80, q79, q81, q82, q83, k94, k95)
 }

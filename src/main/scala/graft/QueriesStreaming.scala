@@ -737,6 +737,48 @@ private[graft] object QueriesStreaming {
           FROM p) q
       ) u ORDER BY family"""))
 
+  /** streaming_ingest_resume_parity — RESUME for the PROBE path
+    * (round 10: the foreachBatchIngest twin of
+    * streaming_fold_resume_parity — with it, BOTH streaming
+    * deployments carry a graded stop-anywhere/restart property): the
+    * %20==0 half of the ingest batch is staged and probed against the
+    * stored simhash index under AvailableNow, the stream STOPS, the
+    * %20==10 half lands, and the re-invocation with `resume = true`
+    * keeps the checkpoint — only the new file is probed, its outputs
+    * append, and the union must equal the one-shot incremental over
+    * the full %10==0 batch (the shared simhashIncrementalSql chain).
+    * A reprocessed first file would duplicate its rows (hash fails on
+    * row count); a dropped second file loses its docs.
+    */
+  private val st13 = Q(
+    "streaming_ingest_resume_parity",
+    (s, d) => {
+      import s.implicits._
+      import graft.streaming.StreamingOps
+      val all = docs(s, d)
+      val idxDir = tmpDir(s, "stream_ri_index")
+      DedupOps.simhashIndex(all.filter($"doc_id" % 10 =!= 0), "text", "doc_id")
+        .write.mode("overwrite").parquet(idxDir)
+      val index = s.read.parquet(idxDir)
+      val stageDir = tmpDir(s, "stream_ri_batch")
+      val outDir = tmpDir(s, "stream_ri_out")
+      all.filter($"doc_id" % 20 === 0).coalesce(1)
+        .write.mode("overwrite").parquet(stageDir)
+      val schema = s.read.parquet(stageDir).schema
+      def src = s.readStream.schema(schema).parquet(stageDir)
+      def run(resume: Boolean): Unit =
+        StreamingOps.foreachBatchIngest(src, outDir, resume) { batch =>
+          DedupOps.simhashNearDupIncremental(batch, index, "text", "doc_id")
+        }
+      run(resume = false)
+      all.filter($"doc_id" % 20 === 10).coalesce(1)
+        .write.mode("append").parquet(stageDir)
+      run(resume = true)
+      s.read.parquet(outDir).orderBy($"doc_id")
+    },
+    Some(QueriesDedup.simhashIncrementalSql(
+      "doc_id % 10 <> 0", "doc_id % 10 = 0")))
+
   val qs: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
-    st10, st11, st12)
+    st10, st11, st12, st13)
 }

@@ -548,8 +548,10 @@ object LibOps {
     * the corpus is therefore a REBUILD over the survivors (one corpus
     * pass — the IVF codebook-retrain precedent; contrast
     * [[graft.ops.DedupOps.spanIndexDelete]], whose counts subtract).
-    * Deployments needing cheap retraction shard the sketch by ingest
-    * batch and rebuild only the affected shard before re-merging.
+    * Deployments needing cheap retraction keep the state SHARDED by
+    * ingest unit instead — [[kmvSketchSharded]] / [[kmvShardDelete]] /
+    * [[kmvEstimateSharded]] (round 10): dropping a shard is an
+    * anti-join, and the estimate off the surviving shards stays exact.
     */
   def kmvSketch(df: DataFrame, keys: Seq[String], value: String,
                 k: Int = 64): DataFrame = {
@@ -602,6 +604,59 @@ object LibOps {
         when(col("__n") < k, col("__n").cast("double"))
           .otherwise(lit((k - 1).toDouble) / col("__hk")))
       .drop("__n", "__hk")
+
+  /** SHARDED KMV state — the retraction story [[kmvSketch]] documents
+    * but (through round 9) did not implement: a plain min-sketch
+    * cannot subtract, so deleting documents forces a full-corpus
+    * rebuild. Keeping one sketch PER INGEST SHARD (per-batch, per-day,
+    * per-source — whatever the takedown unit is) makes retraction an
+    * id anti-join again: drop the affected shards' rows
+    * ([[kmvShardDelete]]) and re-read the estimate off the survivors
+    * ([[kmvEstimateSharded]]). The estimate stays EXACT, not
+    * approximate-on-top-of-approximate: each of the union's k
+    * smallest hashes is necessarily within its own shard's k
+    * smallest, so kMin(∪ shard sketches) = kMin(∪ shard member sets)
+    * — the same identity that makes [[kmvMerge]] ≡ rebuild
+    * (property-tested in OpsSpec as delete ≡ rebuild-without).
+    *
+    * State: one [[kmvSketch]] per (shardCol, keys...) group — ~k rows
+    * per shard per key group, fixed-width; a new ingest batch appends
+    * its own shard's sketch (one batch-sized pass, the corpus never
+    * rescanned). The trade vs the unsharded state is state size
+    * (shards × k rows per group) — the price of O(|deleted shards|)
+    * retraction instead of O(corpus) rebuild.
+    */
+  def kmvSketchSharded(df: DataFrame, keys: Seq[String], value: String,
+                       shardCol: String, k: Int = 64): DataFrame =
+    kmvSketch(df, shardCol +: keys, value, k)
+
+  /** Retract whole shards from a [[kmvSketchSharded]] state — one
+    * shard-keyed anti-join, no member hashing on either side (the
+    * [[graft.ops.DedupOps.minhashIndexDelete]] law, at shard
+    * granularity: the sketch's unit of deletion is the shard, which
+    * is exactly the unit a takedown/re-crawl retires).
+    */
+  def kmvShardDelete(state: DataFrame, deletedShards: DataFrame,
+                     shardCol: String): DataFrame =
+    state.join(deletedShards.select(col(shardCol)), Seq(shardCol), "left_anti")
+
+  /** The [[kmvDistinct]] estimator off a SHARDED state: exact-dedup
+    * the member strings across shards (a member present in many
+    * shards carries one hash), re-take the k smallest per key group
+    * (the [[kmvMerge]] tail over all surviving shards at once), and
+    * estimate. Everything is state-sized: the input is ~k rows per
+    * shard per group, never the corpus.
+    */
+  def kmvEstimateSharded(state: DataFrame, keys: Seq[String],
+                         k: Int = 64): DataFrame = {
+    require(k >= 2, s"kmvEstimateSharded: k=$k")
+    val uni = state.groupBy((keys :+ "__v").map(col): _*)
+      .agg(first(col("__h")).as("__h"))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__h").asc, col("__v").asc)
+    kmvEstimate(uni.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k).drop("__rk"), keys, k)
+  }
 
 
   /** Per-group [[approxQuantileCuts]] — the grouped percentile SCALE

@@ -1051,6 +1051,37 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sharded KMV: drop-shard == rebuild-without; estimate off shards == unsharded") {
+    // the retraction law for the family whose state cannot subtract
+    // (round 10): per-shard sketches make deletion a shard anti-join,
+    // and the estimate off the shard union is EXACT because each of
+    // the union's k smallest hashes lies within its own shard's k
+    // smallest — compared against the direct single-pass estimator
+    // on random 3-shard splits, including k-saturated groups.
+    val k = 8
+    val gen = Gen.listOfN(120,
+      Gen.zip(Gen.choose(0, 2), Gen.zip(Gen.choose(0, 2), Gen.choose(0L, 40L))))
+    samples(gen, 5).foreach { data =>
+      val rows = data.map { case (sh, (g, v)) => (sh.toLong, s"g$g", v) }
+      val df = rows.toDF("shard", "g", "v")
+      val st = LibOps.kmvSketchSharded(df, Seq("g"), "v", "shard", k)
+      def estOf(state: org.apache.spark.sql.DataFrame) =
+        LibOps.kmvEstimateSharded(state, Seq("g"), k)
+          .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+      def directOf(d: org.apache.spark.sql.DataFrame) =
+        LibOps.kmvDistinct(d, Seq("g"), "v", k)
+          .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+      // full-state estimate == the unsharded one-pass estimator
+      assert(estOf(st) == directOf(df))
+      // drop shard 1 == rebuild over the survivors
+      val retracted = LibOps.kmvShardDelete(st,
+        Seq(1L).toDF("shard"), "shard")
+      assert(estOf(retracted) ==
+        directOf(df.filter(org.apache.spark.sql.functions.col("shard") =!= 1L)),
+        s"shard retraction != rebuild-without on $rows")
+    }
+  }
+
   test("aucReport equals brute-force pair counting (Mann–Whitney law)") {
     // AUC over the aggregated score domain must equal the O(n²)
     // definition: P(random pos outranks random neg), ties half —
