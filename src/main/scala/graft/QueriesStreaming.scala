@@ -558,6 +558,14 @@ private[graft] object QueriesStreaming {
         Seq(
           FoldSpec("mh_index", DedupOps.minhashIndex(corpus, "text", "doc_id"),
             (st, b) => DedupOps.minhashIndexMerge(st, b, "text", "doc_id")),
+          // the stats fold re-bands the (pinned) batch the mh_index
+          // fold also bands — a documented trade: FoldSpecs are
+          // INDEPENDENT stores (a crash between publishes redoes only
+          // the unpublished ones), so they cannot share a per-batch
+          // derivation; the banding is batch-sized CPU over the cached
+          // rows, and a production job wanting to halve it writes
+          // index + stats from one band relation in a single
+          // multi-output job instead of two stores
           FoldSpec("mh_stats", DedupOps.minhashBucketStats(
               DedupOps.minhashIndex(corpus, "text", "doc_id")),
             (st, b) => DedupOps.minhashBucketStatsMerge(st,

@@ -145,6 +145,25 @@ object Bucketing {
   def table(spark: SparkSession, name: String): DataFrame =
     spark.table(name)
 
+  /** Count the visible data files under a catalog table's location —
+    * the fragmentation meter [[compactBucketed]] exists to shrink
+    * (one shared definition for the compaction spec and the
+    * CompactCost harness).
+    */
+  def dataFileCount(spark: SparkSession, tableName: String): Int = {
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tableName)).location
+    val p = new org.apache.hadoop.fs.Path(loc)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var n = 0
+    while (it.hasNext) {
+      val f = it.next().getPath.getName
+      if (!f.startsWith("_") && !f.startsWith(".")) n += 1
+    }
+    n
+  }
+
   /** Drop a bucketed table. For MANAGED tables (no `path` at write
     * time) this also deletes the files; for EXTERNAL tables (written
     * with `path`) only the catalog entry goes — the caller owns the

@@ -306,17 +306,36 @@ object StreamingOps {
   private[graft] def applyFoldBatch(spark: SparkSession, stateDir: String,
                                     batchId: Long, batch: DataFrame,
                                     fold: (DataFrame, DataFrame) => DataFrame): Unit = {
+    def dropSuperseded(keep: Long): Unit =
+      graft.io.FsOps.ls(spark, stateDir)
+        .map(_.split('/').last)
+        .collect { case s if s.matches("v\\d+") => s.drop(1).toLong }
+        .filter(_ < keep).foreach { i =>
+          try graft.io.FsOps.rm(spark, s"$stateDir/v$i")
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
     val target = s"$stateDir/v${batchId + 1}"
-    if (committed(spark, target)) return // replayed batch: already folded
+    if (committed(spark, target)) {
+      // replayed batch: already folded — no-op, but still sweep any
+      // snapshot a crash-between-publish-and-delete left behind (the
+      // review-pass finding: without this, one orphaned full state
+      // copy per crash accumulates forever)
+      dropSuperseded(batchId + 1)
+      return
+    }
     val v = latestCommitted(spark, stateDir)
-    require(v <= batchId,
-      s"foreachBatchFold: state at v$v is ahead of batch $batchId under $stateDir")
+    // strict protocol invariant, not <=: v{n} = init folded with
+    // batches 0..n−1, so batch b MUST read v{b} — a state behind the
+    // checkpoint (restored from an older backup, checkpoint reused
+    // against a rolled-back dir) would otherwise fold b onto a
+    // snapshot missing batches v..b−1 and publish a committed state
+    // that silently omits them
+    require(v == batchId,
+      s"foreachBatchFold: batch $batchId expects committed v$batchId but " +
+        s"found v$v under $stateDir — state and checkpoint have diverged")
     val cur = spark.read.parquet(s"$stateDir/v$v")
     fold(cur, batch).write.mode("overwrite").parquet(target)
-    (v to batchId).foreach { i =>
-      try graft.io.FsOps.rm(spark, s"$stateDir/v$i")
-      catch { case scala.util.control.NonFatal(_) => () }
-    }
+    dropSuperseded(batchId + 1)
   }
 
   /** Fold a stream of MAINTENANCE batches into a stored index/state —
@@ -367,8 +386,11 @@ object StreamingOps {
       graft.io.FsOps.rm(spark, stateDir)
       graft.io.FsOps.rm(spark, stateDir + "_ckpt")
       initState.write.mode("overwrite").parquet(s"$stateDir/v0")
-    } else require(graft.io.FsOps.exists(spark, stateDir),
-      s"foreachBatchFold: resume=true but no prior state under $stateDir")
+    } else require(graft.io.FsOps.exists(spark, stateDir) &&
+        graft.io.FsOps.exists(spark, stateDir + "_ckpt"),
+      s"foreachBatchFold: resume=true but state or checkpoint missing under " +
+        s"$stateDir — a kept state with a lost checkpoint would renumber " +
+        "batch ids from 0 and the replay-skip would silently drop new data")
     val q = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         applyFoldBatch(spark, stateDir, batchId, batch, fold)
@@ -410,8 +432,11 @@ object StreamingOps {
       graft.io.FsOps.rm(spark, stateRoot + "_ckpt")
       specs.foreach(sp =>
         sp.init.write.mode("overwrite").parquet(s"${dirOf(sp.name)}/v0"))
-    } else require(graft.io.FsOps.exists(spark, stateRoot),
-      s"foreachBatchFoldMulti: resume=true but no prior state under $stateRoot")
+    } else require(graft.io.FsOps.exists(spark, stateRoot) &&
+        graft.io.FsOps.exists(spark, stateRoot + "_ckpt"),
+      s"foreachBatchFoldMulti: resume=true but state or checkpoint missing " +
+        s"under $stateRoot — a lost checkpoint renumbers batch ids and the " +
+        "replay-skip would silently drop new data")
     val q = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         // one batch scan feeding N folds: materialize on first use,

@@ -53,19 +53,7 @@ object CompactCost {
     (1 to 7).foreach(i =>
       graft.io.Bucketing.appendBucketedKeys(segOf(i), tbl, 8, keys, keys))
     graft.io.Bucketing.compactBucketed(spark, tbl, cpt)
-    def files(t: String): Int = {
-      val loc = spark.sessionState.catalog.getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier(t)).location
-      val p = new org.apache.hadoop.fs.Path(loc)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val it = fs.listFiles(p, true)
-      var n = 0
-      while (it.hasNext) {
-        val f = it.next().getPath.getName
-        if (!f.startsWith("_") && !f.startsWith(".")) n += 1
-      }
-      n
-    }
+    def files(t: String): Int = graft.io.Bucketing.dataFileCount(spark, t)
     println(s"COMPACTCOST files churned=${files(tbl)} compacted=${files(cpt)} sf=$sfDir")
     val statsDir = "/tmp/graft_cc_stats"
     DedupOps.simhashSegmentStats(spark.table(cpt))

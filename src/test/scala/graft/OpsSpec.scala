@@ -3161,19 +3161,7 @@ class OpsSpec extends AnyFunSuite {
     val tbl = "graft_test_churn"
     val cpt = "graft_test_churn_compacted"
     Seq(tbl, cpt).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
-    def dataFiles(t: String): Int = {
-      val loc = spark.sessionState.catalog.getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier(t)).location
-      val p = new org.apache.hadoop.fs.Path(loc)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val it = fs.listFiles(p, true)
-      var n = 0
-      while (it.hasNext) {
-        val f = it.next().getPath.getName
-        if (!f.startsWith("_") && !f.startsWith(".")) n += 1
-      }
-      n
-    }
+    def dataFiles(t: String): Int = graft.io.Bucketing.dataFileCount(spark, t)
     try {
       val keys = Seq("seg_idx", "seg_val")
       def segOf(m: Int) = DedupOps.simhashSegmentIndex(

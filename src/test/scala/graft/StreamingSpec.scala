@@ -349,6 +349,47 @@ class StreamingSpec extends AnyFunSuite {
     // the redo of batch 1 overwrites the partial and lands correctly
     StreamingOps.applyFoldBatch(spark, stateDir, 1L, batch, fold)
     assert(stateRows() == Seq((0, 12L), (1, 5L), (2, 14L)))
+    def versions() = graft.io.FsOps.ls(spark, stateDir)
+      .map(_.split('/').last).filter(_.matches("v\\d+")).sorted
+    // orphan sweep (review-pass finding): a crash between the v2
+    // publish and the v1 delete leaves BOTH committed; the replay of
+    // batch 1 must sweep the superseded v1, not just no-op
+    Seq((9, 9L)).toDF("bin", "n").write.mode("overwrite")
+      .parquet(s"$stateDir/v1")
+    assert(versions().contains("v1"))
+    StreamingOps.applyFoldBatch(spark, stateDir, 1L, batch, fold)
+    assert(versions() == Seq("v2"), s"orphan not swept: ${versions()}")
+    assert(stateRows() == Seq((0, 12L), (1, 5L), (2, 14L)),
+      "replay-with-orphan changed the state")
+    // strict protocol invariant: a state BEHIND the checkpoint (v2 =
+    // batches 0..1 when batch 5 arrives) must fail loudly, not fold
+    // batch 5 onto a snapshot missing batches 2..4
+    val diverged = intercept[IllegalArgumentException] {
+      StreamingOps.applyFoldBatch(spark, stateDir, 5L, batch, fold)
+    }
+    assert(diverged.getMessage.contains("diverged"))
+    graft.io.FsOps.rm(spark, stateDir)
+  }
+
+  test("foreachBatchFold resume refuses a kept state with a lost checkpoint") {
+    // the silent-data-loss case the resume guard exists for: without
+    // the checkpoint the restarted stream renumbers batch ids from 0
+    // and the replay-skip would drop the new files' folds
+    import spark.implicits._
+    val stateDir =
+      java.nio.file.Files.createTempDirectory("fold_nockpt").toString + "/s"
+    Seq((0, 1L)).toDF("bin", "n").write.mode("overwrite")
+      .parquet(s"$stateDir/v0")
+    Seq(Tuple1(0)).toDF("bin").write.mode("overwrite")
+      .parquet(stateDir + "_nofeed")
+    val src = spark.readStream
+      .schema(spark.read.parquet(stateDir + "_nofeed").schema)
+      .parquet(stateDir + "_nofeed")
+    val err = intercept[IllegalArgumentException] {
+      StreamingOps.foreachBatchFold(src, spark.emptyDataFrame, stateDir,
+        resume = true)((st, _) => st)
+    }
+    assert(err.getMessage.contains("checkpoint"))
     graft.io.FsOps.rm(spark, stateDir)
   }
 
