@@ -327,7 +327,7 @@ private[graft] object QueriesStreaming {
       StreamingOps.foreachBatchIngest(src, outDir) { batch =>
         DedupOps.simhashNearDupIncremental(batch, index, "text", "doc_id")
       }
-      s.read.parquet(outDir).orderBy($"doc_id")
+      StreamingOps.readIngestOutput(s, outDir).orderBy($"doc_id")
     },
     Some(QueriesDedup.simhashIncrementalSql(
       "doc_id % 10 <> 0", "doc_id % 10 = 0")))
@@ -369,7 +369,7 @@ private[graft] object QueriesStreaming {
         DedupOps.minhashNearDupIndexed(batch, index, corpus,
           "text", "doc_id")
       }
-      s.read.parquet(outDir).orderBy($"doc_id")
+      StreamingOps.readIngestOutput(s, outDir).orderBy($"doc_id")
     },
     Some(QueriesDedup.minhashIncrementalSql(
       "doc_id % 10 <> 0", "doc_id % 10 = 0")))
@@ -406,7 +406,7 @@ private[graft] object QueriesStreaming {
       StreamingOps.foreachBatchIngest(src, outDir) { batch =>
         SimOps.ivfTopKIndexed(batch, index, "vec_id", "embedding", cb, k = 5)
       }
-      s.read.parquet(outDir).orderBy($"qid", $"rnk")
+      StreamingOps.readIngestOutput(s, outDir).orderBy($"qid", $"rnk")
     },
     Some(QueriesSim.ivfProbeOracleSql("", "")))
 
@@ -782,7 +782,7 @@ private[graft] object QueriesStreaming {
       all.filter($"doc_id" % 20 === 10).coalesce(1)
         .write.mode("append").parquet(stageDir)
       run(resume = true)
-      s.read.parquet(outDir).orderBy($"doc_id")
+      StreamingOps.readIngestOutput(s, outDir).orderBy($"doc_id")
     },
     Some(QueriesDedup.simhashIncrementalSql(
       "doc_id % 10 <> 0", "doc_id % 10 = 0")))

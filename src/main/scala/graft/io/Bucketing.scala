@@ -95,8 +95,6 @@ object Bucketing {
       org.apache.spark.sql.catalyst.TableIdentifier(inTable))
     val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
       s"compactBucketed: table $inTable has no bucket spec"))
-    val df = transform(spark.table(inTable))
-      .repartition(spec.numBuckets, spec.bucketColumnNames.map(col): _*)
     // keep the source's bucket-grouped scan: the scan already satisfies
     // the repartition's distribution, so the exchange is elided and the
     // rewrite is ZERO-shuffle (each task reads one bucket's files and
@@ -104,14 +102,19 @@ object Bucketing {
     // wants). Without this pin, DisableUnnecessaryBucketedScan ungroups
     // the scan AFTER the aligned exchange was already elided, splitting
     // each bucket across tasks — measured: 4 waves × 4 buckets
-    // recompact to 16 files instead of 4.
-    val prevAuto = spark.conf.get(
-      "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
-    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-    try writeBucketedKeys(df, outTable, spec.numBuckets, spec.bucketColumnNames,
+    // recompact to 16 files instead of 4. The pin is scoped to a CLONED
+    // session (round-10 advice: setting it on the caller's session
+    // would silently change the plans of any query planning
+    // concurrently in that session): `newSession` shares the
+    // SparkContext and the catalog — so the rewrite sees `inTable` and
+    // `outTable` lands in the shared catalog — but carries its own
+    // SQLConf, and the pin dies with the clone.
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val df = transform(ss.table(inTable))
+      .repartition(spec.numBuckets, spec.bucketColumnNames.map(col): _*)
+    writeBucketedKeys(df, outTable, spec.numBuckets, spec.bucketColumnNames,
       spec.sortColumnNames, path)
-    finally spark.conf.set(
-      "spark.sql.sources.bucketing.autoBucketedScan.enabled", prevAuto)
   }
 
   /** The full production fact layout: Hive-PARTITIONED on a pruning

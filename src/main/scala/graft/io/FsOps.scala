@@ -25,6 +25,14 @@ object FsOps {
   def rm(spark: SparkSession, path: String): Boolean =
     fs(spark, path).delete(new Path(path), true)
 
+  /** Create an empty marker file (the commit markers of the streaming
+    * state protocols — `_COMMIT` under a delta batch dir). Overwrites
+    * an existing marker: markers carry no payload, so re-touching on a
+    * replay is idempotent by construction.
+    */
+  def touch(spark: SparkSession, path: String): Unit =
+    fs(spark, path).create(new Path(path), true).close()
+
   /** `dumbo put` / `dumbo get` */
   def put(spark: SparkSession, local: String, dest: String): Unit =
     fs(spark, dest).copyFromLocalFile(new Path(local), new Path(dest))

@@ -42,8 +42,12 @@ object CompactCost {
     val corpus = docs.filter(col("doc_id") % 10 =!= 0)
     val batch = docs.filter(col("doc_id") % 10 === 0 &&
       col("doc_id") < 1000000000L)
-    val tbl = "graft_cc_churn"
-    val cpt = "graft_cc_compact"
+    // pid-keyed scratch names (round-10 advice: the graded queries'
+    // d02b/d03c discipline — fixed names would let two concurrent
+    // harness runs on one host clobber each other's tables)
+    val pid = ProcessHandle.current().pid()
+    val tbl = s"graft_cc_churn_$pid"
+    val cpt = s"graft_cc_compact_$pid"
     Seq(tbl, cpt).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     val keys = Seq("seg_idx", "seg_val")
     def segOf(m: Int) = DedupOps.simhashSegmentIndex(
@@ -55,7 +59,7 @@ object CompactCost {
     graft.io.Bucketing.compactBucketed(spark, tbl, cpt)
     def files(t: String): Int = graft.io.Bucketing.dataFileCount(spark, t)
     println(s"COMPACTCOST files churned=${files(tbl)} compacted=${files(cpt)} sf=$sfDir")
-    val statsDir = "/tmp/graft_cc_stats"
+    val statsDir = s"/tmp/graft_cc_stats_$pid"
     DedupOps.simhashSegmentStats(spark.table(cpt))
       .write.mode("overwrite").parquet(statsDir)
     val stats = spark.read.parquet(statsDir)

@@ -3173,6 +3173,11 @@ class OpsSpec extends AnyFunSuite {
       val before = dataFiles(tbl)
       assert(before > 4, s"churn fixture produced only $before files")
       graft.io.Bucketing.compactBucketed(spark, tbl, cpt)
+      // round-11 advice fix: the autoBucketedScan pin runs on a cloned
+      // session — the caller's session conf must come back untouched
+      assert(spark.conf.get(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true") == "true",
+        "compactBucketed leaked its conf pin into the caller's session")
       val after = dataFiles(cpt)
       assert(after < before && after <= 4,
         s"compaction did not collapse files: $before -> $after")

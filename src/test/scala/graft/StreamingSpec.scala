@@ -282,7 +282,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("foreachBatchFold: multi-batch fold == one-shot fold; versions collapse to the latest") {
+  test("foreachBatchFold: multi-batch fold == one-shot fold; retention keeps last 2") {
     // the streaming MAINTENANCE deployment (merge/delete folds): a
     // 4-file / 2-per-trigger id stream folded into a stored state via
     // anti-join deletes must land on exactly the never-ingested state
@@ -302,10 +302,13 @@ class StreamingSpec extends AnyFunSuite {
     }
     val got = fin.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
     assert(got.toSeq == (40L until 100L).map(i => (i, i * 7)))
-    // only the latest version remains on disk
+    // retention (round 11): the default keep-last-2 window — the
+    // latest snapshot plus one superseded version for reader grace;
+    // everything older is swept
     val versions = graft.io.FsOps.ls(spark, stateDir)
-      .map(_.split('/').last).filter(_.matches("v\\d+"))
-    assert(versions.size == 1, s"superseded versions not cleaned: $versions")
+      .map(_.split('/').last).filter(_.matches("v\\d+")).sorted
+    assert(versions == Seq("v1", "v2"),
+      s"retention window should hold the last 2 versions: $versions")
     graft.io.FsOps.rm(spark, stageDir)
     graft.io.FsOps.rm(spark, stateDir)
     graft.io.FsOps.rm(spark, stateDir + "_ckpt")
@@ -334,11 +337,14 @@ class StreamingSpec extends AnyFunSuite {
       spark.read.parquet(s"$stateDir/v$v")
         .collect().map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
     }
-    StreamingOps.applyFoldBatch(spark, stateDir, 0L, batch, fold)
+    // retain = 1 pins the eager round-10 window so the sweep
+    // assertions below stay exact; the retention window itself is
+    // covered by the dedicated reader-grace test
+    StreamingOps.applyFoldBatch(spark, stateDir, 0L, batch, fold, retain = 1)
     val once = stateRows()
     assert(once == Seq((0, 11L), (1, 5L), (2, 7L)))
     // replay of the SAME batch id: must be a no-op (not 12/5/14)
-    StreamingOps.applyFoldBatch(spark, stateDir, 0L, batch, fold)
+    StreamingOps.applyFoldBatch(spark, stateDir, 0L, batch, fold, retain = 1)
     assert(stateRows() == once, "replayed batch re-applied an additive fold")
     // crash mid-write: a partial v2 with data but no _SUCCESS marker
     Seq((9, 999L)).toDF("bin", "n").write.mode("overwrite")
@@ -347,7 +353,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(StreamingOps.latestCommitted(spark, stateDir) == 1L,
       "uncommitted partial selected as latest snapshot")
     // the redo of batch 1 overwrites the partial and lands correctly
-    StreamingOps.applyFoldBatch(spark, stateDir, 1L, batch, fold)
+    StreamingOps.applyFoldBatch(spark, stateDir, 1L, batch, fold, retain = 1)
     assert(stateRows() == Seq((0, 12L), (1, 5L), (2, 14L)))
     def versions() = graft.io.FsOps.ls(spark, stateDir)
       .map(_.split('/').last).filter(_.matches("v\\d+")).sorted
@@ -357,7 +363,7 @@ class StreamingSpec extends AnyFunSuite {
     Seq((9, 9L)).toDF("bin", "n").write.mode("overwrite")
       .parquet(s"$stateDir/v1")
     assert(versions().contains("v1"))
-    StreamingOps.applyFoldBatch(spark, stateDir, 1L, batch, fold)
+    StreamingOps.applyFoldBatch(spark, stateDir, 1L, batch, fold, retain = 1)
     assert(versions() == Seq("v2"), s"orphan not swept: ${versions()}")
     assert(stateRows() == Seq((0, 12L), (1, 5L), (2, 14L)),
       "replay-with-orphan changed the state")
@@ -365,7 +371,7 @@ class StreamingSpec extends AnyFunSuite {
     // batches 0..1 when batch 5 arrives) must fail loudly, not fold
     // batch 5 onto a snapshot missing batches 2..4
     val diverged = intercept[IllegalArgumentException] {
-      StreamingOps.applyFoldBatch(spark, stateDir, 5L, batch, fold)
+      StreamingOps.applyFoldBatch(spark, stateDir, 5L, batch, fold, retain = 1)
     }
     assert(diverged.getMessage.contains("diverged"))
     graft.io.FsOps.rm(spark, stateDir)
@@ -424,11 +430,12 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(gotIdx == ((-1L, -7L) +: (0L until 60L).map(i => (i, i * 7))),
       "chained index folds != one-shot state")
-    // each store kept only its final committed version
+    // each store holds the default keep-last-2 retention window
     Seq("hist", "idx").foreach { n =>
       val vs = graft.io.FsOps.ls(spark, s"$root/$n")
-        .map(_.split('/').last).filter(_.matches("v\\d+"))
-      assert(vs.size == 1, s"store $n kept superseded versions: $vs")
+        .map(_.split('/').last).filter(_.matches("v\\d+")).sorted
+      assert(vs == Seq("v1", "v2"),
+        s"store $n should hold the last 2 versions: $vs")
     }
     graft.io.FsOps.rm(spark, stageDir)
     graft.io.FsOps.rm(spark, root)
@@ -468,5 +475,63 @@ class StreamingSpec extends AnyFunSuite {
     graft.io.FsOps.rm(spark, stageDir)
     graft.io.FsOps.rm(spark, root)
     graft.io.FsOps.rm(spark, root + "_ckpt")
+  }
+
+  test("fold retention: a reader of v{n} survives two further commits") {
+    // the round-10 verdict's snapshot-isolation task: dropSuperseded
+    // used to delete v{n} the moment v{n+1} committed, so a concurrent
+    // reader mid-scan lost its files. With retain = 3 a reader holding
+    // the then-latest snapshot must complete after TWO further commits,
+    // and the window must still be bounded (keep-last-3, older swept).
+    import spark.implicits._
+    val stateDir =
+      java.nio.file.Files.createTempDirectory("fold_retain").toString + "/s"
+    val init = Seq((0, 1L)).toDF("bin", "n")
+    init.write.mode("overwrite").parquet(s"$stateDir/v0")
+    val fold = (state: org.apache.spark.sql.DataFrame,
+                b: org.apache.spark.sql.DataFrame) =>
+      graft.ops.LibOps.histStateMerge(state, b)
+    def batch(k: Int) = Seq((k, 1L)).toDF("bin", "n")
+    StreamingOps.applyFoldBatch(spark, stateDir, 0L, batch(1), fold, retain = 3)
+    // reader plans against the CURRENT latest (v1) — file listing is
+    // resolved here; a delete of v1 before collect() would break it
+    val reader = spark.read.parquet(s"$stateDir/v1")
+    StreamingOps.applyFoldBatch(spark, stateDir, 1L, batch(2), fold, retain = 3)
+    StreamingOps.applyFoldBatch(spark, stateDir, 2L, batch(3), fold, retain = 3)
+    val got = reader.collect().map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq((0, 1L), (1, 1L)),
+      "reader of a superseded snapshot lost rows inside the retention window")
+    val versions = graft.io.FsOps.ls(spark, stateDir)
+      .map(_.split('/').last).filter(_.matches("v\\d+")).sorted
+    assert(versions == Seq("v1", "v2", "v3"),
+      s"retain = 3 should hold exactly the last 3 versions: $versions")
+    graft.io.FsOps.rm(spark, stateDir)
+  }
+
+  test("applyIngestBatch: replays rewrite in place; partials are invisible to readIngestOutput") {
+    // the round-10 advice finding made structural: the probe path's
+    // sink used plain append, so a foreachBatch RETRY duplicated the
+    // batch's rows. With batchId-keyed overwrite dirs a replay rewrites
+    // identical output, and a crash mid-write leaves a partial without
+    // _SUCCESS that the committed-only reader never selects.
+    import spark.implicits._
+    val outDir =
+      java.nio.file.Files.createTempDirectory("ingest_replay").toString + "/o"
+    val probe = (b: org.apache.spark.sql.DataFrame) =>
+      b.withColumn("y", $"id" * 2)
+    val b0 = Seq(1L, 2L).toDF("id")
+    StreamingOps.applyIngestBatch(outDir, 0L, b0, probe)
+    StreamingOps.applyIngestBatch(outDir, 0L, b0, probe) // replay: no dup
+    val b1 = Seq(3L).toDF("id")
+    StreamingOps.applyIngestBatch(outDir, 1L, b1, probe)
+    // crash mid-write of batch 2: data lands but no _SUCCESS marker
+    Seq(9L).toDF("id").withColumn("y", $"id" * 2)
+      .write.mode("overwrite").parquet(s"$outDir/b2")
+    graft.io.FsOps.rm(spark, s"$outDir/b2/_SUCCESS")
+    val got = StreamingOps.readIngestOutput(spark, outDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq((1L, 2L), (2L, 4L), (3L, 6L)),
+      s"replayed or uncommitted batches leaked into the read: $got")
+    graft.io.FsOps.rm(spark, outDir)
   }
 }
