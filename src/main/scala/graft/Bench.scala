@@ -22,6 +22,12 @@ object Bench {
     "dedup_minhash_bucketed_probe", "dedup_simhash_index_compact",
     "streaming_fold_resume_parity", "pipeline_ingest_fold",
     "streaming_ingest_resume_parity",
+    // round 11: the delta-publish fold rewrites staging, state, and a
+    // compaction per invocation; the partitioned band index rewrites
+    // its partitioned+bucketed table per invocation; the evolved
+    // merge rewrites its stored legacy index per invocation
+    "streaming_fold_delta_parity", "dedup_minhash_partitioned_probe",
+    "dedup_simhash_evolved_merge",
     "streaming_dedup_parity", "streaming_index_delete_parity",
     "streaming_interval_parity",
     "streaming_ivf_ingest_parity", "streaming_minhash_ingest_parity",

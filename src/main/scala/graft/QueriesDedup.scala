@@ -375,6 +375,28 @@ private[graft] object QueriesDedup {
       ORDER BY s.doc_id"""))
 
 
+  /** The d03 signature chain alone (word hashes → 64 vote sums → the
+    * >= 0 tie rule → signed bit-63 reassembly), ending at the `sh`
+    * relation — factored for oracles that grade signature STATE
+    * directly rather than through a probe (dedup_simhash_evolved_merge).
+    */
+  private[graft] def simhashSigCtes: String = """
+      WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      hs AS (
+        SELECT doc_id, md5_number_lower(w) AS h FROM words),
+      votes AS (
+        SELECT doc_id, t.b AS b,
+               sum(CASE WHEN (h >> t.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM hs, range(64) t(b) GROUP BY 1, 2),
+      sh AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN v < 0 THEN 0
+                             WHEN b = 63 THEN -9223372036854775808
+                             ELSE (CAST(1 AS BIGINT) << b) END) AS BIGINT)
+                 AS simhash
+        FROM votes GROUP BY doc_id)"""
+
   /** The full incremental-simhash oracle chain, parameterized by the
     * corpus/batch split predicates (the minhashIncrementalSql idiom —
     * one definition serves the probe grader and the index-maintenance
@@ -1086,6 +1108,116 @@ private[graft] object QueriesDedup {
     },
     Some(minhashIncrementalSql("doc_id % 10 <> 0", "doc_id % 10 = 0")))
 
+  /** dedup_minhash_partitioned_probe — the full production fact
+    * layout composed onto a LIFECYCLE index (round 11: the round-10
+    * verdict's task 7 — q78's partitioned+bucketed shape applied to
+    * the minhash band index): the corpus band index is stored
+    * PARTITIONED on its ingest wave (doc_id % 3 stands in for the
+    * ingest date — the band rows carry their doc id, so the partition
+    * key derives row-locally at write time) AND BUCKETED on the raw
+    * (band_idx, band_hash) probe key, with per-wave bucket stats
+    * stored beside it. The probe scopes dedup BY INGEST TIME — the
+    * % 10 == 0 batch against only waves 0–1 ("everything crawled
+    * before X") — so the wave predicate prunes whole partition
+    * directories at planning time, the surviving slice still joins
+    * with ZERO index-side exchange off the bucketed scan (both
+    * properties asserted in ONE plan in OpsSpec), and the cap comes
+    * from the stored per-wave stats group-summed over the kept waves
+    * (stats are additive over disjoint doc sets — the
+    * minhashBucketStatsMerge law applied to partition pruning).
+    * Equal to the one-shot incremental against the wave-0/1 corpus by
+    * construction — the shared chain with the wave predicate folded
+    * into the corpus split.
+    */
+  private val d02p = Q(
+    "dedup_minhash_partitioned_probe",
+    (s, d) => {
+      import graft.io.Bucketing
+      val all = docs(s, d)
+      val corpus = all.filter(col("doc_id") % 10 =!= 0)
+      val tbl = s"graft_mhband_part_${ProcessHandle.current().pid()}"
+      val banded = DedupOps.minhashIndex(corpus, "text", "doc_id")
+        .withColumn("ingest_wave", col("doc_id") % 3)
+      Bucketing.writePartitionedBucketedKeys(banded, tbl,
+        Seq("ingest_wave"), 8, Seq("band_idx", "band_hash"),
+        Seq("band_idx", "band_hash"))
+      // per-wave stats stored at write time; the pruned slice's stats
+      // are a keys-sized group-sum of the kept waves (additive law)
+      val statsDir = tmpDir(s, "d02p_stats")
+      banded.groupBy(col("ingest_wave"), col("band_idx"), col("band_hash"))
+        .agg(count(lit(1)).as("bucket_n"))
+        .write.mode("overwrite").parquet(statsDir)
+      val prunedStats = s.read.parquet(statsDir)
+        .filter(col("ingest_wave") < 2)
+        .groupBy(col("band_idx"), col("band_hash"))
+        .agg(sum(col("bucket_n")).as("bucket_n"))
+      val prunedIndex = Bucketing.table(s, tbl)
+        .filter(col("ingest_wave") < 2).drop("ingest_wave")
+      val res = DedupOps.minhashNearDupIndexed(
+          all.filter(col("doc_id") % 10 === 0),
+          prunedIndex.hint("merge"),
+          corpus.filter(col("doc_id") % 3 < 2), "text", "doc_id",
+          bandStats = Some(prunedStats))
+        // pin eagerly so the pid-keyed scratch table can drop before
+        // returning (the q57 hygiene); timed work includes the writes
+        .localCheckpoint(true)
+      Bucketing.drop(s, tbl)
+      res.orderBy(col("doc_id"))
+    },
+    Some(minhashIncrementalSql("doc_id % 10 <> 0 AND doc_id % 3 < 2",
+      "doc_id % 10 = 0")))
+
+  /** dedup_simhash_evolved_merge — STATE SCHEMA EVOLUTION on a stored
+    * index (round 11: the round-10 verdict's task 5 — a snapshot
+    * written by an older code version must fold without a silent
+    * wrong answer): the corpus signature index is stored WITHOUT the
+    * `lang` provenance column a later code version adds, then merged
+    * with a tagged ingest batch through `Tables.evolveTo` — legacy
+    * rows align to the wide schema with typed-NULL tags (the
+    * mergeSchema semantics; a plain strict union would refuse, a
+    * positional union would silently misalign), while a type change
+    * or a dropped stored column refuses loudly (IoFunctionsSpec). The
+    * merged state is graded DIRECTLY, per provenance tag: row count,
+    * bit_xor of the signatures (order-independent and exact — one
+    * perturbed signature flips it), and the summed signature
+    * popcount. The oracle replays the d03 signature chain and mirrors
+    * the NULL-tag rule, so a leaked legacy tag, a dropped legacy row,
+    * or a signature moved by the alignment all fail the hash.
+    */
+  private val d03e = Q(
+    "dedup_simhash_evolved_merge",
+    (s, d) => {
+      val all = docs(s, d)
+      // an older writer's state: signatures only, no provenance tag
+      val oldDir = tmpDir(s, "d03e_old")
+      DedupOps.simhashIndex(all.filter(col("doc_id") % 10 =!= 0),
+          "text", "doc_id")
+        .write.mode("overwrite").parquet(oldDir)
+      val stored = s.read.parquet(oldDir)
+      // the current code version indexes WITH the lang tag
+      val batchTagged = DedupOps.simhashIndex(
+          all.filter(col("doc_id") % 10 === 0), "text", "doc_id")
+        .join(all.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      val merged = graft.io.Tables.evolveTo(stored, batchTagged.schema)
+        .unionByName(batchTagged)
+      merged
+        .groupBy(coalesce(col("lang"), lit("legacy")).as("lang_tag"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("bit_xor(simhash)").as("sig_xor"),
+          sum(bit_count(col("simhash"))).cast("long").as("bits"))
+        .orderBy(col("lang_tag"))
+    },
+    Some(s"""$simhashSigCtes,
+      tagged AS (
+        SELECT s.doc_id, s.simhash,
+               CASE WHEN d.doc_id % 10 = 0 THEN d.lang END AS lang
+        FROM sh s JOIN documents d USING (doc_id))
+      SELECT coalesce(lang, 'legacy') AS lang_tag,
+             count(*) AS n_docs,
+             bit_xor(simhash) AS sig_xor,
+             CAST(sum(bit_count(simhash)) AS BIGINT) AS bits
+      FROM tagged GROUP BY 1 ORDER BY 1"""))
+
   /** dedup_simhash_index_delete — the RETRACTION half of the simhash
     * lifecycle (round 9; d03u is the fold-in half): signature index
     * over doc_id < 400, the 200–399 signatures RETRACTED via
@@ -1220,6 +1352,6 @@ private[graft] object QueriesDedup {
       "doc_id % 10 = 0")))
 
   val qs: Seq[Q] = Seq(d01, d02, d02u, d02m, d02i, d02x, d02d, d02s, d02sd,
-    d02b, d03, d03i, d03u, d03d, d03b, d03c, d04, d05, d11, d13, d06, d07,
-    d12, d08, d09, d10, d10i, d10u, d10d)
+    d02b, d02p, d03, d03i, d03u, d03d, d03b, d03c, d03e, d04, d05, d11, d13,
+    d06, d07, d12, d08, d09, d10, d10i, d10u, d10d)
 }

@@ -787,6 +787,87 @@ private[graft] object QueriesStreaming {
     Some(QueriesDedup.simhashIncrementalSql(
       "doc_id % 10 <> 0", "doc_id % 10 = 0")))
 
+  /** streaming_fold_delta_parity — the BATCH-SIZED state publish
+    * (round 11: the round-10 verdict's lead task — `applyFoldBatch`
+    * rewrote the ENTIRE state as v{n+1} every micro-batch, an
+    * O(index) write per trigger at 100 TB; the DeltaState protocol
+    * publishes each batch's ADD rows and tombstone KEYS into a
+    * batchId-keyed `_COMMIT`-gated delta dir instead, O(batch) per
+    * trigger, with a periodic compaction folding the chain into a new
+    * `_SUCCESS`-gated base). Graded as a CDC feed carrying BOTH
+    * halves of the lifecycle at once: the simhash signature index of
+    * the % 10 ∉ {0, 5} corpus is the v0 base; two micro-batches then
+    * ADD the % 10 == 0 docs' signatures and RETRACT the % 10 == 7
+    * corpus ids (tombstones kill strictly-older rows — base and
+    * prior-batch adds — the delete-then-merge fold order), with the
+    * stream STOPPED between the batches and resumed off the kept
+    * checkpoint (the st11 stop-anywhere bar, now on the delta path).
+    * The % 10 == 5 batch probes the state TWICE: resolved from
+    * base + deltas, then again after `compact` folded the chain into
+    * a new base — both phases must equal the one-shot incremental
+    * against the never-ingested net corpus (% 10 ∉ {5, 7}), the
+    * shared simhashIncrementalSql chain. A double-applied delta, a
+    * leaked tombstone, a row lost in compaction, or a resume that
+    * reprocessed the first file each move candidates and fail the
+    * hash; DeltaStateSpec separately asserts the write-side contract
+    * (base file list byte-identical across ingest batches).
+    */
+  private val st14 = Q(
+    "streaming_fold_delta_parity",
+    (s, d) => {
+      import s.implicits._
+      import graft.streaming.DeltaState
+      import graft.streaming.DeltaState.DeltaFoldSpec
+      val all = docs(s, d)
+      val corpus = all.filter($"doc_id" % 10 =!= 0 && $"doc_id" % 10 =!= 5)
+      val stageDir = tmpDir(s, "stream_delta_feed")
+      val stateDir = tmpDir(s, "stream_delta_state")
+      def feedSlice(addMod: Long, delMod: Long) =
+        all.filter($"doc_id" % 20 === addMod)
+          .select(lit("add").as("op"), $"doc_id", $"text")
+          .unionByName(all.filter($"doc_id" % 20 === delMod)
+            .select(lit("del").as("op"), $"doc_id",
+              lit(null).cast("string").as("text")))
+      val spec = DeltaFoldSpec(
+        add = b => DedupOps.simhashIndex(
+          b.filter($"op" === "add").select($"doc_id", $"text"),
+          "text", "doc_id"),
+        del = Some(b => b.filter($"op" === "del").select($"doc_id")))
+      // leg 1: only the first CDC file staged (single part file =
+      // single micro-batch, the st01 note); stream runs and stops
+      feedSlice(0L, 7L).coalesce(1)
+        .write.mode("overwrite").parquet(stageDir)
+      val schema = s.read.parquet(stageDir).schema
+      def src = s.readStream.schema(schema).parquet(stageDir)
+      val init = DedupOps.simhashIndex(corpus, "text", "doc_id")
+      DeltaState.foreachBatchDeltaFold(src, init, stateDir, spec)
+      // interrupt window: the second CDC file lands; leg 2 resumes off
+      // the kept checkpoint and publishes ONLY the new file's delta
+      feedSlice(10L, 17L).coalesce(1)
+        .write.mode("append").parquet(stageDir)
+      DeltaState.foreachBatchDeltaFold(src, init, stateDir, spec,
+        resume = true)
+      val probe = all.filter($"doc_id" % 10 === 5)
+      def probed(phase: String) = DedupOps.simhashNearDupIncremental(
+          probe, DeltaState.read(s, stateDir), "text", "doc_id")
+        .withColumn("phase", lit(phase))
+      // phase 1: the live delta-resolved state (base + adds − tombs);
+      // pin before compacting so the compaction cannot race the scan
+      val viaDeltas = probed("delta").localCheckpoint(true)
+      DeltaState.compact(s, stateDir)
+      val viaCompact = probed("compact")
+      viaDeltas.unionByName(viaCompact)
+        .orderBy($"phase", $"doc_id")
+    },
+    Some(s"""
+      SELECT phase, doc_id, n_near, min_hamming, is_dup FROM (
+        SELECT 'delta' AS phase, q1.* FROM (${QueriesDedup.simhashIncrementalSql(
+          "doc_id % 10 <> 5 AND doc_id % 10 <> 7", "doc_id % 10 = 5")}) q1
+        UNION ALL
+        SELECT 'compact' AS phase, q2.* FROM (${QueriesDedup.simhashIncrementalSql(
+          "doc_id % 10 <> 5 AND doc_id % 10 <> 7", "doc_id % 10 = 5")}) q2
+      ) u ORDER BY phase, doc_id"""))
+
   val qs: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
-    st10, st11, st12, st13)
+    st10, st11, st12, st13, st14)
 }

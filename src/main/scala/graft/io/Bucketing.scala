@@ -133,11 +133,32 @@ object Bucketing {
   def writePartitionedBucketed(df: DataFrame, table: String,
                                partitionCols: Seq[String], numBuckets: Int,
                                bucketCol: String,
-                               sortCols: Seq[String] = Nil): Unit = {
-    require(partitionCols.nonEmpty, "writePartitionedBucketed: no partition columns")
+                               sortCols: Seq[String] = Nil): Unit =
+    writePartitionedBucketedKeys(df, table, partitionCols, numBuckets,
+      Seq(bucketCol), sortCols)
+
+  /** [[writePartitionedBucketed]] with a COMPOSITE bucket key — the
+    * q78 fact layout applied to a LIFECYCLE INDEX (round 11): a stored
+    * band/segment index partitioned on its ingest key (date/wave) and
+    * bucketed on its probe-key tuple. Probes that scope the corpus by
+    * ingest time ("dedup against everything crawled before X") prune
+    * whole partition directories at planning time AND still join
+    * exchange-free off the bucketed scan within the surviving slice;
+    * per-partition stats stay additive, so the pruned slice's bucket
+    * stats are a keys-sized group-sum of the kept waves. Graded by
+    * `dedup_minhash_partitioned_probe`.
+    */
+  def writePartitionedBucketedKeys(df: DataFrame, table: String,
+                                   partitionCols: Seq[String], numBuckets: Int,
+                                   bucketCols: Seq[String],
+                                   sortCols: Seq[String] = Nil): Unit = {
+    require(partitionCols.nonEmpty,
+      "writePartitionedBucketedKeys: no partition columns")
+    require(bucketCols.nonEmpty,
+      "writePartitionedBucketedKeys: no bucket columns")
     val w = df.write.mode("overwrite").format("parquet")
       .partitionBy(partitionCols: _*)
-      .bucketBy(numBuckets, bucketCol)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(table)
   }

@@ -118,6 +118,34 @@ class IoFunctionsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("literal"))
   }
 
+  test("evolveTo: missing columns fill with typed NULLs; type drift and dropped columns refuse") {
+    // round 11 (verdict task 5): a stored state written by an older
+    // code version must align to the current schema without a silent
+    // wrong answer — added columns become NULL (unknown provenance),
+    // anything lossy degrades LOUDLY
+    import spark.implicits._
+    val old = Seq((1L, 10L), (2L, 20L)).toDF("id", "sig")
+    val wide = Seq((3L, 30L, "en")).toDF("id", "sig", "lang")
+    val aligned = graft.io.Tables.evolveTo(old, wide.schema)
+    assert(aligned.schema == wide.schema,
+      "aligned state must carry the current wide schema")
+    assert(aligned.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.isNullAt(2))).sorted.toSeq == Seq((1L, 10L, true), (2L, 20L, true)),
+      "legacy rows must fill added columns with NULL")
+    // and the aligned state unions strictly with current-code rows
+    assert(aligned.unionByName(wide).count() == 3)
+    // type drift: INT sig stored, BIGINT expected — refusal, no cast
+    val narrowed = Seq((1, 10)).toDF("id", "sig")
+    val e1 = intercept[IllegalArgumentException](
+      graft.io.Tables.evolveTo(narrowed, wide.schema))
+    assert(e1.getMessage.contains("silent cast"))
+    // a stored column the target lacks: refusal, no silent drop
+    val extra = Seq((1L, 10L, 0.5)).toDF("id", "sig", "score")
+    val e2 = intercept[IllegalArgumentException](
+      graft.io.Tables.evolveTo(extra, wide.schema))
+    assert(e2.getMessage.contains("drop"))
+  }
+
   test("SQL kernels reject wrong-typed arguments at analysis time") {
     import org.apache.spark.sql.AnalysisException
     // declared inputTypes: misuse is an AnalysisException, never an
