@@ -8,8 +8,11 @@ import graft.streaming.DeltaState.DeltaFoldSpec
 
 /** Scratch evidence harness for the round-11 delta-publish claim (NOT
   * part of the graded surface; the CompactCost/ProbeCost precedent):
-  * maintain the SAME simhash signature index under the two streaming
-  * fold protocols and time each micro-batch PUBLISH —
+  * maintain the SAME minhash band index (the verdict's example: "a
+  * 10-row takedown against a 100 TB-scale minhash/span index rewrites
+  * the whole index per trigger"; ~8 band rows per doc, 4-long array
+  * keys — the heaviest per-doc state in the dedup family) under the
+  * two streaming fold protocols and time each micro-batch PUBLISH —
   *
   *   rewrite: `applyFoldBatch` — every batch reads the latest full
   *            snapshot, folds, and rewrites the ENTIRE state as
@@ -60,7 +63,7 @@ object DeltaCost {
         .filter(expr("doc_id div 10") % batches === i)
         .select(lit("del").as("op"), col("doc_id"),
           lit(null).cast("string").as("text")))
-    val init = DedupOps.simhashIndex(corpus, "text", "doc_id")
+    val init = DedupOps.minhashIndex(corpus, "text", "doc_id")
     val initRows = init.count()
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -70,9 +73,9 @@ object DeltaCost {
     graft.io.FsOps.rm(spark, rwDir)
     init.write.mode("overwrite").parquet(s"$rwDir/v0")
     val fold = (state: DataFrame, b: DataFrame) =>
-      DedupOps.simhashIndexDelete(state,
+      DedupOps.minhashIndexDelete(state,
           b.filter(col("op") === "del").select(col("doc_id")), "doc_id")
-        .unionByName(DedupOps.simhashIndex(
+        .unionByName(DedupOps.minhashIndex(
           b.filter(col("op") === "add").select(col("doc_id"), col("text")),
           "text", "doc_id"))
     val rwTimes = (0 until batches).map(i => timed {
@@ -81,7 +84,7 @@ object DeltaCost {
     // --- delta protocol: batch-sized publish per batch + one compact
     val dsDir = s"/tmp/graft_dc_ds_$pid"
     val spec = DeltaFoldSpec(
-      add = b => DedupOps.simhashIndex(
+      add = b => DedupOps.minhashIndex(
         b.filter(col("op") === "add").select(col("doc_id"), col("text")),
         "text", "doc_id"),
       del = Some(b => b.filter(col("op") === "del").select(col("doc_id"))))
@@ -94,7 +97,7 @@ object DeltaCost {
     val rwFinal = spark.read
       .parquet(s"$rwDir/v${StreamingOps.latestCommitted(spark, rwDir)}")
     val same = rwFinal.unionByName(DeltaState.read(spark, dsDir))
-      .groupBy(col("doc_id"), col("simhash")).count()
+      .groupBy(col("doc_id"), col("band_idx"), col("band_hash")).count()
       .filter(col("count") =!= 2).count() == 0
     println(f"DELTACOST index_rows=$initRows batches=$batches same_state=$same sf=$sfDir")
     println(f"DELTACOST rewrite_per_batch=${rwTimes.map(t => f"$t%.2f").mkString(",")} total=${rwTimes.sum}%.2f")
