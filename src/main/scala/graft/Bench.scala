@@ -27,7 +27,7 @@ object Bench {
     // its partitioned+bucketed table per invocation; the evolved
     // merge rewrites its stored legacy index per invocation
     "streaming_fold_delta_parity", "dedup_minhash_partitioned_probe",
-    "dedup_simhash_evolved_merge",
+    "dedup_simhash_evolved_merge", "dedup_simhash_delta_probe",
     "streaming_dedup_parity", "streaming_index_delete_parity",
     "streaming_interval_parity",
     "streaming_ivf_ingest_parity", "streaming_minhash_ingest_parity",

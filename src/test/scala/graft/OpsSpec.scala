@@ -3334,6 +3334,77 @@ class OpsSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("delta probe: bucketed base never shuffles AND equals the resolved-state probe") {
+    // round 11 capstone shape: the DeltaState overlay composed with
+    // the bucketed base — the probe must (a) keep the zero-exchange
+    // plan on the base scan (a probe of read()'s union would lose it:
+    // a union carries no bucketed distribution) and (b) equal the
+    // plain stats-capped probe of the RESOLVED segment index
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = graft.io.Tables.documents(spark, TestSpark.Sf0001)
+    def segOf(df: org.apache.spark.sql.DataFrame) =
+      DedupOps.simhashSegmentIndex(
+        DedupOps.simhashIndex(df, "text", "doc_id"), "doc_id")
+    val corpus = docs.filter($"doc_id" % 10 =!= 0 && $"doc_id" % 10 =!= 5)
+    val batch = docs.filter($"doc_id" % 10 === 5)
+    val addDocs = docs.filter($"doc_id" % 10 === 0)
+    val delDocs = corpus.filter($"doc_id" % 10 === 7)
+    val tbl = "graft_test_shseg_delta"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    try {
+      graft.io.Bucketing.writeBucketedKeys(segOf(corpus), tbl, 4,
+        Seq("seg_idx", "seg_val"), Seq("seg_idx", "seg_val"))
+      val base = graft.io.Bucketing.table(spark, tbl)
+      val overlayAdds = segOf(addDocs)
+      val tombs = delDocs.select($"doc_id")
+      val effStats = DedupOps.simhashSegmentStatsMerge(
+        DedupOps.simhashSegmentStatsDelete(
+          DedupOps.simhashSegmentStats(base), segOf(delDocs)),
+        DedupOps.simhashSegmentStats(overlayAdds))
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val viaDelta = DedupOps.simhashNearDupSegDeltaIndexed(batch, base,
+          overlayAdds, Some(tombs), "text", "doc_id", segStats = effStats)
+        // (b) equality with the plain probe over the resolved index
+        val resolved = segOf(corpus.filter($"doc_id" % 10 =!= 7)
+          .unionByName(addDocs))
+        val viaResolved = DedupOps.simhashNearDupSegIndexed(batch, resolved,
+          "text", "doc_id", segStats = Some(effStats))
+        assert(viaDelta.collect().map(_.toString).sorted.toSeq ==
+          viaResolved.collect().map(_.toString).sorted.toSeq,
+          "delta probe != resolved-state probe")
+        // (a) zero exchange between the base scan and its join
+        def isBaseScan(p: SparkPlan): Boolean = p match {
+          case f: FileSourceScanExec =>
+            f.tableIdentifier.exists(_.table == tbl)
+          case _ => false
+        }
+        val plan = viaDelta.queryExecution.executedPlan
+        val baseScans = plan.collect {
+          case f: FileSourceScanExec if isBaseScan(f) => f
+        }
+        assert(baseScans.nonEmpty, s"plan must scan the stored base:\n$plan")
+        assert(baseScans.forall(_.bucketedScan),
+          s"base scan must use the bucket layout:\n$plan")
+        def pathTo(p: SparkPlan): Option[List[SparkPlan]] =
+          if (isBaseScan(p)) Some(List(p))
+          else p.children.view.flatMap(pathTo).headOption.map(p :: _)
+        val path = pathTo(plan).getOrElse(fail(s"no path to base scan:\n$plan"))
+        val belowJoin = path.reverse
+          .takeWhile(n => !n.getClass.getSimpleName.contains("Join"))
+        assert(path.reverse.exists(_.getClass.getSimpleName.contains("Join")),
+          s"base scan feeds no join:\n$plan")
+        assert(!belowJoin.exists(_.isInstanceOf[ShuffleExchangeExec]),
+          s"the bucketed base was shuffled before its join:\n$plan")
+      } finally {
+        spark.conf.unset("spark.sql.adaptive.enabled")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("bucketed segment-index probe: index side reads its buckets and never shuffles") {
     // the round-8 verdict's documented-but-unproven 100 TB claim made
     // structural: the simhash segment index STORED bucketed on its
