@@ -1128,4 +1128,51 @@ class PropertySpec extends AnyFunSuite {
       assert(cal.map(_.getLong(2)).sum == p)
     }
   }
+
+  test("DeltaState equals the sequential delete-then-merge fold on random batch sequences") {
+    // the protocol law behind streaming_fold_delta_parity, randomized:
+    // for ANY sequence of add/del batches (adds of fresh ids, dels
+    // drawn from anything seen — base, earlier adds, the same batch's
+    // adds-not-yet-visible, or ids never present at all), the
+    // delta-resolved state must equal folding delete-then-merge
+    // sequentially — and compacting at an arbitrary point changes
+    // nothing. Dels of same-batch adds exercise the strictly-older
+    // rule (they must NOT kill them); dels of absent ids exercise
+    // anti-join no-ops.
+    import graft.streaming.DeltaState
+    import graft.streaming.DeltaState.DeltaFoldSpec
+    val seqGen = for {
+      nBase <- Gen.choose(0, 12)
+      nBatches <- Gen.choose(1, 4)
+      batches <- Gen.listOfN(nBatches, Gen.zip(
+        Gen.choose(0, 6),                          // fresh adds in this batch
+        Gen.listOfN(4, Gen.choose(0L, 60L))))      // del candidates (any id)
+      compactAt <- Gen.choose(0, nBatches)
+    } yield (nBase, batches, compactAt)
+    val spec = DeltaFoldSpec(
+      add = b => b.filter($"op" === "add").select($"id", ($"id" * 7).as("sig")),
+      del = Some(b => b.filter($"op" === "del").select($"id")))
+    samples(seqGen, 6).zipWithIndex.foreach { case ((nBase, batches, compactAt), ci) =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"ds_law_$ci").toString + "/s"
+      var next = 100L
+      val base = (0L until nBase.toLong).map(i => (i, i * 7))
+      DeltaState.init(spark, dir, base.toDF("id", "sig"))
+      var ref = base.toMap
+      batches.zipWithIndex.foreach { case ((nAdds, delIds), bi) =>
+        val adds = (0 until nAdds).map(_ => { next += 1; next })
+        val batch = adds.map(i => (i, "add"))
+          .++(delIds.map(i => (i, "del"))).toDF("id", "op")
+        DeltaState.applyDeltaBatch(spark, dir, bi.toLong, batch, spec)
+        // reference: dels apply to the state BEFORE the batch, adds after
+        ref = (ref -- delIds) ++ adds.map(i => i -> i * 7)
+        if (compactAt == bi + 1) DeltaState.compact(spark, dir)
+        val got = DeltaState.read(spark, dir).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        assert(got == ref.toSeq.sorted,
+          s"case $ci batch $bi (compactAt=$compactAt): delta state != sequential fold")
+      }
+      graft.io.FsOps.rm(spark, dir)
+    }
+  }
 }
