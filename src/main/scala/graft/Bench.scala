@@ -28,6 +28,12 @@ object Bench {
     // merge rewrites its stored legacy index per invocation
     "streaming_fold_delta_parity", "dedup_minhash_partitioned_probe",
     "dedup_simhash_evolved_merge", "dedup_simhash_delta_probe",
+    // round 12: the stored-stats delta probe and the minhash delta
+    // probe rewrite a bucketed table + stage/state dirs and run a
+    // 2-leg stream per invocation; the merge-fold parity re-runs its
+    // stream + compaction per invocation
+    "dedup_simhash_delta_stats_probe", "dedup_minhash_delta_probe",
+    "streaming_merge_fold_parity",
     "streaming_dedup_parity", "streaming_index_delete_parity",
     "streaming_interval_parity",
     "streaming_ivf_ingest_parity", "streaming_minhash_ingest_parity",

@@ -868,6 +868,120 @@ private[graft] object QueriesStreaming {
           "doc_id % 10 <> 5 AND doc_id % 10 <> 7", "doc_id % 10 = 5")}) q2
       ) u ORDER BY phase, doc_id"""))
 
+  /** streaming_merge_fold_parity — BATCH-SIZED publishes for
+    * MERGEABLE-AGGREGATE state (round 12: the round-11 verdict's
+    * task 2 — DeltaState covered per-row-fact indexes only; keyed
+    * aggregates (histograms, score counts, bucket stats) kept the
+    * versioned-snapshot protocol, whose per-trigger publish is
+    * state-sized because the state IS the aggregate. The MergeFold
+    * protocol publishes each batch's PARTIAL-aggregate rows instead —
+    * batch-sized — and group-merges on read/compact by the additive
+    * law the repo's histStateMerge/scoreCountsMerge/statsMerge ops
+    * already prove). Graded on the drift-monitoring family WITH
+    * RETRACTION: the n-chars... value histogram's current window
+    * arrives as a CDC feed — batch 0 adds the Jan 16–24 window
+    * (+1-weighted rows), the stream STOPS, batch 1 resumes off the
+    * kept checkpoint, adds the ≥ Jan 24 window AND RETRACTS the
+    * Jan 16–20 slice (−1-weighted partials, the histStateDelete
+    * signed fold — a mis-ingested shard withdrawn). The PSI gate
+    * against the stored reference window is probed TWICE — resolved
+    * from base + partial deltas, then again after `compactStore`
+    * folded the chain into a new merged base — and both phases must
+    * equal the one-shot PSI over the NET window (ts ≥ Jan 20). A
+    * double-applied partial, a lost retraction, or a compaction that
+    * re-merged wrong each move a bin count and fail the hash;
+    * DeltaStateSpec separately asserts the write-side contract (the
+    * stats base file list byte-identical across ingest batches).
+    */
+  private val st15 = Q(
+    "streaming_merge_fold_parity",
+    (s, d) => {
+      import s.implicits._
+      import graft.streaming.DeltaState
+      import graft.streaming.DeltaState.MergeFoldSpec
+      val e = ev(s, d)
+      val stageDir = tmpDir(s, "stream_mf_feed")
+      val stateDir = tmpDir(s, "stream_mf_state")
+      // the histState binning (lo=0, width=25, nbins=20), weighted so
+      // a retraction is a negated partial
+      val bin = least(greatest(floor($"value".cast("double") / 25.0),
+        lit(0.0)), lit(19.0)).cast("int").as("bin")
+      val spec = MergeFoldSpec(
+        partial = b => b.filter($"value".isNotNull).select(bin, $"w")
+          .groupBy($"bin").agg(sum($"w").as("n")).filter($"n" =!= 0),
+        merge = df => df.groupBy($"bin").agg(sum($"n").as("n"))
+          .filter($"n" =!= 0))
+      val emptyState = s.range(0)
+        .select($"id".cast("int").as("bin"), $"id".as("n"))
+      def slice(lo: String, hi: String, w: Long) =
+        e.filter($"ts" >= lo && $"ts" < hi)
+          .select($"value", lit(w).as("w"))
+      // leg 1: the Jan 16–24 window lands; stream runs and stops
+      slice("2024-01-16 00:00:00", "2024-01-24 00:00:00", 1L)
+        .coalesce(1).write.mode("overwrite").parquet(stageDir)
+      val schema = s.read.parquet(stageDir).schema
+      def src = s.readStream.schema(schema).parquet(stageDir)
+      DeltaState.foreachBatchDeltaFold(src, emptyState, stateDir, spec)
+      // interrupt window: batch 1 adds ≥ Jan 24 AND retracts Jan 16–20
+      slice("2024-01-24 00:00:00", "2124-01-01 00:00:00", 1L)
+        .unionByName(slice("2024-01-16 00:00:00", "2024-01-20 00:00:00", -1L))
+        .coalesce(1).write.mode("append").parquet(stageDir)
+      DeltaState.foreachBatchDeltaFold(src, emptyState, stateDir, spec,
+        resume = true)
+      val refState = LibOps.histState(
+        e.filter($"ts" < "2024-01-16 00:00:00"), "value",
+        lo = 0.0, width = 25.0, nbins = 20)
+      def probed(phase: String) =
+        LibOps.psiFromStates(refState, spec.resolve(s, stateDir), nbins = 20)
+          .withColumn("phase", lit(phase))
+      // phase 1: live base + partial deltas; pin before compacting so
+      // the compaction cannot race the scan
+      val viaDeltas = probed("delta").localCheckpoint(true)
+      spec.compactStore(s, stateDir)
+      val viaCompact = probed("compact")
+      viaDeltas.unionByName(viaCompact)
+        .select($"phase", $"bin", $"n_a", $"n_b", $"psi_contrib")
+        .orderBy($"phase", $"bin")
+    },
+    Some {
+      def psi(curPred: String) = s"""
+        WITH bins AS (SELECT CAST(unnest(range(20)) AS INTEGER) AS bin),
+        ha AS (
+          SELECT CAST(least(greatest(floor(value / 25.0), 0), 19) AS INTEGER)
+                   AS bin,
+                 count(*)::BIGINT AS n_a
+          FROM events
+          WHERE value IS NOT NULL AND ts < TIMESTAMP '2024-01-16 00:00:00'
+          GROUP BY 1),
+        hb AS (
+          SELECT CAST(least(greatest(floor(value / 25.0), 0), 19) AS INTEGER)
+                   AS bin,
+                 count(*)::BIGINT AS n_b
+          FROM events
+          WHERE value IS NOT NULL AND $curPred
+          GROUP BY 1),
+        ta AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta FROM ha),
+        tb AS (SELECT CAST(sum(n_b) AS BIGINT) AS tb FROM hb)
+        SELECT bin,
+               CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
+               CAST(coalesce(n_b, 0) AS BIGINT) AS n_b,
+               round(((coalesce(n_a, 0) + 0.5) / (ta + 10.0)
+                      - (coalesce(n_b, 0) + 0.5) / (tb + 10.0))
+                     * ln(((coalesce(n_a, 0) + 0.5) / (ta + 10.0))
+                          / ((coalesce(n_b, 0) + 0.5) / (tb + 10.0))), 6)
+                 AS psi_contrib
+        FROM bins LEFT JOIN ha USING (bin) LEFT JOIN hb USING (bin)
+        CROSS JOIN ta CROSS JOIN tb"""
+      // net current window: (Jan16–24 ∪ ≥Jan24) − (Jan16–20) = ≥ Jan20
+      val net = psi("ts >= TIMESTAMP '2024-01-20 00:00:00'")
+      s"""
+      SELECT phase, bin, n_a, n_b, psi_contrib FROM (
+        SELECT 'compact' AS phase, q1.* FROM ($net) q1
+        UNION ALL
+        SELECT 'delta' AS phase, q2.* FROM ($net) q2
+      ) u ORDER BY phase, bin"""
+    })
+
   val qs: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
-    st10, st11, st12, st13, st14)
+    st10, st11, st12, st13, st14, st15)
 }

@@ -110,6 +110,17 @@ object Bucketing {
     // `outTable` lands in the shared catalog — but carries its own
     // SQLConf, and the pin dies with the clone.
     val ss = spark.newSession()
+    // newSession() initializes its SQLConf from the SparkConf, NOT the
+    // caller's live session — a runtime-set conf (AQE toggles, shuffle
+    // partitions, broadcast threshold) would silently not apply to the
+    // rewrite (round-11 advice). Copy the caller's runtime SQL-conf
+    // overrides onto the clone first; static confs are identical by
+    // construction (shared SparkContext) and the set would refuse them
+    spark.conf.getAll.foreach { case (k, v) =>
+      if (!ss.conf.getOption(k).contains(v))
+        try ss.conf.set(k, v)
+        catch { case scala.util.control.NonFatal(_) => () }
+    }
     ss.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     val df = transform(ss.table(inTable))
       .repartition(spec.numBuckets, spec.bucketColumnNames.map(col): _*)

@@ -534,6 +534,85 @@ object DedupOps {
       .select(col(idCol), col("n_candidates"), col("max_jaccard"), col("is_dup"))
   }
 
+  /** [[minhashNearDupIndexed]] against a BUCKETED base plus a
+    * DeltaState OVERLAY — the round-11 capstone composition
+    * ([[simhashNearDupSegDeltaIndexed]]) carried to the array-keyed
+    * WORKHORSE index (round 12): the band index stays in its bucketed
+    * layout while a CDC feed's adds/tombstones live as a delta chain,
+    * and the probe pushes the candidate join below the union by hand
+    * — batch bands ⋈ bucketed base with ZERO index-side exchange (the
+    * stats-cap anti-join broadcasts, preserving the scan's
+    * partitioning), base candidates whose corpus doc is tombstoned
+    * dropped by a candidate-sized id anti-join AFTER the join, and
+    * the overlay's band rows joined as a second,
+    * one-compaction-window-sized candidate source. Verification is
+    * the shared text tail: corpus text for base candidates, the
+    * feed-carried `overlayDocs` text for overlay candidates — both
+    * sides id-restricted to the (batch-bounded) candidate set BEFORE
+    * shingling, so no corpus-wide pass anywhere.
+    *
+    * `bandStats` must be the stats of the EFFECTIVE index (base stats
+    * − tombstoned docs' band rows + overlay's — the
+    * [[minhashBucketStatsMerge]]/[[minhashBucketStatsDelete]] folds,
+    * every input batch-or-keys-sized), so the cap equals capping the
+    * resolved index: probe-through-delta ≡ probe-of-resolved-state
+    * (OpsSpec). Ids must be unique across corpus ∪ overlay adds (the
+    * [[minhashIndexMerge]] contract — a re-ingested id would verify
+    * against both text versions).
+    */
+  def minhashNearDupDeltaIndexed(incoming: DataFrame, baseBandIndex: DataFrame,
+                                 overlayBandRows: DataFrame,
+                                 tombstones: Option[DataFrame],
+                                 corpus: DataFrame, overlayDocs: DataFrame,
+                                 textCol: String, idCol: String,
+                                 bandStats: DataFrame,
+                                 shingleN: Int = 3, threshold: Double = 0.8,
+                                 maxBucket: Int = 256): DataFrame = {
+    val incomingBands = minhashIndex(incoming, textCol, idCol, shingleN)
+      .select(col("band_idx"), col("band_hash"), col(idCol).as("id_new"))
+    val overCap = bandStats.filter(col("bucket_n") > maxBucket)
+      .select(col("band_idx"), col("band_hash"))
+    def capped(df: DataFrame) = df
+      .select(col("band_idx"), col("band_hash"), col(idCol).as("id_old"))
+      .join(overCap, Seq("band_idx", "band_hash"), "left_anti")
+    val candBase0 = incomingBands.join(capped(baseBandIndex),
+      Seq("band_idx", "band_hash"))
+    val candBase = tombstones.fold(candBase0)(t =>
+      candBase0.join(t.select(col(idCol).as("id_old")), Seq("id_old"), "left_anti"))
+    val candOverlay = incomingBands.join(capped(overlayBandRows),
+      Seq("band_idx", "band_hash"))
+    val cands = candBase.select(col("id_new"), col("id_old"))
+      .unionByName(candOverlay.select(col("id_new"), col("id_old")))
+      .distinct()
+    val newSets = shingleStringSets(incoming, textCol, idCol, shingleN)
+    // candidate-id restriction BEFORE shingling, per text source; the
+    // overlay side is window-sized by construction (its docs arrived
+    // on the CDC feed), the corpus side is candidate-sized
+    val candIds = cands.select(col("id_old").as(idCol))
+    val oldSets = shingleStringSets(
+        corpus.join(candIds, Seq(idCol), "left_semi"),
+        textCol, idCol, shingleN)
+      .unionByName(shingleStringSets(
+        overlayDocs.join(candIds, Seq(idCol), "left_semi"),
+        textCol, idCol, shingleN))
+    val verified = cands
+      .join(newSets.select(col(idCol).as("id_new"), col("sh").as("sh_a")), "id_new")
+      .join(oldSets.select(col(idCol).as("id_old"), col("sh").as("sh_b")), "id_old")
+      .withColumn("jaccard",
+        when(size(array_union(col("sh_a"), col("sh_b"))) > 0,
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+        .otherwise(lit(0.0)))
+    val perDoc = verified.groupBy(col("id_new").as(idCol))
+      .agg(count(lit(1)).as("n_candidates"), max(col("jaccard")).as("max_jaccard"))
+    incoming.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .withColumn("n_candidates", coalesce(col("n_candidates"), lit(0L)))
+      .withColumn("is_dup", coalesce(col("max_jaccard"), lit(0.0)) >= threshold)
+      .withColumn("max_jaccard", round(coalesce(col("max_jaccard"), lit(0.0)), 4))
+      .select(col(idCol), col("n_candidates"), col("max_jaccard"), col("is_dup"))
+  }
+
   // ------------------------------------------------- exact n-gram Jaccard
 
   /** Exact pairwise n-gram Jaccard via an inverted-index join: explode

@@ -58,6 +58,30 @@ import graft.io.FsOps
   */
 object DeltaState {
 
+  /** A store that publishes batch-sized deltas under the `_COMMIT`
+    * protocol — the two concrete shapes are [[DeltaFoldSpec]]
+    * (per-row-fact state: adds are state rows, deletes are tombstone
+    * keys) and [[MergeFoldSpec]] (mergeable-AGGREGATE state: each
+    * batch publishes partial-aggregate rows and the read group-merges
+    * them — round 12's generalization). Both share the same delta-dir
+    * layout, replay/divergence rules, compaction retention, and
+    * streaming deployment; they differ only in what a delta row MEANS
+    * at resolve time.
+    */
+  sealed trait StoreFold {
+    /** Write one micro-batch's delta payload under `dir` (the commit
+      * marker and replay/divergence handling live in
+      * [[applyBatch]]). */
+    private[streaming] def writeDelta(dir: String, batch: DataFrame): Unit
+    /** Resolve base + committed pending deltas to the current state. */
+    def resolve(spark: SparkSession, stateDir: String): DataFrame
+    /** Fold pending deltas into a new `_SUCCESS`-gated base with the
+      * shared retention rules ([[compact]]'s contract). */
+    def compactStore(spark: SparkSession, stateDir: String,
+                     retainBases: Int = 2): Unit =
+      compactWith(spark, stateDir, retainBases)(resolve(spark, stateDir))
+  }
+
   /** One delta-folded store: `add` maps a micro-batch to the state
     * rows it appends (same schema as the base), `del` — when the fold
     * retracts — maps it to tombstone KEY rows (the key columns are the
@@ -66,12 +90,82 @@ object DeltaState {
     * fact indexes (minhash/simhash/span band rows, KMV shards): their
     * merges are unions of batch-derived rows and their deletes are
     * key anti-joins, which is what makes the batch-sized publish
-    * possible at all — a fold that must re-aggregate the whole state
-    * per batch (histStateMerge) keeps the versioned-snapshot protocol,
-    * whose publish is state-sized because the STATE is the aggregate.
+    * possible at all. Aggregate-shaped state (histograms, score
+    * counts) uses [[MergeFoldSpec]] instead.
     */
   final case class DeltaFoldSpec(add: DataFrame => DataFrame,
                                  del: Option[DataFrame => DataFrame] = None)
+      extends StoreFold {
+    private[streaming] def writeDelta(dir: String, batch: DataFrame): Unit = {
+      // the reserved ordering columns must be refused HERE, before bad
+      // state lands on disk: read()/overlay() tag rows with __b/__db to
+      // encode the strictly-older tombstone rule — a spec-authored add
+      // or del frame carrying them would be silently clobbered by the
+      // tag and corrupt tombstone ordering (round-11 advice)
+      def checkReserved(df: DataFrame, which: String): DataFrame = {
+        require(!df.columns.exists(c => c == "__b" || c == "__db"),
+          s"DeltaState: $which schema may not use the reserved __b/__db columns")
+        df
+      }
+      // del and add are two actions over the same micro-batch frame:
+      // persist once so the source plan is scanned once, not per action
+      // (the foreachBatchFoldMulti materialize-the-pin discipline).
+      // Skip when the caller already pinned the batch — the multi-store
+      // deployment shares ONE pin across stores, and an unpersist here
+      // would drop it out from under the stores still folding
+      val ownPin = del.isDefined &&
+        batch.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+      val pinned =
+        if (ownPin)
+          batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else batch
+      try {
+        del.foreach(f => checkReserved(f(pinned), "tombstone")
+          .write.mode("overwrite").parquet(s"$dir/del"))
+        checkReserved(add(pinned), "add")
+          .write.mode("overwrite").parquet(s"$dir/add")
+      } finally if (ownPin) pinned.unpersist()
+    }
+    def resolve(spark: SparkSession, stateDir: String): DataFrame =
+      read(spark, stateDir)
+    override def compactStore(spark: SparkSession, stateDir: String,
+                              retainBases: Int = 2): Unit =
+      compact(spark, stateDir, retainBases)
+  }
+
+  /** The MERGEABLE-AGGREGATE generalization (round 12): state whose
+    * rows are group-keyed PARTIAL aggregates under a group-merge the
+    * repo's fold laws already prove associative — histogram bin
+    * counts (histStateMerge), per-score class counts
+    * (scoreCountsMerge), bucket stats (simhashSegmentStatsMerge /
+    * minhashBucketStatsMerge). `partial` maps a micro-batch to its
+    * partial rows (SIGNED, when the fold retracts: a deletion is a
+    * negated partial — the histStateDelete/statsDelete shape), and
+    * `merge` group-merges any union of partial rows into an
+    * equivalent minimal set (group-sum + drop-zero for counts). The
+    * per-trigger publish is `partial(batch)` — batch-sized — where
+    * the versioned-snapshot protocol rewrote the whole aggregate per
+    * trigger; [[StoreFold.resolve]] is `merge(base ∪ pending
+    * partials)` and compaction folds the chain into a merged base.
+    *
+    * Contract on `merge` (the law the repo's merge ops satisfy):
+    * `merge(merge(X) ∪ Y) ≡ merge(X ∪ Y)` for any row multisets X, Y
+    * — group-sum with a drop-ZERO filter qualifies (a dropped
+    * zero-sum group contributes nothing to any later sum); a
+    * drop-negative filter does NOT (it would forget an early
+    * retraction a later add should cancel against), so signed folds
+    * filter `=!= 0`, which equals the statsDelete `> 0` convention
+    * whenever the feed never retracts more than it added. `initState`
+    * must itself be a valid merged state (any stored aggregate is).
+    */
+  final case class MergeFoldSpec(partial: DataFrame => DataFrame,
+                                 merge: DataFrame => DataFrame)
+      extends StoreFold {
+    private[streaming] def writeDelta(dir: String, batch: DataFrame): Unit =
+      partial(batch).write.mode("overwrite").parquet(s"$dir/add")
+    def resolve(spark: SparkSession, stateDir: String): DataFrame =
+      mergeRead(spark, stateDir, merge)
+  }
 
   private def baseDir(stateDir: String) = s"$stateDir/base"
   private def deltaDir(stateDir: String) = s"$stateDir/delta"
@@ -129,7 +223,7 @@ object DeltaState {
     */
   private[graft] def applyDeltaBatch(spark: SparkSession, stateDir: String,
                                      batchId: Long, batch: DataFrame,
-                                     spec: DeltaFoldSpec): Unit = {
+                                     spec: StoreFold): Unit = {
     val dir = s"${deltaDir(stateDir)}/b$batchId"
     val m = latestBase(spark, stateDir)
     if (batchId < m || FsOps.exists(spark, s"$dir/_COMMIT")) return
@@ -138,9 +232,7 @@ object DeltaState {
     require(batchId == expected,
       s"DeltaState: batch $batchId expects next committed position $expected " +
         s"under $stateDir — state and checkpoint have diverged")
-    spec.del.foreach(f =>
-      f(batch).write.mode("overwrite").parquet(s"$dir/del"))
-    spec.add(batch).write.mode("overwrite").parquet(s"$dir/add")
+    spec.writeDelta(dir, batch)
     FsOps.touch(spark, s"$dir/_COMMIT")
   }
 
@@ -180,6 +272,26 @@ object DeltaState {
         .reduce(_ && _) && col("r.__db") > col("l.__b")
       l.join(r, cond, "left_anti").drop("__b")
     }
+  }
+
+  /** Resolve a [[MergeFoldSpec]] store: latest committed base plus
+    * every committed pending partial, group-merged. The merge runs
+    * only when deltas are pending — a freshly-compacted (or init)
+    * base IS the merged state, so the empty-chain read is a plain
+    * base scan with no exchange. Partial rows need no ordering tag:
+    * group-merge is commutative (signed retractions cancel by sum,
+    * not by the strictly-older rule), which is why this protocol has
+    * no tombstone dirs and no reserved columns.
+    */
+  def mergeRead(spark: SparkSession, stateDir: String,
+                merge: DataFrame => DataFrame): DataFrame = {
+    val m = latestBase(spark, stateDir)
+    val pending = committedDeltas(spark, stateDir).filter(_ >= m).sorted
+    val base = spark.read.parquet(s"${baseDir(stateDir)}/v$m")
+    if (pending.isEmpty) base
+    else merge(pending.foldLeft(base) { (acc, n) =>
+      acc.unionByName(spark.read.parquet(s"${deltaDir(stateDir)}/b$n/add"))
+    })
   }
 
   /** The BATCH-SCALE view of the pending delta chain, for consumers
@@ -235,21 +347,35 @@ object DeltaState {
     * keep-last-`retainBases` window. No-op when nothing is pending.
     */
   def compact(spark: SparkSession, stateDir: String,
-              retainBases: Int = 2): Unit = {
+              retainBases: Int = 2): Unit =
+    compactWith(spark, stateDir, retainBases)(read(spark, stateDir))
+
+  /** The shared compaction body: `resolved` is the protocol-specific
+    * resolution of base + pending ([[read]] for fact stores,
+    * [[mergeRead]] for aggregate stores) — everything else (the
+    * replay no-op, the one-cycle delta retention, the keep-last-N
+    * base window) is protocol-independent.
+    */
+  private def compactWith(spark: SparkSession, stateDir: String,
+                          retainBases: Int)(resolved: => DataFrame): Unit = {
     require(retainBases >= 1,
       s"DeltaState.compact: retainBases must be >= 1, got $retainBases")
     val m = latestBase(spark, stateDir)
+    val pending = committedDeltas(spark, stateDir).filter(_ >= m)
+    // nothing pending ⇒ a replayed compaction trigger (crash between
+    // compact and the streaming checkpoint commit) — a TRUE no-op:
+    // sweeping the just-folded deltas here would void the one-cycle
+    // reader grace mid-scan, so the sweep sits BELOW this return and
+    // old deltas go at the next REAL compaction (round-11 advice)
+    if (pending.isEmpty) return
     // sweep deltas the PREVIOUS compaction already folded (kept one
     // cycle for reader grace) — best-effort, space not correctness
     committedDeltas(spark, stateDir).filter(_ < m).foreach { n =>
         try FsOps.rm(spark, s"${deltaDir(stateDir)}/b$n")
         catch { case scala.util.control.NonFatal(_) => () }
       }
-    val pending = committedDeltas(spark, stateDir).filter(_ >= m)
-    if (pending.isEmpty) return
     val m2 = pending.max + 1
-    read(spark, stateDir).write.mode("overwrite")
-      .parquet(s"${baseDir(stateDir)}/v$m2")
+    resolved.write.mode("overwrite").parquet(s"${baseDir(stateDir)}/v$m2")
     committedBases(spark, stateDir).sorted.dropRight(retainBases).foreach { v =>
       try FsOps.rm(spark, s"${baseDir(stateDir)}/v$v")
       catch { case scala.util.control.NonFatal(_) => () }
@@ -263,35 +389,84 @@ object DeltaState {
     * keeps both, the restarted stream skips committed files, and the
     * commit markers make replayed batches no-op. `compactEvery > 0`
     * folds the delta chain into a new base every that-many batches
-    * (a replayed compaction no-ops — nothing pending).
+    * (a replayed compaction no-ops — nothing pending). The DEFAULT is
+    * a real window (8): [[read]] plans one union branch per pending
+    * batch, so an unbounded chain grows both plan size and resolve
+    * cost per trigger — a deployment that wants manual compaction
+    * only must opt out explicitly with `compactEvery = 0`
+    * (round-11 verdict: bounded-by-default, unbounded-by-choice).
     *
     * Returns the resolved final state.
     */
   def foreachBatchDeltaFold(stream: DataFrame, initState: DataFrame,
-                            stateDir: String, spec: DeltaFoldSpec,
+                            stateDir: String, spec: StoreFold,
                             resume: Boolean = false,
-                            compactEvery: Int = 0,
+                            compactEvery: Int = 8,
                             retainBases: Int = 2): DataFrame = {
+    val fin = foreachBatchStoreFolds(stream,
+      Seq(NamedDeltaStore(stateDir, initState, spec)),
+      resume, compactEvery, retainBases)
+    fin(stateDir)
+  }
+
+  /** One store of a multi-store delta deployment: its OWN `stateDir`
+    * (each store's commit protocol never leaves its dir — the
+    * [[StreamingOps.foreachBatchFoldMulti]] isolation rule), its v0
+    * state, and its fold shape.
+    */
+  final case class NamedDeltaStore(stateDir: String, init: DataFrame,
+                                   spec: StoreFold)
+
+  /** N delta stores maintained by ONE stream in ONE pass — the
+    * batch-sized-publish twin of [[StreamingOps.foreachBatchFoldMulti]]
+    * (round 12: a production index never travels alone; its bucket
+    * STATS ride the same CDC feed, so the segment [[DeltaFoldSpec]]
+    * and its stats [[MergeFoldSpec]] must fold side-by-side without
+    * re-reading the batch per store). Each trigger pins the batch
+    * once (count materializes the cache), publishes every store's
+    * delta off the pinned copy under that store's own batchId-keyed
+    * commit protocol — a crash between publishes redoes only the
+    * unmarked stores on replay — then compacts each store on the
+    * shared `compactEvery` schedule. Resume contract as
+    * [[foreachBatchDeltaFold]]; the checkpoint lives beside the FIRST
+    * store. Returns stateDir → resolved final state.
+    */
+  def foreachBatchStoreFolds(stream: DataFrame, stores: Seq[NamedDeltaStore],
+                             resume: Boolean = false,
+                             compactEvery: Int = 8,
+                             retainBases: Int = 2): Map[String, DataFrame] = {
+    require(stores.nonEmpty, "foreachBatchStoreFolds: no stores")
+    require(stores.map(_.stateDir).distinct.size == stores.size,
+      "foreachBatchStoreFolds: duplicate store dirs")
     val spark = stream.sparkSession
+    val ckpt = stores.head.stateDir + "_ckpt"
     if (!resume) {
-      FsOps.rm(spark, stateDir + "_ckpt")
-      init(spark, stateDir, initState)
-    } else require(FsOps.exists(spark, stateDir) &&
-        FsOps.exists(spark, stateDir + "_ckpt"),
-      s"foreachBatchDeltaFold: resume=true but state or checkpoint missing " +
-        s"under $stateDir — a lost checkpoint renumbers batch ids and the " +
-        "replay-skip would silently drop new data")
+      FsOps.rm(spark, ckpt)
+      stores.foreach(st => init(spark, st.stateDir, st.init))
+    } else require(stores.forall(st => FsOps.exists(spark, st.stateDir)) &&
+        FsOps.exists(spark, ckpt),
+      s"foreachBatchStoreFolds: resume=true but state or checkpoint missing " +
+        s"under ${stores.head.stateDir} — a lost checkpoint renumbers batch " +
+        "ids and the replay-skip would silently drop new data")
     val q = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        applyDeltaBatch(spark, stateDir, batchId, batch.toDF(), spec)
+        val pinned = if (stores.size > 1)
+          batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else batch
+        try {
+          if (stores.size > 1) pinned.count()
+          stores.foreach(st =>
+            applyDeltaBatch(spark, st.stateDir, batchId, pinned.toDF(), st.spec))
+        } finally if (stores.size > 1) pinned.unpersist()
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-          compact(spark, stateDir, retainBases)
+          stores.foreach(st =>
+            st.spec.compactStore(spark, st.stateDir, retainBases))
         ()
       }
-      .option("checkpointLocation", stateDir + "_ckpt")
+      .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    read(spark, stateDir)
+    stores.map(st => st.stateDir -> st.spec.resolve(spark, st.stateDir)).toMap
   }
 }

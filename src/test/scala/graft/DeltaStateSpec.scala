@@ -155,6 +155,175 @@ class DeltaStateSpec extends AnyFunSuite {
     graft.io.FsOps.rm(spark, dir)
   }
 
+  test("replayed compaction is a true no-op: folded deltas keep their one-cycle grace") {
+    // round-11 advice (medium): a compaction trigger REPLAYED after a
+    // crash (nothing pending) must not sweep the just-folded deltas —
+    // a concurrent reader of the pre-compaction snapshot would lose
+    // its files mid-scan, exactly what the retention window exists for
+    val dir = tmp("ds_regrace")
+    DeltaState.init(spark, dir, Seq((0L, 0L)).toDF("id", "sig"))
+    DeltaState.applyDeltaBatch(spark, dir, 0L, batchDf(Seq(10L), Nil), spec)
+    val reader = DeltaState.read(spark, dir)
+    DeltaState.compact(spark, dir)
+    assert(DeltaState.committedDeltas(spark, dir) == Seq(0L))
+    // the replay: compact again with nothing pending
+    DeltaState.compact(spark, dir)
+    assert(DeltaState.committedDeltas(spark, dir) == Seq(0L),
+      "replayed compaction swept the graced deltas")
+    assert(reader.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      == idx(Seq(0L, 10L)), "pre-compaction reader lost files on the replay")
+    graft.io.FsOps.rm(spark, dir)
+  }
+
+  test("add/del frames carrying the reserved __b/__db columns refuse at publish time") {
+    // round-11 advice: read() only checked the BASE schema — a
+    // spec-authored add/del frame with __b/__db would be silently
+    // clobbered by the ordering tag; it must refuse before landing
+    val dir = tmp("ds_reserved")
+    DeltaState.init(spark, dir, Seq((0L, 0L)).toDF("id", "sig"))
+    val badAdd = DeltaFoldSpec(
+      add = b => b.filter($"op" === "add").select($"id", ($"id" * 7).as("__b")))
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaState.applyDeltaBatch(spark, dir, 0L, batchDf(Seq(10L), Nil), badAdd)
+    }
+    assert(e1.getMessage.contains("reserved"))
+    val badDel = DeltaFoldSpec(
+      add = b => b.filter($"op" === "add").select($"id", ($"id" * 7).as("sig")),
+      del = Some(b => b.filter($"op" === "del").select($"id", lit(1L).as("__db"))))
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaState.applyDeltaBatch(spark, dir, 0L, batchDf(Seq(10L), Seq(0L)), badDel)
+    }
+    assert(e2.getMessage.contains("reserved"))
+    // nothing landed: the bad publishes left no committed delta
+    assert(DeltaState.committedDeltas(spark, dir).isEmpty)
+    graft.io.FsOps.rm(spark, dir)
+  }
+
+  test("the delta chain is bounded by DEFAULT arguments (round-11 verdict)") {
+    // foreachBatchDeltaFold's default compactEvery must be a real
+    // window: 9 single-file micro-batches through the DEFAULTS must
+    // leave the base advanced past v0 and the pending chain shorter
+    // than the batch count — an unbounded default would leave all 9
+    val stage = java.nio.file.Files.createTempDirectory("ds_bound_feed").toString
+    val dir = tmp("ds_bound")
+    (0 until 9).foreach(i =>
+      batchDf(Seq(100L + i), Nil).coalesce(1).write.mode("append").parquet(stage))
+    val schema = spark.read.parquet(stage).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val init = Seq((0L, 0L)).toDF("id", "sig")
+    val fin = DeltaState.foreachBatchDeltaFold(src, init, dir, spec)
+    assert(fin.count() == 10L)
+    assert(DeltaState.latestBase(spark, dir) > 0L,
+      "default arguments never compacted — unbounded delta chain")
+    val m = DeltaState.latestBase(spark, dir)
+    assert(DeltaState.committedDeltas(spark, dir).count(_ >= m) < 9,
+      "pending chain grew to the full batch count under defaults")
+    graft.io.FsOps.rm(spark, stage)
+    graft.io.FsOps.rm(spark, dir)
+    graft.io.FsOps.rm(spark, dir + "_ckpt")
+  }
+
+  // aggregate-state fold shape for the MergeFold tests: per-key counts,
+  // adds +1 per (key) row, dels -1 — the histState/scoreCounts family
+  private def mergeSpec: DeltaState.MergeFoldSpec = DeltaState.MergeFoldSpec(
+    partial = b => b.select($"id",
+        when($"op" === "add", 1L).otherwise(-1L).as("n"))
+      .groupBy($"id").agg(sum($"n").as("n")).filter($"n" =!= 0),
+    merge = df => df.groupBy($"id").agg(sum($"n").as("n")).filter($"n" =!= 0))
+
+  private def mergeRows(dir: String): Seq[(Long, Long)] =
+    mergeSpec.resolve(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+
+  test("MergeFold: batch-sized partial publishes resolve to the sequential merge fold") {
+    // the round-12 generalization: aggregate state (group-keyed counts)
+    // publishes per-batch PARTIAL rows; resolve group-merges — must
+    // equal folding histStateMerge-style sequentially, and the base
+    // file list stays byte-identical across ingest batches (the
+    // DeltaStateSpec write-side bar, now on the aggregate protocol)
+    val dir = tmp("ds_merge")
+    val init = Seq((1L, 5L), (2L, 3L)).toDF("id", "n")
+    DeltaState.init(spark, dir, init)
+    def baseFiles(): Seq[String] =
+      graft.io.FsOps.ls(spark, s"$dir/base/v0").sorted
+    val before = baseFiles()
+    // batch 0: +2 to key 1, +1 to key 3 (new), -1 to key 2
+    DeltaState.applyDeltaBatch(spark, dir, 0L,
+      batchDf(Seq(1L, 1L, 3L), Seq(2L)), mergeSpec)
+    // batch 1: -2 to key 2 → key 2 empties out and must drop
+    DeltaState.applyDeltaBatch(spark, dir, 1L,
+      batchDf(Seq(1L), Seq(2L, 2L)), mergeSpec)
+    assert(baseFiles() == before, "aggregate ingest touched the base")
+    val want = Seq((1L, 8L), (3L, 1L))
+    assert(mergeRows(dir) == want, "merge resolution != sequential fold")
+    graft.io.FsOps.rm(spark, dir)
+  }
+
+  test("MergeFold: compactStore folds partials into a merged base; replay no-ops; state stable") {
+    val dir = tmp("ds_merge_c")
+    DeltaState.init(spark, dir, Seq((1L, 5L)).toDF("id", "n"))
+    DeltaState.applyDeltaBatch(spark, dir, 0L,
+      batchDf(Seq(1L, 2L), Nil), mergeSpec)
+    DeltaState.applyDeltaBatch(spark, dir, 1L,
+      batchDf(Seq(2L), Seq(1L)), mergeSpec)
+    val pre = mergeRows(dir)
+    assert(pre == Seq((1L, 5L), (2L, 2L)))
+    mergeSpec.compactStore(spark, dir)
+    assert(DeltaState.latestBase(spark, dir) == 2L)
+    assert(mergeRows(dir) == pre, "merge compaction changed the state")
+    // a replayed partial racing the compaction no-ops (id < new base)
+    DeltaState.applyDeltaBatch(spark, dir, 1L,
+      batchDf(Seq(2L), Seq(1L)), mergeSpec)
+    assert(mergeRows(dir) == pre, "replay-after-compact re-applied a partial")
+    graft.io.FsOps.rm(spark, dir)
+  }
+
+  test("foreachBatchStoreFolds maintains a fact store and its aggregate stats side-by-side") {
+    // the production pairing: a per-doc-fact index (DeltaFoldSpec) and
+    // its per-key stats (MergeFoldSpec) fold off ONE stream in one
+    // pass; the stats resolved from STORED state must equal stats
+    // recomputed from the resolved index — the dedup stats-store bar
+    val stage = java.nio.file.Files.createTempDirectory("ds_multi_feed").toString
+    val root = java.nio.file.Files.createTempDirectory("ds_multi").toString
+    val idxDir = s"$root/idx"
+    val statsDir = s"$root/stats"
+    val feed1 = batchDf(100L until 105L, Seq(1L))
+    val feed2 = batchDf(Seq(105L), Seq(100L, 103L))
+    feed1.coalesce(1).write.mode("overwrite").parquet(stage)
+    val schema = spark.read.parquet(stage).schema
+    def src = spark.readStream.schema(schema).parquet(stage)
+    val init = (0L until 10L).map(i => (i, i * 7)).toDF("id", "sig")
+    // stats state: per (sig % 3) bucket counts of the index rows
+    val statsOf = (df: DataFrame) => df.groupBy(($"sig" % 3).as("k"))
+      .agg(count(lit(1)).as("n"))
+    val statsSpec = DeltaState.MergeFoldSpec(
+      partial = b => b.select($"id",
+          when($"op" === "add", 1L).otherwise(-1L).as("w"),
+          (($"id" * 7) % 3).as("k"))
+        .groupBy($"k").agg(sum($"w").as("n")).filter($"n" =!= 0),
+      merge = df => df.groupBy($"k").agg(sum($"n").as("n")).filter($"n" =!= 0))
+    val stores = Seq(
+      DeltaState.NamedDeltaStore(idxDir, init, spec),
+      DeltaState.NamedDeltaStore(statsDir, statsOf(init)
+        .select($"k", $"n"), statsSpec))
+    DeltaState.foreachBatchStoreFolds(src, stores)
+    feed2.coalesce(1).write.mode("append").parquet(stage)
+    val fin = DeltaState.foreachBatchStoreFolds(src, stores, resume = true)
+    val wantIds = (0L until 10L).filterNot(_ == 1L) ++ Seq(101L, 102L, 104L, 105L)
+    assert(fin(idxDir).collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq == idx(wantIds), "fact store != expected")
+    // the stats STORE (folded batch-sized) ≡ stats of the resolved index
+    val fromStore = fin(statsDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val recomputed = statsOf(fin(idxDir)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(fromStore == recomputed, "stored stats diverged from the index")
+    graft.io.FsOps.rm(spark, stage)
+    graft.io.FsOps.rm(spark, root)
+    graft.io.FsOps.rm(spark, idxDir + "_ckpt")
+  }
+
   test("foreachBatchDeltaFold streams multi-batch, resumes, and compacts on schedule") {
     val stage = java.nio.file.Files.createTempDirectory("ds_feed").toString
     val dir = tmp("ds_stream")

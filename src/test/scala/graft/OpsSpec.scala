@@ -3327,6 +3327,104 @@ class OpsSpec extends AnyFunSuite {
           s"index scan feeds no join:\n$plan")
         assert(!belowJoin.exists(_.isInstanceOf[ShuffleExchangeExec]),
           s"the stored index was shuffled before its join:\n$plan")
+        // round 12 (verdict task 8): the stored per-wave STATS live
+        // partitioned on the same wave key — the same predicate must
+        // prune stats partition directories at planning time too
+        val statsDir = "/tmp/graft_test_mhband_part_stats"
+        try {
+          banded.groupBy($"ingest_wave", $"band_idx", $"band_hash")
+            .agg(count(lit(1)).as("bucket_n"))
+            .write.mode("overwrite").partitionBy("ingest_wave")
+            .parquet(statsDir)
+          val prunedStats = spark.read.parquet(statsDir)
+            .filter($"ingest_wave" < 2)
+            .groupBy($"band_idx", $"band_hash")
+            .agg(sum($"bucket_n").as("bucket_n"))
+          val statsScans = prunedStats.queryExecution.executedPlan.collect {
+            case f: FileSourceScanExec => f
+          }
+          assert(statsScans.nonEmpty)
+          assert(statsScans.forall(_.partitionFilters.nonEmpty),
+            "wave predicate did not reach the stats scan's PartitionFilters")
+          // additive law: pruned group-sum ≡ stats of the pruned index
+          val direct = DedupOps.minhashBucketStats(pruned).collect()
+            .map(_.toString).sorted.toSeq
+          assert(prunedStats.collect().map(_.toString).sorted.toSeq == direct,
+            "pruned per-wave stats != stats of the pruned index")
+        } finally graft.io.FsOps.rm(spark, statsDir)
+      } finally {
+        spark.conf.unset("spark.sql.adaptive.enabled")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("minhash delta probe: bucketed base never shuffles AND equals the resolved-state probe") {
+    // round 12 (verdict task 3): the round-11 capstone composition on
+    // the array-keyed band index — the probe must (a) keep the
+    // zero-exchange plan on the bucketed base scan and (b) equal the
+    // plain stats-capped probe of the RESOLVED band index
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = graft.io.Tables.documents(spark, TestSpark.Sf0001)
+    val corpus = docs.filter($"doc_id" % 10 =!= 0 && $"doc_id" % 10 =!= 5)
+    val batch = docs.filter($"doc_id" % 10 === 5)
+    val addDocs = docs.filter($"doc_id" % 10 === 0)
+    val delDocs = corpus.filter($"doc_id" % 10 === 7)
+    val tbl = "graft_test_mhband_delta"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    try {
+      graft.io.Bucketing.writeBucketedKeys(
+        DedupOps.minhashIndex(corpus, "text", "doc_id"), tbl, 4,
+        Seq("band_idx", "band_hash"), Seq("band_idx", "band_hash"))
+      val base = graft.io.Bucketing.table(spark, tbl)
+      val overlayAdds = DedupOps.minhashIndex(addDocs, "text", "doc_id")
+      val tombs = delDocs.select($"doc_id")
+      val effStats = DedupOps.minhashBucketStatsMerge(
+        DedupOps.minhashBucketStatsDelete(
+          DedupOps.minhashBucketStats(base),
+          DedupOps.minhashIndex(delDocs, "text", "doc_id")),
+        DedupOps.minhashBucketStats(overlayAdds))
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val viaDelta = DedupOps.minhashNearDupDeltaIndexed(batch, base,
+          overlayAdds, Some(tombs), corpus,
+          addDocs.select($"doc_id", $"text"), "text", "doc_id",
+          bandStats = effStats)
+        // (b) equality with the plain stats-capped probe over the
+        // resolved index (net corpus: tombstoned docs out, adds in)
+        val netCorpus = corpus.filter($"doc_id" % 10 =!= 7)
+          .unionByName(addDocs)
+        val viaResolved = DedupOps.minhashNearDupIndexed(batch,
+          DedupOps.minhashIndex(netCorpus, "text", "doc_id"),
+          netCorpus, "text", "doc_id", bandStats = Some(effStats))
+        assert(viaDelta.collect().map(_.toString).sorted.toSeq ==
+          viaResolved.collect().map(_.toString).sorted.toSeq,
+          "minhash delta probe != resolved-state probe")
+        // (a) zero exchange between the base scan and its join
+        def isBaseScan(p: SparkPlan): Boolean = p match {
+          case f: FileSourceScanExec =>
+            f.tableIdentifier.exists(_.table == tbl)
+          case _ => false
+        }
+        val plan = viaDelta.queryExecution.executedPlan
+        val baseScans = plan.collect {
+          case f: FileSourceScanExec if isBaseScan(f) => f
+        }
+        assert(baseScans.nonEmpty, s"plan must scan the stored base:\n$plan")
+        assert(baseScans.forall(_.bucketedScan),
+          s"base scan must use the bucket layout:\n$plan")
+        def pathTo(p: SparkPlan): Option[List[SparkPlan]] =
+          if (isBaseScan(p)) Some(List(p))
+          else p.children.view.flatMap(pathTo).headOption.map(p :: _)
+        val path = pathTo(plan).getOrElse(fail(s"no path to base scan:\n$plan"))
+        val belowJoin = path.reverse
+          .takeWhile(n => !n.getClass.getSimpleName.contains("Join"))
+        assert(path.reverse.exists(_.getClass.getSimpleName.contains("Join")),
+          s"base scan feeds no join:\n$plan")
+        assert(!belowJoin.exists(_.isInstanceOf[ShuffleExchangeExec]),
+          s"the bucketed base was shuffled before its join:\n$plan")
       } finally {
         spark.conf.unset("spark.sql.adaptive.enabled")
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")

@@ -108,7 +108,14 @@ class PlanAuditSpec extends AnyFunSuite {
       // partitioned probe and evolved merge are NOT here: one pins via
       // localCheckpoint, the other ends in a grouped aggregate whose
       // keys count() cannot drop
-      "streaming_fold_delta_parity")
+      "streaming_fold_delta_parity",
+      // round 12: the merge-fold parity's 'delta' phase is pinned by
+      // localCheckpoint, but its 'compact' phase is a live
+      // psiFromStates plan — the spine left-joins + stat crossJoins
+      // prune under count() exactly as drift_psi_incremental's do.
+      // The two new delta probes are NOT here: both pin via
+      // localCheckpoint before count() could prune
+      "streaming_merge_fold_parity")
     val got = flagged.map(_._1).toSet
     val msg =
       s"""count()-eliminable set drifted.

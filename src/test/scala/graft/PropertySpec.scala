@@ -1141,12 +1141,19 @@ class PropertySpec extends AnyFunSuite {
     // anti-join no-ops.
     import graft.streaming.DeltaState
     import graft.streaming.DeltaState.DeltaFoldSpec
+    // a del candidate is either an absolute id in the base/absent range
+    // (0–60; generated add ids start at 101, so these never alias an
+    // add) or — the round-11 advice fix — an INDEX into the add ids
+    // generated so far INCLUDING the current batch's, resolved at run
+    // time, so the same-batch branch (the tombstone must NOT kill its
+    // own batch's adds — the strictly-older `__db > __b` core) and the
+    // prior-add retraction branch are both actually exercised
     val seqGen = for {
       nBase <- Gen.choose(0, 12)
       nBatches <- Gen.choose(1, 4)
       batches <- Gen.listOfN(nBatches, Gen.zip(
         Gen.choose(0, 6),                          // fresh adds in this batch
-        Gen.listOfN(4, Gen.choose(0L, 60L))))      // del candidates (any id)
+        Gen.listOfN(4, Gen.zip(Gen.oneOf(false, true), Gen.choose(0L, 60L)))))
       compactAt <- Gen.choose(0, nBatches)
     } yield (nBase, batches, compactAt)
     val spec = DeltaFoldSpec(
@@ -1159,8 +1166,14 @@ class PropertySpec extends AnyFunSuite {
       val base = (0L until nBase.toLong).map(i => (i, i * 7))
       DeltaState.init(spark, dir, base.toDF("id", "sig"))
       var ref = base.toMap
-      batches.zipWithIndex.foreach { case ((nAdds, delIds), bi) =>
+      var allAdds = Vector.empty[Long]
+      batches.zipWithIndex.foreach { case ((nAdds, delPicks), bi) =>
         val adds = (0 until nAdds).map(_ => { next += 1; next })
+        allAdds ++= adds
+        val delIds = delPicks.map { case (fromAdds, v) =>
+          if (fromAdds && allAdds.nonEmpty) allAdds((v % allAdds.size).toInt)
+          else v
+        }
         val batch = adds.map(i => (i, "add"))
           .++(delIds.map(i => (i, "del"))).toDF("id", "op")
         DeltaState.applyDeltaBatch(spark, dir, bi.toLong, batch, spec)
