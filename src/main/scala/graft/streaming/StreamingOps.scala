@@ -483,11 +483,18 @@ object StreamingOps {
     * because each store's commit protocol never left its own dir.
     *
     * Returns name → final committed state.
+    *
+    * @param concurrentFolds false serializes the store publishes
+    *              (tools/FoldAB's same-window baseline — the round-10
+    *              behavior, kept ONLY so the concurrency win stays
+    *              measurable in isolation; production keeps the
+    *              default)
     */
   def foreachBatchFoldMulti(stream: DataFrame, stateRoot: String,
                             specs: Seq[FoldSpec],
                             resume: Boolean = false,
-                            retain: Int = 2): Map[String, DataFrame] = {
+                            retain: Int = 2,
+                            concurrentFolds: Boolean = true): Map[String, DataFrame] = {
     require(specs.nonEmpty, "foreachBatchFoldMulti: no fold specs")
     require(specs.map(_.name).distinct.size == specs.size,
       "foreachBatchFoldMulti: duplicate spec names")
@@ -523,6 +530,11 @@ object StreamingOps {
           val pinned = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
             pinned.count()
+            if (!concurrentFolds) {
+              specs.foreach(sp =>
+                applyFoldBatch(spark, dirOf(sp.name), batchId, pinned.toDF(),
+                  sp.fold, retain))
+            } else {
             val futs = specs.map(sp => scala.concurrent.Future {
               // under a FAIR scheduler each fold's jobs land in the
               // shared "graft_folds" pool so N stores split executor
@@ -543,6 +555,7 @@ object StreamingOps {
               scala.concurrent.Await.result(
                 f, scala.concurrent.duration.Duration.Inf)))
             settled.collectFirst { case scala.util.Failure(e) => throw e }
+            }
           } finally pinned.unpersist()
           ()
         }
