@@ -33,7 +33,7 @@ object Bench {
     // 2-leg stream per invocation; the merge-fold parity re-runs its
     // stream + compaction per invocation
     "dedup_simhash_delta_stats_probe", "dedup_minhash_delta_probe",
-    "streaming_merge_fold_parity",
+    "streaming_merge_fold_parity", "eval_auc_merge_fold",
     "streaming_dedup_parity", "streaming_index_delete_parity",
     "streaming_interval_parity",
     "streaming_ivf_ingest_parity", "streaming_minhash_ingest_parity",

@@ -127,7 +127,8 @@ private[graft] object QueriesText {
     * aggregate replays — a profile-handling tweak cannot reach one
     * graded eval and miss the other (the clusterCtesSql idiom).
     */
-  private def langEnScoreAgg(keyCols: Seq[String]): String = {
+  private def langEnScoreAgg(keyCols: Seq[String],
+                             where: String = ""): String = {
     val scoreCols = TextOps.LangProfiles.map { case (lang, stops) =>
       s"""len(list_filter(string_split(text, ' '),
          |            w -> w IN (${stops.map(w => s"'$w'").mkString(", ")}))) AS s_$lang"""
@@ -138,11 +139,12 @@ private[graft] object QueriesText {
     val keySel = keyCols.map(k => s"$k, ").mkString
     val keyNotNull = keyCols.map(k => s" AND $k IS NOT NULL").mkString
     val keyGroup = keyCols.map(k => s"$k, ").mkString
+    val whereSql = if (where.isEmpty) "" else s" AND ($where)"
     s"""WITH s0 AS (
         SELECT ${keySel}lang,
           $scoreCols
         FROM documents
-        WHERE text IS NOT NULL AND lang IS NOT NULL$keyNotNull),
+        WHERE text IS NOT NULL AND lang IS NOT NULL$keyNotNull$whereSql),
       sc AS (
         SELECT ${keySel}CAST(s_en - greatest($rivals) AS BIGINT) AS score,
                lang = 'en' AS y
@@ -313,6 +315,87 @@ private[graft] object QueriesText {
                      (CAST(sum(n_pos) AS DOUBLE) * CAST(sum(n_neg) AS DOUBLE) * 2), 6)
              END AS auc_full
       FROM w"""))
+
+  /** eval_auc_merge_fold — the MergeFold protocol on the EVAL family
+    * (round 12: with the drift histogram (`streaming_merge_fold_parity`)
+    * and the segment bucket stats (`dedup_simhash_delta_stats_probe`),
+    * this is the third aggregate family inheriting the batch-sized
+    * publish — the round-11 verdict's "one generalization, three
+    * families inherit it"). The corpus scoreCounts state is the v0
+    * base; a CDC feed of SCORED rows (score, y, ±1 weight — the
+    * monitoring deployment scores at ingest) arrives in two
+    * micro-batches with a stop/resume between them: batch 0 adds the
+    * % 20 == 0 docs, batch 1 adds % 20 == 10 AND RETRACTS the
+    * % 10 == 7 corpus docs (negated partials — a mislabeled shard
+    * withdrawn). Each trigger publishes only the batch's partial
+    * class counts; AUC recomputes from the resolved state alone,
+    * probed BOTH delta-resolved and post-compaction, and both phases
+    * must equal the one-shot aucReport over the net corpus
+    * (doc_id % 10 ≠ 7). A double-applied partial, a lost retraction,
+    * or a merge that dropped a cancelled score group each move a
+    * class count and fail the hash.
+    */
+  private val t21m = Q(
+    "eval_auc_merge_fold",
+    (s, d) => {
+      import graft.streaming.DeltaState
+      import graft.streaming.DeltaState.MergeFoldSpec
+      val scored = langEnScored(s, d, Seq("doc_id"))
+      val stageDir = tmpDir(s, "t21m_feed")
+      val stateDir = tmpDir(s, "t21m_state")
+      val spec = MergeFoldSpec(
+        partial = b => b.filter(col("score").isNotNull && col("y").isNotNull)
+          .groupBy(col("score"))
+          .agg(sum(when(col("y"), col("w")).otherwise(0L)).as("n_pos"),
+            sum(when(col("y"), 0L).otherwise(col("w"))).as("n_neg"))
+          .filter(col("n_pos") =!= 0 || col("n_neg") =!= 0),
+        merge = df => df.groupBy(col("score"))
+          .agg(sum(col("n_pos")).as("n_pos"), sum(col("n_neg")).as("n_neg"))
+          .filter(col("n_pos") =!= 0 || col("n_neg") =!= 0))
+      val init = EvalOps.scoreCounts(
+        scored.filter(col("doc_id") % 10 =!= 0), "score", "y")
+      def slice(m: Long, w: Long) = scored.filter(col("doc_id") % 20 === m)
+        .select(col("score"), col("y"), lit(w).as("w"))
+      // leg 1: batch 0 adds; stream stops
+      slice(0L, 1L).coalesce(1).write.mode("overwrite").parquet(stageDir)
+      val schema = s.read.parquet(stageDir).schema
+      def src = s.readStream.schema(schema).parquet(stageDir)
+      DeltaState.foreachBatchDeltaFold(src, init, stateDir, spec)
+      // leg 2 resumes: batch 1 adds % 20 == 10 and retracts % 10 == 7
+      slice(10L, 1L)
+        .unionByName(scored.filter(col("doc_id") % 10 === 7)
+          .select(col("score"), col("y"), lit(-1L).as("w")))
+        .coalesce(1).write.mode("append").parquet(stageDir)
+      DeltaState.foreachBatchDeltaFold(src, init, stateDir, spec,
+        resume = true)
+      def probed(phase: String) =
+        EvalOps.aucFromCounts(spec.resolve(s, stateDir))
+          .select(lit(phase).as("phase"), col("n_pos"), col("n_neg"),
+            col("auc"))
+      val viaDeltas = probed("delta").localCheckpoint(true)
+      spec.compactStore(s, stateDir)
+      viaDeltas.unionByName(probed("compact")).orderBy(col("phase"))
+    },
+    Some(s"""${langEnScoreAgg(Nil, "doc_id % 10 <> 7")},
+      w AS (
+        SELECT score, n_pos, n_neg,
+               CAST(coalesce(sum(n_neg) OVER (ORDER BY score
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                 AS neg_below
+        FROM agg),
+      one AS (
+        SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
+               CAST(sum(n_neg) AS BIGINT) AS n_neg,
+               CASE WHEN sum(n_pos) > 0 AND sum(n_neg) > 0 THEN
+                 round(CAST(sum(n_pos * (2 * neg_below + n_neg)) AS DOUBLE) /
+                       (CAST(sum(n_pos) AS DOUBLE) * CAST(sum(n_neg) AS DOUBLE) * 2), 6)
+               END AS auc
+        FROM w)
+      SELECT phase, n_pos, n_neg, auc FROM (
+        SELECT 'compact' AS phase, one.* FROM one
+        UNION ALL
+        SELECT 'delta' AS phase, one.* FROM one
+      ) u ORDER BY phase"""))
 
   /** eval_pr_langid — the full precision/recall curve over every
     * decision threshold (EvalOps.prCurve): exact tp/fp/fn suffix sums
@@ -979,5 +1062,5 @@ private[graft] object QueriesText {
       SELECT batch, rank, word, cnt, prev_cnt, round(lift, 4) AS lift
       FROM r WHERE rank <= 5 ORDER BY batch, rank"""))
 
-  val qs: Seq[Q] = Seq(t01, t16, t02, t03, t20, t21, t21q, t21i, t22, t23, t24, t25, t26, t04, t05, t06, t15, t07, t08, t09, t10, t14, t13, t12, q73, p01, t11, t17, t18)
+  val qs: Seq[Q] = Seq(t01, t16, t02, t03, t20, t21, t21q, t21i, t21m, t22, t23, t24, t25, t26, t04, t05, t06, t15, t07, t08, t09, t10, t14, t13, t12, q73, p01, t11, t17, t18)
 }

@@ -115,7 +115,12 @@ class PlanAuditSpec extends AnyFunSuite {
       // prune under count() exactly as drift_psi_incremental's do.
       // The two new delta probes are NOT here: both pin via
       // localCheckpoint before count() could prune
-      "streaming_merge_fold_parity")
+      "streaming_merge_fold_parity",
+      // round 12 cont.: the eval merge-fold's 'compact' phase is a
+      // live aucFromCounts plan — the rank-sum window drops under
+      // count() exactly as eval_auc_incremental's does (the 'delta'
+      // phase is localCheckpoint-pinned)
+      "eval_auc_merge_fold")
     val got = flagged.map(_._1).toSet
     val msg =
       s"""count()-eliminable set drifted.

@@ -1188,4 +1188,86 @@ class PropertySpec extends AnyFunSuite {
       graft.io.FsOps.rm(spark, dir)
     }
   }
+
+  test("MergeFold equals the sequential merge fold on random signed batch sequences") {
+    // the aggregate twin of the DeltaState law: for ANY sequence of
+    // signed partial batches (adds +w, retractions −w, keys drawn from
+    // base keys, prior batches' keys, or fresh), the merge-resolved
+    // state must equal folding group-sum sequentially — and compacting
+    // at an arbitrary point changes nothing. Keys that cancel to zero
+    // must DROP (the =!= 0 filter is what keeps drop-zero associative
+    // where drop-negative would not be).
+    import graft.streaming.DeltaState
+    import graft.streaming.DeltaState.MergeFoldSpec
+    val seqGen = for {
+      nBase <- Gen.choose(0, 8)
+      nBatches <- Gen.choose(1, 4)
+      batches <- Gen.listOfN(nBatches,
+        Gen.listOfN(5, Gen.zip(Gen.choose(0L, 12L), Gen.choose(-2L, 3L))))
+      compactAt <- Gen.choose(0, nBatches)
+    } yield (nBase, batches, compactAt)
+    val spec = MergeFoldSpec(
+      partial = b => b.groupBy($"k").agg(sum($"w").as("n")).filter($"n" =!= 0),
+      merge = df => df.groupBy($"k").agg(sum($"n").as("n")).filter($"n" =!= 0))
+    samples(seqGen, 6).zipWithIndex.foreach { case ((nBase, batches, compactAt), ci) =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"mf_law_$ci").toString + "/s"
+      val base = (0L until nBase.toLong).map(k => (k, k + 1))
+      DeltaState.init(spark, dir, base.toDF("k", "n"))
+      var ref = base.toMap
+      batches.zipWithIndex.foreach { case (pairs, bi) =>
+        DeltaState.applyDeltaBatch(spark, dir, bi.toLong,
+          pairs.toDF("k", "w"), spec)
+        pairs.foreach { case (k, w) =>
+          val n = ref.getOrElse(k, 0L) + w
+          ref = if (n == 0) ref - k else ref + (k -> n)
+        }
+        if (compactAt == bi + 1) spec.compactStore(spark, dir)
+        val got = spec.resolve(spark, dir).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        assert(got == ref.toSeq.sorted,
+          s"case $ci batch $bi (compactAt=$compactAt): merge state != sequential fold")
+      }
+      graft.io.FsOps.rm(spark, dir)
+    }
+  }
+
+  test("MergeFold generality: a top-k-min merge (the kmv re-rank shape) satisfies the protocol") {
+    // merge need not be a sum — any group-merge with
+    // merge(merge(X) ∪ Y) ≡ merge(X ∪ Y) qualifies. k smallest values
+    // per key (the kmvMerge re-rank law) is associative because each
+    // of the union's k smallest is within its own side's k smallest.
+    import graft.streaming.DeltaState
+    import graft.streaming.DeltaState.MergeFoldSpec
+    val k = 3
+    def topK(df: org.apache.spark.sql.DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"g").orderBy($"v")
+      df.withColumn("__r", org.apache.spark.sql.functions.row_number.over(w))
+        .filter($"__r" <= k).drop("__r")
+    }
+    val spec = MergeFoldSpec(partial = b => topK(b), merge = df => topK(df))
+    val seqGen = Gen.listOfN(3,
+      Gen.listOfN(6, Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 50L))))
+    samples(seqGen, 4).zipWithIndex.foreach { case (batches, ci) =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"mf_kmv_$ci").toString + "/s"
+      DeltaState.init(spark, dir, Seq.empty[(Long, Long)].toDF("g", "v"))
+      var all = Seq.empty[(Long, Long)]
+      batches.zipWithIndex.foreach { case (pairs, bi) =>
+        DeltaState.applyDeltaBatch(spark, dir, bi.toLong,
+          pairs.toDF("g", "v"), spec)
+        all ++= pairs
+        if (bi == 1) spec.compactStore(spark, dir)
+        val want = all.groupBy(_._1).toSeq.flatMap { case (g, vs) =>
+          vs.map(_._2).sorted.take(k).map((g, _))
+        }.sorted
+        val got = spec.resolve(spark, dir).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        assert(got == want,
+          s"case $ci batch $bi: top-$k merge state != k smallest of everything")
+      }
+      graft.io.FsOps.rm(spark, dir)
+    }
+  }
 }
