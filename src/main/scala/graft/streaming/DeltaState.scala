@@ -71,7 +71,7 @@ object DeltaState {
   sealed trait StoreFold {
     /** Write one micro-batch's delta payload under `dir` (the commit
       * marker and replay/divergence handling live in
-      * [[applyBatch]]). */
+      * [[applyDeltaBatch]]). */
     private[streaming] def writeDelta(dir: String, batch: DataFrame): Unit
     /** Resolve base + committed pending deltas to the current state. */
     def resolve(spark: SparkSession, stateDir: String): DataFrame
