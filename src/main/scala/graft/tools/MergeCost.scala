@@ -7,10 +7,10 @@ import graft.streaming.DeltaState.MergeFoldSpec
 
 /** Scratch evidence harness for the round-12 MergeFold claim (NOT part
   * of the graded surface; the DeltaCost precedent, on AGGREGATE state):
-  * maintain the SAME keyed aggregate — per-(doc-group, length-bin)
-  * counts, the per-key eval/histogram family at corpus scale, where
-  * the state is ∝ #keys and #keys grows with the corpus — under the
-  * two streaming fold protocols and time each micro-batch PUBLISH:
+  * maintain the SAME keyed aggregate — per-(doc, token) counts, the
+  * unigram-LM / token-count family at corpus scale, where the state
+  * is ∝ #keys and #keys grows with the corpus — under the two
+  * streaming fold protocols and time each micro-batch PUBLISH:
   *
   *   rewrite: `applyFoldBatch` — every batch group-merges the batch's
   *            partial into the full state and rewrites the ENTIRE
@@ -46,14 +46,19 @@ object MergeCost {
     spark.range(1000).selectExpr("sum(id)").collect()
     val pid = ProcessHandle.current().pid()
     val docs = graft.io.Tables.documents(spark, sfDir)
-    // keyed aggregate: key = doc-group (doc_id div 10 — grows with the
-    // corpus), bin = clamped length bucket; signed weight w
+    // keyed aggregate: per-(doc, token) counts — the unigram-LM /
+    // token-count family, whose state is ∝ CORPUS (docs × distinct
+    // tokens per doc), not nbins; signed weight w carries retraction.
+    // (A first variant keyed on (doc-group, length-bin) topped out at
+    // ~280k rows at ×100 — too small for O(keys) to emerge from fixed
+    // job overhead, the DeltaCost signature-index lesson; this state
+    // is ~100× bigger at every scale and grows with the dir.)
     def partialOf(df: DataFrame): DataFrame = df
-      .select(expr("doc_id div 10").as("k"),
-        least(expr("n_chars div 64"), lit(15L)).as("bin"), col("w"))
-      .groupBy(col("k"), col("bin")).agg(sum(col("w")).as("n"))
+      .select(col("doc_id").as("k"),
+        explode(split(col("text"), " ")).as("tok"), col("w"))
+      .groupBy(col("k"), col("tok")).agg(sum(col("w")).as("n"))
       .filter(col("n") =!= 0)
-    val mergeFn = (df: DataFrame) => df.groupBy(col("k"), col("bin"))
+    val mergeFn = (df: DataFrame) => df.groupBy(col("k"), col("tok"))
       .agg(sum(col("n")).as("n")).filter(col("n") =!= 0)
     val corpus = docs.filter(col("doc_id") % 10 =!= 0)
     val addPool = docs.filter(col("doc_id") % 10 === 0 &&
@@ -62,11 +67,11 @@ object MergeCost {
       col("doc_id") < 1000000000L)
     def feedSlice(i: Int): DataFrame = addPool
       .filter(expr("doc_id div 10") % batches === i)
-      .select(col("doc_id"), col("n_chars"), lit(1L).as("w"))
+      .select(col("doc_id"), col("text"), lit(1L).as("w"))
       .unionByName(delPool
         .filter(expr("doc_id div 10") % batches === i)
-        .select(col("doc_id"), col("n_chars"), lit(-1L).as("w")))
-    val init = partialOf(corpus.select(col("doc_id"), col("n_chars"),
+        .select(col("doc_id"), col("text"), lit(-1L).as("w")))
+    val init = partialOf(corpus.select(col("doc_id"), col("text"),
       lit(1L).as("w")))
     val initRows = init.count()
     def timed(f: => Unit): Double = {
@@ -93,7 +98,7 @@ object MergeCost {
     val rwFinal = spark.read
       .parquet(s"$rwDir/v${StreamingOps.latestCommitted(spark, rwDir)}")
     val same = rwFinal.unionByName(spec.resolve(spark, msDir))
-      .groupBy(col("k"), col("bin"), col("n")).count()
+      .groupBy(col("k"), col("tok"), col("n")).count()
       .filter(col("count") =!= 2).count() == 0
     println(f"MERGECOST state_rows=$initRows batches=$batches same_state=$same sf=$sfDir")
     println(f"MERGECOST rewrite_per_batch=${rwTimes.map(t => f"$t%.2f").mkString(",")} total=${rwTimes.sum}%.2f")
