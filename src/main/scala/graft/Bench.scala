@@ -34,6 +34,7 @@ object Bench {
     // stream + compaction per invocation
     "dedup_simhash_delta_stats_probe", "dedup_minhash_delta_probe",
     "streaming_merge_fold_parity", "eval_auc_merge_fold",
+    "dedup_spans_delta_probe", "ann_ivf_delta_probe",
     "streaming_dedup_parity", "streaming_index_delete_parity",
     "streaming_interval_parity",
     "streaming_ivf_ingest_parity", "streaming_minhash_ingest_parity",

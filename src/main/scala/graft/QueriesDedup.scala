@@ -968,6 +968,84 @@ private[graft] object QueriesDedup {
     },
     Some(spanOracleSql("doc_id < 200 OR doc_id >= 400", "doc_id >= 400")))
 
+  /** dedup_spans_delta_probe — the span family's STREAMING-DELTA
+    * maintenance (round 12: with the simhash segment store, the
+    * minhash band store, and the aggregate families, every dedup
+    * index family now has its batch-sized-publish deployment — and
+    * the span index is the one whose state is a COUNT aggregate, so
+    * it rides the MergeFold protocol, not the fact protocol: a
+    * deletion is a NEGATED window-count partial, the spanIndexDelete
+    * signed fold, recomputed batch-sized from the feed's carried
+    * text). A two-batch CDC feed (stopped and RESUMED between
+    * batches) publishes adds (% 10 == 0 docs' window counts) and
+    * retractions (% 10 == 7 corpus docs' counts negated); each
+    * trigger's publish is the batch's distinct-digest partial — the
+    * stored index is never rewritten on the ingest path. The
+    * % 10 == 5 batch probes the resolved state TWICE — delta-resolved
+    * and post-compaction — and both phases must equal one-shot batch
+    * spanDedup over the net union (window counts over % 10 ≠ 7 docs,
+    * output % 10 == 5 — the family's shared parameterized oracle). A
+    * double-applied partial, a leaked retraction, or a digest kept at
+    * zero perturbs the hot set and fails the hash.
+    */
+  private val d10dp = Q(
+    "dedup_spans_delta_probe",
+    (s, d) => {
+      import graft.streaming.DeltaState
+      import graft.streaming.DeltaState.MergeFoldSpec
+      val all = docs(s, d)
+      val corpus = all.filter(col("doc_id") % 10 =!= 0 &&
+        col("doc_id") % 10 =!= 5)
+      val stageDir = tmpDir(s, "d10dp_feed")
+      val stateDir = tmpDir(s, "d10dp_state")
+      def feedSlice(addMod: Long, delMod: Long) =
+        all.filter(col("doc_id") % 20 === addMod)
+          .select(lit(1L).as("w"), col("doc_id"), col("text"))
+          .unionByName(all.filter(col("doc_id") % 20 === delMod)
+            .select(lit(-1L).as("w"), col("doc_id"), col("text")))
+      val spec = MergeFoldSpec(
+        partial = b => {
+          // signed window-count partial: adds' counts + retractions'
+          // counts negated — both batch-sized explodes over carried
+          // text (the spanIndexDelete shape, streamed)
+          val adds = DedupOps.spanIndex(
+            b.filter(col("w") === 1L).select(col("doc_id"), col("text")),
+            "text", "doc_id", n = 10)
+          val dels = DedupOps.spanIndex(
+            b.filter(col("w") === -1L).select(col("doc_id"), col("text")),
+            "text", "doc_id", n = 10)
+          adds.unionByName(dels.select(col("fp"), (-col("occ")).as("occ")))
+            .groupBy(col("fp")).agg(sum(col("occ")).as("occ"))
+            .filter(col("occ") =!= 0)
+        },
+        merge = df => df.groupBy(col("fp")).agg(sum(col("occ")).as("occ"))
+          .filter(col("occ") =!= 0))
+      val init = DedupOps.spanIndex(corpus, "text", "doc_id", n = 10)
+      feedSlice(0L, 7L).coalesce(1).write.mode("overwrite").parquet(stageDir)
+      val schema = s.read.parquet(stageDir).schema
+      def src = s.readStream.schema(schema).parquet(stageDir)
+      DeltaState.foreachBatchDeltaFold(src, init, stateDir, spec)
+      feedSlice(10L, 17L).coalesce(1).write.mode("append").parquet(stageDir)
+      DeltaState.foreachBatchDeltaFold(src, init, stateDir, spec,
+        resume = true)
+      val batch = all.filter(col("doc_id") % 10 === 5)
+      def probed(phase: String) = DedupOps.spanDedupIncremental(
+          batch, spec.resolve(s, stateDir), "text", "doc_id", n = 10)
+        .withColumn("phase", lit(phase))
+      val viaDeltas = probed("delta").localCheckpoint(true)
+      spec.compactStore(s, stateDir)
+      viaDeltas.unionByName(probed("compact"))
+        .orderBy(col("phase"), col("doc_id"))
+    },
+    Some(s"""
+      SELECT phase, doc_id, n_spans, n_dup_ngrams, dup_tokens, dup_frac FROM (
+        SELECT 'compact' AS phase, q1.* FROM (${spanOracleSql(
+          "doc_id % 10 <> 7", "doc_id % 10 = 5")}) q1
+        UNION ALL
+        SELECT 'delta' AS phase, q2.* FROM (${spanOracleSql(
+          "doc_id % 10 <> 7", "doc_id % 10 = 5")}) q2
+      ) u ORDER BY phase, doc_id"""))
+
   /** dedup_minhash_index_delete — the RETRACTION half of the minhash
     * lifecycle (round 9; d02x is the fold-in half): band index built
     * over doc_id < 400, the 200–399 docs RETRACTED via
@@ -1598,5 +1676,6 @@ private[graft] object QueriesDedup {
 
   val qs: Seq[Q] = Seq(d01, d02, d02u, d02m, d02i, d02x, d02d, d02s, d02sd,
     d02b, d02p, d02dp, d03, d03i, d03u, d03d, d03b, d03c, d03e, d03p, d03sp,
-    d04, d05, d11, d13, d06, d07, d12, d08, d09, d10, d10i, d10u, d10d)
+    d04, d05, d11, d13, d06, d07, d12, d08, d09, d10, d10i, d10u, d10d,
+    d10dp)
 }

@@ -190,6 +190,73 @@ private[graft] object QueriesSim {
     Some(ivfProbeOracleSql("vec_id < 200", "vec_id < 200")))
 
 
+  /** ann_ivf_delta_probe — the delta-overlay × exchange-free
+    * composition on the ANN family (round 12: with the simhash
+    * segment, minhash band, and span stores, every probe-able index
+    * family now has its batch-sized-publish deployment): the corpus
+    * assignment index (pinned lowest-id codebook of the % 10 ≠ 0
+    * snapshot) lives as a table BUCKETED on `cell`; a two-batch CDC
+    * feed (stopped and RESUMED between batches) publishes adds
+    * (% 10 == 0 vectors assigned under the SAME pinned codebook —
+    * assignment is per-row, so delta ≡ resolved exactly) and
+    * tombstones (% 10 == 7 takedown ids) into a DeltaState overlay —
+    * the base table is never rewritten, and the codebook stays pinned
+    * BY DESIGN (re-deriving it is the retrain event). Queries probe
+    * through `ivfTopKDeltaIndexed`: candidate join straight off the
+    * bucketed base scan (zero index-side exchange — OpsSpec asserts
+    * it), tombstoned candidates dropped candidate-sized AFTER the
+    * join, the overlay broadcast as a second source, one shared
+    * re-rank. Equal to the one-shot replay over the net corpus
+    * (% 10 ≠ 7) under the snapshot codebook — the family's shared
+    * parameterized oracle.
+    */
+  private val a03dp = Q(
+    "ann_ivf_delta_probe",
+    (s, d) => {
+      import s.implicits._
+      import graft.io.Bucketing
+      import graft.streaming.DeltaState
+      import graft.streaming.DeltaState.DeltaFoldSpec
+      val e = emb(s, d)
+      val corpus = e.filter($"vec_id" % 10 =!= 0)
+      val cb = SimOps.lowestIdCodebook(corpus, "vec_id", "embedding", 16)
+      val tbl = s"graft_ivf_delta_${ProcessHandle.current().pid()}"
+      Bucketing.writeBucketedKeys(
+        SimOps.ivfIndex(corpus, "vec_id", "embedding", cb),
+        tbl, 8, Seq("cell"), Seq("cell"))
+      val base = Bucketing.table(s, tbl)
+      val stageDir = tmpDir(s, "a03dp_feed")
+      val stateDir = tmpDir(s, "a03dp_state")
+      def feedSlice(addMod: Long, delMod: Long) =
+        e.filter($"vec_id" % 20 === addMod)
+          .select(lit("add").as("op"), $"vec_id", $"embedding")
+          .unionByName(e.filter($"vec_id" % 20 === delMod)
+            .select(lit("del").as("op"), $"vec_id", $"embedding"))
+      val spec = DeltaFoldSpec(
+        add = b => SimOps.ivfIndex(
+          b.filter($"op" === "add").select($"vec_id", $"embedding"),
+          "vec_id", "embedding", cb),
+        del = Some(b => b.filter($"op" === "del").select($"vec_id")))
+      val emptyIdx = SimOps.ivfIndex(e.limit(0), "vec_id", "embedding", cb)
+      feedSlice(0L, 7L).coalesce(1).write.mode("overwrite").parquet(stageDir)
+      val schema = s.read.parquet(stageDir).schema
+      def src = s.readStream.schema(schema).parquet(stageDir)
+      DeltaState.foreachBatchDeltaFold(src, emptyIdx, stateDir, spec)
+      feedSlice(10L, 17L).coalesce(1).write.mode("append").parquet(stageDir)
+      DeltaState.foreachBatchDeltaFold(src, emptyIdx, stateDir, spec,
+        resume = true)
+      val (overlayAdds, tombs) = DeltaState.overlay(s, stateDir)
+      // tombstoned vectors don't query (the oracle's probe side is the
+      // net corpus — a taken-down doc has no business probing either)
+      val res = SimOps.ivfTopKDeltaIndexed(
+          e.filter($"vec_id" < 10 && $"vec_id" % 10 =!= 7),
+          base, overlayAdds, tombs, "vec_id", "embedding", cb, k = 5)
+        .localCheckpoint(true)
+      Bucketing.drop(s, tbl)
+      res.orderBy($"qid", $"rnk")
+    },
+    Some(ivfProbeOracleSql("vec_id % 10 <> 0", "vec_id % 10 <> 7")))
+
   private val a04 = Q(
     "ann_ivf_trained_topk",
     (s, d) => {
@@ -778,5 +845,5 @@ private[graft] object QueriesSim {
         FROM sc) t JOIN nd USING (cell)
       WHERE rnk <= 3 ORDER BY cell, rnk"""))
 
-  val qs: Seq[Q] = Seq(a01, a02, a03, a03u, a03d, a04, a05, a06, a07, a08, a09, a10, a11, a12, cr1, cr2)
+  val qs: Seq[Q] = Seq(a01, a02, a03, a03u, a03d, a03dp, a04, a05, a06, a07, a08, a09, a10, a11, a12, cr1, cr2)
 }

@@ -389,6 +389,56 @@ object SimOps {
     ivfProbeTail(queries, index, idCol, embCol, k, nprobe, codebook,
       selfJoin = corpusSizedQueries)
 
+  /** [[ivfTopKIndexed]] against a BUCKETED base plus a DeltaState
+    * OVERLAY — the delta-overlay × exchange-free composition carried
+    * to the ANN family (round 12; the
+    * [[graft.ops.DedupOps.simhashNearDupSegDeltaIndexed]] template on
+    * assignment rows): the stored [[ivfIndex]] lives bucketed on
+    * `cell` while a CDC feed's adds (batch assignments under the SAME
+    * pinned codebook) and tombstones (takedown ids) live as a delta
+    * chain — probing the resolved union would reshuffle the base (a
+    * union carries no bucketed distribution), so the candidate join
+    * is pushed below the union by hand: probe cells ⋈ bucketed base
+    * with zero index-side exchange, base candidates whose vector is
+    * tombstoned dropped by a candidate-sized id anti-join AFTER the
+    * join, the overlay's window-sized assignment rows joined as a
+    * second candidate source, one shared re-rank over the union.
+    * Since assignment is per-row under the pinned codebook,
+    * base ∖ tombs ∪ overlay ≡ index of the net corpus — probe-through-
+    * delta ≡ probe-of-resolved-state exactly (OpsSpec).
+    */
+  def ivfTopKDeltaIndexed(queries: DataFrame, baseIndex: DataFrame,
+                          overlayRows: DataFrame,
+                          tombstones: Option[DataFrame],
+                          idCol: String, embCol: String,
+                          codebook: Array[Array[Double]],
+                          k: Int, nprobe: Int = 2,
+                          corpusSizedQueries: Boolean = false): DataFrame = {
+    def cSide(df: DataFrame) = df
+      .select(col(idCol).as("nid"), col(embCol).as("c_emb"), col("cell"))
+      .withColumn("c_norm", l2Norm(col("c_emb")))
+    val q = queries.select(col(idCol).as("qid"), col(embCol).as("q_emb"))
+      .withColumn("cell", explode(
+        graft.functions.IvfFunctions.cell_top_cells(col("q_emb"), codebook, nprobe)))
+      .withColumn("q_norm", l2Norm(col("q_emb")))
+    val candBase0 = candidateJoin(cSide(baseIndex), q, "cell",
+      corpusSizedQueries)
+    val candBase = tombstones.fold(candBase0)(t =>
+      candBase0.join(t.select(col(idCol).as("nid")), Seq("nid"), "left_anti"))
+    // the overlay is one compaction window of batch assignments —
+    // broadcast-joined regardless of the query side's shape
+    val candOverlay = cSide(overlayRows).hint("broadcast").join(q, Seq("cell"))
+    val cols = Seq("qid", "nid", "q_emb", "c_emb", "q_norm", "c_norm").map(col)
+    val scored = candBase.select(cols: _*)
+      .unionByName(candOverlay.select(cols: _*))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sim", dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"), col("rnk"))
+  }
+
   /** Shared probe tail of [[ivfTopK]]/[[ivfTopKIndexed]] — ONE
     * definition of probe-cells/re-rank, so the inline and stored-index
     * paths cannot drift. */

@@ -3432,6 +3432,66 @@ class OpsSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("IVF delta probe: bucketed base never shuffles AND equals the resolved-state probe") {
+    // round 12: the delta-overlay composition on the ANN family — the
+    // probe must (a) keep the zero-exchange plan on the cell-bucketed
+    // base scan and (b) equal ivfTopKIndexed over the resolved index
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import graft.ops.SimOps
+    val e = graft.io.Tables.embeddings(spark, TestSpark.Sf0001)
+    val corpus = e.filter($"vec_id" % 10 =!= 0)
+    val addVecs = e.filter($"vec_id" % 10 === 0)
+    val cb = SimOps.lowestIdCodebook(corpus, "vec_id", "embedding", 16)
+    val tbl = "graft_test_ivf_delta"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    try {
+      graft.io.Bucketing.writeBucketedKeys(
+        SimOps.ivfIndex(corpus, "vec_id", "embedding", cb),
+        tbl, 4, Seq("cell"), Seq("cell"))
+      val base = graft.io.Bucketing.table(spark, tbl)
+      val overlayAdds = SimOps.ivfIndex(addVecs, "vec_id", "embedding", cb)
+      val tombs = corpus.filter($"vec_id" % 10 === 7).select($"vec_id")
+      val queries = e.filter($"vec_id" < 10 && $"vec_id" % 10 =!= 7)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val viaDelta = SimOps.ivfTopKDeltaIndexed(queries, base,
+          overlayAdds, Some(tombs), "vec_id", "embedding", cb, k = 5)
+        // (b) equality with the plain probe over the resolved index
+        val resolved = SimOps.ivfIndex(
+          e.filter($"vec_id" % 10 =!= 7), "vec_id", "embedding", cb)
+        val viaResolved = SimOps.ivfTopKIndexed(queries, resolved,
+          "vec_id", "embedding", cb, k = 5)
+        assert(viaDelta.collect().map(_.toString).sorted.toSeq ==
+          viaResolved.collect().map(_.toString).sorted.toSeq,
+          "IVF delta probe != resolved-state probe")
+        // (a) zero exchange between the base scan and its join (the
+        // query side broadcasts — small probe set — so the bucketed
+        // base never moves; assert it structurally)
+        def isBaseScan(p: SparkPlan): Boolean = p match {
+          case f: FileSourceScanExec =>
+            f.tableIdentifier.exists(_.table == tbl)
+          case _ => false
+        }
+        val plan = viaDelta.queryExecution.executedPlan
+        val baseScans = plan.collect {
+          case f: FileSourceScanExec if isBaseScan(f) => f
+        }
+        assert(baseScans.nonEmpty, s"plan must scan the stored base:\n$plan")
+        def pathTo(p: SparkPlan): Option[List[SparkPlan]] =
+          if (isBaseScan(p)) Some(List(p))
+          else p.children.view.flatMap(pathTo).headOption.map(p :: _)
+        val path = pathTo(plan).getOrElse(fail(s"no path to base scan:\n$plan"))
+        val belowJoin = path.reverse
+          .takeWhile(n => !n.getClass.getSimpleName.contains("Join"))
+        assert(path.reverse.exists(_.getClass.getSimpleName.contains("Join")),
+          s"base scan feeds no join:\n$plan")
+        assert(!belowJoin.exists(_.isInstanceOf[ShuffleExchangeExec]),
+          s"the bucketed base was shuffled before its join:\n$plan")
+      } finally spark.conf.unset("spark.sql.adaptive.enabled")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("delta probe: bucketed base never shuffles AND equals the resolved-state probe") {
     // round 11 capstone shape: the DeltaState overlay composed with
     // the bucketed base — the probe must (a) keep the zero-exchange

@@ -120,7 +120,12 @@ class PlanAuditSpec extends AnyFunSuite {
       // live aucFromCounts plan — the rank-sum window drops under
       // count() exactly as eval_auc_incremental's does (the 'delta'
       // phase is localCheckpoint-pinned)
-      "eval_auc_merge_fold")
+      "eval_auc_merge_fold",
+      // round 12 cont.: the span delta probe's 'compact' phase is a
+      // live spanReport plan — the family's total-output left-join
+      // tail (dedup_spans_incremental's class). ann_ivf_delta_probe
+      // is NOT here: it pins via localCheckpoint
+      "dedup_spans_delta_probe")
     val got = flagged.map(_._1).toSet
     val msg =
       s"""count()-eliminable set drifted.
