@@ -1189,6 +1189,56 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("overlay composition equals read() on random batch sequences") {
+    // the batch-scale view's contract, randomized (DeltaStateSpec pins
+    // one deterministic case): for ANY pending chain,
+    // base.antiJoin(tombstones) ∪ resolvedAdds ≡ read()'s resolution —
+    // the bucketed-base consumers (the delta probes) stand on exactly
+    // this identity, so it must hold under same-batch dels, dels of
+    // prior adds, dels of absent ids, and overlay-internal retraction
+    import graft.streaming.DeltaState
+    import graft.streaming.DeltaState.DeltaFoldSpec
+    val seqGen = for {
+      nBase <- Gen.choose(1, 10)
+      nBatches <- Gen.choose(1, 3)
+      batches <- Gen.listOfN(nBatches, Gen.zip(
+        Gen.choose(1, 5),
+        Gen.listOfN(3, Gen.zip(Gen.oneOf(false, true), Gen.choose(0L, 40L)))))
+    } yield (nBase, batches)
+    val spec = DeltaFoldSpec(
+      add = b => b.filter($"op" === "add").select($"id", ($"id" * 7).as("sig")),
+      del = Some(b => b.filter($"op" === "del").select($"id")))
+    samples(seqGen, 5).zipWithIndex.foreach { case ((nBase, batches), ci) =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"ov_law_$ci").toString + "/s"
+      var next = 100L
+      val base = (0L until nBase.toLong).map(i => (i, i * 7))
+      DeltaState.init(spark, dir, base.toDF("id", "sig"))
+      var allAdds = Vector.empty[Long]
+      batches.zipWithIndex.foreach { case ((nAdds, delPicks), bi) =>
+        val adds = (0 until nAdds).map(_ => { next += 1; next })
+        allAdds ++= adds
+        val delIds = delPicks.map { case (fromAdds, v) =>
+          if (fromAdds && allAdds.nonEmpty) allAdds((v % allAdds.size).toInt)
+          else v
+        }
+        DeltaState.applyDeltaBatch(spark, dir, bi.toLong,
+          adds.map(i => (i, "add")).++(delIds.map(i => (i, "del")))
+            .toDF("id", "op"), spec)
+      }
+      val (resolvedAdds, tombs) = DeltaState.overlay(spark, dir)
+      val composed = tombs.fold(base.toDF("id", "sig"))(t =>
+          base.toDF("id", "sig").join(t, Seq("id"), "left_anti"))
+        .unionByName(resolvedAdds)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val viaRead = DeltaState.read(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(composed == viaRead,
+        s"case $ci: overlay composition != read() resolution")
+      graft.io.FsOps.rm(spark, dir)
+    }
+  }
+
   test("MergeFold equals the sequential merge fold on random signed batch sequences") {
     // the aggregate twin of the DeltaState law: for ANY sequence of
     // signed partial batches (adds +w, retractions −w, keys drawn from
