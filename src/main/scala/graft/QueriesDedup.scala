@@ -1541,6 +1541,89 @@ private[graft] object QueriesDedup {
     Some(minhashIncrementalSql("doc_id % 10 <> 5 AND doc_id % 10 <> 7",
       "doc_id % 10 = 5")))
 
+  /** dedup_minhash_delta_stats_probe — the band family's probe cap
+    * taken ENTIRELY from STORED stats (round 13: the round-12
+    * verdict's lead task — d02dp still rebuilt its effective stats
+    * driver-side AFTER the stream by replaying the takedown feed; the
+    * d03sp template applied verbatim to the array-keyed workhorse
+    * index). Same splits and oracle as d02dp, but the CDC stream
+    * maintains TWO stores in one pass (`foreachBatchStoreFolds`, the
+    * batch pinned once): the band DeltaFold store (adds = the batch's
+    * band rows, dels = tombstone ids) and a bucket-stats MergeFold
+    * store whose per-batch PARTIAL is the adds' band rows' stats plus
+    * the deleted docs' stats NEGATED (recomputed batch-sized from the
+    * feed's carried text — banding is deterministic, so the recompute
+    * equals the stored rows' slice), group-merged at read time by the
+    * additive law. The probe's cap then comes entirely from the
+    * resolved stats store — nothing re-derived from the feed — and
+    * must still hash-equal the family's shared one-shot oracle; the
+    * stats store's base file list stays byte-identical across ingest
+    * batches (the DeltaStateSpec write-side bar, asserted on the
+    * MergeFold protocol there).
+    */
+  private val d02sp = Q(
+    "dedup_minhash_delta_stats_probe",
+    (s, d) => {
+      import s.implicits._
+      import graft.io.Bucketing
+      import graft.streaming.DeltaState
+      import graft.streaming.DeltaState.{DeltaFoldSpec, MergeFoldSpec, NamedDeltaStore}
+      val all = docs(s, d)
+      val corpus = all.filter($"doc_id" % 10 =!= 0 && $"doc_id" % 10 =!= 5)
+      def bandsOf(df: org.apache.spark.sql.DataFrame) =
+        DedupOps.minhashIndex(df, "text", "doc_id")
+      val bandT = s"graft_mhband_dstats_${ProcessHandle.current().pid()}"
+      Bucketing.writeBucketedKeys(bandsOf(corpus), bandT, 8,
+        Seq("band_idx", "band_hash"), Seq("band_idx", "band_hash"))
+      val base = Bucketing.table(s, bandT)
+      val stageDir = tmpDir(s, "d02sp_feed")
+      val stateDir = tmpDir(s, "d02sp_state")
+      val statsStateDir = tmpDir(s, "d02sp_stats_state")
+      def feedSlice(addMod: Long, delMod: Long) =
+        all.filter($"doc_id" % 20 === addMod)
+          .select(lit("add").as("op"), $"doc_id", $"text")
+          .unionByName(all.filter($"doc_id" % 20 === delMod)
+            .select(lit("del").as("op"), $"doc_id", $"text"))
+      val bandSpec = DeltaFoldSpec(
+        add = b => bandsOf(b.filter($"op" === "add").select($"doc_id", $"text")),
+        del = Some(b => b.filter($"op" === "del").select($"doc_id")))
+      val statsSpec = MergeFoldSpec(
+        partial = b => DedupOps.minhashBucketStats(
+            bandsOf(b.filter($"op" === "add").select($"doc_id", $"text")))
+          .unionByName(DedupOps.minhashBucketStats(
+              bandsOf(b.filter($"op" === "del").select($"doc_id", $"text")))
+            .select($"band_idx", $"band_hash", (-$"bucket_n").as("bucket_n"))),
+        merge = df => df.groupBy($"band_idx", $"band_hash")
+          .agg(sum($"bucket_n").as("bucket_n")).filter($"bucket_n" =!= 0))
+      val emptyBands = bandsOf(all.limit(0))
+      // the stats store's v0 is the stats STORED at index-build time
+      val baseStats = DedupOps.minhashBucketStats(base)
+      val stores = Seq(
+        NamedDeltaStore(stateDir, emptyBands, bandSpec),
+        NamedDeltaStore(statsStateDir, baseStats, statsSpec))
+      feedSlice(0L, 7L).coalesce(1).write.mode("overwrite").parquet(stageDir)
+      val schema = s.read.parquet(stageDir).schema
+      def src = s.readStream.schema(schema).parquet(stageDir)
+      DeltaState.foreachBatchStoreFolds(src, stores)
+      feedSlice(10L, 17L).coalesce(1).write.mode("append").parquet(stageDir)
+      val fin = DeltaState.foreachBatchStoreFolds(src, stores, resume = true)
+      val (overlayAdds, tombs) = DeltaState.overlay(s, stateDir)
+      val overlayDocs = all.filter($"doc_id" % 10 === 0)
+        .select($"doc_id", $"text")
+      // the cap comes ENTIRELY from the stored, batch-folded state
+      val effStats = fin(statsStateDir)
+      val res = DedupOps.minhashNearDupDeltaIndexed(
+          all.filter($"doc_id" % 10 === 5),
+          base.hint("merge"), overlayAdds, tombs,
+          corpus, overlayDocs, "text", "doc_id",
+          bandStats = effStats)
+        .localCheckpoint(true)
+      Bucketing.drop(s, bandT)
+      res.orderBy($"doc_id")
+    },
+    Some(minhashIncrementalSql("doc_id % 10 <> 5 AND doc_id % 10 <> 7",
+      "doc_id % 10 = 5")))
+
   /** dedup_simhash_index_delete — the RETRACTION half of the simhash
     * lifecycle (round 9; d03u is the fold-in half): signature index
     * over doc_id < 400, the 200–399 signatures RETRACTED via
@@ -1675,7 +1758,7 @@ private[graft] object QueriesDedup {
       "doc_id % 10 = 0")))
 
   val qs: Seq[Q] = Seq(d01, d02, d02u, d02m, d02i, d02x, d02d, d02s, d02sd,
-    d02b, d02p, d02dp, d03, d03i, d03u, d03d, d03b, d03c, d03e, d03p, d03sp,
+    d02b, d02p, d02dp, d02sp, d03, d03i, d03u, d03d, d03b, d03c, d03e, d03p, d03sp,
     d04, d05, d11, d13, d06, d07, d12, d08, d09, d10, d10i, d10u, d10d,
     d10dp)
 }

@@ -257,6 +257,91 @@ private[graft] object QueriesSim {
     },
     Some(ivfProbeOracleSql("vec_id % 10 <> 0", "vec_id % 10 <> 7")))
 
+  /** ann_ivf_retrain_cutover — the RETRAIN/re-shard cutover, the one
+    * lifecycle event every index family documents but none graded
+    * until round 13 (the round-12 verdict's task 4). Every ivfIndex
+    * maintenance law holds only while the codebook is PINNED;
+    * re-deriving it from the drifted corpus is the retrain event,
+    * which rebuilds the index by definition. This grades that event
+    * end-to-end: gen-1 = bucketed [[SimOps.ivfIndex]] under codebook
+    * cb1 + a CDC delta chain (adds %10==0, takedowns %10==7 — the
+    * a03dp feed verbatim); the RETRAIN derives cb2 from the NET
+    * corpus — read straight off gen-1's resolved view (base ∖ tombs ∪
+    * overlay adds; the assignment rows carry their vectors, so no
+    * second corpus source exists anywhere) — and rebuilds into a
+    * FRESH bucketed table while gen-1 still stands (the
+    * two-generation window: OpsSpec asserts gen-1's probe answers
+    * byte-identically through the rebuild). The graded result is the
+    * cutover probe: [[SimOps.ivfTopKIndexed]] against gen-2 under
+    * cb2, which must hash-equal the one-shot oracle under the NEW
+    * codebook over the net corpus — a leaked old-codebook assignment,
+    * a tombstoned vector surviving into gen-2, or a cb2 drawn from
+    * the wrong corpus all break the hash. At 100 TB this is the
+    * standard blue/green index deployment: the O(corpus) rebuild runs
+    * beside the serving generation, readers cut over by swapping a
+    * table name, and the old generation retires only after the cut.
+    */
+  private val a03rc = Q(
+    "ann_ivf_retrain_cutover",
+    (s, d) => {
+      import s.implicits._
+      import graft.io.Bucketing
+      import graft.streaming.DeltaState
+      import graft.streaming.DeltaState.DeltaFoldSpec
+      val e = emb(s, d)
+      val corpus = e.filter($"vec_id" % 10 =!= 0)
+      val cb1 = SimOps.lowestIdCodebook(corpus, "vec_id", "embedding", 16)
+      val pid = ProcessHandle.current().pid()
+      val tbl1 = s"graft_ivf_rc_gen1_$pid"
+      Bucketing.writeBucketedKeys(
+        SimOps.ivfIndex(corpus, "vec_id", "embedding", cb1),
+        tbl1, 8, Seq("cell"), Seq("cell"))
+      val base = Bucketing.table(s, tbl1)
+      val stageDir = tmpDir(s, "a03rc_feed")
+      val stateDir = tmpDir(s, "a03rc_state")
+      def feedSlice(addMod: Long, delMod: Long) =
+        e.filter($"vec_id" % 20 === addMod)
+          .select(lit("add").as("op"), $"vec_id", $"embedding")
+          .unionByName(e.filter($"vec_id" % 20 === delMod)
+            .select(lit("del").as("op"), $"vec_id", $"embedding"))
+      val spec = DeltaFoldSpec(
+        add = b => SimOps.ivfIndex(
+          b.filter($"op" === "add").select($"vec_id", $"embedding"),
+          "vec_id", "embedding", cb1),
+        del = Some(b => b.filter($"op" === "del").select($"vec_id")))
+      val emptyIdx = SimOps.ivfIndex(e.limit(0), "vec_id", "embedding", cb1)
+      feedSlice(0L, 7L).coalesce(1).write.mode("overwrite").parquet(stageDir)
+      val schema = s.read.parquet(stageDir).schema
+      def src = s.readStream.schema(schema).parquet(stageDir)
+      DeltaState.foreachBatchDeltaFold(src, emptyIdx, stateDir, spec)
+      feedSlice(10L, 17L).coalesce(1).write.mode("append").parquet(stageDir)
+      DeltaState.foreachBatchDeltaFold(src, emptyIdx, stateDir, spec,
+        resume = true)
+      // RETRAIN: the net corpus is gen-1's own resolved view — the
+      // assignment rows carry their vectors, so nothing re-reads the
+      // source table
+      val (overlayAdds, tombs) = DeltaState.overlay(s, stateDir)
+      val netVecs = tombs.fold(base.select($"vec_id", $"embedding"))(t =>
+          base.join(t.select($"vec_id"), Seq("vec_id"), "left_anti")
+            .select($"vec_id", $"embedding"))
+        .unionByName(overlayAdds.select($"vec_id", $"embedding"))
+      val cb2 = SimOps.lowestIdCodebook(netVecs, "vec_id", "embedding", 16)
+      // rebuild gen-2 into its OWN table while gen-1 still stands
+      val tbl2 = s"graft_ivf_rc_gen2_$pid"
+      Bucketing.writeBucketedKeys(
+        SimOps.ivfIndex(netVecs, "vec_id", "embedding", cb2),
+        tbl2, 8, Seq("cell"), Seq("cell"))
+      // the CUTOVER: the probe swings to gen-2 under the new codebook
+      val res = SimOps.ivfTopKIndexed(
+          e.filter($"vec_id" < 10 && $"vec_id" % 10 =!= 7),
+          Bucketing.table(s, tbl2), "vec_id", "embedding", cb2, k = 5)
+        .localCheckpoint(true)
+      Bucketing.drop(s, tbl1)
+      Bucketing.drop(s, tbl2)
+      res.orderBy($"qid", $"rnk")
+    },
+    Some(ivfProbeOracleSql("vec_id % 10 <> 7", "vec_id % 10 <> 7")))
+
   private val a04 = Q(
     "ann_ivf_trained_topk",
     (s, d) => {
@@ -845,5 +930,5 @@ private[graft] object QueriesSim {
         FROM sc) t JOIN nd USING (cell)
       WHERE rnk <= 3 ORDER BY cell, rnk"""))
 
-  val qs: Seq[Q] = Seq(a01, a02, a03, a03u, a03d, a03dp, a04, a05, a06, a07, a08, a09, a10, a11, a12, cr1, cr2)
+  val qs: Seq[Q] = Seq(a01, a02, a03, a03u, a03d, a03dp, a03rc, a04, a05, a06, a07, a08, a09, a10, a11, a12, cr1, cr2)
 }

@@ -114,12 +114,14 @@ object Bucketing {
     // caller's live session — a runtime-set conf (AQE toggles, shuffle
     // partitions, broadcast threshold) would silently not apply to the
     // rewrite (round-11 advice). Copy the caller's runtime SQL-conf
-    // overrides onto the clone first; static confs are identical by
-    // construction (shared SparkContext) and the set would refuse them
+    // overrides onto the clone first. Only MODIFIABLE keys are copied
+    // — static confs are identical by construction (shared
+    // SparkContext) — and a modifiable key that refuses to apply
+    // fails LOUDLY: swallowing it would re-introduce the exact
+    // silent-non-application bug this copy fixes (round-12 advice)
     spark.conf.getAll.foreach { case (k, v) =>
-      if (!ss.conf.getOption(k).contains(v))
-        try ss.conf.set(k, v)
-        catch { case scala.util.control.NonFatal(_) => () }
+      if (ss.conf.isModifiable(k) && !ss.conf.getOption(k).contains(v))
+        ss.conf.set(k, v)
     }
     ss.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     val df = transform(ss.table(inTable))

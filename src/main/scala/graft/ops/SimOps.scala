@@ -414,23 +414,46 @@ object SimOps {
                           codebook: Array[Array[Double]],
                           k: Int, nprobe: Int = 2,
                           corpusSizedQueries: Boolean = false): DataFrame = {
-    def cSide(df: DataFrame) = df
-      .select(col(idCol).as("nid"), col(embCol).as("c_emb"), col("cell"))
-      .withColumn("c_norm", l2Norm(col("c_emb")))
-    val q = queries.select(col(idCol).as("qid"), col(embCol).as("q_emb"))
-      .withColumn("cell", explode(
-        graft.functions.IvfFunctions.cell_top_cells(col("q_emb"), codebook, nprobe)))
-      .withColumn("q_norm", l2Norm(col("q_emb")))
-    val candBase0 = candidateJoin(cSide(baseIndex), q, "cell",
-      corpusSizedQueries)
+    val q = ivfQuerySide(queries, idCol, embCol, codebook, nprobe)
+    val candBase0 = candidateJoin(ivfCandSide(baseIndex, idCol, embCol), q,
+      "cell", corpusSizedQueries)
     val candBase = tombstones.fold(candBase0)(t =>
       candBase0.join(t.select(col(idCol).as("nid")), Seq("nid"), "left_anti"))
     // the overlay is one compaction window of batch assignments —
     // broadcast-joined regardless of the query side's shape
-    val candOverlay = cSide(overlayRows).hint("broadcast").join(q, Seq("cell"))
+    val candOverlay = ivfCandSide(overlayRows, idCol, embCol)
+      .hint("broadcast").join(q, Seq("cell"))
     val cols = Seq("qid", "nid", "q_emb", "c_emb", "q_norm", "c_norm").map(col)
-    val scored = candBase.select(cols: _*)
-      .unionByName(candOverlay.select(cols: _*))
+    ivfRerank(candBase.select(cols: _*)
+      .unionByName(candOverlay.select(cols: _*)), k)
+  }
+
+  /** The candidate (index) side of every IVF probe join — shared so
+    * the inline, stored-index and delta-overlay paths score the same
+    * columns. */
+  private def ivfCandSide(index: DataFrame, idCol: String,
+                          embCol: String): DataFrame =
+    index.select(col(idCol).as("nid"), col(embCol).as("c_emb"), col("cell"))
+      .withColumn("c_norm", l2Norm(col("c_emb")))
+
+  /** The query side of every IVF probe: each query exploded to its
+    * nprobe best cells (native CellTopCells) with its norm attached. */
+  private def ivfQuerySide(queries: DataFrame, idCol: String, embCol: String,
+                           centroids: Array[Array[Double]],
+                           nprobe: Int): DataFrame =
+    queries.select(col(idCol).as("qid"), col(embCol).as("q_emb"))
+      .withColumn("cell", explode(
+        graft.functions.IvfFunctions.cell_top_cells(col("q_emb"), centroids, nprobe)))
+      .withColumn("q_norm", l2Norm(col("q_emb")))
+
+  /** ONE definition of the IVF re-rank (self-filter, cosine from the
+    * precomputed norms, per-query window rank, rounding) over a
+    * candidate frame carrying (qid, nid, q_emb, c_emb, q_norm,
+    * c_norm) — the inline, stored-index and delta-overlay paths all
+    * end here, so a rounding or tie-break change cannot silently
+    * diverge one of them (round-12 advice). */
+  private def ivfRerank(cand: DataFrame, k: Int): DataFrame = {
+    val scored = cand
       .filter(col("qid") =!= col("nid"))
       .withColumn("sim", dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
@@ -445,23 +468,10 @@ object SimOps {
   private def ivfProbeTail(queries: DataFrame, index: DataFrame,
                            idCol: String, embCol: String, k: Int,
                            nprobe: Int, centroids: Array[Array[Double]],
-                           selfJoin: Boolean): DataFrame = {
-    val c = index.select(col(idCol).as("nid"), col(embCol).as("c_emb"),
-        col("cell"))
-      .withColumn("c_norm", l2Norm(col("c_emb")))
-    // queries probe the nprobe best cells (native CellTopCells)
-    val q = queries.select(col(idCol).as("qid"), col(embCol).as("q_emb"))
-      .withColumn("cell", explode(
-        graft.functions.IvfFunctions.cell_top_cells(col("q_emb"), centroids, nprobe)))
-      .withColumn("q_norm", l2Norm(col("q_emb")))
-    val scored = candidateJoin(c, q, "cell", selfJoin)
-      .filter(col("qid") =!= col("nid"))
-      .withColumn("sim", dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
-    scored.withColumn("rnk", row_number().over(w).cast("int"))
-      .filter(col("rnk") <= k)
-      .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"), col("rnk"))
-  }
+                           selfJoin: Boolean): DataFrame =
+    ivfRerank(candidateJoin(ivfCandSide(index, idCol, embCol),
+      ivfQuerySide(queries, idCol, embCol, centroids, nprobe),
+      "cell", selfJoin), k)
 
   /** Metadata-FILTERED vector search — the vector-DB "filtered
     * search" mode: the IVF index is built over the FULL corpus (the

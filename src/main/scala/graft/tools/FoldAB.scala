@@ -75,15 +75,55 @@ object FoldAB {
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+    // SPARK_GRAFT_AB_PROTO=delta runs the same alternating protocol
+    // on the BATCH-SIZED-publish path (DeltaState.foreachBatchStoreFolds
+    // concurrentStores S/C — round 13's A/B): the same seven state
+    // shapes, fact indexes as DeltaFoldSpecs and aggregate state as
+    // MergeFoldSpecs, all folding off one pinned batch per trigger
+    val proto = sys.env.getOrElse("SPARK_GRAFT_AB_PROTO", "fold")
+    import graft.streaming.DeltaState
+    import graft.streaming.DeltaState.{DeltaFoldSpec, MergeFoldSpec, NamedDeltaStore}
+    def mhIdx(df: DataFrame) = DedupOps.minhashIndex(df, "text", "doc_id")
+    def shIdx(df: DataFrame) = DedupOps.simhashIndex(df, "text", "doc_id")
+    def segIdx(df: DataFrame) = DedupOps.simhashSegmentIndex(shIdx(df), "doc_id")
+    def groupSum(keys: Seq[String], v: String)(df: DataFrame) =
+      df.groupBy(keys.map(col): _*).agg(sum(col(v)).as(v)).filter(col(v) =!= 0)
+    def deltaStores(root: String) = Seq(
+      NamedDeltaStore(s"$root/mh_index", mhIdx(corpus),
+        DeltaFoldSpec(add = mhIdx)),
+      NamedDeltaStore(s"$root/sh_index", shIdx(corpus),
+        DeltaFoldSpec(add = shIdx)),
+      NamedDeltaStore(s"$root/seg_index", segIdx(corpus),
+        DeltaFoldSpec(add = segIdx)),
+      NamedDeltaStore(s"$root/mh_stats",
+        DedupOps.minhashBucketStats(mhIdx(corpus)),
+        MergeFoldSpec(partial = b => DedupOps.minhashBucketStats(mhIdx(b)),
+          merge = groupSum(Seq("band_idx", "band_hash"), "bucket_n"))),
+      NamedDeltaStore(s"$root/seg_stats",
+        DedupOps.simhashSegmentStats(segIdx(corpus)),
+        MergeFoldSpec(partial = b => DedupOps.simhashSegmentStats(segIdx(b)),
+          merge = groupSum(Seq("seg_idx", "seg_val"), "bucket_n"))),
+      NamedDeltaStore(s"$root/span_index",
+        DedupOps.spanIndex(corpus, "text", "doc_id"),
+        MergeFoldSpec(partial = b => DedupOps.spanIndex(b, "text", "doc_id"),
+          merge = groupSum(Seq("fp"), "occ"))),
+      NamedDeltaStore(s"$root/psi_state", hist(corpus),
+        MergeFoldSpec(partial = hist, merge = groupSum(Seq("bin"), "n"))))
     def run(concurrent: Boolean, i: Int): Double = {
       val root = s"/tmp/graft_ab_state_${pid}_${if (concurrent) "c" else "s"}_$i"
       graft.io.FsOps.rm(spark, root)
       val t = timed {
-        StreamingOps.foreachBatchFoldMulti(src, root, specs,
-          concurrentFolds = concurrent)
+        if (proto == "delta")
+          DeltaState.foreachBatchStoreFolds(src, deltaStores(root),
+            concurrentStores = concurrent)
+        else
+          StreamingOps.foreachBatchFoldMulti(src, root, specs,
+            concurrentFolds = concurrent)
       }
       graft.io.FsOps.rm(spark, root)
       graft.io.FsOps.rm(spark, root + "_ckpt")
+      if (proto == "delta")
+        graft.io.FsOps.rm(spark, s"$root/mh_index_ckpt")
       t
     }
     // warmup (concurrent, discarded) absorbs codegen/classload
@@ -94,9 +134,17 @@ object FoldAB {
       seqT(i) = run(concurrent = false, i)
       conT(i) = run(concurrent = true, i)
     }
-    println(f"FOLDAB sf=$sfDir stores=7 reps=$reps (alternating S/C)")
-    println(f"FOLDAB sequential=${seqT.map(t => f"$t%.2f").mkString(",")} median=${seqT.sorted.apply(reps / 2)}%.2f")
-    println(f"FOLDAB concurrent=${conT.map(t => f"$t%.2f").mkString(",")} median=${conT.sorted.apply(reps / 2)}%.2f")
+    // true median: average the two middle samples for even rep counts
+    // — sorted(reps/2) was the MAX at the default reps=2 (round-12
+    // advice; the number feeds BASELINE.md's ratio claim)
+    def median(a: Array[Double]): Double = {
+      val s = a.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    println(f"FOLDAB sf=$sfDir proto=$proto stores=7 reps=$reps (alternating S/C)")
+    println(f"FOLDAB sequential=${seqT.map(t => f"$t%.2f").mkString(",")} median=${median(seqT)}%.2f")
+    println(f"FOLDAB concurrent=${conT.map(t => f"$t%.2f").mkString(",")} median=${median(conT)}%.2f")
     graft.io.FsOps.rm(spark, stageDir)
     spark.stop()
   }

@@ -3492,6 +3492,54 @@ class OpsSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("IVF retrain cutover: the old generation answers undisturbed through the rebuild") {
+    // round 13 (the round-12 verdict's task 4): the blue/green retrain
+    // event — gen-2 rebuilds under a NEW codebook into its OWN table
+    // while gen-1 serves. Contract: (a) gen-1's probe answers
+    // byte-identically before and after the rebuild AND the cutover
+    // probe (its files are never touched — asserted on the file list),
+    // and (b) the cutover probe against gen-2 equals the one-shot
+    // inline ivfTopK under the new codebook over the net corpus
+    import graft.ops.SimOps
+    val e = graft.io.Tables.embeddings(spark, TestSpark.Sf0001)
+    val corpus = e.filter($"vec_id" % 10 =!= 0)
+    val cb1 = SimOps.lowestIdCodebook(corpus, "vec_id", "embedding", 16)
+    val tbl1 = "graft_test_ivf_rc_gen1"
+    val tbl2 = "graft_test_ivf_rc_gen2"
+    Seq(tbl1, tbl2).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      graft.io.Bucketing.writeBucketedKeys(
+        SimOps.ivfIndex(corpus, "vec_id", "embedding", cb1),
+        tbl1, 4, Seq("cell"), Seq("cell"))
+      val gen1 = graft.io.Bucketing.table(spark, tbl1)
+      val queries = e.filter($"vec_id" < 10 && $"vec_id" % 10 =!= 0)
+      def gen1Probe() = SimOps.ivfTopKIndexed(queries, gen1,
+        "vec_id", "embedding", cb1, k = 5).collect().map(_.toString).sorted.toSeq
+      val servedBefore = gen1Probe()
+      val filesBefore = gen1.inputFiles.sorted.toSeq
+      // RETRAIN: net corpus (takedowns out, ingests in), new codebook,
+      // gen-2 rebuilt beside the serving generation
+      val net = e.filter($"vec_id" % 10 =!= 7)
+      val cb2 = SimOps.lowestIdCodebook(net, "vec_id", "embedding", 16)
+      graft.io.Bucketing.writeBucketedKeys(
+        SimOps.ivfIndex(net, "vec_id", "embedding", cb2),
+        tbl2, 4, Seq("cell"), Seq("cell"))
+      val cutQueries = e.filter($"vec_id" < 10 && $"vec_id" % 10 =!= 7)
+      val cutover = SimOps.ivfTopKIndexed(cutQueries,
+        graft.io.Bucketing.table(spark, tbl2),
+        "vec_id", "embedding", cb2, k = 5).collect().map(_.toString).sorted.toSeq
+      val oneShot = SimOps.ivfTopK(cutQueries, net, "vec_id", "embedding", 5,
+        codebook = Some(cb2)).collect().map(_.toString).sorted.toSeq
+      assert(cutover == oneShot,
+        "cutover probe != one-shot under the new codebook")
+      // the old generation is UNDISTURBED: same answers, same files
+      assert(gen1Probe() == servedBefore,
+        "gen-1's probe answers changed during the gen-2 rebuild")
+      assert(graft.io.Bucketing.table(spark, tbl1).inputFiles.sorted.toSeq
+        == filesBefore, "gen-1's files moved during the gen-2 rebuild")
+    } finally Seq(tbl1, tbl2).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("delta probe: bucketed base never shuffles AND equals the resolved-state probe") {
     // round 11 capstone shape: the DeltaState overlay composed with
     // the bucketed base — the probe must (a) keep the zero-exchange
