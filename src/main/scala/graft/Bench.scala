@@ -159,8 +159,18 @@ object Bench {
     // would overstate the run)
     val subsetTag = only.map(_ => s""""subset":${results.size},""").getOrElse("")
     val calibPost = calibrate()
-    val calib = s""""calib_pre":$calibPre,"calib_post":$calibPost"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec",$subsetTag"queries":${json(x => (x._1, x._2))},"total_warm":$totalWarm,"queries_warm":${json(x => (x._1, x._3))},$fam,$calib,"sf":"$sfDir"}"""
+    // calib-NORMALIZED per-query values (round-13, the round-12
+    // verdict's item 7): the host's speed factor has ranged 1.2–6.1
+    // across sessions, so raw cross-round per-query comparison needs
+    // the meter reading applied — recording cold/calib (and warm)
+    // directly in the artifact makes the cross-round basis computable
+    // from ONE file with no convention to remember. calib = mean of
+    // the pre/post probes (each already a median-of-3 after a
+    // discarded warmup)
+    val calibMid = (calibPre + calibPost) / 2.0
+    def norm(v: Double): Double = math.rint(v / calibMid * 10000) / 10000
+    val calib = s""""calib_pre":$calibPre,"calib_post":$calibPost,"calib":$calibMid"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec",$subsetTag"queries":${json(x => (x._1, x._2))},"total_warm":$totalWarm,"queries_warm":${json(x => (x._1, x._3))},"queries_norm":${json(x => (x._1, norm(x._2)))},"queries_warm_norm":${json(x => (x._1, norm(x._3)))},$fam,$calib,"sf":"$sfDir"}"""
     println(line)
     // belt-and-suspenders: the same line as a file, in case a harness
     // parses logs that interleave or prefix stdout
