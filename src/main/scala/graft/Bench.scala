@@ -36,9 +36,10 @@ object Bench {
     "streaming_merge_fold_parity", "eval_auc_merge_fold",
     "dedup_spans_delta_probe", "ann_ivf_delta_probe",
     // round 13: the minhash stats-store probe runs a 2-store 2-leg
-    // stream + bucketed table write per invocation; the retrain
-    // cutover rebuilds BOTH index generations + a 2-leg stream
+    // stream + bucketed table write per invocation; the retrain and
+    // re-shard cutovers rebuild BOTH index generations + a 2-leg stream
     "dedup_minhash_delta_stats_probe", "ann_ivf_retrain_cutover",
+    "dedup_minhash_reshard_cutover",
     "streaming_dedup_parity", "streaming_index_delete_parity",
     "streaming_interval_parity",
     "streaming_ivf_ingest_parity", "streaming_minhash_ingest_parity",

@@ -1624,6 +1624,91 @@ private[graft] object QueriesDedup {
     Some(minhashIncrementalSql("doc_id % 10 <> 5 AND doc_id % 10 <> 7",
       "doc_id % 10 = 5")))
 
+  /** dedup_minhash_reshard_cutover — the RE-SHARD cutover, the hash
+    * families' analog of `ann_ivf_retrain_cutover` (round 13): a
+    * growing index eventually outgrows its bucket count, and the
+    * bucket layout is frozen at write time — changing it means
+    * rebuilding the table. The structural difference from IVF
+    * retrain, and the reason this is its own graded event: band rows
+    * are pure per-doc FACTS under a fixed hash family, so the
+    * re-shard is a LAYOUT-only rebuild — the new generation is
+    * written straight from the OLD generation's resolved view (base ∖
+    * tombs ∪ overlay adds) with zero re-shingling, no text read, no
+    * signature recomputed; IVF's retrain had to re-derive state
+    * because its parameters (the codebook) changed, a re-shard
+    * changes none. Gen-1 (8 buckets) + its CDC delta chain serve
+    * while gen-2 lands at DOUBLE the bucket count with fresh stats
+    * derived from the same resolved rows (keys-sized group-count —
+    * the build-once stats contract); the probe then cuts over to
+    * gen-2 and must hash-equal the family's shared one-shot oracle on
+    * the net corpus. OpsSpec grades the two-generation window (gen-1
+    * answers and files undisturbed through the rebuild and the
+    * cutover probe). At 100 TB: the re-shard costs one index-sized
+    * shuffle-and-write — never a corpus pass — and readers swap a
+    * table name.
+    */
+  private val d02rc = Q(
+    "dedup_minhash_reshard_cutover",
+    (s, d) => {
+      import s.implicits._
+      import graft.io.Bucketing
+      import graft.streaming.DeltaState
+      import graft.streaming.DeltaState.DeltaFoldSpec
+      val all = docs(s, d)
+      val corpus = all.filter($"doc_id" % 10 =!= 0 && $"doc_id" % 10 =!= 5)
+      val pid = ProcessHandle.current().pid()
+      val gen1T = s"graft_mhband_rc1_$pid"
+      Bucketing.writeBucketedKeys(
+        DedupOps.minhashIndex(corpus, "text", "doc_id"),
+        gen1T, 8, Seq("band_idx", "band_hash"), Seq("band_idx", "band_hash"))
+      val base = Bucketing.table(s, gen1T)
+      val stageDir = tmpDir(s, "d02rc_feed")
+      val stateDir = tmpDir(s, "d02rc_state")
+      def feedSlice(addMod: Long, delMod: Long) =
+        all.filter($"doc_id" % 20 === addMod)
+          .select(lit("add").as("op"), $"doc_id", $"text")
+          .unionByName(all.filter($"doc_id" % 20 === delMod)
+            .select(lit("del").as("op"), $"doc_id", $"text"))
+      val spec = DeltaFoldSpec(
+        add = b => DedupOps.minhashIndex(
+          b.filter($"op" === "add").select($"doc_id", $"text"),
+          "text", "doc_id"),
+        del = Some(b => b.filter($"op" === "del").select($"doc_id")))
+      val emptyBands = DedupOps.minhashIndex(all.limit(0), "text", "doc_id")
+      feedSlice(0L, 7L).coalesce(1).write.mode("overwrite").parquet(stageDir)
+      val schema = s.read.parquet(stageDir).schema
+      def src = s.readStream.schema(schema).parquet(stageDir)
+      DeltaState.foreachBatchDeltaFold(src, emptyBands, stateDir, spec)
+      feedSlice(10L, 17L).coalesce(1).write.mode("append").parquet(stageDir)
+      DeltaState.foreachBatchDeltaFold(src, emptyBands, stateDir, spec,
+        resume = true)
+      // the RE-SHARD: gen-2 = gen-1's resolved view, re-bucketed at
+      // double the count — band rows are facts, so no text is read
+      // and nothing is re-shingled
+      val (overlayAdds, tombs) = DeltaState.overlay(s, stateDir)
+      val netBands = tombs.fold(base.select($"doc_id", $"band_idx", $"band_hash"))(
+          t => base.join(t.select($"doc_id"), Seq("doc_id"), "left_anti")
+            .select($"doc_id", $"band_idx", $"band_hash"))
+        .unionByName(overlayAdds.select($"doc_id", $"band_idx", $"band_hash"))
+      val gen2T = s"graft_mhband_rc2_$pid"
+      Bucketing.writeBucketedKeys(netBands, gen2T, 16,
+        Seq("band_idx", "band_hash"), Seq("band_idx", "band_hash"))
+      val gen2 = Bucketing.table(s, gen2T)
+      // the CUTOVER: plain indexed probe against gen-2, cap from the
+      // new generation's own build-time stats
+      val netCorpusText = all.filter($"doc_id" % 10 =!= 5 && $"doc_id" % 10 =!= 7)
+      val res = DedupOps.minhashNearDupIndexed(
+          all.filter($"doc_id" % 10 === 5), gen2, netCorpusText,
+          "text", "doc_id",
+          bandStats = Some(DedupOps.minhashBucketStats(gen2)))
+        .localCheckpoint(true)
+      Bucketing.drop(s, gen1T)
+      Bucketing.drop(s, gen2T)
+      res.orderBy($"doc_id")
+    },
+    Some(minhashIncrementalSql("doc_id % 10 <> 5 AND doc_id % 10 <> 7",
+      "doc_id % 10 = 5")))
+
   /** dedup_simhash_index_delete — the RETRACTION half of the simhash
     * lifecycle (round 9; d03u is the fold-in half): signature index
     * over doc_id < 400, the 200–399 signatures RETRACTED via
@@ -1758,7 +1843,7 @@ private[graft] object QueriesDedup {
       "doc_id % 10 = 0")))
 
   val qs: Seq[Q] = Seq(d01, d02, d02u, d02m, d02i, d02x, d02d, d02s, d02sd,
-    d02b, d02p, d02dp, d02sp, d03, d03i, d03u, d03d, d03b, d03c, d03e, d03p, d03sp,
+    d02b, d02p, d02dp, d02sp, d02rc, d03, d03i, d03u, d03d, d03b, d03c, d03e, d03p, d03sp,
     d04, d05, d11, d13, d06, d07, d12, d08, d09, d10, d10i, d10u, d10d,
     d10dp)
 }

@@ -3540,6 +3540,60 @@ class OpsSpec extends AnyFunSuite {
     } finally Seq(tbl1, tbl2).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("minhash re-shard cutover: layout-only rebuild equals a re-shingled index; gen-1 undisturbed") {
+    // round 13: the hash families' re-shard event — band rows are
+    // per-doc FACTS under a fixed hash family, so re-bucketing the
+    // resolved rows at a new bucket count must answer identically to
+    // an index REBUILT from the net corpus text (zero re-shingling is
+    // the event's whole value), and gen-1 must serve undisturbed
+    // (answers + file list) through the rebuild and the cutover probe
+    val docs = graft.io.Tables.documents(spark, TestSpark.Sf0001)
+    val corpus = docs.filter($"doc_id" % 10 =!= 0 && $"doc_id" % 10 =!= 5)
+    val batch = docs.filter($"doc_id" % 10 === 5)
+    val tbl1 = "graft_test_mh_rc_gen1"
+    val tbl2 = "graft_test_mh_rc_gen2"
+    Seq(tbl1, tbl2).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      graft.io.Bucketing.writeBucketedKeys(
+        DedupOps.minhashIndex(corpus, "text", "doc_id"),
+        tbl1, 4, Seq("band_idx", "band_hash"), Seq("band_idx", "band_hash"))
+      val gen1 = graft.io.Bucketing.table(spark, tbl1)
+      def gen1Probe() = DedupOps.minhashNearDupIndexed(batch, gen1, corpus,
+        "text", "doc_id",
+        bandStats = Some(DedupOps.minhashBucketStats(gen1)))
+        .collect().map(_.toString).sorted.toSeq
+      val servedBefore = gen1Probe()
+      val filesBefore = gen1.inputFiles.sorted.toSeq
+      // re-shard: net view (takedowns out, ingests in) re-bucketed at
+      // DOUBLE the count, straight from gen-1's rows — no text read
+      val delIds = corpus.filter($"doc_id" % 10 === 7).select($"doc_id")
+      val addDocs = docs.filter($"doc_id" % 10 === 0)
+      val netBands = gen1.join(delIds, Seq("doc_id"), "left_anti")
+        .select($"doc_id", $"band_idx", $"band_hash")
+        .unionByName(DedupOps.minhashIndex(addDocs, "text", "doc_id"))
+      graft.io.Bucketing.writeBucketedKeys(netBands, tbl2, 8,
+        Seq("band_idx", "band_hash"), Seq("band_idx", "band_hash"))
+      val gen2 = graft.io.Bucketing.table(spark, tbl2)
+      val netText = docs.filter($"doc_id" % 10 =!= 5 && $"doc_id" % 10 =!= 7)
+      val cutover = DedupOps.minhashNearDupIndexed(batch, gen2, netText,
+        "text", "doc_id",
+        bandStats = Some(DedupOps.minhashBucketStats(gen2)))
+        .collect().map(_.toString).sorted.toSeq
+      // layout-only rebuild ≡ full re-shingled rebuild of the net corpus
+      val reshingled = DedupOps.minhashIndex(netText, "text", "doc_id")
+      val viaRebuild = DedupOps.minhashNearDupIndexed(batch, reshingled,
+        netText, "text", "doc_id",
+        bandStats = Some(DedupOps.minhashBucketStats(reshingled)))
+        .collect().map(_.toString).sorted.toSeq
+      assert(cutover == viaRebuild,
+        "re-sharded fact rows != re-shingled index of the net corpus")
+      assert(gen1Probe() == servedBefore,
+        "gen-1's probe answers changed during the re-shard")
+      assert(graft.io.Bucketing.table(spark, tbl1).inputFiles.sorted.toSeq
+        == filesBefore, "gen-1's files moved during the re-shard")
+    } finally Seq(tbl1, tbl2).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("delta probe: bucketed base never shuffles AND equals the resolved-state probe") {
     // round 11 capstone shape: the DeltaState overlay composed with
     // the bucketed base — the probe must (a) keep the zero-exchange
