@@ -325,10 +325,18 @@ private[graft] object QueriesEvents {
       val r = TimeOps.funnelReaches(ev(s, d), "user_id", "ts",
         "event_type", Seq("view", "click", "purchase"),
         withinHours = Some(24))
-      r.select(lit("step2_click").as("step"), ($"t2" - $"t1").as("lag_us"))
+      // both lag rows in ONE pass over the reach frame (round 13 —
+      // the nearDupReport fusion): the union form evaluated the whole
+      // 3-step funnel chain once per branch (events scanned 9× in the
+      // plan). Explode emits the same two (step, lag) rows per user;
+      // the NULL filter is unchanged (a NULL lag struct field filters
+      // out exactly like its NULL-filtered union branch did)
+      r.select(explode(array(
+          struct(lit("step2_click").as("step"), ($"t2" - $"t1").as("lag_us")),
+          struct(lit("step3_purchase").as("step"),
+            ($"t3" - $"t2").as("lag_us")))).as("__l"))
+        .select($"__l.step".as("step"), $"__l.lag_us".as("lag_us"))
         .filter($"lag_us".isNotNull)
-        .unionByName(r.select(lit("step3_purchase").as("step"),
-          ($"t3" - $"t2").as("lag_us")).filter($"lag_us".isNotNull))
         .groupBy($"step")
         .agg(count(lit(1)).as("n_users"),
           percentile($"lag_us", lit(0.5)).as("p50_lag_us"),

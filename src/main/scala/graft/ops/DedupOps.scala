@@ -147,8 +147,18 @@ object DedupOps {
                             sets: DataFrame, idCol: String,
                             threshold: Double): DataFrame = {
     val verified = verifiedPairs(cands, sets, idCol)
-    val perDoc = verified.select(col("id_a").as(idCol), col("jaccard"))
-      .unionByName(verified.select(col("id_b").as(idCol), col("jaccard")))
+    // BOTH endpoints in ONE pass over the verified pairs (round 13,
+    // guide §1.2/§2.4): the union-of-two-selects form duplicated the
+    // whole verification subtree — banding, the bucket window, the
+    // pair join, and BOTH corpus shingle passes — once per branch
+    // (plan-visible: dedup_minhash scanned documents 9×). Exploding
+    // (id_a, jacc), (id_b, jacc) emits the same two rows per pair off
+    // one evaluation; aggregation is unchanged
+    val perDoc = verified
+      .select(explode(array(
+        struct(col("id_a").as(idCol), col("jaccard")),
+        struct(col("id_b").as(idCol), col("jaccard")))).as("__p"))
+      .select(col(s"__p.$idCol").as(idCol), col("__p.jaccard").as("jaccard"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_candidates"), max(col("jaccard")).as("max_jaccard"))
     df.select(col(idCol))
@@ -850,8 +860,10 @@ object DedupOps {
       .select("id_a", "id_b", "sh_a", "sh_b").distinct()
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
-    val perDoc = pairs.select(col("id_a").as(idCol))
-      .unionByName(pairs.select(col("id_b").as(idCol)))
+    // both endpoints in one pass (the nearDupReport fusion — the union
+    // form evaluated the segment self-join + window subtree twice)
+    val perDoc = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as(idCol))
       .groupBy(idCol).agg(count(lit(1)).as("n_near"))
     sh.join(perDoc, Seq(idCol), "left")
       .withColumn("n_near", coalesce(col("n_near"), lit(0L)))

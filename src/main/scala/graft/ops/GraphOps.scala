@@ -103,12 +103,12 @@ object GraphOps {
     * Explicit-stageDir callers are never touched (they own their
     * dirs; the graded queries rely on self-overwrite). */
   private def cleanupAuto(spark: SparkSession, dir: String,
-                          keep: String): Unit =
+                          keep: Set[String]): Unit =
     try {
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.listStatus(new org.apache.hadoop.fs.Path(dir))
-        .filter(_.getPath.getName != keep)
+        .filter(st => !keep.contains(st.getPath.getName))
         .foreach(st => fs.delete(st.getPath, true))
     } catch { case scala.util.control.NonFatal(_) => () }
 
@@ -150,8 +150,16 @@ object GraphOps {
     val dir = stageDir.getOrElse(autoStageDir(edges.sparkSession, "pagerank"))
     val ew = edges.groupBy(col(srcCol).as("src"), col(dstCol).as("dst"))
       .agg(sum(col(wCol).cast("long")).as("w"))
+    // out-weight via a window over ew instead of a groupBy+self-join
+    // (round 13, guide §1.2/§2.4): the join form evaluates `ew` — and
+    // with it the caller's whole edge derivation (the corpus bigram
+    // explode for wordPageRank) — TWICE inside this one staging write,
+    // and pays a third shuffle for the join. The window computes the
+    // same exact long sum per src off one ew evaluation. Values
+    // identical (same groups, same integer sum)
     val edgesN = stage(
-      ew.join(ew.groupBy(col("src")).agg(sum(col("w")).as("outw")), Seq("src")),
+      ew.withColumn("outw", sum(col("w")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src")))),
       dir, "edges")
     val nodes = edgesN.select(col("src").as("node"))
       .union(edgesN.select(col("dst").as("node"))).distinct()
@@ -193,7 +201,7 @@ object GraphOps {
               .as("u")),
         dir, s"r$i")
     }
-    if (auto) cleanupAuto(edges.sparkSession, dir, s"r$iters")
+    if (auto) cleanupAuto(edges.sparkSession, dir, Set(s"r$iters"))
     ranks.select(col("node"), col("u").as("rank_e12"))
   }
 
@@ -226,7 +234,7 @@ object GraphOps {
     val auto = stageDir.isEmpty
     val dir = stageDir.getOrElse(autoStageDir(edges.sparkSession, "labelprop"))
     val last = propagateRounds(edges, srcCol, dstCol, iters, dir).last
-    if (auto) cleanupAuto(edges.sparkSession, dir, s"lp$iters")
+    if (auto) cleanupAuto(edges.sparkSession, dir, Set(s"lp$iters"))
     last
   }
 
@@ -240,10 +248,21 @@ object GraphOps {
   private def propagateRounds(edges: DataFrame, srcCol: String,
                               dstCol: String, iters: Int,
                               dir: String): Seq[DataFrame] = {
+    // symmetrize in ONE pass over `edges` (round 13, guide §1.2/§2.4):
+    // the union-of-two-selects form evaluates the caller's edge
+    // derivation once per branch inside this staging write — for the
+    // graded graph queries that derivation is the full ngramJaccardPairs
+    // chain (shingle window + postings + pair join), so both
+    // orientations from one explode halve the most expensive pass of
+    // the whole op. Row set is identical: each input edge contributes
+    // exactly its two orientations either way, then distinct()
     val sym = stage(
-      edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
-        .union(edges.select(col(dstCol).cast("long").as("a"),
-          col(srcCol).cast("long").as("b")))
+      edges.select(explode(array(
+          struct(col(srcCol).cast("long").as("a"),
+            col(dstCol).cast("long").as("b")),
+          struct(col(dstCol).cast("long").as("a"),
+            col(srcCol).cast("long").as("b")))).as("__e"))
+        .select(col("__e.a").as("a"), col("__e.b").as("b"))
         .distinct(),
       dir, "sym_edges")
     var labels = stage(
@@ -349,12 +368,28 @@ object GraphOps {
   def componentsIncremental(snapshotLabels: DataFrame, newEdges: DataFrame,
                             srcCol: String, dstCol: String, iters: Int,
                             stageDir: Option[String] = None): DataFrame = {
+    val auto = stageDir.isEmpty
+    val dir = stageDir.getOrElse(autoStageDir(newEdges.sparkSession, "ccinc"))
     val labs = snapshotLabels.select(col("node").cast("long").as("node"),
       col("label").cast("long").as("label"))
-    val ends = newEdges.select(col(srcCol).cast("long").as("node"))
-      .union(newEdges.select(col(dstCol).cast("long").as("node"))).distinct()
-    val seed = ends.join(labs, Seq("node"), "left")
-      .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+    // endpoints in ONE pass over newEdges (round 13 — the
+    // propagateRounds symmetrization rationale: the union form
+    // evaluated the caller's batch-edge derivation once per branch)
+    val ends = newEdges.select(explode(array(
+        col(srcCol).cast("long"), col(dstCol).cast("long"))).as("node"))
+      .distinct()
+    // STAGE the (batch-bounded) seed: it is referenced three more
+    // times below — twice mapping the quotient edges, once seeding
+    // unseen endpoints into the output — and each unstaged reference
+    // re-evaluates `newEdges`, which for the graded queries is the
+    // full ngramJaccardPairs chain. One tiny write caps the whole op
+    // at TWO evaluations of the batch-edge derivation (this seed and
+    // the quotient-edge staging inside minLabelPropagate); the
+    // returned plan reads only staged frames + the snapshot
+    val seed = stage(
+      ends.join(labs, Seq("node"), "left")
+        .select(col("node"), coalesce(col("label"), col("node")).as("label")),
+      dir, "cc_seed")
     // quotient edges: batch endpoints mapped to their canonical
     // labels; same-label edges merge nothing and are dropped before
     // the loop (their labels remap to themselves via the coalesce)
@@ -364,8 +399,10 @@ object GraphOps {
       .join(seed.select(col("node").as("__d"), col("label").as("lb")), Seq("__d"))
       .filter(col("la") =!= col("lb"))
       .select(col("la"), col("lb"))
-    val remap = minLabelPropagate(qe, "la", "lb", iters, stageDir)
+    val remap = minLabelPropagate(qe, "la", "lb", iters, Some(dir))
       .select(col("node").as("label"), col("label").as("__nl"))
+    if (auto) cleanupAuto(newEdges.sparkSession, dir,
+      Set("cc_seed", s"lp$iters"))
     val allNodes = labs.unionByName(seed.join(labs, Seq("node"), "left_anti"))
     allNodes.join(remap, Seq("label"), "left")
       .select(col("node"),

@@ -321,7 +321,13 @@ object LibOps {
     // `buckets` rows computed off the BASE scan (a partial-aggregated
     // count — never the distinct-value groupBy), so the D-sized
     // aggregate above is consumed exactly once and nothing needs a
-    // checkpoint; the tiny window is the only unpartitioned one
+    // checkpoint; the tiny window is the only unpartitioned one.
+    // NOTE (round 13): a dv→offsets rollup (one corpus pass instead of
+    // two) was tried and REVERTED on measurement — the replanted dv
+    // subtree's exchange is not reused across the broadcast-join
+    // boundary (the trendingTerms lesson), so both corpus aggregates
+    // still ran plus the extra rollup: StageProbe read +20% stage
+    // input records and +56% CPU vs this shape
     val offsets = nn.groupBy(bucketOf(v).as("bucket"))
       .agg(count(lit(1)).as("bucket_total"))
       .withColumn("bucket_offset",

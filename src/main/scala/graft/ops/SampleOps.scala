@@ -493,6 +493,13 @@ object SampleOps {
       .cast("long"), lit(buckets)).cast("int").as("b")
     val tHist = grams(target).select(b).groupBy("b")
       .agg(count(lit(1)).as("ct"))
+    // NOTE (round 13): a docTf→cHist rollup was tried here (one corpus
+    // explode instead of two) and REVERTED on measurement — the
+    // replanted docTf subtree's exchange is not reused across the lr
+    // broadcast subquery and the main scoring chain (the trendingTerms
+    // lesson), so both explodes still ran, each through the WIDER
+    // (doc, bucket) aggregate: ×10 A/B read 1.28× cold / 1.09× warm
+    // against this original two-pass shape
     val cHist = grams(corpusN).select(b).groupBy("b")
       .agg(count(lit(1)).as("cq"))
     // full join: a bucket seen on only one side still needs its

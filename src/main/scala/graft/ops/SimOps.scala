@@ -654,14 +654,22 @@ object SimOps {
     val assigned = cellAssign(corpus, idCol, embCol, centroids,
       "vec_id", "emb", withCsim = true)
     val eligible = assigned.join(broadcast(okCells(assigned, maxCell)), "cell")
-    val rhs = eligible.select(col("cell"), col("vec_id").as("b_id"),
-      col("emb").as("b_emb"), col("csim").as("b_csim"))
-    val dupIds = eligible.hint("merge").join(rhs.hint("merge"), Seq("cell"))
-      .filter(col("b_id") =!= col("vec_id"))
-      .filter(col("b_csim") < col("csim") ||
-        (col("b_csim") === col("csim") && col("b_id") < col("vec_id")))
-      .filter(round(cosine(col("emb"), col("b_emb")), 4) >= tau)
-      .select(col("vec_id")).distinct()
+    // SELF-join both sides off the SAME projection (round 13): the old
+    // rhs projection renamed columns BELOW the join, so the two
+    // merge-join exchanges canonicalized differently and each side
+    // re-ran the corpus scan + argmax assignment. With one shared
+    // projection the sorted cell exchange is computed once and
+    // ReusedExchange feeds both sides; the rename moves ABOVE the join
+    // (alias-qualified columns), which changes no row
+    val ex = eligible.select(col("cell"), col("vec_id"), col("emb"),
+      col("csim"))
+    val dupIds = ex.hint("merge").as("l")
+      .join(ex.hint("merge").as("r"), col("l.cell") === col("r.cell"))
+      .filter(col("r.vec_id") =!= col("l.vec_id"))
+      .filter(col("r.csim") < col("l.csim") ||
+        (col("r.csim") === col("l.csim") && col("r.vec_id") < col("l.vec_id")))
+      .filter(round(cosine(col("l.emb"), col("r.emb")), 4) >= tau)
+      .select(col("l.vec_id").as("vec_id")).distinct()
     corpus.select(col(idCol).as("vec_id"))
       .join(assigned.select(col("vec_id"), col("cell"), col("csim")),
         Seq("vec_id"), "left")
@@ -936,12 +944,26 @@ object SimOps {
       explode(split(col("__ctext"), " ")).as("term"))
     val cellTf = terms.groupBy(col("cell"), col("term"))
       .agg(count(lit(1)).as("ctf"))
-    val cellTot = terms.groupBy(col("cell")).agg(count(lit(1)).as("ctot"))
-    val corpTf = terms.groupBy(col("term")).agg(count(lit(1)).as("gtf"))
-    val corpTot = terms.agg(count(lit(1)).as("gtot"))
+    // cell totals and corpus term frequencies as WINDOWS over cellTf
+    // (round 13, guide §1.2/§2.3): the direct groupBys each re-ran the
+    // assignment join + term explode over the whole corpus — 4 full
+    // passes for 4 count tables — and a join-back reaggregation is not
+    // safe either: a replanted aggregate's exchange is NOT reliably
+    // reused once consumers infer different filters (the trendingTerms
+    // / unigramNll plan-verified lesson, re-confirmed here by a
+    // measured 1.4× regression of the join-back form). Windows keep
+    // ONE linear chain — the explode runs exactly once by
+    // construction — and sum the same longs the groupBys did
+    // (Σ over (cell,term) partials = each coarser count). The 1-row
+    // corpus total keeps its own explode pass (a windowless global sum
+    // would funnel the tf frame through one task), so the corpus is
+    // derived twice, down from four
+    val corpTot = cellTf.agg(sum(col("ctf")).as("gtot"))
     val scored = cellTf
-      .join(corpTf, "term")
-      .join(broadcast(cellTot), "cell")
+      .withColumn("ctot",
+        sum(col("ctf")).over(Window.partitionBy(col("cell"))))
+      .withColumn("gtf",
+        sum(col("ctf")).over(Window.partitionBy(col("term"))))
       .crossJoin(broadcast(corpTot))
       .withColumn("__lift",
         (col("ctf").cast("double") * col("gtot")) /

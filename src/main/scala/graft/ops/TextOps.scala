@@ -325,6 +325,18 @@ object TextOps {
     import graft.functions.TextFunctions.word_ngrams
     val bi = df.select(col(idCol),
       explode(word_ngrams(col(textCol), 2)).as("bg"))
+    // NOTE (round 13): two single-explode reformulations of `cbg` were
+    // tried and REVERTED on measurement. (a) cbg = tf.groupBy(bg).sum —
+    // the replanted tf subtree's exchange is NOT reused once the final
+    // join infers different filters on each planting (the trendingTerms
+    // / unigramNll plan-verified lesson), so both explodes still ran
+    // plus an extra aggregate (×10 A/B: 1.54× slower). (b) cbg as a
+    // window over tf — one explode by construction, but it ADDS a
+    // (doc,bg)-dictionary-sized shuffle + sort, which StageProbe
+    // measured as +75% stage input records and +35% CPU: re-exploding
+    // the corpus is cheaper than re-shuffling the tf frame (guide §2.3
+    // — shuffled bytes, not scans, are the lever). The original
+    // two-explode shape stands as the measured optimum
     val tf = bi.groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("tf"))
     val cbg = bi.groupBy(col("bg")).agg(count(lit(1)).as("cbg"))
     val toks = df.select(explode(words(col(textCol))).as("word"))
