@@ -171,12 +171,24 @@ object Bench {
     val calibMid = (calibPre + calibPost) / 2.0
     def norm(v: Double): Double = math.rint(v / calibMid * 10000) / 10000
     val calib = s""""calib_pre":$calibPre,"calib_post":$calibPost,"calib":$calibMid"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec",$subsetTag"queries":${json(x => (x._1, x._2))},"total_warm":$totalWarm,"queries_warm":${json(x => (x._1, x._3))},"queries_norm":${json(x => (x._1, norm(x._2)))},"queries_warm_norm":${json(x => (x._1, norm(x._3)))},$fam,$calib,"sf":"$sfDir"}"""
+    // Artifact-robustness split (round 14, the round-13 verdict's item
+    // 2: the r12→r13 comparison was LOST because the stdout line got
+    // front-truncated in the driver's tail capture, and r13's norm-map
+    // additions doubled the line). The stdout line keeps every
+    // driver-contract field (metric/value/unit/queries/sf plus the
+    // r6-era warm/families/calib fields) but rounds per-query seconds
+    // to 4 decimals (0.1 ms — far below host noise) and moves the two
+    // calib-NORMALIZED maps to the FILE artifact only, roughly halving
+    // the line. BENCH_LOCAL.json is the authoritative full-precision
+    // copy: all four maps, unrounded.
+    def r4(v: Double): Double = math.rint(v * 10000) / 10000
+    val line = s"""{"metric":"total","value":$total,"unit":"sec",$subsetTag"queries":${json(x => (x._1, r4(x._2)))},"total_warm":$totalWarm,"queries_warm":${json(x => (x._1, r4(x._3)))},$fam,$calib,"sf":"$sfDir"}"""
+    val fileLine = s"""{"metric":"total","value":$total,"unit":"sec",$subsetTag"queries":${json(x => (x._1, x._2))},"total_warm":$totalWarm,"queries_warm":${json(x => (x._1, x._3))},"queries_norm":${json(x => (x._1, norm(x._2)))},"queries_warm_norm":${json(x => (x._1, norm(x._3)))},$fam,$calib,"sf":"$sfDir"}"""
     println(line)
-    // belt-and-suspenders: the same line as a file, in case a harness
-    // parses logs that interleave or prefix stdout
+    // belt-and-suspenders: the authoritative copy as a file, in case a
+    // harness parses logs that interleave, prefix, or truncate stdout
     if (only.isEmpty)
-      try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line)
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), fileLine)
       catch { case _: Throwable => }
     spark.stop()
   }

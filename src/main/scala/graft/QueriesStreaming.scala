@@ -554,23 +554,32 @@ private[graft] object QueriesStreaming {
         LibOps.histState(df, "n_chars", lo = 0.0, width = 32.0, nbins = 20)
       val emptyHist = s.range(0)
         .select($"id".cast("int").as("bin"), $"id".as("n"))
+      // ONE corpus banding pass for the two minhash seeds (round 14,
+      // guide §1.2): mh_index's v0 and mh_stats's v0 each derived
+      // minhashIndex(corpus) — the signature pass over 80% of the
+      // docs, twice. Staged once, both seeds read the same band rows
+      // (lossless parquet round-trip, deterministic banding — the
+      // published v0 states are row-identical to the private
+      // derivations they replace)
+      val bandDir = tmpDir(s, "cap_mh_band")
+      DedupOps.minhashIndex(corpus, "text", "doc_id")
+        .write.mode("overwrite").parquet(bandDir)
+      val corpusBands = s.read.parquet(bandDir)
       val fin = StreamingOps.foreachBatchFoldMulti(src, tmpDir(s, "cap_state"),
         Seq(
-          FoldSpec("mh_index", DedupOps.minhashIndex(corpus, "text", "doc_id"),
-            (st, b) => DedupOps.minhashIndexMerge(st, b, "text", "doc_id")),
-          // the stats fold re-bands the (pinned) batch the mh_index
-          // fold also bands — a documented trade: FoldSpecs are
-          // INDEPENDENT stores (a crash between publishes redoes only
-          // the unpublished ones), so they cannot share a per-batch
-          // derivation; the banding is batch-sized CPU over the cached
-          // rows, and a production job wanting to halve it writes
-          // index + stats from one band relation in a single
-          // multi-output job instead of two stores
-          FoldSpec("mh_stats", DedupOps.minhashBucketStats(
-              DedupOps.minhashIndex(corpus, "text", "doc_id")),
-            (st, b) => DedupOps.minhashBucketStatsMerge(st,
-              DedupOps.minhashBucketStats(
-                DedupOps.minhashIndex(b, "text", "doc_id")))),
+          // mh_index and mh_stats fold off the SHARED per-trigger
+          // banding of the pinned batch (round 14 — closes the
+          // documented r10 independence trade: the derivation is
+          // deterministic scratch state, so stores stay independently
+          // replayable while the banding runs once per trigger, not
+          // once per store)
+          FoldSpec("mh_index", corpusBands,
+            (st, banded) => DedupOps.minhashIndexMergeBands(st, banded, "doc_id"),
+            input = Some("mh_band")),
+          FoldSpec("mh_stats", DedupOps.minhashBucketStats(corpusBands),
+            (st, banded) => DedupOps.minhashBucketStatsMerge(st,
+              DedupOps.minhashBucketStats(banded)),
+            input = Some("mh_band")),
           FoldSpec("sh_index", DedupOps.simhashIndex(corpus, "text", "doc_id"),
             (st, b) => DedupOps.simhashIndexMerge(st, b, "text", "doc_id")),
           FoldSpec("span_index", DedupOps.spanIndex(corpus, "text", "doc_id"),
@@ -582,7 +591,9 @@ private[graft] object QueriesStreaming {
             (st, b) => EvalOps.scoreCountsMerge(st,
               EvalOps.scoreCounts(labeled(b), "score", "y"))),
           FoldSpec("psi_state", emptyHist,
-            (st, b) => LibOps.histStateMerge(st, hist(b)))))
+            (st, b) => LibOps.histStateMerge(st, hist(b)))),
+        shared = Seq("mh_band" ->
+          ((b: DataFrame) => DedupOps.minhashIndex(b, "text", "doc_id"))))
       val ingestedDocs = all.filter($"doc_id" % 10 =!= 5)
       def row(fam: String, agg: DataFrame) =
         agg.select(lit(fam).as("family"), $"m1", $"m2", $"m3")

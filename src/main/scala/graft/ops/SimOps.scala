@@ -653,16 +653,29 @@ object SimOps {
         lit(false).as("is_dup"))
     val assigned = cellAssign(corpus, idCol, embCol, centroids,
       "vec_id", "emb", withCsim = true)
-    val eligible = assigned.join(broadcast(okCells(assigned, maxCell)), "cell")
     // SELF-join both sides off the SAME projection (round 13): the old
     // rhs projection renamed columns BELOW the join, so the two
     // merge-join exchanges canonicalized differently and each side
     // re-ran the corpus scan + argmax assignment. With one shared
     // projection the sorted cell exchange is computed once and
     // ReusedExchange feeds both sides; the rename moves ABOVE the join
-    // (alias-qualified columns), which changes no row
-    val ex = eligible.select(col("cell"), col("vec_id"), col("emb"),
-      col("csim"))
+    // (alias-qualified columns), which changes no row.
+    //
+    // The maxCell valve as a COUNT WINDOW riding that same exchange
+    // (round 14, guide §2.4): the okCells broadcast-join form ran the
+    // corpus argmax a THIRD time just to count cells (an aggregate's
+    // replanted subtree is not reliably reused — the r13 meta-lesson).
+    // Window.partitionBy(cell) needs exactly the clustering+sort the
+    // merge self-join needs anyway, so eligibility now costs zero extra
+    // passes; rows kept are identical (cells with ≤ maxCell members;
+    // cellAssign drops NULL embeddings, so no NULL-cell partition
+    // enters). This is the window-vs-pass trade measured POSITIVE: the
+    // window replaces a full corpus pass and adds no new shuffle —
+    // unlike bigramNll's, which added one (its NOTE).
+    val ex = assigned
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("cell"))))
+      .filter(col("__n") <= maxCell)
+      .select(col("cell"), col("vec_id"), col("emb"), col("csim"))
     val dupIds = ex.hint("merge").as("l")
       .join(ex.hint("merge").as("r"), col("l.cell") === col("r.cell"))
       .filter(col("r.vec_id") =!= col("l.vec_id"))

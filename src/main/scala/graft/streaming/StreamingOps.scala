@@ -297,9 +297,21 @@ object StreamingOps {
   /** One store in a maintenance-fold stream: `name` keys its
     * versioned state subdirectory, `init` is the v0 snapshot, `fold`
     * is the lifecycle fold (merge/delete) applied per micro-batch.
+    *
+    * `input` (round 14): `None` feeds `fold` the pinned micro-batch
+    * itself; `Some(key)` feeds it the SHARED per-batch derivation
+    * registered under `key` with [[foreachBatchFoldMulti]] — computed
+    * off the pinned batch once per trigger and pinned itself, so N
+    * stores needing the same expensive batch transform (e.g. the
+    * minhash band rows that both the band index and its bucket stats
+    * fold) pay for it once instead of once per store. Stores stay
+    * independent: the derivation is deterministic scratch state, a
+    * crash re-derives it on replay and each store's commit protocol is
+    * untouched.
     */
   final case class FoldSpec(name: String, init: DataFrame,
-                            fold: (DataFrame, DataFrame) => DataFrame)
+                            fold: (DataFrame, DataFrame) => DataFrame,
+                            input: Option[String] = None)
 
   /** A version dir counts only once its `_SUCCESS` marker exists — a
     * crash mid-write leaves a partial `v{n}` that must never be
@@ -489,17 +501,33 @@ object StreamingOps {
     *              behavior, kept ONLY so the concurrency win stays
     *              measurable in isolation; production keeps the
     *              default)
+    * @param shared named per-batch derivations (key → transform of the
+    *              pinned batch), each computed, pinned and materialized
+    *              ONCE per trigger before the folds run; a [[FoldSpec]]
+    *              whose `input` names a key folds that derivation
+    *              instead of the raw batch. Round 14: N stores sharing
+    *              one expensive batch transform (minhash banding for
+    *              index + stats) pay it once per trigger, not once per
+    *              store — contents unchanged because the derivation is
+    *              exactly the subtree each fold computed privately.
     */
   def foreachBatchFoldMulti(stream: DataFrame, stateRoot: String,
                             specs: Seq[FoldSpec],
                             resume: Boolean = false,
                             retain: Int = 2,
-                            concurrentFolds: Boolean = true): Map[String, DataFrame] = {
+                            concurrentFolds: Boolean = true,
+                            shared: Seq[(String, DataFrame => DataFrame)] = Nil): Map[String, DataFrame] = {
     require(specs.nonEmpty, "foreachBatchFoldMulti: no fold specs")
     require(specs.map(_.name).distinct.size == specs.size,
       "foreachBatchFoldMulti: duplicate spec names")
     require(specs.forall(sp => sp.name.nonEmpty && !sp.name.contains('/')),
       "foreachBatchFoldMulti: spec names must be non-empty path segments")
+    require(shared.map(_._1).distinct.size == shared.size,
+      "foreachBatchFoldMulti: duplicate shared-derivation keys")
+    val sharedKeys = shared.map(_._1).toSet
+    require(specs.forall(_.input.forall(sharedKeys.contains)),
+      s"foreachBatchFoldMulti: a spec references a shared derivation not in " +
+        s"${sharedKeys.mkString("{", ",", "}")}")
     val spark = stream.sparkSession
     def dirOf(name: String) = s"$stateRoot/$name"
     if (!resume) {
@@ -528,14 +556,39 @@ object StreamingOps {
           // reads the materialized copy, and their jobs overlap instead
           // of serializing N publishes per trigger
           val pinned = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          // shared per-batch derivations: computed off the pinned copy
+          // and pinned themselves, so every store naming one reads a
+          // computed cache instead of re-deriving it per store. Each is
+          // materialized exactly once (an eager count — the pin's own
+          // racing-first-touch rationale); on the concurrent path that
+          // count runs as a pool task and dependent folds CHAIN on its
+          // future (no blocking barrier: independent stores start
+          // immediately, exactly as without derivations, so the
+          // derivation hides under the same concurrency the folds do —
+          // a first cut materialized it on the trigger thread before
+          // any fold was submitted, which put it alone on the critical
+          // path and measurably slowed the capstone despite the CPU
+          // saving)
+          val derivedPinned =
+            scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
           try {
             pinned.count()
+            def derive(f: DataFrame => DataFrame): org.apache.spark.sql.DataFrame = {
+              val d = f(pinned.toDF()).persist(
+                org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              derivedPinned.synchronized(derivedPinned += d)
+              d.count()
+              d
+            }
             if (!concurrentFolds) {
+              val derived = shared.map { case (k, f) => k -> derive(f) }.toMap
               specs.foreach(sp =>
-                applyFoldBatch(spark, dirOf(sp.name), batchId, pinned.toDF(),
+                applyFoldBatch(spark, dirOf(sp.name), batchId,
+                  sp.input.map(derived).getOrElse(pinned.toDF()),
                   sp.fold, retain))
             } else {
-            val futs = specs.map(sp => scala.concurrent.Future {
+            implicit val iec: scala.concurrent.ExecutionContext = ec
+            def inPool[T](body: => T): T = {
               // under a FAIR scheduler each fold's jobs land in the
               // shared "graft_folds" pool so N stores split executor
               // slots evenly instead of FIFO-starving the later folds;
@@ -543,9 +596,20 @@ object StreamingOps {
               // thread actually submitting the jobs (no-op under FIFO)
               spark.sparkContext.setLocalProperty(
                 "spark.scheduler.pool", "graft_folds")
-              applyFoldBatch(spark, dirOf(sp.name), batchId, pinned.toDF(),
-                sp.fold, retain)
-            }(ec))
+              body
+            }
+            val derivedFut: Map[String, scala.concurrent.Future[org.apache.spark.sql.DataFrame]] =
+              shared.map { case (k, f) =>
+                k -> scala.concurrent.Future(inPool(derive(f)))
+              }.toMap
+            val futs = specs.map(sp => sp.input match {
+              case None => scala.concurrent.Future(inPool(
+                applyFoldBatch(spark, dirOf(sp.name), batchId, pinned.toDF(),
+                  sp.fold, retain)))
+              case Some(k) => derivedFut(k).map(d => inPool(
+                applyFoldBatch(spark, dirOf(sp.name), batchId, d,
+                  sp.fold, retain)))
+            })
             // drain ALL futures before rethrowing the first failure:
             // a fold still mid-publish when the trigger fails would
             // otherwise race the teardown (its commit protocol is
@@ -556,7 +620,11 @@ object StreamingOps {
                 f, scala.concurrent.duration.Duration.Inf)))
             settled.collectFirst { case scala.util.Failure(e) => throw e }
             }
-          } finally pinned.unpersist()
+          } finally {
+            derivedPinned.synchronized(derivedPinned.toVector)
+              .foreach(_.unpersist())
+            pinned.unpersist()
+          }
           ()
         }
         .option("checkpointLocation", stateRoot + "_ckpt")

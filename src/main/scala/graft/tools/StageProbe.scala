@@ -55,6 +55,11 @@ object StageProbe {
       Thread.sleep(1000)
       val snap = stages.synchronized(stages.toVector)
       println(f"== run $r: $name total ${wall}%.2f s, ${snap.size} stages")
+      // full-run totals over ALL stages (round 14): top-15 sums are not
+      // comparable across code versions once a query has >15 stages
+      println(f"  TOTAL run=${snap.map(_.runMs).sum}%8d ms " +
+        f"cpu=${snap.map(_.cpuMs).sum}%8d ms tasks=${snap.map(_.tasks).sum}%5d " +
+        f"in=${snap.map(_.recordsIn).sum}%11d out=${snap.map(_.recordsOut).sum}%11d")
       snap.sortBy(-_.runMs).take(15).foreach { s =>
         println(f"  stage ${s.id}%3d wall=${s.wallMs}%6d ms run=${s.runMs}%6d ms " +
           f"cpu=${s.cpuMs}%6d ms tasks=${s.tasks}%3d in=${s.recordsIn}%9d " +
